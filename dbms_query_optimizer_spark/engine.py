@@ -1,0 +1,107 @@
+"""Engine: table registry + statistics catalog.
+
+The Spark analog of the reference's catalog + per-table ``TableStats`` map
+(reference: ``src/include/optimizer/catalog.h:13-21``,
+``src/optimizer/table_stats.cc:156-268``). Where the reference identifies a
+table by an integer segment id and tracks ``(table_id, page_count)``, we
+identify a table by name, back it with a Parquet-scanned DataFrame, and track
+a :class:`~dbms_query_optimizer_spark.plans.stats.TableStats` built by Spark
+jobs.
+
+The registry also records each table's primary key. The reference hard-codes
+"field 0 is the primary key" (``join_optimizer.cc:220,224``); in a
+named-schema world that convention becomes explicit per-table metadata used
+by the join-cardinality estimator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-provided testdata tables (TESTDATA.md). Primary-key metadata is
+# the named-schema translation of the reference's "field 0 is PK" convention
+# (FIXTURES.md §B). lineitem's key is composite, so no single-column PK.
+TABLES: dict[str, str | None] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _normalize_event_ts(df: DataFrame):
+    """events.ts is TIMESTAMP(NANOS) in the parquet; Spark's reader can't
+    decode that type, so the session reads it as a raw nanosecond long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to a
+    microsecond timestamp here. Integer ``DIV`` keeps full precision —
+    float division would lose bits above 2^53.
+    """
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+@dataclass
+class TableEntry:
+    name: str
+    df: DataFrame
+    path: str
+    primary_key: str | None = None
+    stats: object | None = None  # plans.stats.TableStats, built lazily
+
+
+@dataclass
+class Engine:
+    """Session + named-table registry + stats catalog."""
+
+    spark: SparkSession
+    tables: dict[str, TableEntry] = field(default_factory=dict)
+
+    def load_dir(self, sf_dir: str, register_views: bool = True) -> "Engine":
+        """Load every known table from ``{sf_dir}/{name}.parquet``.
+
+        Parquet scans are lazy; registering a view costs nothing until an
+        action runs, and Catalyst pushes filters/projections into the scan.
+        """
+        for name, pk in TABLES.items():
+            path = f"{sf_dir}/{name}.parquet"
+            df = self.spark.read.parquet(path)
+            if name == "events":
+                df = _normalize_event_ts(df)
+            self.tables[name] = TableEntry(name=name, df=df, path=path, primary_key=pk)
+            if register_views:
+                df.createOrReplaceTempView(name)
+        return self
+
+    def df(self, name: str) -> DataFrame:
+        return self.tables[name].df
+
+    def primary_key(self, name: str) -> str | None:
+        return self.tables[name].primary_key
+
+    def analyze(self, name: str, io_cost_per_page: int = 100, buckets: int = 100):
+        """Build (and cache) TableStats for ``name`` via Spark jobs."""
+        from .plans.stats import TableStats
+
+        entry = self.tables[name]
+        if entry.stats is None:
+            entry.stats = TableStats.from_dataframe(
+                entry.df, io_cost_per_page=io_cost_per_page, buckets=buckets
+            )
+        return entry.stats
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Lightweight loader for query callables: name -> DataFrame, views registered."""
+    eng = Engine(spark).load_dir(sf_dir)
+    return {name: e.df for name, e in eng.tables.items()}

@@ -1,0 +1,485 @@
+"""Relational query surface.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; each has a
+matching ANSI-SQL oracle in ``__spark_entry__.oracle_sql()``. Together they
+cover the reference's operator inventory (SURVEY.md §2.1) and the categories
+the reference lacks but a complete engine needs (§2.2): projection, filter,
+every join type, aggregation, distinct, sort/limit/top-k, set ops, window
+functions, cube/rollup, approximate aggregates.
+
+Scale notes (these run against ~100 TB in production):
+- Filters and projections are expressed declaratively so Catalyst pushes
+  them into the Parquet scan (PushedFilters / ReadSchema pruning).
+- Dimension tables (region/nation/supplier/part at TPC-H-ish ratios) are
+  broadcast explicitly; fact-fact joins (orders⋈lineitem) shuffle on the
+  join key and benefit from AQE skew handling.
+- Aggregates use built-in functions only — whole-stage codegen end to end;
+  no Python in the hot path.
+
+Reference parity citations are in each docstring (file:line relative to
+/root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+from ..functions.numeric import charge_expr, davg_double, dec, disc_price_expr, dsum_double
+
+
+def q_flagship_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: customer ⋈ orders ⋈ lineitem + filter + grouped aggregates.
+
+    The OrderJoinsTest query shape (reference
+    ``test/unit/optimizer/optimizer_test.cc:415-416``: multi-way equi-join +
+    one filter + aggregate) transliterated onto the TPC-H-ish testdata. Joins
+    a PK side to an FK side twice — exercising every branch of the reference
+    cardinality model (``join_optimizer.cc:76-92``).
+
+    Scale: customer⋈orders shuffles on custkey, orders⋈lineitem on orderkey;
+    both keys are near-uniform so no salting needed. The o_totalprice filter
+    pushes to the orders scan before the join.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_totalprice") < 100000.0)
+    joined = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum_double(dec("l_extendedprice"), 2).alias("sum_price"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SeqScan parity: full scan of a table (reference src/operators/seq_scan.cc:14-86).
+
+    In Spark a sequential scan is the Parquet relation itself; every field is
+    returned, as SeqScan does (``seq_scan.cc:67-70``).
+    """
+    t = load_tables(spark, sf_dir)
+    return t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate vocabulary parity: EQ NE LT LE GT GE (seq_scan.h:19-26).
+
+    One query exercising all six comparison operators the reference defines;
+    expressed declaratively so every predicate reaches the Parquet scan.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(
+            (F.col("p_size") >= 10)
+            & (F.col("p_size") <= 40)
+            & (F.col("p_size") != 13)
+            & (F.col("p_retailprice") > 900.0)
+            & (F.col("p_retailprice") < 1800.0)
+            & (F.col("p_brand") == "Brand#3")
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed columns (absent in reference — SURVEY §2.2).
+
+    Column pruning: ReadSchema should contain exactly the four source columns.
+    """
+    t = load_tables(spark, sf_dir)
+    # Rounding scale == the exact decimal precision of the true value
+    # (price 2dp × discount 2dp → 4dp; × tax 2dp → 6dp): the result is a
+    # decimal-grid point, never a rounding-halfway case, so Spark and the
+    # DuckDB oracle produce bit-identical doubles.
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+        ).alias("gross_price"),
+    )
+
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate — COUNT/MIN/MAX/SUM/AVG.
+
+    Parity: the reference's TableStats pass-1 is exactly a global
+    min/max/count aggregate per column (table_stats.cc:177-192); its test
+    queries imply COUNT (optimizer_test.cc:553,599).
+    """
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        davg_double(dec("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def q_agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped aggregation with many aggregates.
+
+    Map-side partial aggregation + final aggregation are automatic; the
+    two grouping columns are low-cardinality so the shuffle is tiny
+    regardless of input scale.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum_double(dec("l_quantity"), 2).alias("sum_qty"),
+            dsum_double(dec("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum_double(disc_price_expr(), 4).alias("sum_disc_price"),
+            dsum_double(charge_expr(), 6).alias("sum_charge"),
+            davg_double(dec("l_quantity"), 4).alias("avg_qty"),
+            davg_double(dec("l_extendedprice"), 4).alias("avg_price"),
+            davg_double(dec("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, PK→FK (LogicalJoinNode with op==EQ, join_optimizer.h:17-48).
+
+    nation is tiny → broadcast hint removes the shuffle entirely; at 100 TB
+    the supplier side streams through map-side hash probes.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join — the reference's op != EQ case (join_optimizer.h:25).
+
+    Its cardinality model estimates 0.3·card1·card2 for these
+    (join_optimizer.cc:88-89) — a warning that output explodes; we keep one
+    side broadcast-small so Spark's BroadcastNestedLoopJoin stays cheap.
+    Query: for each region, count nations whose key is strictly greater.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["region"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") > F.col("r_regionkey"))
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_greater"))
+        .orderBy("r_regionkey")
+    )
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join chain — the OrderJoinsTest shape (optimizer_test.cc:414-500).
+
+    region ⋈ nation ⋈ customer ⋈ orders with a filter, aggregated per
+    region. Dimensions broadcast; only customer⋈orders shuffles.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (absent in reference — SURVEY §2.2 'Semi/anti/outer')."""
+    t = load_tables(spark, sf_dir)
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 300000.0)
+    return (
+        t["customer"]
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_big_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers having at least one urgent order."""
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no urgent orders.
+
+    (Filtered to urgent orders so the result is non-empty at every test
+    scale factor — an all-customers anti join matches vacuously.)
+    """
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hash aggregate without aggregates) — SURVEY §2.2."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → Spark TakeOrderedAndProject (no full sort at scale)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window — the scalable top-k idiom.
+
+    Window shuffles once on the partition key; rank filter prunes to K rows
+    per group before anything leaves the executors.
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        t["customer"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rk")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) window aggregate per partition key."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_suppkey") <= 3)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum(dec("l_quantity")).over(w).cast("double"), 2).alias("running_qty"),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT — SURVEY §2.2 'Set operations'.
+
+    Nationkeys that have customers or suppliers, tagged by which side.
+    """
+    t = load_tables(spark, sf_dir)
+    cust_nations = t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust_nations.intersect(supp_nations).withColumn("side", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("side", F.lit("customer_only"))
+    supp_only = supp_nations.exceptAll(cust_nations).withColumn("side", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only).orderBy("nationkey", "side")
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.2 'grouping sets / cube / rollup')."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the scale path for distinct counts/quantiles.
+
+    ``approx_count_distinct`` (HyperLogLog++) and ``percentile_approx``
+    replace exact shuffles with mergeable sketches — the only sane way to
+    compute these at 100 TB. No SQL oracle: sketch outputs are
+    implementation-defined; the harness records a rows-only check, and the
+    companion exact query ``q_exact_distinct_counts`` is the tight gate.
+    """
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+def q_exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion to q_approx_aggs (oracle-checkable)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: string / date / math / conditional.
+
+    The reference's type system is int-only (SURVEY §1.2); a complete engine
+    needs the scalar vocabulary. All JVM-side built-ins — no UDFs.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            F.upper("o_orderstatus").alias("status_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+            F.length("o_orderpriority").alias("prio_len"),
+            F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+            F.when(F.col("o_totalprice") > 200000, "high")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_double(dec("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .filter(F.col("n_items") > 50)
+        .orderBy("l_suppkey")
+    )
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery shape via SQL (Catalyst rewrites to a semi join)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into a join).
+
+    Orders costing above their customer's average order price.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status, one column per priority class."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .withColumn("prio", F.substring("o_orderpriority", 1, 1))
+        .groupBy("o_orderstatus")
+        .pivot("prio", ["1", "2", "3", "4", "5"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({str(i): f"p{i}" for i in range(1, 6)})
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined against a table (constant-folding path)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT v.band_name, COUNT(*) AS n
+        FROM orders o
+        JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+             AS v(status, band_name)
+          ON o.o_orderstatus = v.status
+        GROUP BY v.band_name
+        ORDER BY v.band_name
+        """
+    )

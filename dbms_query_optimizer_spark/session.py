@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+One place to encode the execution-model decisions that matter at scale:
+
+- AQE on (runtime re-planning: partition coalescing, skew-join splitting,
+  broadcast-join conversion after the first shuffle's real sizes are known).
+- ``spark.sql.shuffle.partitions`` sized to the local core count for tests;
+  on a real cluster this is superseded by AQE's coalescing from
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+- Arrow enabled so every Pandas-UDF boundary is batched, not per-row.
+- Session timezone pinned to UTC so results hash-compare cleanly against
+  the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "dbms_query_optimizer_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    In local mode there is a single JVM; ``spark.driver.memory`` is the only
+    memory knob. On a cluster the same config block is still correct — AQE
+    and Arrow settings are cluster-neutral, and shuffle partitions get
+    re-coalesced at runtime.
+    """
+    cpus = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert at load (engine.load_dir).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,81 @@
+"""DuckDB oracle comparison mirroring the driver's check.
+
+Compare = row count + column-name set + order-insensitive value hash with
+columns sorted by name. Floats are normalized (round-trip via repr at
+12 significant digits) so engine summation-order noise below our explicit
+ROUND() calls can't flip a hash; NaT/NaN/None all normalize to "".
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import duckdb
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for name in TABLE_NAMES:
+        conn.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return conn
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ""
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, (datetime, date)):
+        return v.isoformat(sep=" ").replace("+00:00", "")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = conn.execute(sql)
+    d_cols = [c[0] for c in rel.description]
+    d_rows = rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
+    sn = normalize_rows(s_cols, s_rows)
+    dn = normalize_rows(d_cols, d_rows)
+    if sn != dn:
+        diff_s = [r for r in sn if r not in set(dn)][:3]
+        diff_d = [r for r in dn if r not in set(sn)][:3]
+        return False, f"values differ; spark-only={diff_s} duck-only={diff_d}"
+    return True, "ok"
