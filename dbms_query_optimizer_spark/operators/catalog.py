@@ -51,6 +51,22 @@ register(
 )
 
 register(
+    "cbo_ordered_join",
+    R.q_cbo_ordered_join,
+    """
+    SELECT n_name, COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice < 150000
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+
+register(
     "scan",
     R.q_scan,
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",

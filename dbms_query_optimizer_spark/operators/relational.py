@@ -61,6 +61,44 @@ def q_flagship_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cbo_ordered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-ordered 4-way join — the reference's full lifecycle.
+
+    Runs the complete pipeline re-expressed from the reference: histogram
+    stats built by Spark jobs (table_stats.cc:156-213), filter selectivity
+    from the histogram (table_stats.cc:262-268), Selinger DP join ordering
+    (join_optimizer.cc:108-137), and the chosen left-deep order emitted as
+    an explicit DataFrame join chain. The result is order-independent, so
+    the DuckDB oracle checks semantics while the plan shape is checked by
+    tests/test_emitter.py.
+    """
+    from ..engine import TABLES
+    from ..plans.pipeline import FilterSpec, plan_and_emit
+    from ..plans.planner import LogicalJoinNode
+    from ..plans.stats import PredicateType as P
+
+    t = load_tables(spark, sf_dir)
+    joins = [
+        LogicalJoinNode("customer", "orders", "c_custkey", "o_custkey", P.EQ),
+        LogicalJoinNode("orders", "lineitem", "o_orderkey", "l_orderkey", P.EQ),
+        LogicalJoinNode("customer", "nation", "c_nationkey", "n_nationkey", P.EQ),
+    ]
+    planned = plan_and_emit(
+        t,
+        joins,
+        filters=[FilterSpec("orders", "o_totalprice", P.LT, 150000)],
+        pk_columns=TABLES,
+    )
+    return (
+        planned.df.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_double(disc_price_expr(), 4).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SeqScan parity: full scan of a table (reference src/operators/seq_scan.cc:14-86).
 

@@ -1,0 +1,262 @@
+"""Column statistics: equi-width histograms + table-level cost/cardinality.
+
+Re-expresses the reference's estimation layer (BuzzDB
+``src/optimizer/table_stats.cc``) in Python with a distributed builder:
+
+- :class:`IntHistogram` — constant-space equi-width histogram with the
+  selectivity formulas of ``table_stats.cc:25-139`` (span =
+  ``max(1.0, (1+max-min)/buckets)``, truncated bucket index, clamped last
+  bucket, out-of-range adds ignored). One deliberate deviation, per
+  SURVEY.md §4.1: the reference's GT partial-bucket term uses integer
+  division (``table_stats.cc:96`` ``h / ntups``) which zeroes it; we use
+  the fractional formula the comment intends. All reference test
+  tolerances still hold.
+- :class:`TableStats` — per-column stats with scan cost
+  ``2 * io_cost_per_page * num_pages`` (``table_stats.cc:228-231``) and
+  filtered cardinality ``int(selectivity * num_tuples)``
+  (``table_stats.cc:243-246``).
+
+The reference builds stats with two single-threaded scans
+(``table_stats.cc:177-209``). :meth:`TableStats.from_dataframe` keeps the
+two-pass structure but each pass is ONE distributed Spark job regardless of
+column count: pass 1 aggregates min/max/count for every numeric column at
+once; pass 2 computes every column's bucket counts in a single
+explode + aggregate (map-side partial aggregation makes the shuffle
+O(columns x buckets), independent of row count — safe at 100 TB).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame
+
+NUM_HIST_BINS = 100  # reference table_stats.h:53
+PAGE_SIZE = 8196  # reference macros.h:19
+DEFAULT_IO_COST = 100  # reference optimizer_test.cc:51
+
+
+class PredicateType(Enum):
+    """Comparison vocabulary (reference seq_scan.h:19-26)."""
+
+    EQ = "="
+    NE = "<>"
+    LT = "<"
+    LE = "<="
+    GT = ">"
+    GE = ">="
+
+
+class IntHistogram:
+    """Equi-width histogram over one integer-valued column.
+
+    Constant space: ``buckets`` counters, nothing else — the reference's
+    O(1)-space requirement (table_stats.cc:15-19).
+    """
+
+    def __init__(self, buckets: int, min_val: int, max_val: int):
+        self.min_v = min_val
+        self.max_v = max_val
+        self.num_buckets = int(buckets)
+        # Float span, floored at one unit (reference table_stats.cc:28).
+        self.span = max(1.0, (1.0 + max_val - min_val) / buckets)
+        self.ntups = 0
+        self.counts = [0] * self.num_buckets
+
+    def _bucket(self, val: float) -> int:
+        # Truncated float division, clamped to the last bucket
+        # (reference table_stats.cc:44).
+        return min(int((val - self.min_v) / self.span), self.num_buckets - 1)
+
+    def add_value(self, val: int) -> None:
+        if val < self.min_v or val > self.max_v:
+            return  # out-of-range adds ignored (table_stats.cc:41-43)
+        self.counts[self._bucket(val)] += 1
+        self.ntups += 1
+
+    def set_bucket_counts(self, counts: dict[int, int]) -> None:
+        """Bulk-load from a distributed groupBy(bucket).count() result."""
+        for b, c in counts.items():
+            b = min(int(b), self.num_buckets - 1)
+            self.counts[b] += int(c)
+            self.ntups += int(c)
+
+    def estimate_selectivity(self, op: PredicateType, v: int) -> float:
+        """Fraction of values satisfying ``value op v``.
+
+        Formula structure mirrors table_stats.cc:61-139, with the
+        fractional GT partial-bucket term (see module docstring).
+        """
+        if self.ntups == 0:
+            return 0.0
+        if op is PredicateType.EQ:
+            if v < self.min_v or v > self.max_v:
+                return 0.0
+            h = self.counts[self._bucket(v)]
+            return (h / self.span) / self.ntups
+        if op is PredicateType.NE:
+            return 1.0 - self.estimate_selectivity(PredicateType.EQ, v)
+        if op is PredicateType.GT:
+            if v <= self.min_v:
+                return 1.0
+            if v >= self.max_v:
+                return 0.0
+            b = self._bucket(v)
+            h = self.counts[b]
+            # Fraction of bucket b strictly above v, computed fractionally
+            # (the reference's int division at table_stats.cc:96 zeroes this
+            # term). Integer domain: the bucket's last representable value is
+            # right_edge-1, and v itself is excluded, hence the -1; clamped
+            # because v can sit past the last integer of a wide bucket.
+            frac = (self.min_v + (b + 1) * self.span - 1 - v) / self.span
+            partial = (h / self.ntups) * min(1.0, max(0.0, frac))
+            above = sum(self.counts[b + 1 :])
+            return partial + above / self.ntups
+        if op is PredicateType.GE:
+            if v < self.min_v:
+                return 1.0
+            if v > self.max_v:
+                return 0.0
+            return self.estimate_selectivity(PredicateType.GT, v - 1)
+        if op is PredicateType.LT:
+            if v <= self.min_v:
+                return 0.0
+            if v >= self.max_v:
+                return 1.0
+            return 1.0 - self.estimate_selectivity(PredicateType.GE, v)
+        if op is PredicateType.LE:
+            if v < self.min_v:
+                return 0.0
+            if v > self.max_v:
+                return 1.0
+            return 1.0 - self.estimate_selectivity(PredicateType.GT, v)
+        raise ValueError(f"unsupported predicate {op}")
+
+    def avg_selectivity(self) -> float:
+        """Mean EQ selectivity over observed values (used by shape tests)."""
+        if self.ntups == 0:
+            return 0.0
+        return sum(
+            (c / self.span) / self.ntups * (c / self.ntups) for c in self.counts
+        )
+
+
+@dataclass
+class TableStats:
+    """Per-table statistics: tuple count, page count, per-column histograms."""
+
+    num_tuples: int
+    num_pages: int
+    io_cost_per_page: int = DEFAULT_IO_COST
+    histograms: dict[str, IntHistogram] = field(default_factory=dict)
+    min_values: dict[str, float] = field(default_factory=dict)
+    max_values: dict[str, float] = field(default_factory=dict)
+
+    # -- estimation formulas (reference numerics) ---------------------------
+
+    def estimate_scan_cost(self) -> float:
+        """2 x io_cost x pages — the two-pass scan model (table_stats.cc:228-231)."""
+        return 2.0 * self.io_cost_per_page * self.num_pages
+
+    def estimate_table_cardinality(self, selectivity_factor: float) -> int:
+        """int(sel x ntups) — floor semantics kept because the reference's
+        tests assert exact values (optimizer_test.cc:311-319)."""
+        return int(selectivity_factor * self.num_tuples)
+
+    def estimate_selectivity(self, column: str, op: PredicateType, constant: int) -> float:
+        if column not in self.histograms:
+            raise ValueError(
+                f"no histogram for column {column!r} (histograms cover numeric "
+                f"columns only; available: {sorted(self.histograms)})"
+            )
+        return self.histograms[column].estimate_selectivity(op, constant)
+
+    # -- distributed builder ------------------------------------------------
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        io_cost_per_page: int = DEFAULT_IO_COST,
+        buckets: int = NUM_HIST_BINS,
+        columns: list[str] | None = None,
+    ) -> "TableStats":
+        """Build stats with two Spark jobs (the reference's two scans,
+        distributed).
+
+        Job 1: global count + per-column min/max (single partial+final agg).
+        Job 2: per-column bucket counts — each numeric column's bucket index
+        is computed JVM-side, exploded as (column_ordinal, bucket) pairs and
+        counted in one hash aggregate. Doubles are floored to integers
+        first, mirroring the reference's int-only histogram domain
+        (table_stats.cc:206 casts every field to int).
+        """
+        from pyspark.sql import functions as F
+
+        numeric = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("integer", "long", "short", "byte", "double", "float")
+        ]
+        if columns is not None:
+            numeric = [c for c in numeric if c in columns]
+
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in numeric:
+            aggs.append(F.min(F.floor(c).cast("long")).alias(f"min_{c}"))
+            aggs.append(F.max(F.floor(c).cast("long")).alias(f"max_{c}"))
+        row1 = df.agg(*aggs).collect()[0]
+        n = row1["__n"]
+
+        # page count from the scan's input size, using the reference's page
+        # geometry so the cost model is comparable
+        input_bytes = _input_size_bytes(df)
+        num_pages = max(1, math.ceil(input_bytes / PAGE_SIZE))
+
+        stats = cls(num_tuples=int(n), num_pages=num_pages, io_cost_per_page=io_cost_per_page)
+        hists: dict[str, IntHistogram] = {}
+        for c in numeric:
+            mn, mx = row1[f"min_{c}"], row1[f"max_{c}"]
+            if mn is None:
+                continue
+            stats.min_values[c] = mn
+            stats.max_values[c] = mx
+            hists[c] = IntHistogram(buckets, int(mn), int(mx))
+
+        if hists and n > 0:
+            cols = list(hists)
+            # one (ordinal, bucket) pair per column per row, counted in a
+            # single hash aggregate; nulls dropped per-column
+            bucket_cols = []
+            for c in cols:
+                h = hists[c]
+                b = F.least(
+                    F.floor((F.floor(F.col(c)).cast("double") - F.lit(float(h.min_v))) / F.lit(h.span)).cast("long"),
+                    F.lit(h.num_buckets - 1),
+                )
+                bucket_cols.append(b)
+            pairs = (
+                df.select(F.posexplode(F.array(*bucket_cols)).alias("col_idx", "bucket"))
+                .where(F.col("bucket").isNotNull())
+                .groupBy("col_idx", "bucket")
+                .count()
+                .collect()
+            )
+            per_col: dict[int, dict[int, int]] = {}
+            for r in pairs:
+                per_col.setdefault(r["col_idx"], {})[r["bucket"]] = r["count"]
+            for i, c in enumerate(cols):
+                hists[c].set_bucket_counts(per_col.get(i, {}))
+
+        stats.histograms = hists
+        return stats
+
+
+def _input_size_bytes(df: DataFrame) -> int:
+    """Bytes the plan would scan, from Catalyst's own size estimate."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return PAGE_SIZE
