@@ -31,3 +31,25 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this package's code inside every serialized UDF closure.
+
+    The driver harness may start its SparkSession from a process where
+    ``/root/repo`` is only on ``sys.path`` of the driver, not of the
+    spawned Python workers — a by-reference pickle of any function in
+    this package would then fail with ModuleNotFoundError executor-side.
+    Registering the package with (py)spark's cloudpickle makes every
+    closure self-contained, independent of worker PYTHONPATH.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover - pyspark always present here
+        return
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_pickle_by_value()

@@ -400,6 +400,42 @@ register(
 )
 
 
+# ------------------------------------------------------------- text analysis
+
+from . import text as TXT  # noqa: E402
+
+for _name, (_fn, _sql) in TXT.oracles().items():
+    register(_name, _fn, _sql)
+
+# ------------------------------------------------------------------- dedup
+
+from . import dedup as DD  # noqa: E402
+
+for _name, (_fn, _sql) in DD.oracles().items():
+    register(_name, _fn, _sql)
+
+# -------------------------------------------------------- similarity search
+
+from . import similarity as SIM  # noqa: E402
+
+for _name, (_fn, _sql) in SIM.oracles().items():
+    register(_name, _fn, _sql)
+
+# ------------------------------------------------------- multimodal columns
+
+from . import multimodal as MM  # noqa: E402
+
+for _name, (_fn, _sql) in MM.oracles().items():
+    register(_name, _fn, _sql)
+
+# ------------------------------------------------- event-time / streaming
+
+from ..streaming import windows as SW  # noqa: E402
+
+for _name, (_fn, _sql) in SW.oracles().items():
+    register(_name, _fn, _sql)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in CATALOG.items()}
 

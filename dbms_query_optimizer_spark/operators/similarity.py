@@ -1,0 +1,211 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths:
+
+- brute-force cosine top-k — the exact baseline: query x corpus cross
+  join, JVM-side zip_with/aggregate dot products, ranking window. At
+  100 TB this is the verification harness, not the serving path: O(Q*N).
+- sign-LSH bucketed top-k — the scale path: random-hyperplane LSH
+  specialized to coordinate hyperplanes (bucket = sign pattern of the
+  leading dimensions). Candidates are only compared within the query's
+  bucket, cutting the join from Q*N to Q*N/2^bits. Deterministic and
+  SQL-expressible, so it gets a full value-level oracle; its recall versus
+  the exact baseline is measured in tests/test_similarity.py.
+
+Ranking determinism: rank orders by cosine ROUNDED to 6 dp (then vec_id
+as tie-break) on both engines, so a 1-ulp float divergence can't flip
+neighbor ranks across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+from .dedup import cosine_expr
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+LSH_SIGN_DIMS = 4  # bucket = sign pattern of dims 0..3 -> 16 buckets
+
+_DUCK_COS = (
+    "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+
+def _ranked(pairs: DataFrame) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: each query vector against the whole corpus.
+
+    The corpus side stays partitioned; the (tiny) query side is broadcast,
+    so the cross product is a map-side nested loop with no shuffle until
+    the per-query top-k window.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vc"))
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", F.round(cosine_expr("vq", "vc"), 6).alias("cosine")
+    )
+    return _ranked(pairs)
+
+
+ORACLE_KNN_BRUTE_FORCE = f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_COS} DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+def _sign_bucket_spark(col: str) -> F.Column:
+    return sum(
+        (
+            F.when(F.col(col).getItem(i) > 0, F.lit(2**i)).otherwise(F.lit(0))
+            for i in range(LSH_SIGN_DIMS)
+        ),
+        F.lit(0),
+    )
+
+
+def _sign_bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(LSH_SIGN_DIMS)
+    )
+
+
+def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: multi-probe sign-LSH.
+
+    Each query compares only against vectors in its own bucket plus the
+    LSH_SIGN_DIMS buckets at Hamming distance 1 (multi-probe): the query
+    side explodes into its probe buckets, so candidate generation stays a
+    hash EQUI-join on bucket — (1+dims)/2^dims of the cross join's work,
+    sharded naturally across executors. More dims => cheaper and less
+    exact; recall vs the exact baseline is measured in tests.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", "embedding", _sign_bucket_spark("embedding").alias("bucket")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(LSH_SIGN_DIMS)],
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("vq"),
+            F.explode(probes).alias("qb"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vc"),
+        F.col("bucket").alias("cb"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id", "neighbor_id", F.round(cosine_expr("vq", "vc"), 6).alias("cosine")
+        )
+    )
+    return _ranked(pairs)
+
+
+_PROBE_LIST = "[qb, " + ", ".join(f"xor(qb, {2**i})" for i in range(LSH_SIGN_DIMS)) + "]"
+
+ORACLE_KNN_LSH_BUCKETED = f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS rank
+        FROM (
+            WITH qq AS (
+                SELECT vec_id, embedding, ({_sign_bucket_sql('embedding')}) AS qb
+                FROM embeddings WHERE vec_id < {N_QUERIES}
+            ),
+            probes AS (
+                SELECT vec_id, embedding, UNNEST({_PROBE_LIST}) AS probe FROM qq
+            ),
+            cc AS (
+                SELECT vec_id, embedding, ({_sign_bucket_sql('embedding')}) AS cb
+                FROM embeddings
+            )
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DUCK_COS} AS cosine
+            FROM probes q JOIN cc c
+              ON c.cb = q.probe AND q.vec_id <> c.vec_id
+        )
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + bucket occupancy — the precomputation a serving
+    path would materialize once (norms make cosine a pure dot product)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        _sign_bucket_spark("embedding").alias("bucket"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMBEDDING_NORMS = f"""
+    SELECT vec_id, label, len(embedding) AS dim,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+           ({_sign_bucket_sql('embedding')}) AS bucket
+    FROM embeddings
+    ORDER BY vec_id
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
+        "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
+        "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
+    }

@@ -1,0 +1,198 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The large-scale training-data-pipeline surface: token counting, language
+identification, quality scoring, document fingerprinting. Every operator is
+pure ``pyspark.sql.functions`` (codegen'd, no Python in the executor path)
+and ships a DuckDB oracle whose SQL mirrors the Column expression tree
+term-for-term — integer arithmetic and single IEEE divisions only, so
+values are bit-identical across engines.
+
+At 100 TB these are embarrassingly parallel map-only operators: no
+shuffle at all until an aggregation; Parquet scans prune to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+from ..functions import text as T
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments, mirrors of functions/text.py helpers
+# ---------------------------------------------------------------------------
+
+SQL_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+SQL_PAD = f"(' ' || {SQL_NORM} || ' ')"
+SQL_TOKENS_WS = "len(string_split_regex(trim(text), '\\s+'))"
+SQL_TOKENS_BPE = "len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))"
+
+
+def _sql_occ(marker: str, padded: str = SQL_PAD) -> str:
+    """Occurrences via replace-length arithmetic (integer division)."""
+    esc = marker.replace("'", "''")
+    return f"((length({padded}) - length(replace({padded}, '{esc}', ''))) // {len(marker)})"
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(_sql_occ(m) for m in T.LANG_MARKERS[lang])
+
+
+def _sql_predicted_lang() -> str:
+    """Strictly-greater argmax chain in LANG_MARKERS order — the same
+    tie-break as functions.text.predicted_lang."""
+    langs = list(T.LANG_MARKERS)
+    scores = {lg: f"s_{lg}" for lg in langs}
+    expr = f"'{langs[0]}'"
+    best = scores[langs[0]]
+    for lg in langs[1:]:
+        expr = f"CASE WHEN {scores[lg]} > {best} THEN '{lg}' ELSE {expr} END"
+        best = f"greatest({scores[lg]}, {best})"
+    inner = ", ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in langs)
+    return expr, inner
+
+
+SQL_STOPWORDS = " + ".join(_sql_occ(f" {w} ") for w in T.STOPWORDS)
+SQL_MEAN_TOKEN_LEN = f"(length(replace({SQL_NORM}, ' ', '')) / {SQL_TOKENS_WS})"
+SQL_STOP_RATIO = f"(({SQL_STOPWORDS}) / {SQL_TOKENS_WS})"
+SQL_QUALITY = (
+    f"least(1.0, {SQL_TOKENS_WS} / 50.0) * 0.4"
+    f" + least(1.0, {SQL_STOP_RATIO} * 5.0) * 0.3"
+    f" + (CASE WHEN {SQL_MEAN_TOKEN_LEN} >= 3.0 AND {SQL_MEAN_TOKEN_LEN} <= 8.0"
+    f"    THEN 1.0 ELSE 0.0 END) * 0.3"
+)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace + BPE-ish counts,
+    char counts, mean token length)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        T.token_count_ws("text").alias("n_tokens_ws"),
+        T.token_count_bpe_ish("text").alias("n_tokens_bpe"),
+        T.mean_token_len("text").alias("mean_token_len"),
+    )
+
+
+ORACLE_TEXT_TOKEN_STATS = f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           {SQL_TOKENS_WS} AS n_tokens_ws,
+           {SQL_TOKENS_BPE} AS n_tokens_bpe,
+           {SQL_MEAN_TOKEN_LEN} AS mean_token_len
+    FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/n-gram-marker language identification with per-language
+    scores and deterministic argmax; compared against the labeled lang."""
+    t = load_tables(spark, sf_dir)
+    scores = T.lang_scores("text")
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lg].alias(f"s_{lg}") for lg in T.LANG_MARKERS],
+        T.predicted_lang("text").alias("predicted_lang"),
+    )
+
+
+def _oracle_lang_id() -> str:
+    case_expr, inner = _sql_predicted_lang()
+    return f"""
+    SELECT doc_id, labeled_lang, {', '.join('s_' + lg for lg in T.LANG_MARKERS)},
+           {case_expr} AS predicted_lang
+    FROM (
+        SELECT doc_id, lang AS labeled_lang, {inner}
+        FROM documents
+    )
+    """
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + its components, per document."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.mean_token_len("text").alias("mean_token_len"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+    SELECT doc_id,
+           {SQL_STOP_RATIO} AS stop_ratio,
+           {SQL_MEAN_TOKEN_LEN} AS mean_token_len,
+           {SQL_QUALITY} AS quality
+    FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content fingerprint (md5 of normalized text) + dup-group size."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", T.fingerprint_md5("text").alias("fp"))
+    sizes = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_same"))
+    return docs.join(sizes, "fp").select("doc_id", "fp", "n_same")
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+    WITH fps AS (SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents)
+    SELECT doc_id, fp, n_same
+    FROM fps JOIN (SELECT fp, COUNT(*) AS n_same FROM fps GROUP BY fp) USING (fp)
+"""
+
+
+def q_text_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up: per labeled language, docs / mean quality / token mass.
+
+    The reduction layer over the map-only scores: the shuffle carries one
+    row per language, so this aggregates arbitrarily large corpora.
+    """
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        "lang",
+        T.token_count_ws("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("quality"), 6).alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEXT_LANG_QUALITY_SUMMARY = f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM({SQL_TOKENS_WS}) AS total_tokens,
+           ROUND(SUM({SQL_QUALITY}), 6) AS sum_quality
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
+        "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
+        "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+        "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+        "text_lang_quality_summary": (
+            q_text_lang_quality_summary,
+            ORACLE_TEXT_LANG_QUALITY_SUMMARY,
+        ),
+    }

@@ -1,0 +1,22 @@
+"""Event-time processing over the ``events`` table.
+
+Batch window aggregations (tumbling / sliding / session) plus true
+Structured Streaming execution of the same logic, asserted equal to the
+batch result.
+"""
+
+from .windows import (
+    q_events_tumbling,
+    q_events_sliding,
+    q_events_sessionized,
+    q_streaming_tumbling,
+    oracles,
+)
+
+__all__ = [
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_sessionized",
+    "q_streaming_tumbling",
+    "oracles",
+]

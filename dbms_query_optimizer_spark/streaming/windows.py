@@ -1,0 +1,217 @@
+"""Event-time windowed aggregation: tumbling, sliding, session; batch and
+true Structured Streaming.
+
+The reference has no streaming surface (SURVEY §2.2); this is the
+Spark-native completion of that category over the ``events`` table:
+
+- batch ``window()`` / lag-gap sessionization, each with a DuckDB oracle
+  (time_bucket / window functions express the same semantics);
+- ``q_streaming_tumbling`` runs the SAME tumbling aggregation as an actual
+  ``readStream -> withWatermark -> window -> writeStream`` query into a
+  memory sink (complete mode), so the driver's oracle check proves
+  streaming execution matches both batch Spark and DuckDB.
+
+Scale notes: watermark + window state keeps memory bounded by (windows x
+event types) regardless of input rate; sliding windows multiply state by
+length/slide; sessionization in batch is a single shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+from ..functions.numeric import dec, dsum_double
+
+SESSION_GAP_MIN = 10
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type: count + exact-decimal sum."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_double(dec("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_double(dec("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+           time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
+               + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+    FROM events, UNNEST([0, 1]) AS t(k)
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+"""
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, a new session starts after a gap >
+    SESSION_GAP_MIN minutes. lag + cumulative-sum — one shuffle on
+    user_id; identical SQL semantics on both engines."""
+    ev = _events(spark, sf_dir)
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_flags = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_user) > gap_us,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_no", F.sum("new_session").over(w_user))
+    return (
+        with_flags.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_double(dec("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+ORACLE_EVENTS_SESSIONIZED = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+"""
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed as a REAL streaming query.
+
+    readStream over the events parquet -> 15-minute watermark -> 1-hour
+    window aggregation -> memory sink in complete mode; the stream is
+    drained synchronously and the sink table returned. Complete mode means
+    every window is emitted regardless of watermark, so the result equals
+    the batch query and shares its DuckDB oracle.
+    """
+    batch = _events(spark, sf_dir)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    # the file-stream source requires a DIRECTORY; glob-filter the single
+    # events file out of the sf dir
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_double(dec("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _ = batch  # batch schema only needed for parity documentation
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
+        "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
+        "events_sessionized": (q_events_sessionized, ORACLE_EVENTS_SESSIONIZED),
+        "streaming_tumbling": (q_streaming_tumbling, ORACLE_EVENTS_TUMBLING),
+    }

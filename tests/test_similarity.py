@@ -1,0 +1,52 @@
+"""Similarity-search behavior tests beyond oracle parity: the approximate
+LSH path is judged by recall against the exact baseline (the right metric
+for an ANN operator — equality is checked separately per-variant by the
+DuckDB oracle)."""
+
+from __future__ import annotations
+
+from dbms_query_optimizer_spark.operators.similarity import (
+    TOP_K,
+    q_knn_brute_force,
+    q_knn_lsh_bucketed,
+)
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    exact = _topk_sets(q_knn_brute_force(spark, sf_dir))
+    approx = _topk_sets(q_knn_lsh_bucketed(spark, sf_dir))
+
+    assert set(exact) == set(approx)  # same query set
+    recalls = []
+    for qid, truth in exact.items():
+        got = approx.get(qid, set())
+        assert len(got) <= TOP_K
+        recalls.append(len(got & truth) / len(truth))
+    mean_recall = sum(recalls) / len(recalls)
+    # multi-probe sign-LSH examines ~5/16 of the corpus; it must beat the
+    # random baseline at that budget (~0.31 expected by chance would only
+    # hold if cosine were independent of the sign bits — it is not)
+    assert mean_recall > 0.3, f"mean recall {mean_recall:.2f}, per-query {recalls}"
+
+
+def test_brute_force_shape(spark, sf_dir):
+    df = q_knn_brute_force(spark, sf_dir)
+    rows = df.collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        assert len(rs) == TOP_K
+        ranks = [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, TOP_K + 1))
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
