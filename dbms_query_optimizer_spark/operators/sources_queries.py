@@ -1,0 +1,88 @@
+"""Catalog queries exercising the CSV/JSON connectors end-to-end.
+
+Each query exports testdata through a non-parquet format and reads it back
+with an explicit schema, so the correctness gate covers the full
+write -> file -> schema-explicit read path. The oracle runs on the original
+parquet views — values must survive the format roundtrip bit-for-bit
+(floats are aggregated through DECIMAL on both sides, as everywhere else).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+from ..functions.numeric import dec, dsum_double
+from ..sources import TESTDATA_SCHEMAS, read_csv, read_json, write_csv, write_json
+
+_ROUNDTRIP_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_sources")
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str, table: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_ROUNDTRIP_ROOT, tag, fmt, table)
+
+
+def q_source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation + region through the CSV sink/source, then a broadcast join
+    and per-region nation count."""
+    t = load_tables(spark, sf_dir)
+    nation_dir = _roundtrip_dir(sf_dir, "csv", "nation")
+    region_dir = _roundtrip_dir(sf_dir, "csv", "region")
+    write_csv(t["nation"], nation_dir, target_files=1)
+    write_csv(t["region"], region_dir, target_files=1)
+    nation = read_csv(spark, nation_dir, TESTDATA_SCHEMAS["nation"])
+    region = read_csv(spark, region_dir, TESTDATA_SCHEMAS["region"])
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+ORACLE_SOURCE_CSV_SCAN = """
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+"""
+
+
+def q_source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer through the JSON-lines sink/source, then a per-segment
+    aggregate. Doubles survive JSON because Spark prints them round-trip
+    (shortest repr that parses back exactly)."""
+    t = load_tables(spark, sf_dir)
+    cust_dir = _roundtrip_dir(sf_dir, "json", "customer")
+    write_json(t["customer"], cust_dir, target_files=4)
+    customer = read_json(spark, cust_dir, TESTDATA_SCHEMAS["customer"])
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum_double(dec("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SOURCE_JSON_SCAN = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
+        "source_json_scan": (q_source_json_scan, ORACLE_SOURCE_JSON_SCAN),
+    }

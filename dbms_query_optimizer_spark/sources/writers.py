@@ -1,0 +1,67 @@
+"""Partition-aware sinks for parquet / CSV / JSON.
+
+The reference's write path is per-record TID writes into slotted pages
+(reference: ``src/heap/heap_file.cc:151-257``); the Spark-native equivalent
+is an atomic job-level write (SURVEY.md §7.5). Scale rules encoded here:
+
+- **File count is a first-class output property.** A 1000-executor job
+  naively writes one file per task; downstream readers then pay per-file
+  open cost. ``target_files`` coalesces (narrow, no shuffle) when shrinking.
+- **``partition_by`` turns predicates into directory pruning**: a reader
+  filtering on the partition column skips whole directories — the
+  coarse-grained analog of parquet row-group pruning.
+- **Parquet is the default interchange format** (columnar, typed, splittable,
+  min/max stats per row group); CSV/JSON sinks exist for interop only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _shape(df: DataFrame, target_files: int | None) -> DataFrame:
+    if target_files is not None:
+        # coalesce, not repartition: shrinking file count must not add a
+        # shuffle. Callers needing MORE files than tasks repartition upstream.
+        return df.coalesce(target_files)
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    writer = _shape(df, target_files).write.mode(mode).option(
+        "compression", compression
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    target_files: int | None = None,
+) -> None:
+    (
+        _shape(df, target_files)
+        .write.mode(mode)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    _shape(df, target_files).write.mode(mode).json(path)
