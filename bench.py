@@ -56,14 +56,28 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
 
+    # Warm the one-time costs (parquet footer reads, codegen compilation,
+    # Python-worker daemon spawn) so per-query timings measure the queries,
+    # not JVM startup amortized into whichever query runs first.
+    from dbms_query_optimizer_spark.engine import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    spark.range(100).selectExpr("md5(cast(id as string)) h").groupBy().count().collect()
+
     qs = catalog.queries()
     timings: dict[str, float] = {}
+    # min of 2 runs per query: single-run local-JVM timings jitter +-20%
+    # from GC/codegen; the min is the stable estimate of engine cost.
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

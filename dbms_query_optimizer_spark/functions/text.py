@@ -126,17 +126,31 @@ def fingerprint_md5(col: str | Column = "text") -> Column:
     return F.md5(norm_text(col).cast("binary"))
 
 
-def word_ngrams(col: str | Column = "text", n: int = 3) -> Column:
-    """Array of word n-gram shingles of the normalized text (JVM-side:
-    split + transform + slice + concat_ws). Used by minhash/jaccard dedup.
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens of the normalized text.
 
-    DuckDB equivalent built in sql_ngrams() (catalog side).
+    Alias this into its own projection before any higher-order function
+    consumes it: lambdas in Spark's interpreted higher-order functions
+    re-evaluate captured *expressions* once per array element, so an
+    inlined split+regexp tree turns O(tokens) work into O(tokens^2).
+    An attribute reference is evaluated once per row.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(norm_text(c)), " ")
-    n_sh = F.size(toks) - F.lit(n - 1)
-    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
-    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.split(F.trim(norm_text(c)), " ")
+
+
+def word_ngrams(toks: str | Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles from a *token-array column* (JVM-side:
+    shifted slices zipped with concat — each input array is touched once
+    per row, never once per element). Used by minhash/jaccard dedup.
+
+    DuckDB equivalent built in dedup._sql_shingles().
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    m = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(t, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(t, k, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return acc

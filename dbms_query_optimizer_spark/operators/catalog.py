@@ -428,6 +428,13 @@ from . import multimodal as MM  # noqa: E402
 for _name, (_fn, _sql) in MM.oracles().items():
     register(_name, _fn, _sql)
 
+# ------------------------------------------------ temporal joins / rollup
+
+from . import temporal as TMP  # noqa: E402
+
+for _name, (_fn, _sql) in TMP.oracles().items():
+    register(_name, _fn, _sql)
+
 # ------------------------------------------------- source/sink connectors
 
 from . import sources_queries as SRC  # noqa: E402

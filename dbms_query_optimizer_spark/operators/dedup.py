@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import load_tables
-from ..functions.text import fingerprint_md5, norm_text, word_ngrams
+from ..functions.text import fingerprint_md5, norm_text, tokens, word_ngrams
 
 NUM_PERM = 16  # minhash permutations
 LSH_BANDS = 4  # bands of NUM_PERM // LSH_BANDS rows each
@@ -56,7 +56,8 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     normalized text. The explode is map-only; distinct shuffles on
     (doc_id, shingle) — linear in corpus token count."""
     return (
-        docs.select("doc_id", F.explode(word_ngrams("text", 3)).alias("shingle"))
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams("toks", 3)).alias("shingle"))
         .distinct()
     )
 
@@ -69,6 +70,29 @@ def _sql_shingles() -> str:
         FROM (SELECT doc_id, string_split(trim({SQL_NORM}), ' ') AS tk FROM documents),
              UNNEST(generate_series(1, len(tk) - 2)) AS t(i)
     """
+
+
+def _bucket_pairs(bands: DataFrame, member_cols: list[str]) -> DataFrame:
+    """Ordered within-bucket pairs WITHOUT a self-join.
+
+    A bucket self-join executes the (expensive) signature-producing plan
+    once per join side; collecting each bucket's members and exploding the
+    member x later-members grid evaluates it once. Buckets are LSH bands,
+    so |bucket| is small by construction — the collected arrays stay tiny,
+    and a skewed bucket costs m*(m-1)/2 pairs in either formulation.
+
+    Returns columns ``a`` and ``b``: member structs with ``a < b`` (struct
+    ordering = lexicographic on member_cols, so lead with the id column).
+    """
+    members = F.sort_array(F.collect_set(F.struct(*member_cols)))
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    return buckets.select(F.posexplode("ms").alias("i", "a"), F.col("ms")).select(
+        "a", F.explode(F.slice("ms", F.col("i") + F.lit(2), F.size("ms"))).alias("b")
+    )
 
 
 def _minhash_sig(shingles: DataFrame) -> DataFrame:
@@ -160,14 +184,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bands = sig.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key"))
 
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(bands, ["doc_id"])
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
@@ -261,7 +279,12 @@ def _token_bits(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures: per distinct token, md5 gives 8 hex digits
+    """32-bit SimHash signatures, sorted for presentation."""
+    return _simhash_sigs(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash: per distinct token, md5 gives 8 hex digits
     = 32 bits; each bit votes +1/-1; the sign of the per-bit sum is the
     signature bit. All integer arithmetic — engine-portable to the bit."""
     t = load_tables(spark, sf_dir)
@@ -283,7 +306,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).cast("long")
-    return votes.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def _sql_simhash_core() -> str:
@@ -329,7 +352,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join — a pair within Hamming 3 of a 32-bit signature must agree
     on at least one of the 4 bytes (pigeonhole), so the threshold can rise
     to 3 without changing the blocking."""
-    sims = q_dedup_simhash(spark, sf_dir)
+    sims = _simhash_sigs(spark, sf_dir)
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -342,14 +365,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(bands, ["doc_id", "simhash"])
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),

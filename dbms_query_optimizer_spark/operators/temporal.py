@@ -1,0 +1,243 @@
+"""Temporal join operators over the ``events`` table: as-of join, range
+join, multi-resolution rollup.
+
+The reference has no temporal operators (its only join is the inner
+theta-join spec of ``join_optimizer.h:17-48``); these complete the
+category with the two join shapes time-series workloads need and Spark
+lacks as built-ins:
+
+- **as-of join** — for each probe row, the single most recent build row
+  at or before it (per key). Implemented WITHOUT a join: both sides are
+  unioned, shuffled once on the key, sorted by time, and the build
+  payload is carried forward with ``last(..., ignorenulls)``. That is
+  the scale-correct plan: one shuffle, sort-merge-friendly, no
+  per-probe candidate explosion, and skew only matters if one key holds
+  a material fraction of all rows.
+- **range join** — all build rows inside a time window after each probe
+  row. Implemented as an EQUI-join on (key, time-bucket) with the probe
+  side exploded over the (window/bucket + 1) buckets its window spans,
+  then the exact range predicate applied inside the bucket. A plain
+  non-equi join would be a broadcast nested loop; bucketing turns it
+  into a hash join whose fan-out is bounded by the window/bucket ratio.
+- **multi-resolution rollup** — the hypertable "continuous aggregate"
+  pattern: the fine (hourly) aggregate is computed once and the coarse
+  (daily) resolution re-aggregates those partials instead of rescanning
+  raw data.
+
+Timestamps are compared in whole microseconds on both engines (Spark
+session reads parquet TIMESTAMP(NANOS) as microsecond-truncated; the
+oracles ``date_trunc('microseconds', ts)`` to match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+from ..functions.numeric import dec, dsum_double
+
+ASOF_BUILD_TYPE = "purchase"
+RANGE_WINDOW_MIN = 10  # range-join window length == bucket size
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event matched to the user's most recent purchase at-or-before
+    its timestamp (events that precede every purchase drop out — inner
+    as-of semantics, like DuckDB's ASOF JOIN)."""
+    ev = load_tables(spark, sf_dir)["events"]
+
+    probes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lit(None).cast("struct<purchase_ts:timestamp,purchase_id:bigint>").alias("build"),
+        F.lit(1).alias("is_probe"),
+    )
+    builds = ev.filter(F.col("event_type") == ASOF_BUILD_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.struct(
+            F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+        ).alias("build"),
+        F.lit(0).alias("is_probe"),
+    )
+    # builds sort before probes at equal ts (is_probe asc), making the
+    # match inclusive: a purchase matches itself with gap 0.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = probes.unionByName(builds).withColumn(
+        "m", F.last("build", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter((F.col("is_probe") == 1) & F.col("m").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("m.purchase_id").alias("purchase_id"),
+            F.col("m.purchase_ts").alias("purchase_ts"),
+            (F.unix_micros("ts") - F.unix_micros("m.purchase_ts")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_JOIN = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM ev WHERE event_type = '{ASOF_BUILD_TYPE}'
+    )
+    SELECT l.event_id, l.user_id, l.event_type,
+           r.purchase_id, r.purchase_ts,
+           epoch_us(l.ts) - epoch_us(r.purchase_ts) AS gap_us
+    FROM ev l ASOF JOIN p r
+      ON l.user_id = r.user_id AND r.purchase_ts <= l.ts
+    ORDER BY event_id
+"""
+
+
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: count + value-sum of the user's events in the
+    following RANGE_WINDOW_MIN minutes (exclusive of the purchase
+    instant, inclusive of the window end)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bucket_us = RANGE_WINDOW_MIN * 60 * 1_000_000
+
+    purchases = ev.filter(F.col("event_type") == ASOF_BUILD_TYPE).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    right = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("e_us"),
+        "value",
+        (F.unix_micros("ts") / bucket_us).cast("long").alias("bucket"),
+    )
+    # a (p_ts, p_ts + W] window spans at most 2 W-sized buckets
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("p_us") / bucket_us).cast("long"),
+                (F.col("p_us") / bucket_us).cast("long") + 1,
+            )
+        ),
+    )
+    matched = probes.join(right, ["user_id", "bucket"]).filter(
+        (F.col("e_us") > F.col("p_us")) & (F.col("e_us") <= F.col("p_us") + bucket_us)
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        dsum_double(dec("value"), 2).alias("sum_value"),
+    )
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("p_ts").alias("purchase_ts"),
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM ev WHERE event_type = '{ASOF_BUILD_TYPE}'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           COUNT(e.ts) AS n_follow,
+           COALESCE(ROUND(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE), 2), 0.0)
+               AS sum_value
+    FROM p LEFT JOIN ev e
+      ON e.user_id = p.user_id
+     AND e.ts > p.purchase_ts
+     AND e.ts <= p.purchase_ts + INTERVAL {RANGE_WINDOW_MIN} MINUTE
+    GROUP BY p.purchase_id, p.user_id, p.purchase_ts
+    ORDER BY purchase_id
+"""
+
+
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day resolutions from ONE raw scan: daily rows re-aggregate
+    the hourly partials (counts add; sums add exactly in decimal)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("dsum"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "window_start").alias("window_start"), "event_type"
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("dsum").alias("dsum"))
+    )
+    out_cols = [
+        "resolution",
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("dsum").cast("double"), 2).alias("sum_value"),
+    ]
+    return (
+        hourly.withColumn("resolution", F.lit("1h"))
+        .select(*out_cols)
+        .unionByName(daily.withColumn("resolution", F.lit("1d")).select(*out_cols))
+        .orderBy("resolution", "window_start", "event_type")
+    )
+
+
+ORACLE_ROLLUP_MULTIRES = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(12,2))) AS dsum
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT date_trunc('day', window_start) AS window_start, event_type,
+               SUM(n_events) AS n_events, SUM(dsum) AS dsum
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT '1h' AS resolution, window_start, event_type,
+           n_events, ROUND(CAST(dsum AS DOUBLE), 2) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT '1d', window_start, event_type, n_events, ROUND(CAST(dsum AS DOUBLE), 2)
+    FROM daily
+    ORDER BY resolution, window_start, event_type
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+        "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
+        "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
+    }

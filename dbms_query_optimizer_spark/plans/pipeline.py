@@ -73,8 +73,20 @@ def plan_and_emit(
     involved = {t for j in joins for t in (j.left_table, j.right_table)}
 
     if stats is None:
+        # Histograms feed only filter-selectivity estimation; join cardinality
+        # uses row counts + PK metadata. Building histograms for just the
+        # filtered columns turns the per-table stats pass into count+min/max
+        # plus one narrow bucket job — on a wide fact table that's the
+        # difference between scanning 1 column and scanning all of them.
+        filtered_cols: dict[str, list[str]] = {name: [] for name in involved}
+        for spec in filters:
+            filtered_cols.setdefault(spec.table, []).append(spec.column)
         stats = {
-            name: TableStats.from_dataframe(tables[name], io_cost_per_page=io_cost_per_page)
+            name: TableStats.from_dataframe(
+                tables[name],
+                io_cost_per_page=io_cost_per_page,
+                columns=filtered_cols[name],
+            )
             for name in involved
         }
 

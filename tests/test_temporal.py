@@ -1,0 +1,67 @@
+"""Semantic checks for the temporal join operators (oracle parity is
+covered by test_queries_oracle; these pin the join semantics themselves)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbms_query_optimizer_spark.engine import load_tables
+from dbms_query_optimizer_spark.operators.temporal import (
+    ASOF_BUILD_TYPE,
+    RANGE_WINDOW_MIN,
+    q_asof_join,
+    q_range_join_bucketed,
+)
+
+
+def test_asof_purchase_matches_itself(spark, sf_dir):
+    """<= semantics: a purchase's most recent purchase at-or-before itself
+    is itself, at gap 0."""
+    out = q_asof_join(spark, sf_dir).filter(F.col("event_type") == ASOF_BUILD_TYPE)
+    rows = out.collect()
+    assert rows, "no purchase rows matched"
+    assert all(r.purchase_id == r.event_id and r.gap_us == 0 for r in rows)
+
+
+def test_asof_match_is_latest_at_or_before(spark, sf_dir):
+    """Every output row must name the brute-force argmax purchase."""
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = (
+        ev.filter(F.col("event_type") == ASOF_BUILD_TYPE)
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in purchases:
+        by_user.setdefault(r.user_id, []).append((r.us, r.event_id))
+    probe_us = {
+        r.event_id: r.us
+        for r in ev.select("event_id", F.unix_micros("ts").alias("us")).collect()
+    }
+    for r in q_asof_join(spark, sf_dir).collect():
+        best = max(x for x in by_user[r.user_id] if x[0] <= probe_us[r.event_id])
+        assert best[1] == r.purchase_id, (r.event_id, best, r.purchase_id)
+
+
+def test_range_join_equals_naive(spark, sf_dir):
+    """The bucketed equi-join plan must reproduce the naive non-equi join."""
+    ev = load_tables(spark, sf_dir)["events"]
+    win_us = RANGE_WINDOW_MIN * 60 * 1_000_000
+    p = ev.filter(F.col("event_type") == ASOF_BUILD_TYPE).select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    r = ev.select(F.col("user_id").alias("u2"), F.unix_micros("ts").alias("e_us"))
+    naive = (
+        p.join(
+            r,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("e_us") > F.col("p_us"))
+            & (F.col("e_us") <= F.col("p_us") + win_us),
+            "left",
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("e_us").alias("n_follow"))
+    )
+    naive_counts = {r.purchase_id: r.n_follow for r in naive.collect()}
+    bucketed = q_range_join_bucketed(spark, sf_dir).collect()
+    assert {r.purchase_id: r.n_follow for r in bucketed} == naive_counts
