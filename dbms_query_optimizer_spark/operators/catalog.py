@@ -449,6 +449,11 @@ from ..streaming import windows as SW  # noqa: E402
 for _name, (_fn, _sql) in SW.oracles().items():
     register(_name, _fn, _sql)
 
+from ..streaming import stateful as SST  # noqa: E402
+
+for _name, (_fn, _sql) in SST.oracles().items():
+    register(_name, _fn, _sql)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in CATALOG.items()}

@@ -172,6 +172,69 @@ ORACLE_KNN_LSH_BUCKETED = f"""
 """
 
 
+IVF_K = 8  # coarse-quantizer cells
+IVF_NPROBE = 3  # cells searched per query
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search.
+
+    Build: k-means (MLlib, fixed seed) coarse-quantizes the corpus into
+    IVF_K cells; every vector is assigned to its nearest centroid — one
+    broadcast-map pass, the assignment column acts as the inverted index.
+    Probe: each query scores only vectors in its IVF_NPROBE closest cells
+    — an equi-join on cell id, ~nprobe/k of the corpus per query.
+
+    At 100 TB the structure is identical: train on a sample, broadcast
+    the (k x dim) centroid matrix, write the corpus partitioned by cell
+    so probes become partition-pruned scans. k-means isn't expressible in
+    SQL, so this entry has no DuckDB oracle; recall against the exact
+    brute-force baseline is asserted in tests/test_similarity.py.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["embeddings"]
+        .select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+        .cache()
+    )
+    model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(e)
+    assigned = model.transform(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vc"),
+        F.col("prediction").alias("cell"),
+    )
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    queries = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in queries:
+        q = np.asarray(r.embedding, dtype=np.float64)
+        d = ((centroids - q) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:IVF_NPROBE]:
+            probe_rows.append((r.vec_id, int(cell), r.embedding))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, vq array<float>"
+    )
+
+    pairs = (
+        F.broadcast(probes)
+        .join(assigned, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(cosine_expr("vq", "vc"), 6).alias("cosine")
+        )
+    )
+    return _ranked(pairs)
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm + bucket occupancy — the precomputation a serving
     path would materialize once (norms make cosine a pure dot product)."""
@@ -207,5 +270,6 @@ def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
+        "knn_ivf": (q_knn_ivf, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
     }

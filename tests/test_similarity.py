@@ -6,8 +6,11 @@ DuckDB oracle)."""
 from __future__ import annotations
 
 from dbms_query_optimizer_spark.operators.similarity import (
+    IVF_K,
+    IVF_NPROBE,
     TOP_K,
     q_knn_brute_force,
+    q_knn_ivf,
     q_knn_lsh_bucketed,
 )
 
@@ -35,6 +38,21 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # random baseline at that budget (~0.31 expected by chance would only
     # hold if cosine were independent of the sign bits — it is not)
     assert mean_recall > 0.3, f"mean recall {mean_recall:.2f}, per-query {recalls}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    exact = _topk_sets(q_knn_brute_force(spark, sf_dir))
+    approx = _topk_sets(q_knn_ivf(spark, sf_dir))
+
+    assert set(exact) == set(approx)
+    recalls = [
+        len(approx[qid] & truth) / len(truth) for qid, truth in exact.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # searching nprobe/k of the corpus must beat that random-sample baseline
+    assert mean_recall > IVF_NPROBE / IVF_K, (
+        f"mean recall {mean_recall:.2f}, per-query {recalls}"
+    )
 
 
 def test_brute_force_shape(spark, sf_dir):

@@ -1,0 +1,51 @@
+"""Stateful streaming sessionization must agree with batch sessionization.
+
+The streaming operator emits a session once the event-time watermark
+passes its end + gap. The watermark is GLOBAL (max event ts across all
+users), so after a bounded replay every session is closed except those
+ending within one gap of the stream's final timestamp. The assertion
+sandwiches the boundary: every emitted session must exist in the batch
+result, and every session that is definitively past the watermark
+(with a rounding margin) must have been emitted — with identical
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbms_query_optimizer_spark.engine import load_tables
+from dbms_query_optimizer_spark.streaming.stateful import GAP_US, q_streaming_sessionized
+from dbms_query_optimizer_spark.streaming.windows import q_events_sessionized
+
+MARGIN_US = 10_000  # watermark/timeout timestamps round to milliseconds
+
+
+def _key(r):
+    return (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 2))
+
+
+def test_streamed_sessions_match_batch(spark, sf_dir):
+    streamed = {_key(r) for r in q_streaming_sessionized(spark, sf_dir).collect()}
+
+    batch = (
+        q_events_sessionized(spark, sf_dir)
+        .withColumn("end_us", F.unix_micros("session_end"))
+        .collect()
+    )
+    batch_all = {_key(r) for r in batch}
+
+    max_us = (
+        load_tables(spark, sf_dir)["events"]
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    must_be_closed = {
+        _key(r) for r in batch if r.end_us + GAP_US + MARGIN_US < max_us
+    }
+
+    assert streamed, "stream emitted nothing"
+    assert streamed <= batch_all, f"stream invented sessions: {sorted(streamed - batch_all)[:3]}"
+    assert must_be_closed <= streamed, (
+        f"unemitted closed sessions: {sorted(must_be_closed - streamed)[:3]}"
+    )
