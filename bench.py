@@ -42,6 +42,10 @@ HEADLINE = [
     "text_lang_quality_summary",
     "events_tumbling",
     "events_sessionized",
+    "asof_join",
+    "range_join_bucketed",
+    "events_rollup_multires",
+    "corpus_prep",
 ]
 
 

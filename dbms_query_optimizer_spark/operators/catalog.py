@@ -428,6 +428,13 @@ from . import multimodal as MM  # noqa: E402
 for _name, (_fn, _sql) in MM.oracles().items():
     register(_name, _fn, _sql)
 
+# --------------------------------------------- composite corpus pipeline
+
+from . import corpus_prep as CP  # noqa: E402
+
+for _name, (_fn, _sql) in CP.oracles().items():
+    register(_name, _fn, _sql)
+
 # ------------------------------------------------ temporal joins / rollup
 
 from . import temporal as TMP  # noqa: E402

@@ -218,7 +218,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_lsh() -> str:
+def _sql_minhash_pair_ctes() -> str:
+    """The WITH-clause body computing verified near-dup pairs — shared by
+    the minhash oracle and the corpus-prep pipeline oracle."""
     rows_per_band = NUM_PERM // LSH_BANDS
     band_rows = ",\n            ".join(
         "({b}, md5({concat}))".format(
@@ -227,8 +229,7 @@ def _oracle_minhash_lsh() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-    WITH sh AS ({_sql_shingles()}),
+    return f"""sh AS ({_sql_shingles()}),
     sig AS ({_sql_minhash_sig()}),
     bands AS (
         SELECT doc_id, band, key
@@ -246,13 +247,22 @@ def _oracle_minhash_lsh() -> str:
         JOIN sh sa ON sa.doc_id = id_a
         JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
         GROUP BY id_a, id_b
-    )
-    SELECT id_a, id_b, n_inter,
-           n_inter / (za.n_sh + zb.n_sh - n_inter) AS jaccard
-    FROM inter
-    JOIN sizes za ON za.doc_id = id_a
-    JOIN sizes zb ON zb.doc_id = id_b
-    WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= {MINHASH_JACCARD_T}
+    ),
+    pairs AS (
+        SELECT id_a, id_b, n_inter,
+               n_inter / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= {MINHASH_JACCARD_T}
+    )"""
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"""
+    WITH {_sql_minhash_pair_ctes()}
+    SELECT id_a, id_b, n_inter, jaccard
+    FROM pairs
     ORDER BY id_a, id_b
     """
 

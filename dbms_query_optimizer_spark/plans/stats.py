@@ -99,10 +99,13 @@ class IntHistogram:
         if op is PredicateType.NE:
             return 1.0 - self.estimate_selectivity(PredicateType.EQ, v)
         if op is PredicateType.GT:
-            if v <= self.min_v:
-                return 1.0
+            # max-bound check first: on a degenerate histogram (min == max)
+            # the reference's branch order (table_stats.cc:84-89) returns 1.0
+            # for GT(max) — nothing can exceed the maximum, so 0 is correct.
             if v >= self.max_v:
                 return 0.0
+            if v <= self.min_v:
+                return 1.0
             b = self._bucket(v)
             h = self.counts[b]
             # Fraction of bucket b strictly above v, computed fractionally
