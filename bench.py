@@ -40,6 +40,7 @@ HEADLINE = [
     "knn_lsh_bucketed",
     "text_quality",
     "text_lang_quality_summary",
+    "text_rolling_fingerprint",
     "events_tumbling",
     "events_sessionized",
     "asof_join",

