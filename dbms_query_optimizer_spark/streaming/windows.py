@@ -157,6 +157,70 @@ ORACLE_EVENTS_SESSIONIZED = f"""
 """
 
 
+def q_events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` — the same
+    grouping as the lag/cumsum form but with the native operator's
+    boundary semantics: a session's window end is last_event + gap, and
+    an event exactly gap after its predecessor starts a NEW session
+    (interval [ts, ts+gap) no longer overlaps). The oracle mirrors both
+    differences (>= gap split, max(ts) + gap end).
+
+    In streaming this operator works unchanged after ``withWatermark``,
+    with state merged incrementally instead of held per event.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_double(dec("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_EVENTS_SESSION_WINDOW_NATIVE = f"""
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+               event_id, value
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {SESSION_GAP_MIN * 60 * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+"""
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation executed as a REAL streaming query.
 
@@ -213,5 +277,9 @@ def oracles() -> dict[str, tuple]:
         "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
         "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
         "events_sessionized": (q_events_sessionized, ORACLE_EVENTS_SESSIONIZED),
+        "events_session_window_native": (
+            q_events_session_window_native,
+            ORACLE_EVENTS_SESSION_WINDOW_NATIVE,
+        ),
         "streaming_tumbling": (q_streaming_tumbling, ORACLE_EVENTS_TUMBLING),
     }
