@@ -94,6 +94,68 @@ ORACLE_MULTIMODAL_META = """
 """
 
 
+FRAME_BYTES = 64  # chunk ("frame") size in the synthetic byte stream
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary stream: chunk the payload into
+    FRAME_BYTES frames, keep every FRAME_STRIDE-th, emit per-frame offset,
+    byte length, and digest.
+
+    This is the video/audio access pattern (decode only the sampled
+    frames) on the metadata plane: slicing and hashing are JVM-side binary
+    ops, so the Python decode stub is reached only for frames that
+    survive sampling. The payload column is materialized in its own
+    projection so the per-frame lambda slices an attribute, not a
+    recomputed expression.
+    """
+    # frames are sliced on the hex encoding (2 chars/byte): DuckDB has no
+    # BLOB substring, and hex is an exact, order-preserving byte view both
+    # engines slice identically.
+    df = multimodal_table(spark, sf_dir).select(
+        "doc_id", F.lower(F.hex("payload")).alias("phex")
+    )
+    n_frames = F.ceil(F.length("phex") / F.lit(2 * FRAME_BYTES)).cast("int")
+    offsets = F.when(
+        n_frames >= 1,
+        F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    frames = df.select("doc_id", "phex", F.explode(offsets).alias("frame_no"))
+    chunk = F.col("phex").substr(
+        F.col("frame_no") * (2 * FRAME_BYTES) + 1, F.lit(2 * FRAME_BYTES)
+    )
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        (F.col("frame_no") * FRAME_BYTES).alias("byte_offset"),
+        (F.length(chunk) / 2).cast("int").alias("n_bytes"),
+        F.md5(chunk.cast("binary")).alias("digest"),
+    ).orderBy("doc_id", "frame_no")
+
+
+ORACLE_MULTIMODAL_FRAME_SAMPLE = f"""
+    WITH payloads AS (
+        SELECT doc_id, lower(hex(encode(text))) AS phex FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, phex, UNNEST(generate_series(
+                   0,
+                   CAST(ceil(length(phex) / {2 * FRAME_BYTES}.0) AS INT) - 1,
+                   {FRAME_STRIDE})) AS frame_no
+        FROM payloads
+    )
+    SELECT doc_id, frame_no,
+           frame_no * {FRAME_BYTES} AS byte_offset,
+           CAST(length(substring(phex, frame_no * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES})) / 2 AS INT)
+               AS n_bytes,
+           md5(substring(phex, frame_no * {2 * FRAME_BYTES} + 1, {2 * FRAME_BYTES}))
+               AS digest
+    FROM frames
+    ORDER BY doc_id, frame_no
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-plane query: Arrow-batched mapInPandas over the binary
     column, emitting a fixed-width feature vector per row.
@@ -127,5 +189,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracles() -> dict[str, tuple]:
     return {
         "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+        "multimodal_frame_sample": (
+            q_multimodal_frame_sample,
+            ORACLE_MULTIMODAL_FRAME_SAMPLE,
+        ),
         "multimodal_features": (q_multimodal_features, None),
     }
