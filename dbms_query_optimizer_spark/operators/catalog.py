@@ -428,6 +428,13 @@ from . import multimodal as MM  # noqa: E402
 for _name, (_fn, _sql) in MM.oracles().items():
     register(_name, _fn, _sql)
 
+# ---------------------- scalar-function families / grouping sets / lateral
+
+from . import scalar_funcs as SF  # noqa: E402
+
+for _name, (_fn, _sql) in SF.oracles().items():
+    register(_name, _fn, _sql)
+
 # --------------------------------------------- composite corpus pipeline
 
 from . import corpus_prep as CP  # noqa: E402

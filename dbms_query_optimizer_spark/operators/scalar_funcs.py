@@ -1,0 +1,292 @@
+"""Scalar-function families, grouping sets, lateral explode, exact
+percentiles, and analytic window functions.
+
+The reference's query surface is int-only with no scalar vocabulary at all
+(SURVEY §1.2, §2.2 "Scalar functions — absent"); a complete engine needs
+the datetime / string / array / JSON function families, the full
+grouping-set lattice (not just CUBE/ROLLUP), UDTF-style lateral expansion,
+and exact quantiles. Everything here is built-in ``pyspark.sql.functions``
+— JVM-side, whole-stage-codegen-friendly, zero Python in the hot path.
+
+Scale notes:
+- Scalar projections are embarrassingly parallel: no shuffle, fully
+  pipelined inside the Parquet scan stage.
+- ``explode`` multiplies rows 10-100x — the follow-up aggregation uses
+  map-side partial aggregation so the shuffle carries (token, count)
+  partials, not raw tokens.
+- Exact percentiles shuffle the full column per group; at 100 TB prefer
+  ``percentile_approx`` (see ``q_approx_aggs``) — this is the exact
+  companion the sketch is validated against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice — the general form CUBE/ROLLUP
+    specialize (SURVEY §2.2). The set list here is deliberately NOT a
+    rollup: it includes (status, priority), (priority), () but skips
+    (status), so only the explicit-list API can express it.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+MIN_TOKEN_LEN = 3
+MIN_TOKEN_COUNT = 50
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral expansion (UDTF analog): tokenize every document and count
+    corpus-wide token frequencies.
+
+    ``explode`` is Spark's generator/UDTF primitive — one input row fans
+    out to one row per token. The groupBy that follows combines map-side,
+    so the shuffle moves per-partition (token, count) partials rather than
+    the exploded token stream — the difference between shuffling ~N·tokens
+    rows and ~distinct-tokens rows at 100 TB.
+    """
+    t = load_tables(spark, sf_dir)
+    tokens = t["documents"].select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+    )
+    return (
+        tokens.filter(F.length("token") >= MIN_TOKEN_LEN)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= MIN_TOKEN_COUNT)
+        .orderBy("token")
+    )
+
+
+ORACLE_EXPLODE_TOKENS = f"""
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents
+    )
+    WHERE length(token) >= {MIN_TOKEN_LEN}
+    GROUP BY token
+    HAVING COUNT(*) >= {MIN_TOKEN_COUNT}
+    ORDER BY token
+"""
+
+
+def q_functions_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function family: extract / truncate / shift / diff."""
+    t = load_tables(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            d.alias("order_date"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            F.dayofmonth("o_orderdate").alias("o_day"),
+            F.dayofweek("o_orderdate").alias("o_dow"),
+            F.trunc(d, "month").alias("month_start"),
+            F.date_add(d, F.lit(30)).alias("plus_30d"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# DuckDB dayofweek is Sunday=0; Spark's is Sunday=1 — the +1 aligns them.
+ORACLE_FUNCTIONS_DATETIME = """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+           CAST(dayofmonth(o_orderdate) AS INT) AS o_day,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS o_dow,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+               AS days_since_epoch0
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+"""
+
+
+def q_functions_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: pad / translate / regex / position / split."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.lpad("p_brand", 12, "*").alias("brand_padded"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("name_translated"),
+            F.regexp_extract("p_type", "^(\\w+)", 1).alias("type_head"),
+            F.instr("p_name", "e").alias("first_e"),
+            F.reverse("p_brand").alias("brand_reversed"),
+            F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_word1"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_FUNCTIONS_STRING = """
+    SELECT p_partkey,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_translated,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           CAST(strpos(p_name, 'e') AS INT) AS first_e,
+           reverse(p_brand) AS brand_reversed,
+           split_part(p_type, ' ', 1) AS type_word1,
+           CAST(length(p_name) AS INT) AS name_len
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+"""
+
+
+def q_functions_array_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + JSON function family over the events table: JSON path
+    extraction from the ``props`` payload column and list ops over the
+    tokenized event type."""
+    t = load_tables(spark, sf_dir)
+    toks = F.split("event_type", "_")
+    return (
+        t["events"]
+        .filter(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+            F.size(toks).alias("n_type_tokens"),
+            F.array_contains(toks, "click").cast("int").alias("is_click"),
+            F.sort_array(toks).getItem(0).alias("first_token"),
+            F.array_join(F.array_distinct(toks), "+").alias("distinct_joined"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_FUNCTIONS_ARRAY_JSON = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           CAST(len(string_split(event_type, '_')) AS INT) AS n_type_tokens,
+           CAST(list_contains(string_split(event_type, '_'), 'click') AS INT) AS is_click,
+           list_sort(string_split(event_type, '_'))[1] AS first_token,
+           list_aggregate(list_distinct(string_split(event_type, '_')), 'string_agg', '+')
+               AS distinct_joined
+    FROM events
+    WHERE event_id <= 500
+    ORDER BY event_id
+"""
+
+
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of l_extendedprice per return flag.
+
+    ``F.percentile`` is the exact (sort-based) quantile — the tight gate
+    the ``percentile_approx`` sketch in ``q_approx_aggs`` is validated
+    against. Linear interpolation matches DuckDB's ``quantile_cont``.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILE_EXACT = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family: lag / lead / row_number / ntile /
+    percent_rank per customer, ordered by the unique order key so every
+    function is deterministic."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_seq"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_WINDOW_ANALYTICS = """
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(row_number() OVER w AS INT) AS order_seq,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+        "explode_tokens": (q_explode_tokens, ORACLE_EXPLODE_TOKENS),
+        "functions_datetime": (q_functions_datetime, ORACLE_FUNCTIONS_DATETIME),
+        "functions_string": (q_functions_string, ORACLE_FUNCTIONS_STRING),
+        "functions_array_json": (q_functions_array_json, ORACLE_FUNCTIONS_ARRAY_JSON),
+        "percentile_exact": (q_percentile_exact, ORACLE_PERCENTILE_EXACT),
+        "window_analytics": (q_window_analytics, ORACLE_WINDOW_ANALYTICS),
+    }

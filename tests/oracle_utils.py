@@ -45,8 +45,10 @@ def _norm_cell(v) -> str:
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.9g}"
-    if isinstance(v, (datetime, date)):
+    if isinstance(v, datetime):
         return v.isoformat(sep=" ").replace("+00:00", "")
+    if isinstance(v, date):
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, bool):
