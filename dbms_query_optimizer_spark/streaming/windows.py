@@ -272,6 +272,65 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, executed as a real streaming query.
+
+    readStream over events -> broadcast join against the static customer
+    dimension (user_id = c_custkey) -> 1-hour windowed aggregate per
+    market segment -> memory sink in complete mode, drained synchronously.
+
+    This is the canonical streaming-enrichment shape at scale: the static
+    side is re-broadcast per micro-batch (no stream-side shuffle), so the
+    join never adds state — only the windowed aggregate holds state,
+    bounded by (windows x segments). Complete mode emits every window, so
+    the result equals the equivalent batch join+agg and a plain SQL
+    oracle covers a genuinely streaming execution.
+    """
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    dim = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.withWatermark("ts", "15 minutes")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_double(dec("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("window_start", "c_mktsegment")
+
+
+ORACLE_STREAMING_STATIC_JOIN = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY window_start, c_mktsegment
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
@@ -282,4 +341,5 @@ def oracles() -> dict[str, tuple]:
             ORACLE_EVENTS_SESSION_WINDOW_NATIVE,
         ),
         "streaming_tumbling": (q_streaming_tumbling, ORACLE_EVENTS_TUMBLING),
+        "streaming_static_join": (q_streaming_static_join, ORACLE_STREAMING_STATIC_JOIN),
     }
