@@ -41,6 +41,9 @@ HEADLINE = [
     "text_quality",
     "text_lang_quality_summary",
     "text_rolling_fingerprint",
+    "explode_tokens",
+    "percentile_exact",
+    "multimodal_frame_sample",
     "events_tumbling",
     "events_sessionized",
     "asof_join",
