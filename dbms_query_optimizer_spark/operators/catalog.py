@@ -182,6 +182,21 @@ register(
 )
 
 register(
+    "join_full_outer",
+    R.q_join_full_outer,
+    """
+    SELECT c_custkey, c_acctbal, o_custkey, n_recent_orders
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7500.0) rich
+    FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS n_recent_orders
+        FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+        GROUP BY o_custkey
+    ) recent ON c_custkey = o_custkey
+    ORDER BY c_custkey NULLS FIRST, o_custkey NULLS FIRST
+    """,
+)
+
+register(
     "join_semi",
     R.q_join_semi,
     """

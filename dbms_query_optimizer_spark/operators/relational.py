@@ -265,6 +265,35 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: high-value customers vs recent-order customers —
+    rows survive from either side with NULLs on the other.
+
+    Scale: full outer can't broadcast (both sides must see unmatched rows
+    of the other), so this is the one join type that always shuffles both
+    sides; keys here are unique per side, so no skew.
+    """
+    t = load_tables(spark, sf_dir)
+    rich = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 7500.0)
+        .select("c_custkey", "c_acctbal")
+    )
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_recent_orders"))
+    )
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select("c_custkey", "c_acctbal", "o_custkey", "n_recent_orders")
+        .orderBy(
+            F.col("c_custkey").asc_nulls_first(), F.col("o_custkey").asc_nulls_first()
+        )
+    )
+
+
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left semi join (EXISTS): customers having at least one urgent order."""
     t = load_tables(spark, sf_dir)
