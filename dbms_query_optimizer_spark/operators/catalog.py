@@ -450,6 +450,13 @@ from . import scalar_funcs as SF  # noqa: E402
 for _name, (_fn, _sql) in SF.oracles().items():
     register(_name, _fn, _sql)
 
+# --------------------------------------------------- pandas UDF / UDAF
+
+from . import udfs as UDF  # noqa: E402
+
+for _name, (_fn, _sql) in UDF.oracles().items():
+    register(_name, _fn, _sql)
+
 # ------------------------------------------------------ sampling / splits
 
 from . import sampling as SMP  # noqa: E402

@@ -210,6 +210,39 @@ ORACLE_FUNCTIONS_ARRAY_JSON = """
 """
 
 
+def q_functions_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: construct / lookup / keys — outputs reduced to
+    scalars so the oracle stays engine-neutral (DuckDB's MAP rendering
+    differs; its oracle computes the same scalars relationally)."""
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("nation"), F.col("n_nationkey").cast("string"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return (
+        t["nation"]
+        .select(
+            "n_name",
+            F.element_at(m, "nation").cast("int").alias("nation_key"),
+            F.element_at(m, "region").cast("int").alias("region_key"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_FUNCTIONS_MAP = """
+    SELECT n_name,
+           CAST(n_nationkey AS INT) AS nation_key,
+           CAST(n_regionkey AS INT) AS region_key,
+           2 AS n_keys,
+           'nation,region' AS keys_sorted
+    FROM nation
+    ORDER BY n_name
+"""
+
+
 def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quartiles of l_extendedprice per return flag.
 
@@ -295,6 +328,7 @@ def oracles() -> dict[str, tuple]:
         "functions_datetime": (q_functions_datetime, ORACLE_FUNCTIONS_DATETIME),
         "functions_string": (q_functions_string, ORACLE_FUNCTIONS_STRING),
         "functions_array_json": (q_functions_array_json, ORACLE_FUNCTIONS_ARRAY_JSON),
+        "functions_map": (q_functions_map, ORACLE_FUNCTIONS_MAP),
         "percentile_exact": (q_percentile_exact, ORACLE_PERCENTILE_EXACT),
         "window_analytics": (q_window_analytics, ORACLE_WINDOW_ANALYTICS),
     }

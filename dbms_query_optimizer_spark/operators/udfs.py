@@ -1,0 +1,126 @@
+"""Vectorized Python UDF surface: scalar pandas_udf and grouped-agg
+pandas_udf (UDAF).
+
+The reference has no UDF machinery (SURVEY §2.2). Spark's UDF ladder, worst
+to best: row-at-a-time Python UDF (never used in this repo) << Arrow-batched
+``pandas_udf`` << built-in JVM function. These two queries pin the middle
+rung with exact oracles:
+
+- ``q_udf_price_score`` computes the same expression through BOTH the
+  built-in column path and a scalar pandas_udf, so the DuckDB oracle proves
+  the Arrow transfer is numerically exact (and the two columns must agree
+  row by row).
+- ``q_udaf_geomean`` is a grouped-agg pandas_udf — the custom-aggregate
+  shape Spark built-ins can't express directly (geometric mean), reduced
+  per group in numpy.
+
+Scale: scalar pandas_udfs stream Arrow record batches executor-side (no
+driver involvement, no per-row serde); grouped-agg UDFs shuffle each group
+to one worker — fine for bounded groups (here: 3 return flags), wrong for
+unbounded ones; the docstring of each production use must say which.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..engine import load_tables
+
+
+# pandas_udf() parses its DDL return type against the ACTIVE session, so the
+# wrappers are built lazily inside each query, not at import time.
+
+
+def _price_score_fn(price: pd.Series, qty: pd.Series) -> pd.Series:
+    # log-scaled price-per-unit, squashed to (0, 1) — numpy over Arrow batches
+    return 1.0 / (1.0 + np.exp(-np.log1p(price / qty.clip(lower=1.0)) / 10.0))
+
+
+def q_udf_price_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf vs built-in expression, side by side.
+
+    ``score_udf`` (Arrow batch -> numpy) and ``score_builtin`` (JVM codegen)
+    compute the identical formula; the oracle checks both, so any Arrow
+    transfer or dtype drift fails the value hash.
+    """
+    t = load_tables(spark, sf_dir)
+    _price_score = pandas_udf(_price_score_fn, "double")
+    builtin = 1.0 / (
+        1.0
+        + F.exp(
+            -F.log1p(F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1.0)))
+            / 10.0
+        )
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(_price_score("l_extendedprice", "l_quantity"), 9).alias("score_udf"),
+            F.round(builtin, 9).alias("score_builtin"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_UDF_PRICE_SCORE = """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(1.0 / (1.0 + exp(-ln(1 + l_extendedprice / greatest(l_quantity, 1.0)) / 10.0)), 9)
+               AS score_udf,
+           ROUND(1.0 / (1.0 + exp(-ln(1 + l_extendedprice / greatest(l_quantity, 1.0)) / 10.0)), 9)
+               AS score_builtin
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def _geomean_fn(prices: pd.Series) -> float:
+    return float(np.exp(np.log(prices.to_numpy()).mean()))
+
+
+def _count_fn(prices: pd.Series) -> int:
+    # grouped-agg UDFs can't mix with JVM aggregates in one agg(), so the
+    # row count rides the same Arrow path
+    return len(prices)
+
+
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: geometric mean of extended price per return
+    flag — an aggregate Spark has no built-in for. Groups here are few and
+    bounded (3 flags), the safe regime for grouped-agg UDFs."""
+    t = load_tables(spark, sf_dir)
+    _geomean = pandas_udf(_geomean_fn, "double")
+    _count = pandas_udf(_count_fn, "long")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            _count("l_extendedprice").alias("n_rows"),
+            F.round(_geomean("l_extendedprice"), 4).alias("geomean_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_UDAF_GEOMEAN = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "udf_price_score": (q_udf_price_score, ORACLE_UDF_PRICE_SCORE),
+        "udaf_geomean": (q_udaf_geomean, ORACLE_UDAF_GEOMEAN),
+    }
