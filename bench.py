@@ -48,6 +48,12 @@ HEADLINE = [
     "events_sessionized",
     "asof_join",
     "range_join_bucketed",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     "events_rollup_multires",
     "corpus_prep",
 ]

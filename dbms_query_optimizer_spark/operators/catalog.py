@@ -497,6 +497,13 @@ from ..streaming import stateful as SST  # noqa: E402
 for _name, (_fn, _sql) in SST.oracles().items():
     register(_name, _fn, _sql)
 
+# ------------------------------------------------- classic TPC-H suite
+
+from . import tpch as TPCH  # noqa: E402
+
+for _name, (_fn, _sql) in TPCH.oracles().items():
+    register(_name, _fn, _sql)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in CATALOG.items()}
