@@ -275,6 +275,8 @@ register(
     """,
 )
 
+register("window_range_frame", R.q_window_range_frame, R.ORACLE_WINDOW_RANGE_FRAME)
+
 register(
     "set_ops",
     R.q_set_ops,

@@ -378,6 +378,51 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-customer trailing-30-day order
+    stats (vs the ROWS frames of ``window_running``).
+
+    RANGE frames are value-based — all peers within [ts-30d, ts] join the
+    frame regardless of row position, the semantics ROWS frames cannot
+    express. Spark's rangeBetween needs a numeric ordering key, so the
+    frame is anchored on epoch seconds; DuckDB expresses the same frame
+    natively as RANGE INTERVAL 30 DAY PRECEDING (both bounds inclusive in
+    both engines).
+
+    Scale: one shuffle on o_custkey; frame evaluation is a per-partition
+    sorted sliding aggregate — no self-join, no state beyond the 30-day
+    frame buffer.
+    """
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(
+            F.sum(dec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("avg_price_30d"),
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           COUNT(*) OVER w AS n_orders_30d,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS avg_price_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT — SURVEY §2.2 'Set operations'.
 

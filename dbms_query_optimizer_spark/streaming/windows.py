@@ -331,6 +331,127 @@ ORACLE_STREAMING_STATIC_JOIN = """
 """
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source needs a directory;
+    glob-filter the single file), nanos-ts normalized to timestamp."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join of two REAL streams: each click joined to the same
+    user's purchases within the following 30 minutes.
+
+    Both sides are independent readStreams over events, watermarked; the
+    inner join carries the event-time range condition, which is what lets
+    Spark bound both state stores — click state expires once the purchase
+    watermark passes click.ts + 30 min, and vice versa. Inner-join matches
+    emit in the micro-batch they occur (append mode never delays them), so
+    after draining, the sink equals the batch join and shares its oracle.
+
+    Scale: state is (watermark window x per-user click/purchase rate),
+    independent of total history; the join shuffles both streams on
+    user_id only.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+    SELECT p.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence per (user, event_type,
+    minute), as a REAL streaming query.
+
+    dropDuplicates over a key set that includes the watermarked event-time
+    column — the streaming dedup pattern whose state the watermark can
+    expire (keys older than the watermark are dropped from the store).
+    Output is restricted to the key columns, so "keep first arrival"
+    equals batch DISTINCT and the oracle is exact.
+
+    Scale: state is bounded by distinct keys inside the watermark horizon,
+    not by stream length — the property that makes streaming dedup viable
+    on an unbounded firehose where batch DISTINCT would need the full
+    history.
+    """
+    keys = (
+        _events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
+        )
+        .withWatermark("minute_ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "minute_ts"])
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = keys.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_DEDUP = """
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_ts
+    FROM events
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
@@ -342,4 +463,9 @@ def oracles() -> dict[str, tuple]:
         ),
         "streaming_tumbling": (q_streaming_tumbling, ORACLE_EVENTS_TUMBLING),
         "streaming_static_join": (q_streaming_static_join, ORACLE_STREAMING_STATIC_JOIN),
+        "streaming_stream_stream_join": (
+            q_streaming_stream_stream_join,
+            ORACLE_STREAM_STREAM_JOIN,
+        ),
+        "streaming_dedup": (q_streaming_dedup, ORACLE_STREAMING_DEDUP),
     }
