@@ -277,6 +277,8 @@ register(
 
 register("window_range_frame", R.q_window_range_frame, R.ORACLE_WINDOW_RANGE_FRAME)
 
+register("merge_upsert", R.q_merge_upsert, R.ORACLE_MERGE_UPSERT)
+
 register(
     "set_ops",
     R.q_set_ops,

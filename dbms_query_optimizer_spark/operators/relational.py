@@ -423,6 +423,65 @@ ORACLE_WINDOW_RANGE_FRAME = """
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot merge (CDC upsert): apply a deterministic change-set to the
+    orders table and aggregate the merged state.
+
+    The reference's write path updates records in place by TID
+    (``src/heap/heap_file.cc:151-257``); with immutable datasets the
+    Spark-idiomatic equivalent is merge-on-write — changed rows replace
+    their old versions, unchanged rows carry over (anti-join + union), and
+    the job writes a new snapshot atomically. Here the change-set is
+    derived in-query (every 10th order gets a 10% price bump) so the
+    result oracles exactly.
+
+    Scale: the anti-join shuffles base and updates on the key once; with a
+    bucketed base table it is shuffle-free on the base side. Update
+    arithmetic stays in exact decimal.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    bump = F.lit(1.1).cast("decimal(3,2)")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (dec("o_totalprice") * bump).alias("price"),
+    )
+    carried = (
+        orders.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus", dec("o_totalprice").alias("price"))
+    )
+    merged = updates.unionByName(carried, allowMissingColumns=False)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_double(F.col("price"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+    WITH updates AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS price
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+        SELECT o_orderstatus, price FROM updates
+        UNION ALL
+        SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(price) AS DOUBLE), 4) AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT — SURVEY §2.2 'Set operations'.
 

@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 
 from ..engine import load_tables
 from ..functions.numeric import dec, dsum_double
-from ..sources import TESTDATA_SCHEMAS, read_csv, read_json, write_csv, write_json
+from ..sources import (
+    TESTDATA_SCHEMAS,
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
 
 _ROUNDTRIP_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_sources")
 
@@ -81,8 +88,49 @@ ORACLE_SOURCE_JSON_SCAN = """
 """
 
 
+def q_source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write, then a partition-PRUNED read.
+
+    events are written partitioned by event_type (the writers'
+    ``partition_by``); the read filters to two types, which Spark resolves
+    against directory names — PartitionFilters in the scan node, zero I/O
+    for the other partitions. This is the coarse-grained pruning layer that
+    makes 100 TB tables queryable: a selective partition predicate reduces
+    the scan to the matching directories before any file is opened.
+    """
+    t = load_tables(spark, sf_dir)
+    ev_dir = _roundtrip_dir(sf_dir, "parquet_part", "events")
+    write_parquet(
+        t["events"], ev_dir, partition_by=["event_type"], target_files=4
+    )
+    ev = spark.read.parquet(ev_dir)
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_double(dec("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SOURCE_PARTITIONED_SCAN = """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
         "source_json_scan": (q_source_json_scan, ORACLE_SOURCE_JSON_SCAN),
+        "source_partitioned_scan": (
+            q_source_partitioned_scan,
+            ORACLE_SOURCE_PARTITIONED_SCAN,
+        ),
     }
