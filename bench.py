@@ -41,6 +41,7 @@ HEADLINE = [
     "text_quality",
     "text_lang_quality_summary",
     "text_rolling_fingerprint",
+    "text_tfidf_top_terms",
     "explode_tokens",
     "percentile_exact",
     "multimodal_frame_sample",

@@ -266,9 +266,43 @@ ORACLE_EMBEDDING_NORMS = f"""
 """
 
 
+EMB_DIM = 64
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: element-wise mean of the embedding vectors.
+
+    The building block of IVF training / cluster assignment / class
+    prototypes. posexplode turns (label, vector) into (label, dim, value)
+    rows entirely JVM-side; the grouped avg combines map-side, so the
+    shuffle carries at most labels x dims partial sums per input
+    partition — constant in corpus size, the property that makes centroid
+    computation viable at 100 TB (vs collecting vectors to the driver).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = f"""
+    SELECT label, d.dim AS dim,
+           ROUND(AVG(CAST(embedding[d.dim + 1] AS DOUBLE)), 6) AS centroid
+    FROM embeddings
+    CROSS JOIN (SELECT UNNEST(range({EMB_DIM})) AS dim) d
+    GROUP BY label, d.dim
+    ORDER BY label, dim
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
+        "embedding_centroids": (q_embedding_centroids, ORACLE_EMBEDDING_CENTROIDS),
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
         "knn_ivf": (q_knn_ivf, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),

@@ -14,6 +14,7 @@ shuffle at all until an aggregation; Parquet scans prune to (doc_id, text).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..engine import load_tables
@@ -275,9 +276,89 @@ ORACLE_TEXT_LANG_QUALITY_SUMMARY = f"""
 """
 
 
+TFIDF_MIN_TOKEN_LEN = 3
+TFIDF_TOP_K = 5
+
+
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-K most characteristic tokens per language.
+
+    Three aggregations over one tokenization: term frequency per (lang,
+    token), document frequency per token, and the corpus size — joined,
+    scored tf·ln(N/df), ranked per language. All shuffles move aggregated
+    (token-level) rows, never the exploded token stream: map-side combine
+    collapses each partition to its distinct tokens first, and the
+    df⋈tf join is on already-aggregated data. The corpus size joins in as
+    a broadcast scalar, not a driver-side collected constant.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.length("token") >= TFIDF_MIN_TOKEN_LEN)
+    )
+    tf = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_tf"))
+    dfreq = (
+        tokens.select("token", "doc_id")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("n_tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("n_df")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("lang", "token", "n_tf", "n_df", "tfidf", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+ORACLE_TEXT_TFIDF_TOP_TERMS = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE length(token) >= {TFIDF_MIN_TOKEN_LEN}),
+    tf AS (SELECT lang, token, COUNT(*) AS n_tf FROM tok2 GROUP BY 1, 2),
+    dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS n_df FROM tok2 GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT lang, token, n_tf, n_df,
+               ROUND(n_tf * ln(CAST(n_docs AS DOUBLE) / n_df), 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_tf * ln(CAST(n_docs AS DOUBLE) / n_df) DESC, token
+               ) AS rank
+        FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT lang, token, n_tf, n_df, tfidf, rank
+    FROM scored
+    WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY lang, rank
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
+        "text_tfidf_top_terms": (q_text_tfidf_top_terms, ORACLE_TEXT_TFIDF_TOP_TERMS),
         "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
         "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
