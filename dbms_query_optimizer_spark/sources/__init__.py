@@ -8,7 +8,7 @@ run a schema-inference scan, and writers that control output partitioning.
 """
 
 from .readers import TESTDATA_SCHEMAS, read_csv, read_json, read_parquet
-from .writers import write_csv, write_json, write_parquet
+from .writers import write_csv, write_json, write_parquet, write_sorted_parquet
 
 __all__ = [
     "TESTDATA_SCHEMAS",
@@ -18,4 +18,5 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_parquet",
+    "write_sorted_parquet",
 ]

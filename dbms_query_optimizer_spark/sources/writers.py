@@ -65,3 +65,36 @@ def write_json(
     target_files: int | None = None,
 ) -> None:
     _shape(df, target_files).write.mode(mode).json(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Range-clustered parquet: the row-group-pruning complement to
+    ``partition_by``.
+
+    ``repartitionByRange`` assigns disjoint sort-key ranges to files and
+    ``sortWithinPartitions`` orders rows inside each, so every parquet
+    row group covers a narrow min/max band of the sort key. A reader
+    filtering on that key then skips whole files (footer min/max) and
+    whole row groups — the fine-grained pruning layer below directory
+    partitioning. Directory partitioning handles low-cardinality keys
+    (a directory per value); range-clustering handles high-cardinality
+    keys (timestamps, ids) where one-directory-per-value is impossible.
+
+    At 100 TB: cluster fact tables by their dominant range-filter column
+    (e.g. event time); the write costs one range-shuffle, every
+    subsequent time-windowed scan reads only the matching band.
+    """
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )

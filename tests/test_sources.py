@@ -73,3 +73,44 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan
     expected = docs.filter(docs.lang == "en").count()
     assert one_lang.count() == expected
+
+
+def test_sorted_parquet_row_group_bands(spark, sf_dir, tmp_path):
+    """write_sorted_parquet => files cover disjoint sort-key ranges and a
+    range filter prunes to the matching files (footer min/max skipping)."""
+    from dbms_query_optimizer_spark.sources import write_sorted_parquet
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    path = str(tmp_path / "orders_by_key")
+    write_sorted_parquet(orders, path, ["o_orderkey"], num_files=4)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    bands = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderkey"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        bands.append((min(mins), max(maxs)))
+    assert len(bands) >= 2
+    # repartitionByRange gives files DISJOINT key bands — the property
+    # that lets a range predicate skip whole files via footer stats
+    for (_, hi), (lo, _) in zip(sorted(bands), sorted(bands)[1:]):
+        assert hi < lo
+
+    # a narrow range filter must read fewer files than the full scan
+    back = spark.read.parquet(path)
+    lo0, hi0 = sorted(bands)[0]
+    narrow = back.filter(back.o_orderkey <= hi0)
+    assert narrow.count() == orders.filter(orders.o_orderkey <= hi0).count()
+    n_read = narrow.select("o_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderkey" in n_read  # pushed filter reaches the scan
