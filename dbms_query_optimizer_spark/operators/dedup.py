@@ -95,24 +95,52 @@ def _bucket_pairs(bands: DataFrame, member_cols: list[str]) -> DataFrame:
     )
 
 
+import random as _random
+
+# universal-hash family over one base md5: h_i = (a_i·h + b_i) mod P with
+# h = first 60 bits of md5(shingle). One digest per shingle instead of
+# NUM_PERM digests, and the signature shuffle carries ints, not hex
+# strings. P = 2^31 - 1 keeps a·h + b < 2^62 (no 64-bit overflow on
+# either engine; DuckDB raises on BIGINT overflow rather than wrapping).
+MINHASH_P = 2147483647
+_rnd = _random.Random(7)
+MINHASH_AB = [
+    (_rnd.randrange(1, MINHASH_P), _rnd.randrange(0, MINHASH_P))
+    for _ in range(NUM_PERM)
+]
+del _rnd
+
+
 def _minhash_sig(shingles: DataFrame) -> DataFrame:
-    """16 lexicographic-min md5 minhashes per doc. min(md5(seed|shingle))
-    over hex strings is a valid uniform minhash and is engine-portable."""
+    """NUM_PERM min-hashes per doc from one md5 per shingle (see
+    MINHASH_AB). min over a universal family is a valid uniform minhash
+    and is engine-portable: integer arithmetic only past the digest."""
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_P
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
-        for i in range(NUM_PERM)
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def _sql_minhash_sig() -> str:
     cols = ",\n               ".join(
-        f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(NUM_PERM)
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
     )
     return f"""
         SELECT doc_id,
                {cols}
-        FROM sh
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % {MINHASH_P} AS h
+            FROM sh
+        )
         GROUP BY doc_id
     """
 
@@ -272,51 +300,52 @@ def _oracle_minhash_lsh() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _token_bits(docs: DataFrame) -> DataFrame:
-    """(doc_id, token) -> per-hex-digit values of md5(token), integer-only.
-
-    Produces d0..d7: the first 8 hex digits as ints — 32 signature bits.
-    """
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(norm_text("text")), " ")).alias("tok")
-    ).distinct()
-    h = F.md5(F.col("tok").cast("binary"))
-    cols = [
-        (F.instr(F.lit("0123456789abcdef"), F.substring(h, p + 1, 1)) - 1).alias(f"d{p}")
-        for p in range(8)
-    ]
-    return toks.select("doc_id", *cols)
-
-
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures, sorted for presentation."""
     return _simhash_sigs(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc SimHash: per distinct token, md5 gives 8 hex digits
-    = 32 bits; each bit votes +1/-1; the sign of the per-bit sum is the
-    signature bit. All integer arithmetic — engine-portable to the bit."""
-    t = load_tables(spark, sf_dir)
-    bits = _token_bits(t["documents"])
-    # per-bit votes: bit k of digit p (value (d // 2^k) % 2) -> 2*bit - 1
-    vote_aggs = []
-    for p in range(8):
-        for k in range(4):
-            bit = (F.col(f"d{p}") / (2**k)).cast("int") % 2
-            vote_aggs.append(F.sum(bit * 2 - 1).alias(f"s_{p}_{k}"))
-    votes = bits.groupBy("doc_id").agg(*vote_aggs)
-    # assemble: hex digit p contributes bits 4*(7-p)+k  (digit 0 = most
-    # significant nibble), bit set when the vote sum is positive
+    """Per-doc SimHash over distinct tokens: md5's first 8 hex digits give
+    a 32-bit token hash; each bit votes +1/-1; the sign of the per-bit sum
+    is the signature bit. All integer arithmetic — engine-portable to the
+    bit (votes > 0  <=>  2·popcount-contribution > token count).
+
+    Single-shuffle formulation: collect_set dedups tokens map-side and
+    ships one (doc_id, token-set) row per doc; the 32 per-bit votes are
+    higher-order array aggregates in the same projection. The previous
+    explode → DISTINCT → re-aggregate shape shuffled the raw exploded
+    token stream twice (once hashed by (doc, token), once by doc) — at
+    corpus scale that is 2x the data motion for the same result.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(norm_text("text")), " ")).alias("tok")
+    )
+    sets = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
+    vals = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long"),
+    )
+    d = sets.select("doc_id", vals.alias("vals"), F.size("toks").alias("n"))
     sim = sum(
         (
-            F.when(F.col(f"s_{p}_{k}") > 0, F.lit(2 ** (4 * (7 - p) + k))).otherwise(F.lit(0))
-            for p in range(8)
-            for k in range(4)
+            F.when(
+                F.aggregate(
+                    "vals",
+                    F.lit(0),
+                    lambda acc, v: acc
+                    + F.shiftright(v, j).bitwiseAND(F.lit(1)).cast("int"),
+                )
+                * 2
+                > F.col("n"),
+                F.lit(2**j),
+            ).otherwise(F.lit(0))
+            for j in range(32)
         ),
         F.lit(0),
     ).cast("long")
-    return votes.select("doc_id", sim.alias("simhash"))
+    return d.select("doc_id", sim.alias("simhash"))
 
 
 def _sql_simhash_core() -> str:
