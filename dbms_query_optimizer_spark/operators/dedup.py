@@ -29,6 +29,7 @@ both engines compute identical integers and bit-identical doubles
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..engine import load_tables
@@ -422,7 +423,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_simhash_pairs() -> str:
+def _sql_simhash_pair_ctes() -> str:
+    """WITH-clause body ending in ``spairs`` (verified SimHash near-dup
+    pairs) — shared by the pairs oracle and the components oracle."""
     bands = ", ".join(f"({b}, (simhash >> {8 * b}) & 255)" for b in range(SIMHASH_BANDS))
     return (
         _sql_simhash_core()
@@ -436,11 +439,117 @@ def _oracle_simhash_pairs() -> str:
                a.simhash AS sim_a, b.simhash AS sim_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    spairs AS (
+        SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+    )"""
     )
-    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+
+
+def _oracle_simhash_pairs() -> str:
+    return (
+        _sql_simhash_pair_ctes()
+        + """
+    SELECT id_a, id_b, hamming
+    FROM spairs
     ORDER BY id_a, id_b
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3b. duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+COMPONENTS_MAX_ITERS = 30
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components of the SimHash near-dup
+    graph, by iterative min-label propagation.
+
+    Pairwise dedup output is not directly actionable — keeping "one of
+    each pair" over-deletes when pairs chain (a~b, b~c). The fix is
+    grouping pairs into components and keeping one representative per
+    component. Labels start as each node's own id; each iteration every
+    node takes the min label among itself and its neighbors; fixpoint =
+    components labeled by their minimum doc_id.
+
+    This is the iterative-algorithm shape Spark handles with a driver
+    loop over distributed steps: each iteration is one shuffle
+    (edge-join + min-aggregate); the driver-side work is only the
+    convergence test (a changed-row count). localCheckpoint truncates
+    the lineage each round so plan depth stays constant. Iterations =
+    graph diameter — small for near-dup clusters, log-bounded variants
+    (large-star/small-star) exist for adversarial graphs.
+
+    The DuckDB oracle computes the same components with a recursive CTE
+    (transitive closure then per-node min) — full value parity for an
+    operator SQL alone cannot express without recursion.
+    """
+    edges = q_dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").cache()
+    und = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .union(edges.select("id_b"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(COMPONENTS_MAX_ITERS):
+        msgs = und.join(labels, und.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"components did not converge in {COMPONENTS_MAX_ITERS} iterations"
+        )
+    w = W.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+        )
+        .withColumn("component_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_dedup_components() -> str:
+    return (
+        _sql_simhash_pair_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+    nodes AS (SELECT id_a AS node FROM spairs UNION SELECT id_b FROM spairs),
+    und AS (
+        SELECT id_a AS src, id_b AS dst FROM spairs
+        UNION ALL
+        SELECT id_b, id_a FROM spairs
+    ),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node)
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    ORDER BY doc_id
     """
     )
 
@@ -603,6 +712,7 @@ def oracles() -> dict[str, tuple]:
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
         "dedup_simhash": (q_dedup_simhash, _oracle_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _oracle_simhash_pairs()),
+        "dedup_components": (q_dedup_components, _oracle_dedup_components()),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _oracle_ngram_jaccard()),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_EMBEDDING_COSINE),
     }

@@ -119,8 +119,66 @@ ORACLE_UDAF_GEOMEAN = """
 """
 
 
+UDTF_DOC_LIMIT = 100  # keep the per-sentence result set bounded
+
+
+def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (PySpark 4 table function): one document row in,
+    one row per sentence out, used via LATERAL in SQL.
+
+    Completes the UDF ladder's table-function rung alongside the scalar
+    pandas_udf and grouped-agg UDAF. The UDTF runs executor-side over
+    Arrow batches; sent_no indexes ALL '.'-separated parts (empty parts
+    skipped but counted), matching the SQL oracle's ordinality arithmetic.
+
+    Scale: a UDTF is a per-row generator — embarrassingly parallel, no
+    shuffle; prefer JVM explode/split when the transform is expressible
+    (see explode_tokens), reach for a UDTF when per-row Python logic is
+    genuinely needed.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001 - Spark infers from DDL
+            if text is None:
+                return
+            for i, part in enumerate(text.split(".")):
+                s = part.strip(" \t\n\r")
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = load_tables(spark, sf_dir)["documents"]
+    docs.filter(F.col("doc_id") < UDTF_DOC_LIMIT).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_no, s.sentence
+        FROM _udtf_docs d, LATERAL split_sentences(d.doc_id, d.text) s
+        ORDER BY d.doc_id, s.sent_no
+        """
+    )
+
+
+ORACLE_UDTF_SPLIT_SENTENCES = f"""
+    SELECT doc_id, ord - 1 AS sent_no, trim(part, ' \t\n\r') AS sentence
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, '.')) AS part,
+               generate_subscripts(string_split(text, '.'), 1) AS ord
+        FROM documents
+        WHERE doc_id < {UDTF_DOC_LIMIT}
+    )
+    WHERE trim(part, ' \t\n\r') <> ''
+    ORDER BY doc_id, sent_no
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "udf_price_score": (q_udf_price_score, ORACLE_UDF_PRICE_SCORE),
         "udaf_geomean": (q_udaf_geomean, ORACLE_UDAF_GEOMEAN),
+        "udtf_split_sentences": (q_udtf_split_sentences, ORACLE_UDTF_SPLIT_SENTENCES),
     }
