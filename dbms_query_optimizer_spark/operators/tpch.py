@@ -9,11 +9,24 @@ real analytics" — with exact DuckDB oracles:
 
 - Q1  pricing summary report    (scan + big multi-aggregate group-by)
 - Q3  shipping priority         (3-way join + filter + top-k)
+- Q4  order priority checking   (EXISTS → hash left-semi join)
 - Q5  local supplier volume     (6-way join incl. broadcast dims)
 - Q6  forecast revenue change   (pure scan-filter-agg; pushdown showcase)
+- Q7  volume shipping           (double-aliased broadcast dim, bilateral matrix)
+- Q8  national market share     (8-way join + conditional ratio by year)
+- Q9  product type profit       (surrogate supply cost, nation × year rollup)
 - Q10 returned item reporting   (4-way join + top-k by revenue)
+- Q12 priority vs lateness      (fact⋈fact residual comparison + conditional counts)
+- Q13 order-count distribution  (left join preserving zero-order customers, double agg)
 - Q14 promotion effect          (conditional aggregation ratio)
+- Q15 top supplier              (agg "view" + unpartitioned-window max, exact tie)
+- Q17 small-quantity revenue    (pre-agg replaces correlated scalar subquery)
 - Q18 large volume customer     (agg-subquery semi-join pattern)
+- Q19 discounted revenue        (disjunctive residual on a broadcast hash join)
+- Q22 sales opportunity         (decimal-exact scalar AVG threshold + anti join)
+
+That is every query expressible over the trimmed schemas: Q2/Q11/Q16/Q20
+need partsupp; Q21 needs l_receiptdate/l_commitdate.
 
 Adaptations (columns absent from the testdata): Q3 drops o_shippriority,
 Q10 drops c_address/c_phone/c_comment, Q14 tests ``p_type = 'PROMO'`` (the
@@ -343,9 +356,503 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------- Q4
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (adapted: the testdata lacks
+    l_commitdate/l_receiptdate, so "late" = shipped >60 days after order).
+
+    EXISTS expressed as a left-semi join: equi on the order key with the
+    lateness comparison as a residual — stays a hash semi-join, never a
+    nested loop. The date filter prunes orders before the join.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01")) & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    late = orders.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- Q7
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping (adapted to a full bilateral matrix: revenue by
+    (supplier nation, customer nation, ship year) for cross-nation trade —
+    the two-nation filter of stock Q7 selects zero rows at tiny SFs).
+
+    nation joins twice under different aliases, both broadcast. The
+    supp != cust residual applies after the key joins.
+    """
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum_double(disc_price_expr(), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------- Q13
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (adapted: the comment-pattern
+    exclusion becomes an order-priority exclusion).
+
+    The left join keeps order-less customers (c_count = 0); COUNT of a
+    nullable column counts only matches. Two aggregations: per customer,
+    then the histogram over counts.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------- Q15
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: supplier(s) achieving the maximum quarterly
+    revenue.
+
+    The revenue "view" aggregates once; the max is an unpartitioned
+    window over that (small) aggregate, so revenue == max is an exact
+    decimal comparison — no re-aggregation, no driver round-trip.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price_expr()).alias("_rev")
+    )
+    from pyspark.sql import Window as W
+
+    best = revenue.withColumn("_max", F.max("_rev").over(W.partitionBy()))
+    return (
+        best.filter(F.col("_rev") == F.col("_max"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TPCH_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS _rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(CAST(_rev AS DOUBLE), 4) AS total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE _rev = (SELECT MAX(_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------- Q17
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue (adapted: brand filter only; the
+    testdata has no p_container).
+
+    The correlated scalar subquery (per-part average quantity) becomes a
+    pre-aggregation joined back to lineitem. The threshold comparison is
+    rearranged to 5·qty·count < sum so both engines compare exactly
+    representable integers-in-doubles instead of a divided average —
+    division is where cross-engine float drift creeps in.
+    """
+    t = load_tables(spark, sf_dir)
+    per_part = t["lineitem"].groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#23")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(
+            F.lit(5.0) * F.col("l_quantity") * F.col("cnt_qty") < F.col("sum_qty")
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0), 4
+            ).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_TPCH_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+    SELECT l_partkey AS pp_key,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt_qty
+    FROM lineitem
+    GROUP BY l_partkey
+) g ON l_partkey = pp_key
+WHERE p_brand = 'Brand#23'
+  AND 5.0 * l_quantity * cnt_qty < sum_qty
+"""
+
+
+# --------------------------------------------------------------------- Q8
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: NATION_7 suppliers' share of STANDARD-part
+    revenue sold to ASIA customers, by order year.
+
+    Two nation aliases (customer side restricted to the region, supplier
+    side providing the share label) — both broadcast along with region and
+    the filtered part dim. The share is a conditional decimal aggregate
+    divided as double only at the end (Q14 pattern).
+    """
+    t = load_tables(spark, sf_dir)
+    n_cust = (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = t["part"].filter(F.col("p_type") == "STANDARD")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    vol = disc_price_expr()
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(dec(F.lit(0)))
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_TPCH_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+       6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------- Q9
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (adapted: the testdata has no partsupp, so
+    supply cost is surrogated as 50% of p_retailprice per unit).
+
+    profit = disc_price − 0.5·p_retailprice·l_quantity, all in exact
+    decimal (multiplication only — decimal division rules differ across
+    engines). Grouped by supplier nation × order year for parts whose
+    name contains 'widget'.
+    """
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").contains("widget"))
+    n_supp = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    profit = disc_price_expr() - dec("p_retailprice") * dec("l_quantity") * dec(F.lit(0.5), 1)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.col("supp_nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum_double(profit, 2).alias("sum_profit"))
+        .orderBy(F.col("supp_nation"), F.col("o_year").desc())
+    )
+
+
+ORACLE_TPCH_Q9 = """
+SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+       ROUND(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(12,1))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------- Q12
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping modes & order priority (adapted: no l_shipmode /
+    l_commitdate / l_receiptdate in the testdata, so the "mode" axis is
+    l_returnflag and "late" means shipped >90 days after the order date).
+
+    One fact⋈fact equi-join with the lateness comparison as a residual,
+    then two conditional counts per group — classic map-side-combinable.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t["orders"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_TPCH_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- Q19
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue (adapted: no p_container/l_shipmode, so each
+    disjunct is brand × size-range × quantity-range).
+
+    The classic disjunctive join: the OR of three conjunct blocks is a
+    residual on a plain p_partkey equi-join, so it stays a broadcast hash
+    join (never a nested loop); per-side prefilters (brand ∈ …, qty ≤ 30)
+    are pushed beneath the join to shrink both inputs first.
+    """
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#15"))
+    li = t["lineitem"].filter(F.col("l_quantity") <= 30)
+    qty, size = F.col("l_quantity"), F.col("p_size")
+    block = (
+        ((F.col("p_brand") == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(block)
+        .agg(dsum_double(disc_price_expr(), 4).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q19 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------- Q22
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity (adapted: no c_phone, so the "country
+    code" is c_nationkey restricted to an explicit key set, and — since
+    every testdata customer has at least one order — "never ordered"
+    becomes "no order since 1999").
+
+    The scalar AVG subquery is computed as an exact decimal sum/count
+    (order-independent, so the > threshold comparison can't flip on
+    summation order), broadcast as a 1-row cross join; NOT EXISTS is a
+    left-anti join against orders.
+    """
+    t = load_tables(spark, sf_dir)
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    cust = t["customer"].filter(F.col("c_nationkey").isin(keys))
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            t["orders"].filter(F.col("o_orderdate") >= _ts("1999-01-01")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum_double(dec("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+ORACLE_TPCH_Q22 = """
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
+        "tpch_q4": (q_tpch_q4, ORACLE_TPCH_Q4),
+        "tpch_q7": (q_tpch_q7, ORACLE_TPCH_Q7),
+        "tpch_q8": (q_tpch_q8, ORACLE_TPCH_Q8),
+        "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
+        "tpch_q12": (q_tpch_q12, ORACLE_TPCH_Q12),
+        "tpch_q19": (q_tpch_q19, ORACLE_TPCH_Q19),
+        "tpch_q22": (q_tpch_q22, ORACLE_TPCH_Q22),
+        "tpch_q13": (q_tpch_q13, ORACLE_TPCH_Q13),
+        "tpch_q15": (q_tpch_q15, ORACLE_TPCH_Q15),
+        "tpch_q17": (q_tpch_q17, ORACLE_TPCH_Q17),
         "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
         "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
         "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
