@@ -55,7 +55,13 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q19",
     "events_rollup_multires",
+    "events_funnel",
+    "latest_per_key",
+    "join_salted_skew",
+    "quality_gopher_rules",
+    "embedding_quantize_int8",
     "corpus_prep",
 ]
 

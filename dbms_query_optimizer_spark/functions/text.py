@@ -99,6 +99,18 @@ def mean_token_len(col: str | Column = "text") -> Column:
     return non_space / token_count_ws(c)
 
 
+def distinct_token_ratio(col: str | Column = "text") -> Column:
+    """(# distinct tokens) / (# tokens) — the repetition signal. Word-soup
+    spam repeats tokens; natural prose mostly doesn't. One int/int division.
+
+    DuckDB: ``len(list_distinct(string_split_regex(trim(t), '\s+')))
+    / len(string_split_regex(trim(t), '\s+'))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
 def quality_score(col: str | Column = "text") -> Column:
     """Composite document-quality heuristic in [0,1]:
 

@@ -279,6 +279,10 @@ register("window_range_frame", R.q_window_range_frame, R.ORACLE_WINDOW_RANGE_FRA
 
 register("merge_upsert", R.q_merge_upsert, R.ORACLE_MERGE_UPSERT)
 
+register("latest_per_key", R.q_latest_per_key, R.ORACLE_LATEST_PER_KEY)
+
+register("join_salted_skew", R.q_join_salted_skew, R.ORACLE_JOIN_SALTED_SKEW)
+
 register(
     "set_ops",
     R.q_set_ops,

@@ -654,3 +654,73 @@ def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY v.band_name
         """
     )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key: each user's most recent event.
+
+    The universal pipeline "current state" operator (CDC compaction, last
+    profile snapshot). One shuffle on the partition key; row_number over a
+    (ts, event_id) descending order with the unique event_id as tiebreak so
+    the selected row is engine-deterministic. At scale this beats a
+    groupBy(max)+self-join formulation: one pass, no second join of the
+    fact table.
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_LATEST_PER_KEY = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+    SELECT user_id, event_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join, value-identical to the plain join.
+
+    functions/joins.py::salted_join splits each join key across 8 salted
+    shuffle partitions (deterministic xxhash64 salt on the fact side, 8×
+    replication of the dim side), so one hot key can no longer pin a whole
+    stage on a single task. The oracle is the UNSALTED join — proving the
+    rewrite is semantics-preserving is the point of the check.
+    """
+    from ..functions.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, on="l_orderkey", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_double(disc_price_expr(), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_JOIN_SALTED_SKEW = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -299,9 +299,64 @@ ORACLE_EMBEDDING_CENTROIDS = f"""
 """
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q[i] = round(x[i]·127/max|x|).
+
+    The storage/serving compression step (4× smaller than float32, SIMD
+    int8 dot products downstream). Pure JVM array transforms — no Python,
+    no shuffle; at 100 TB it's a map-only rewrite of the embedding column.
+    The float→double promotions and the single division per element are
+    bit-deterministic; rounding is floor(v + 0.5) because engines disagree
+    on round() at exact halves (Spark doubles round half toward +∞,
+    DuckDB half away from zero) and float ratios DO land on exact halves.
+    """
+    t = load_tables(spark, sf_dir)
+    # the raw scale lives under a private name: aliasing the ROUNDED value
+    # as `max_abs` in the same select would capture the rounded column
+    # inside the lambda (same-projection alias shadowing) and shift
+    # boundary elements by one quantization step.
+    with_max = t["embeddings"].withColumn(
+        "_max_abs_raw", F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    )
+    quant = F.when(
+        F.col("_max_abs_raw") == 0,
+        F.transform("embedding", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / F.col("_max_abs_raw") + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return with_max.select(
+        "vec_id",
+        F.round(F.col("_max_abs_raw").cast("double"), 6).alias("max_abs"),
+        quant.alias("q8"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMBEDDING_QUANTIZE_INT8 = """
+    SELECT vec_id,
+           ROUND(CAST(max_abs AS DOUBLE), 6) AS max_abs,
+           CASE WHEN max_abs = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT))
+           END AS q8
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS max_abs
+        FROM embeddings
+    )
+    ORDER BY vec_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
+        "embedding_quantize_int8": (q_embedding_quantize_int8, ORACLE_EMBEDDING_QUANTIZE_INT8),
         "embedding_centroids": (q_embedding_centroids, ORACLE_EMBEDDING_CENTROIDS),
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
         "knn_ivf": (q_knn_ivf, None),

@@ -21,8 +21,10 @@ from ..sources import (
     TESTDATA_SCHEMAS,
     read_csv,
     read_json,
+    read_orc,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -125,10 +127,40 @@ ORACLE_SOURCE_PARTITIONED_SCAN = """
 """
 
 
+def q_source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier through the ORC sink/source (Spark's other bundled columnar
+    format), then a per-nation aggregate. Exercises the vectorized ORC
+    reader + its predicate pushdown the same way the parquet path does."""
+    t = load_tables(spark, sf_dir)
+    supp_dir = _roundtrip_dir(sf_dir, "orc", "supplier")
+    write_orc(t["supplier"], supp_dir, target_files=2)
+    supplier = read_orc(spark, supp_dir, TESTDATA_SCHEMAS["supplier"])
+    return (
+        supplier.filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum_double(dec("s_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_SOURCE_ORC_SCAN = """
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_acctbal
+    FROM supplier
+    WHERE s_acctbal > 0
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
         "source_json_scan": (q_source_json_scan, ORACLE_SOURCE_JSON_SCAN),
+        "source_orc_scan": (q_source_orc_scan, ORACLE_SOURCE_ORC_SCAN),
         "source_partitioned_scan": (
             q_source_partitioned_scan,
             ORACLE_SOURCE_PARTITIONED_SCAN,

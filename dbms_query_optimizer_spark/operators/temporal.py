@@ -235,9 +235,112 @@ ORACLE_ROLLUP_MULTIRES = """
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: view → click-after-view →
+    purchase-after-click, counting users surviving each stage.
+
+    Each stage is a per-user MIN(ts) aggregate joined to the previous
+    stage with a strictly-later residual — three small shuffles on
+    user_id, each input already reduced to one row per surviving user.
+    At scale every stage's output is ≤ distinct-user cardinality, so
+    stages 2 and 3 broadcast under AQE regardless of raw event volume.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda name, df: df.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(name).alias("stage"), "n_users"
+    )
+    return (
+        stage("1_view", views)
+        .unionAll(stage("2_click_after_view", clicks))
+        .unionAll(stage("3_purchase_after_click", purchases))
+        .orderBy("stage")
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+    JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+    JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click_after_view', COUNT(*) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', COUNT(*) FROM p
+ORDER BY stage
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active N days after their first activity
+    day, per cohort day (classic DAU-retention triangle, offsets 0-7).
+
+    Two aggregates over the same scan (first-day per user, distinct
+    active days per user) joined on user_id. The distinct() collapses
+    per-day event multiplicity before the join, so the join input is
+    bounded by users × days, not raw events.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(first_day, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH firstd AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), act AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT cohort_day, datediff('day', cohort_day, d) AS day_offset, COUNT(*) AS n_users
+FROM act JOIN firstd USING (user_id)
+WHERE datediff('day', cohort_day, d) <= 7
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+        "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+        "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
     }

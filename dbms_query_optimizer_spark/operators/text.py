@@ -355,9 +355,68 @@ ORACLE_TEXT_TFIDF_TOP_TERMS = f"""
 """
 
 
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 "quality
+    filtering", adapted to the rules this corpus can discriminate): word
+    count, mean word length, stopword evidence, and token-repetition
+    fraction, each as an explicit boolean rule column plus the final keep.
+
+    Line-based Gopher rules (bullet ratio, ellipsis lines) are degenerate
+    on this corpus (no newlines), so the repetition axis uses the
+    distinct-token ratio instead of the paper's 2-gram fraction.
+
+    At 100 TB this is the map-only pre-filter in front of every expensive
+    dedup/embedding stage: no shuffle, all rules in one codegen'd
+    projection over a (doc_id, text) pruned scan.
+    """
+    t = load_tables(spark, sf_dir)
+    n_tok = T.token_count_ws("text")
+    mtl = T.mean_token_len("text")
+    padded = F.concat(F.lit(" "), T.norm_text("text"), F.lit(" "))
+    n_stop = sum((T.occurrence_count(padded, f" {w} ") for w in T.STOPWORDS), F.lit(0))
+    dtr = T.distinct_token_ratio("text")
+    r_wordcount = (n_tok >= 30) & (n_tok <= 100000)
+    r_mean_len = (mtl >= 3.0) & (mtl <= 10.0)
+    r_stopwords = n_stop >= 2
+    r_repetition = dtr >= 0.45
+    return t["documents"].select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        dtr.alias("distinct_ratio"),
+        r_wordcount.alias("r_wordcount"),
+        r_mean_len.alias("r_mean_len"),
+        r_stopwords.alias("r_stopwords"),
+        r_repetition.alias("r_repetition"),
+        (r_wordcount & r_mean_len & r_stopwords & r_repetition).alias("keep"),
+    )
+
+
+SQL_DTR = (
+    "(len(list_distinct(string_split_regex(trim(text), '\s+')))"
+    " / len(string_split_regex(trim(text), '\s+')))"
+)
+
+ORACLE_QUALITY_GOPHER_RULES = f"""
+    SELECT doc_id, n_tokens, distinct_ratio,
+           r_wordcount, r_mean_len, r_stopwords, r_repetition,
+           (r_wordcount AND r_mean_len AND r_stopwords AND r_repetition) AS keep
+    FROM (
+        SELECT doc_id,
+               {SQL_TOKENS_WS} AS n_tokens,
+               {SQL_DTR} AS distinct_ratio,
+               ({SQL_TOKENS_WS} >= 30 AND {SQL_TOKENS_WS} <= 100000) AS r_wordcount,
+               ({SQL_MEAN_TOKEN_LEN} >= 3.0 AND {SQL_MEAN_TOKEN_LEN} <= 10.0) AS r_mean_len,
+               (({SQL_STOPWORDS}) >= 2) AS r_stopwords,
+               ({SQL_DTR} >= 0.45) AS r_repetition
+        FROM documents
+    )
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
+        "quality_gopher_rules": (q_quality_gopher_rules, ORACLE_QUALITY_GOPHER_RULES),
         "text_tfidf_top_terms": (q_text_tfidf_top_terms, ORACLE_TEXT_TFIDF_TOP_TERMS),
         "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),

@@ -7,15 +7,17 @@ of that category (SURVEY.md §2.2): Parquet / CSV / JSON readers that never
 run a schema-inference scan, and writers that control output partitioning.
 """
 
-from .readers import TESTDATA_SCHEMAS, read_csv, read_json, read_parquet
-from .writers import write_csv, write_json, write_parquet, write_sorted_parquet
+from .readers import TESTDATA_SCHEMAS, read_csv, read_json, read_orc, read_parquet
+from .writers import write_csv, write_json, write_orc, write_parquet, write_sorted_parquet
 
 __all__ = [
     "TESTDATA_SCHEMAS",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "write_csv",
+    "write_orc",
     "write_json",
     "write_parquet",
     "write_sorted_parquet",

@@ -128,6 +128,17 @@ def read_parquet(
     return reader.parquet(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (vectorized, predicate-pushdown-capable like parquet);
+    optional schema pins the contract."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -67,6 +67,23 @@ def write_json(
     _shape(df, target_files).write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC sink — the other columnar format Spark bundles natively; same
+    job-atomic commit protocol as parquet."""
+    (
+        _shape(df, target_files)
+        .write.mode(mode)
+        .option("compression", compression)
+        .orc(path)
+    )
+
+
 def write_sorted_parquet(
     df: DataFrame,
     path: str,

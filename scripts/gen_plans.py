@@ -101,6 +101,34 @@ COMMENTARY = {
         "slicing/hashing as projections in the scan stage — no Python, no "
         "shuffle before the final sort."
     ),
+    "tpch_q19": (
+        "TPC-H Q19: disjunctive predicate join. Expect: BroadcastHashJoin "
+        "on p_partkey with the three-block OR as a post-join Filter/"
+        "residual — NOT BroadcastNestedLoopJoin; the per-side prefilters "
+        "(brand IN, l_quantity <= 30) pushed into the scans."
+    ),
+    "join_salted_skew": (
+        "Salted skew join. Expect: xxhash64-derived salt projected on the "
+        "fact side, Generate(explode) replicating the dim side 8×, the "
+        "join keyed on (l_orderkey, __salt) — each hot key spread over 8 "
+        "shuffle partitions."
+    ),
+    "latest_per_key": (
+        "Keep-latest-per-key compaction. Expect: one Exchange on user_id "
+        "feeding Sort + Window(row_number) + Filter(rn=1) — a single "
+        "shuffle, no self-join of the fact table."
+    ),
+    "quality_gopher_rules": (
+        "Gopher quality gate. Expect: a single Project over the documents "
+        "scan computing every rule column — no shuffle, no Python; "
+        "ReadSchema pruned to (doc_id, text); WholeStageCodegen spanning "
+        "the whole plan."
+    ),
+    "embedding_quantize_int8": (
+        "Int8 quantization. Expect: map-only — array transform/array_max "
+        "projections inside the scan stage, no Exchange except the final "
+        "sort; embeddings ReadSchema pruned to (vec_id, embedding)."
+    ),
 }
 
 
