@@ -61,6 +61,7 @@ HEADLINE = [
     "latest_per_key",
     "join_salted_skew",
     "quality_gopher_rules",
+    "text_unigram_logprob",
     "embedding_quantize_int8",
     "corpus_prep",
 ]

@@ -355,6 +355,58 @@ ORACLE_TEXT_TFIDF_TOP_TERMS = f"""
 """
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM score: mean negative log-likelihood of each
+    document under the corpus's own unigram distribution (the cheap
+    perplexity proxy used to rank training data; Wenzek et al. 2020's
+    CCNet does this with a 5-gram KenLM — the Spark plumbing is the same).
+
+    Two aggregations over one tokenization: corpus token frequencies
+    (map-side-combined, shuffle carries distinct tokens only) and the
+    per-document mean of -ln(freq/total) after a token-level join. Every
+    token appears in its own training corpus, so there is no OOV mass to
+    smooth. Low mean NLL = repetitive/common-word docs; high = rare-token
+    soup — both tails are what the gate drops.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+    ).filter(F.length("token") >= 1)
+    freq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    return (
+        tokens.join(freq, "token")
+        .join(F.broadcast(total))
+        .withColumn(
+            "nll", -F.log(F.col("n_tok").cast("double") / F.col("n_total"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_UNIGRAM_LOGPROB = """
+    WITH tok AS (
+        SELECT doc_id, t.token
+        FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(token)
+        WHERE length(t.token) >= 1
+    ), freq AS (
+        SELECT token, COUNT(*) AS n_tok FROM tok GROUP BY token
+    ), total AS (
+        SELECT SUM(n_tok) AS n_total FROM freq
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(CAST(n_tok AS DOUBLE) / n_total)), 6) AS mean_nll
+    FROM tok JOIN freq USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021, §A1.1 "quality
     filtering", adapted to the rules this corpus can discriminate): word
@@ -417,6 +469,7 @@ def oracles() -> dict[str, tuple]:
     return {
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
         "quality_gopher_rules": (q_quality_gopher_rules, ORACLE_QUALITY_GOPHER_RULES),
+        "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
         "text_tfidf_top_terms": (q_text_tfidf_top_terms, ORACLE_TEXT_TFIDF_TOP_TERMS),
         "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),

@@ -180,6 +180,101 @@ class JoinOptimizer:
                         best_overall = best
         return best_overall.plan if best_overall else []
 
+    def order_joins_greedy(
+        self,
+        stats: dict[str, TableStats],
+        filter_selectivities: dict[str, float],
+    ) -> list[LogicalJoinNode]:
+        """Greedy O(n^2) fallback for join graphs too large for the DP.
+
+        The Selinger DP is O(2^n) in the join count — fine for hand-written
+        queries, unusable for the 50-way star/snowflake joins machine-
+        generated pipelines produce. This is greedy operator ordering
+        (Fegaras 1998-style GOO restricted to left-deep prefixes): seed
+        with the cheapest single join under the reference cost model, then
+        repeatedly attach the connected join with the lowest incremental
+        NLJ cost, accumulated side as the outer operand. Same cost /
+        cardinality / PK model as the DP, same cross-product avoidance;
+        no optimality guarantee (tests assert DP <= greedy on small graphs).
+        """
+        sels = filter_selectivities
+
+        def scan(t: str) -> tuple[float, int]:
+            return (
+                stats[t].estimate_scan_cost(),
+                stats[t].estimate_table_cardinality(sels.get(t, 1.0)),
+            )
+
+        if not self.joins:
+            return []
+
+        seed: tuple[float, int, LogicalJoinNode, LogicalJoinNode] | None = None
+        for orig in self.joins:
+            for cand in (orig, orig.swap_inner_outer()):
+                c1, k1 = scan(cand.left_table)
+                c2, k2 = scan(cand.right_table)
+                cost = self.estimate_join_cost(k1, k2, c1, c2)
+                if seed is None or cost < seed[0]:
+                    card = self.estimate_join_cardinality(
+                        cand.op,
+                        k1,
+                        k2,
+                        self._is_pk(cand.left_table, cand.left_field),
+                        self._is_pk(cand.right_table, cand.right_field),
+                    )
+                    seed = (cost, card, cand, orig)
+        acc_cost, acc_card, first, first_orig = seed
+        plan = [first]
+        used = {first_orig}
+        joined = {first.left_table, first.right_table}
+
+        while len(plan) < len(self.joins):
+            best: tuple[float, int, LogicalJoinNode, LogicalJoinNode] | None = None
+            for orig in self.joins:
+                if orig in used:
+                    continue
+                # orient so the accumulated plan is the outer (t1) operand;
+                # a both-sides-joined (cycle) edge keeps its left orientation,
+                # mirroring the DP's left-branch preference.
+                if orig.left_table in joined:
+                    j = orig
+                elif orig.right_table in joined:
+                    j = orig.swap_inner_outer()
+                else:
+                    continue  # not connected yet -> would be a cross product
+                t2_cost, t2_card = scan(j.right_table)
+                cost = self.estimate_join_cost(acc_card, t2_card, acc_cost, t2_cost)
+                if best is None or cost < best[0]:
+                    card = self.estimate_join_cardinality(
+                        j.op,
+                        acc_card,
+                        t2_card,
+                        self._has_pkey(plan, self.pk_columns),
+                        self._is_pk(j.right_table, j.right_field),
+                    )
+                    best = (cost, card, j, orig)
+            if best is None:
+                break  # disconnected join graph: no cross products, stop
+            acc_cost, acc_card, nxt, orig = best
+            plan.append(nxt)
+            used.add(orig)
+            joined.update((nxt.left_table, nxt.right_table))
+        return plan
+
+    # DP above this size would enumerate >2^14 subsets; the greedy path
+    # keeps planning sub-millisecond for machine-generated join graphs.
+    DP_MAX_JOINS = 13
+
+    def order_joins_auto(
+        self,
+        stats: dict[str, TableStats],
+        filter_selectivities: dict[str, float],
+    ) -> list[LogicalJoinNode]:
+        """DP for graphs the DP can afford, greedy beyond."""
+        if len(self.joins) <= self.DP_MAX_JOINS:
+            return self.order_joins(stats, filter_selectivities)
+        return self.order_joins_greedy(stats, filter_selectivities)
+
     def _compute_cost_and_card_of_subplan(
         self,
         stats: dict[str, TableStats],

@@ -114,9 +114,12 @@ COMMENTARY = {
         "shuffle partitions."
     ),
     "latest_per_key": (
-        "Keep-latest-per-key compaction. Expect: one Exchange on user_id "
-        "feeding Sort + Window(row_number) + Filter(rn=1) — a single "
-        "shuffle, no self-join of the fact table."
+        "Keep-latest-per-key compaction. Expect: Exchange on user_id "
+        "feeding Sort + Window(row_number) + Filter(rn=1) — no self-join "
+        "of the fact table, and a map-side WindowGroupLimit (Spark 3.5 "
+        "rank-limit pushdown) pruning each partition to one row per key "
+        "BEFORE the shuffle; the only other exchange is the final "
+        "presentation sort."
     ),
     "quality_gopher_rules": (
         "Gopher quality gate. Expect: a single Project over the documents "

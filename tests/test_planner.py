@@ -162,3 +162,68 @@ def test_cross_product_rejection():
     ]
     result = JoinOptimizer(nodes, {t: "c0" for t in stats}).order_joins(stats, sels)
     assert result == []
+
+
+def test_greedy_fallback_matches_cost_model():
+    """Greedy order is valid (no cross product) and never beats the DP
+    (the DP is optimal over left-deep plans under the same model)."""
+    from dbms_query_optimizer_spark.plans.cbo_compare import (
+        reference_cost_of_order,
+        table_order_of_plan,
+    )
+
+    stats = {
+        "emp": _stats(100_000, 1000),
+        "dept": _stats(1_000, 10),
+        "hobby": _stats(500, 5),
+        "hobbies": _stats(200_000, 2000),
+    }
+    pk = {"emp": "id", "dept": "id", "hobby": "id", "hobbies": None}
+    joins = [
+        LogicalJoinNode("emp", "dept", "dept_id", "id", EQ),
+        LogicalJoinNode("emp", "hobbies", "id", "emp_id", EQ),
+        LogicalJoinNode("hobbies", "hobby", "hobby_id", "id", EQ),
+    ]
+    sels = {t: 1.0 for t in stats}
+    opt = JoinOptimizer(joins, pk)
+    dp_plan = opt.order_joins(stats, sels)
+    greedy_plan = opt.order_joins_greedy(stats, sels)
+    assert len(greedy_plan) == len(joins)
+
+    def cost(plan):
+        return reference_cost_of_order(
+            table_order_of_plan(plan), joins, stats, sels, pk
+        )
+
+    assert cost(greedy_plan) < float("inf")
+    assert cost(dp_plan) <= cost(greedy_plan)
+
+
+def test_greedy_scales_to_wide_join_graphs():
+    """40-way chain join: far beyond the DP's 2^n reach; the greedy path
+    must finish instantly and produce a fully-connected left-deep order."""
+    from dbms_query_optimizer_spark.plans.cbo_compare import (
+        reference_cost_of_order,
+        table_order_of_plan,
+    )
+
+    n = 40
+    rng = random.Random(7)
+    tables = [f"t{i}" for i in range(n + 1)]
+    stats = {t: _stats(rng.randint(1_000, 500_000), rng.randint(10, 5000)) for t in tables}
+    pk = {t: "id" for t in tables}
+    joins = [
+        LogicalJoinNode(tables[i], tables[i + 1], "fk" if i else "id", "id", EQ)
+        for i in range(n)
+    ]
+    rng.shuffle(joins)
+    sels = {t: 1.0 for t in tables}
+    opt = JoinOptimizer(joins, pk)
+    t0 = time.monotonic()
+    plan = opt.order_joins_auto(stats, sels)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 2.0
+    assert len(plan) == n
+    assert reference_cost_of_order(
+        table_order_of_plan(plan), joins, stats, sels, pk
+    ) < float("inf")
