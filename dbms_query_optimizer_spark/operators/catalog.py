@@ -283,6 +283,8 @@ register("latest_per_key", R.q_latest_per_key, R.ORACLE_LATEST_PER_KEY)
 
 register("join_salted_skew", R.q_join_salted_skew, R.ORACLE_JOIN_SALTED_SKEW)
 
+register("unpivot_metrics", R.q_unpivot_metrics, R.ORACLE_UNPIVOT_METRICS)
+
 register(
     "set_ops",
     R.q_set_ops,

@@ -706,8 +706,64 @@ ORACLE_EMBEDDING_COSINE = f"""
 """
 
 
+SPAN_N = 8  # span length (tokens) for cross-document span duplication
+
+
+def q_dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span duplication (RefinedWeb/Dolma-style substring
+    dedup signal): per document, the fraction of its distinct 8-token
+    spans that occur in at least one other document's span set.
+
+    Two shuffles total: the per-doc DISTINCT of (doc_id, span) and the
+    span-frequency aggregate — both linear in corpus token count; the
+    span⋈frequency join carries already-distinct rows. Internal
+    repetition is excluded by the per-doc DISTINCT, so the signal is
+    purely cross-document (the quality gate's repetition rule covers
+    within-doc repeats).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    spans = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams("toks", SPAN_N)).alias("span"))
+        .distinct()
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        spans.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_span_duplication() -> str:
+    concat = " || ' ' || ".join(f"tk[i+{k}]" for k in range(SPAN_N))
+    return f"""
+    WITH sp AS (
+        SELECT DISTINCT doc_id, {concat} AS span
+        FROM (SELECT doc_id, string_split(trim({SQL_NORM}), ' ') AS tk FROM documents),
+             UNNEST(generate_series(1, len(tk) - {SPAN_N - 1})) AS t(i)
+    ), freq AS (
+        SELECT span, COUNT(*) AS n_docs FROM sp GROUP BY span
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM sp JOIN freq USING (span)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
         "dedup_simhash": (q_dedup_simhash, _oracle_simhash()),

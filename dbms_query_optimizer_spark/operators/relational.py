@@ -724,3 +724,40 @@ JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-flag aggregate back to long
+    (flag, metric, value) form — the inverse of q_pivot, closing the
+    reshape pair. The unpivot is a Generate over an already-tiny
+    aggregate; all heavy lifting stays in the partial+final agg."""
+    t = load_tables(spark, sf_dir)
+    wide = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            dsum_double(dec("l_quantity"), 2).alias("sum_qty"),
+            dsum_double(dec("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n_items"),
+        )
+    )
+    return wide.unpivot(
+        "l_returnflag",
+        ["sum_qty", "sum_price", "n_items"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")
+
+
+ORACLE_UNPIVOT_METRICS = """
+WITH wide AS (
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+           CAST(COUNT(*) AS DOUBLE) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
+ORDER BY l_returnflag, metric
+"""

@@ -336,11 +336,58 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: per event type, z-score of each
+    day's event count against that type's own daily distribution.
+
+    The monitoring query every event pipeline runs. Counts aggregate
+    map-side to (type, day) partials; the mean/stddev are unbounded
+    windows over ≤ types x days rows — trivially small after the first
+    aggregate no matter the raw volume. The anomaly flag tests the
+    ROUNDED z on both engines so a last-ulp stddev difference cannot
+    flip the boolean at the threshold.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+        ).alias("z"),
+    )
+    return scored.withColumn("is_anomaly", F.abs(F.col("z")) > 2).orderBy(
+        "event_type", "day"
+    )
+
+
+ORACLE_EVENTS_ANOMALY_ZSCORE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events GROUP BY event_type, day
+), scored AS (
+    SELECT event_type, day, n,
+           ROUND((n - AVG(n) OVER w) / STDDEV_SAMP(n) OVER w, 4) AS z
+    FROM daily WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, day, n, z, (ABS(z) > 2) AS is_anomaly
+FROM scored
+ORDER BY event_type, day
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
+        "events_anomaly_zscore": (q_events_anomaly_zscore, ORACLE_EVENTS_ANOMALY_ZSCORE),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
     }

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..engine import load_tables
 from ..functions import text as T
+from ..functions.text import word_ngrams
 
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments, mirrors of functions/text.py helpers
@@ -407,6 +408,72 @@ ORACLE_TEXT_UNIGRAM_LOGPROB = """
 """
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM score: per-document mean of
+    -ln(c(w1,w2) / c(w1)) under corpus-wide counts — one rung up the
+    n-gram ladder from text_unigram_logprob (context-sensitive, so
+    common-words-in-odd-order now scores as surprising).
+
+    Same two-aggregate shape as the unigram scorer plus one more join:
+    bigram frequencies and unigram (context) frequencies are both
+    map-side-combined before their shuffles; the per-doc join streams the
+    bigram list against the two aggregated sides. Token arrays are staged
+    as attribute references before the n-gram zip (functions/text.py
+    tokens() docstring: inlined expression trees re-evaluate per element).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    arr = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) >= 1
+    )
+    staged = docs.select("doc_id", arr.alias("tk"))
+    bg = staged.select(
+        "doc_id", F.explode(word_ngrams("tk", 2)).alias("big")
+    ).withColumn("w1", F.substring_index("big", " ", 1))
+    uni = (
+        staged.select(F.explode("tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    bf = bg.groupBy("big").agg(F.count(F.lit(1)).alias("n_bg"))
+    return (
+        bg.join(bf, "big")
+        .join(uni, bg["w1"] == uni["token"])
+        .withColumn("nll", -F.log(F.col("n_bg").cast("double") / F.col("n_uni")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_BIGRAM_LOGPROB = """
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> length(x) >= 1) AS tk
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS big
+        FROM arr, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+    ), uni AS (
+        SELECT u.token, COUNT(*) AS n_uni
+        FROM arr, UNNEST(tk) AS u(token)
+        GROUP BY u.token
+    ), bf AS (
+        SELECT big, COUNT(*) AS n_bg FROM bg GROUP BY big
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln(CAST(n_bg AS DOUBLE) / n_uni)), 6) AS mean_nll
+    FROM bg
+    JOIN bf USING (big)
+    JOIN uni ON bg.w1 = uni.token
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021, §A1.1 "quality
     filtering", adapted to the rules this corpus can discriminate): word
@@ -470,6 +537,7 @@ def oracles() -> dict[str, tuple]:
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
         "quality_gopher_rules": (q_quality_gopher_rules, ORACLE_QUALITY_GOPHER_RULES),
         "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
+        "text_bigram_logprob": (q_text_bigram_logprob, ORACLE_TEXT_BIGRAM_LOGPROB),
         "text_tfidf_top_terms": (q_text_tfidf_top_terms, ORACLE_TEXT_TFIDF_TOP_TERMS),
         "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
