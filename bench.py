@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_span_duplication",
     "knn_brute_force",
     "knn_lsh_bucketed",
     "text_quality",

@@ -326,6 +326,8 @@ register(
 
 register("approx_aggs", R.q_approx_aggs, None)  # sketch outputs are engine-defined
 
+register("approx_hll_mergeable", R.q_approx_hll_mergeable, None)  # sketch bytes engine-defined
+
 register(
     "exact_distinct_counts",
     R.q_exact_distinct_counts,

@@ -761,3 +761,29 @@ SELECT l_returnflag, metric, value
 FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
 ORDER BY l_returnflag, metric
 """
+
+
+def q_approx_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 3.5 Datasketches HllSketch): build one
+    sketch per order-priority segment, then union the segment sketches into
+    a global distinct-customer estimate — WITHOUT rescanning the data.
+
+    This is the sketch pre-aggregation contract that makes distinct counts
+    cheap at 100 TB: per-partition/day sketches are stored bytes, and any
+    rollup (day→month, segment→global) is a sketch union, not a rescan.
+    Sketch bytes are implementation-defined, so the harness records a
+    rows-only check; tests/test_queries_oracle.py's driver run plus the
+    estimate-vs-exact bound test in the same file gate the values.
+    """
+    t = load_tables(spark, sf_dir)
+    per_segment = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    return (
+        per_segment.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers_union"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )

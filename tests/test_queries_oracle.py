@@ -48,3 +48,22 @@ def test_oracle_keys_subset():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_hll_union_estimate_close_to_exact(spark, sf_dir):
+    """The merged-sketch estimate must sit within HLL error of the exact
+    global distinct count (and the union must cover all 5 segments)."""
+    from dbms_query_optimizer_spark.operators.relational import (
+        q_approx_hll_mergeable,
+    )
+    from dbms_query_optimizer_spark.engine import load_tables
+
+    row = q_approx_hll_mergeable(spark, sf_dir).collect()[0]
+    exact = (
+        load_tables(spark, sf_dir)["orders"]
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert row.n_segments == 5
+    assert abs(row.approx_customers_union - exact) / exact < 0.05
