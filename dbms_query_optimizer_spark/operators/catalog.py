@@ -285,6 +285,8 @@ register("join_salted_skew", R.q_join_salted_skew, R.ORACLE_JOIN_SALTED_SKEW)
 
 register("unpivot_metrics", R.q_unpivot_metrics, R.ORACLE_UNPIVOT_METRICS)
 
+register("agg_array_ordered", R.q_agg_array_ordered, R.ORACLE_AGG_ARRAY_ORDERED)
+
 register(
     "set_ops",
     R.q_set_ops,

@@ -787,3 +787,34 @@ def q_approx_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_segments"),
         )
     )
+
+
+def q_agg_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ARRAY_AGG: each customer's order keys as a sorted array.
+
+    collect_list's order is partition-nondeterministic, so the sort happens
+    explicitly AFTER collection (sort_array) — the only way an array-valued
+    aggregate can be reproducible under shuffling, and the exact mirror of
+    the oracle's list(x ORDER BY x). Arrays stay JVM-side; one shuffle on
+    the group key.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_AGG_ARRAY_ORDERED = """
+SELECT o_custkey,
+       list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""

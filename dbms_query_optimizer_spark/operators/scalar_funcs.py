@@ -331,4 +331,45 @@ def oracles() -> dict[str, tuple]:
         "functions_map": (q_functions_map, ORACLE_FUNCTIONS_MAP),
         "percentile_exact": (q_percentile_exact, ORACLE_PERCENTILE_EXACT),
         "window_analytics": (q_window_analytics, ORACLE_WINDOW_ANALYTICS),
+        "date_dim_generate": (q_date_dim_generate, ORACLE_DATE_DIM_GENERATE),
     }
+
+
+def q_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension (1995-2001): the no-input generator source
+    every warehouse needs, built from sequence()+explode — rows exist only
+    as a constant-folded expression until the explode, no file scan at all.
+    dayofweek is Spark's Sunday=1 convention (the oracle shifts DuckDB's
+    Sunday=0 to match)."""
+    del sf_dir  # pure generator — no tables
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("2001-12-31").cast("date"),
+                )
+            ).alias("d")
+        )
+        .select(
+            "d",
+            F.year("d").alias("y"),
+            F.quarter("d").alias("q"),
+            F.month("d").alias("m"),
+            F.dayofmonth("d").alias("dom"),
+            F.dayofweek("d").alias("dow"),
+            (F.dayofmonth("d") == 1).alias("is_month_start"),
+        )
+        .orderBy("d")
+    )
+
+
+ORACLE_DATE_DIM_GENERATE = """
+SELECT d, year(d) AS y, quarter(d) AS q, month(d) AS m,
+       day(d) AS dom, dayofweek(d) + 1 AS dow,
+       (day(d) = 1) AS is_month_start
+FROM (SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d)
+ORDER BY d
+"""

@@ -178,6 +178,8 @@ class JoinOptimizer:
                     pc.add_plan(subset, best)
                     if size == n:
                         best_overall = best
+        # the winning plan's modeled cost, observable for tests/comparisons
+        self.last_plan_cost = best_overall.cost if best_overall else 0.0
         return best_overall.plan if best_overall else []
 
     def order_joins_greedy(
@@ -259,6 +261,7 @@ class JoinOptimizer:
             plan.append(nxt)
             used.add(orig)
             joined.update((nxt.left_table, nxt.right_table))
+        self.last_plan_cost = acc_cost
         return plan
 
     # DP above this size would enumerate >2^14 subsets; the greedy path

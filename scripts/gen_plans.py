@@ -127,6 +127,21 @@ COMMENTARY = {
         "ReadSchema pruned to (doc_id, text); WholeStageCodegen spanning "
         "the whole plan."
     ),
+    "tpch_q8": (
+        "TPC-H Q8: the widest join in the suite (lineitem ⋈ part ⋈ orders "
+        "⋈ customer ⋈ supplier ⋈ nation×2 ⋈ region). Expect: part/nation/"
+        "region broadcast, the customer-region restriction applied as a "
+        "left-semi broadcast join, shuffle exchanges only on the fact "
+        "keys, and the conditional market-share aggregate as one "
+        "partial+final pair."
+    ),
+    "dedup_span_duplication": (
+        "Cross-document span duplication. Expect: Generate(explode) of the "
+        "8-token spans inside the scan stage, partial HashAggregate before "
+        "BOTH shuffles (per-doc distinct and span frequency), and the "
+        "span⋈frequency join on already-aggregated rows — the raw span "
+        "stream never crosses an exchange unaggregated."
+    ),
     "embedding_quantize_int8": (
         "Int8 quantization. Expect: map-only — array transform/array_max "
         "projections inside the scan stage, no Exchange except the final "
