@@ -287,6 +287,8 @@ register("unpivot_metrics", R.q_unpivot_metrics, R.ORACLE_UNPIVOT_METRICS)
 
 register("agg_array_ordered", R.q_agg_array_ordered, R.ORACLE_AGG_ARRAY_ORDERED)
 
+register("incremental_agg_merge", R.q_incremental_agg_merge, R.ORACLE_INCREMENTAL_AGG_MERGE)
+
 register(
     "set_ops",
     R.q_set_ops,

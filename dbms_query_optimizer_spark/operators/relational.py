@@ -818,3 +818,53 @@ FROM orders
 GROUP BY o_custkey
 ORDER BY o_custkey
 """
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-flag aggregate
+    built from the pre-1998 "snapshot" is advanced by the 1998+ "delta"
+    WITHOUT rescanning the snapshot rows — the two partial-aggregate sets
+    union and re-combine on the group key, exactly how a 100 TB rollup is
+    maintained batch over batch (only mergeable partials — counts and
+    decimal sums — ever cross a batch boundary; averages derive at read
+    time). The oracle aggregates the full table in one pass: the merged
+    result must be value-identical.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(dec("l_quantity")).alias("p_qty"),
+            F.sum(disc_price_expr()).alias("p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    snapshot = partials(li.filter(F.col("l_shipdate") < cut))
+    delta = partials(li.filter(F.col("l_shipdate") >= cut))
+    return (
+        snapshot.unionAll(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("p_qty").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("p_rev").cast("double"), 4).alias("revenue"),
+            F.sum("p_n").alias("n_items"),
+            F.round(
+                (F.sum("p_qty") / F.sum("p_n")).cast("double"), 4
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_INCREMENTAL_AGG_MERGE = """
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) / COUNT(*) AS DOUBLE), 4) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
