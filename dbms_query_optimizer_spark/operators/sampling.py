@@ -88,8 +88,62 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each document is kept with
+    probability proportional to its length (``n_chars / max(n_chars)``) —
+    the token-budget-proportional downsampling a corpus mixer uses. The
+    uniform draw is a pure function of the row key (md5 hex chars 9-16,
+    disjoint from the split's chars 1-8, so sample and split membership
+    stay independent), making the sample reproducible across runs,
+    partitionings, and engines — oracle-checked exactly, unlike RNG
+    ``sampleBy``.
+
+    Scale: max(n_chars) is one scalar broadcast back; the keep test is a
+    map-side filter fused into the scan — no shuffle at any size. The
+    boundary compare uses the RAW draw (exact dyadic rational, identical
+    IEEE arithmetic on both engines) so membership can never flip; the
+    reported ``u`` is rounded only for display.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    wmax = docs.agg(F.max("n_chars").alias("wmax"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.crossJoin(F.broadcast(wmax))
+        .withColumn("_u", u)
+        .filter(F.col("_u") * F.col("wmax") < F.col("n_chars"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("_u", 6).alias("u"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = """
+WITH w AS (SELECT MAX(n_chars) AS wmax FROM documents),
+s AS (
+    SELECT doc_id, lang, n_chars, wmax,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+               / 4294967296.0 AS u
+    FROM documents CROSS JOIN w
+)
+SELECT doc_id, lang, n_chars, ROUND(u, 6) AS u
+FROM s
+WHERE u * wmax < n_chars
+ORDER BY doc_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "hash_split_train": (q_hash_split_train, ORACLE_HASH_SPLIT_TRAIN),
         "sample_stratified": (q_sample_stratified, None),
+        "sample_weighted": (q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
     }

@@ -367,6 +367,83 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF: the hypertable ``time_bucket_gapfill``
+    + ``locf()`` pattern. A dense user x day calendar grid is generated
+    (sequence + explode — no input scan), the sparse per-user-day purchase
+    aggregate is left-joined onto it, counts/revenue fill with zero, and
+    the average purchase value carries forward per user with an
+    ignore-nulls window (NULL until the user's first purchase).
+
+    Scale: the raw scan collapses to (users x active days) partials before
+    any wide operation; the grid is users x calendar-days — both tiny
+    relative to raw events no matter the volume. One shuffle for the agg,
+    one for the grid join (the 1-row bounds cross-join is a broadcast).
+    Aggregates are rounded BEFORE the LOCF window on both engines so the
+    carried value is bit-identical.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    partials = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("rev"),
+            F.round(F.avg("value"), 4).alias("av"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(partials, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+            F.coalesce("rev", F.lit(0.0)).alias("day_rev"),
+            F.last("av", ignorenulls=True).over(w).alias("locf_avg"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_EVENTS_GAPFILL_LOCF = """
+WITH p AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS rev, ROUND(AVG(value), 4) AS av
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, day
+), bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+), days AS (
+    SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), grid AS (
+    SELECT u.user_id, d.day
+    FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d
+)
+SELECT g.user_id, g.day,
+       COALESCE(p.n, 0) AS n_purchases,
+       COALESCE(p.rev, 0.0) AS day_rev,
+       LAST_VALUE(p.av IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_avg
+FROM grid g LEFT JOIN p ON p.user_id = g.user_id AND p.day = g.day
+ORDER BY g.user_id, g.day
+"""
+
+
 ORACLE_EVENTS_ANOMALY_ZSCORE = """
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
@@ -388,6 +465,7 @@ def oracles() -> dict[str, tuple]:
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
         "events_anomaly_zscore": (q_events_anomaly_zscore, ORACLE_EVENTS_ANOMALY_ZSCORE),
+        "events_gapfill_locf": (q_events_gapfill_locf, ORACLE_EVENTS_GAPFILL_LOCF),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
     }
