@@ -156,6 +156,63 @@ ORACLE_SOURCE_ORC_SCAN = """
 """
 
 
+EVENT_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 10.0),
+    ("signup", 2.0),
+    ("error", 0.0),
+]
+
+
+def q_dpp_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the partitioned fact's scan is pruned at
+    RUNTIME by the dim's filter result, not by any literal predicate.
+
+    The events fact (hive-partitioned by event_type) joins a 5-row weight
+    dim filtered to weight >= 1. No static predicate touches the fact, yet
+    Spark injects ``dynamicpruningexpression(...)`` into the scan's
+    PartitionFilters, reusing the dim's broadcast (SubqueryAdaptiveBroadcast)
+    to resolve which directories to read — the 'error'/'view' partitions
+    are never opened. On a 100 TB date-partitioned fact joined to a
+    filtered date dim this is the difference between scanning 3 days and
+    scanning 10 years; ``tests/test_sources.py`` asserts the
+    dynamicpruning expression is present in the executed plan.
+    """
+    t = load_tables(spark, sf_dir)
+    ev_dir = _roundtrip_dir(sf_dir, "parquet_part", "events")
+    write_parquet(
+        t["events"], ev_dir, partition_by=["event_type"], target_files=4
+    )
+    fact = spark.read.parquet(ev_dir)
+    dim = spark.createDataFrame(EVENT_WEIGHTS, "event_type string, weight double")
+    return (
+        fact.join(dim.filter(F.col("weight") >= 1.0), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DPP_JOIN_PRUNED = """
+    WITH dim(event_type, weight) AS (
+        VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+               ('signup', 2.0), ('error', 0.0)
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           ROUND(SUM(e.value * d.weight), 2) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    WHERE d.weight >= 1.0
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
@@ -165,4 +222,5 @@ def oracles() -> dict[str, tuple]:
             q_source_partitioned_scan,
             ORACLE_SOURCE_PARTITIONED_SCAN,
         ),
+        "dpp_join_pruned": (q_dpp_join_pruned, ORACLE_DPP_JOIN_PRUNED),
     }

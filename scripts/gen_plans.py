@@ -95,6 +95,13 @@ COMMENTARY = {
         "shows PartitionFilters: [event_type IN (click,purchase)] — the "
         "three other event_type directories are never opened."
     ),
+    "dpp_join_pruned": (
+        "Dynamic partition pruning. Expect: the partitioned fact scan's "
+        "PartitionFilters carries dynamicpruningexpression(event_type IN "
+        "subquery) fed by SubqueryAdaptiveBroadcast — the dim's broadcast "
+        "is reused to decide at runtime which directories to open; no "
+        "static predicate on the fact."
+    ),
     "multimodal_frame_sample": (
         "Strided frame sampling over opaque binary payloads. Expect: "
         "sequence+explode generate the frame offsets JVM-side, per-frame "

@@ -75,6 +75,19 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert one_lang.count() == expected
 
 
+def test_dpp_join_prunes_partitions(spark, sf_dir):
+    """The fact scan must carry a runtime dynamicpruning partition filter
+    fed by the dim's broadcast — no static predicate exists on the fact."""
+    from dbms_query_optimizer_spark.operators.sources_queries import (
+        q_dpp_join_pruned,
+    )
+
+    df = q_dpp_join_pruned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert df.count() == 3  # click / purchase / signup survive the dim filter
+
+
 def test_sorted_parquet_row_group_bands(spark, sf_dir, tmp_path):
     """write_sorted_parquet => files cover disjoint sort-key ranges and a
     range filter prunes to the matching files (footer min/max skipping)."""
