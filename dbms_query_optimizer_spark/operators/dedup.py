@@ -761,8 +761,63 @@ def _sql_span_duplication() -> str:
     """
 
 
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via a blocked fuzzy self-join: name variants of
+    the same entity found by Levenshtein distance inside blocking buckets.
+
+    part names collapse to DISTINCT values first (dedup-before-join — the
+    quadratic step runs over unique names, never over rows), block on the
+    head noun (last token) so edit-distance only compares names that could
+    plausibly co-refer, and each surviving pair carries both variants' row
+    counts — the merge-candidate report a catalog-cleaning pipeline emits.
+
+    Scale: distinct-name extraction is a map-side-combined groupBy; the
+    name table after distinct is tiny relative to the fact, so the
+    self-join broadcasts, and the per-block pair count — not
+    names x names — bounds the Levenshtein work. Distance is exact integer
+    edit distance on both engines (Spark ``levenshtein`` / DuckDB
+    ``levenshtein``), so parity is exact with no float rounding.
+    """
+    part = load_tables(spark, sf_dir)["part"]
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n").alias("n_b"), "blk"
+    )
+    return (
+        a.join(F.broadcast(b), "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE_FUZZY_JOIN_BLOCKED = f"""
+WITH counts AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name),
+names AS (SELECT p_name, n, split_part(p_name, ' ', 2) AS blk FROM counts)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
