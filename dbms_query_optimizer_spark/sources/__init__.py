@@ -15,6 +15,8 @@ from .writers import (
     write_orc,
     write_parquet,
     write_sorted_parquet,
+    write_zorder_parquet,
+    zorder_column,
 )
 
 __all__ = [
@@ -29,4 +31,6 @@ __all__ = [
     "write_json",
     "write_parquet",
     "write_sorted_parquet",
+    "write_zorder_parquet",
+    "zorder_column",
 ]
