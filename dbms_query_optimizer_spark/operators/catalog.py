@@ -387,6 +387,10 @@ register(
     """,
 )
 
+register("subquery_not_exists", R.q_subquery_not_exists, R.ORACLE_SUBQUERY_NOT_EXISTS)
+
+register("agg_filtered", R.q_agg_filtered, R.ORACLE_AGG_FILTERED)
+
 register(
     "correlated_scalar_subquery",
     R.q_correlated_scalar_subquery,

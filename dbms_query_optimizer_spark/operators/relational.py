@@ -626,6 +626,81 @@ def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (Catalyst decorrelates to a left-anti join):
+    customers with no 1995 order. Completes the subquery family next to
+    IN (semi) and the correlated scalar."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate <  DATE '1996-01-01'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+ORACLE_SUBQUERY_NOT_EXISTS = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate <  DATE '1996-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause): several
+    differently-filtered aggregates in ONE pass over the fact — the
+    alternative is N scans or N joins. Expressed as when()-guarded
+    aggregates so all conditions evaluate inside the same partial agg."""
+    t = load_tables(spark, sf_dir)
+    price = dec("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"), price)
+                ).cast("double"),
+                2,
+            ).alias("price_since_95"),
+            F.round(
+                F.sum(F.when(F.col("l_quantity") < 10, price)).cast("double"), 2
+            ).alias("price_small_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_AGG_FILTERED = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+             FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01') AS DOUBLE), 2)
+           AS price_since_95,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+             FILTER (WHERE l_quantity < 10) AS DOUBLE), 2) AS price_small_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per status, one column per priority class."""
     t = load_tables(spark, sf_dir)
