@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbms_query_optimizer_spark.engine import load_tables
 from dbms_query_optimizer_spark.sources import (
@@ -73,6 +74,30 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan
     expected = docs.filter(docs.lang == "en").count()
     assert one_lang.count() == expected
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema drift across file generations: files written before a column
+    existed must still read alongside new files — mergeSchema unions the
+    schemas and backfills NULL. At 100 TB a table's oldest partitions
+    predate most of its columns; a reader that errors on them is unusable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path / "evolving")
+    # generation 1: no quality column yet
+    docs.select("doc_id", "lang").write.parquet(f"{path}/gen=1")
+    # generation 2: quality column added
+    docs.select(
+        "doc_id", "lang", F.length("text").alias("quality")
+    ).write.parquet(f"{path}/gen=2")
+
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"doc_id", "lang", "quality", "gen"}
+    n = docs.count()
+    assert back.count() == 2 * n
+    # old generation reads as NULL quality, new one fully populated
+    nulls = back.filter(F.col("quality").isNull())
+    assert nulls.count() == n
+    assert {r.gen for r in nulls.select("gen").distinct().collect()} == {1}
 
 
 def test_dpp_join_prunes_partitions(spark, sf_dir):
