@@ -391,6 +391,8 @@ register("subquery_not_exists", R.q_subquery_not_exists, R.ORACLE_SUBQUERY_NOT_E
 
 register("agg_filtered", R.q_agg_filtered, R.ORACLE_AGG_FILTERED)
 
+register("global_row_number", R.q_global_row_number, R.ORACLE_GLOBAL_ROW_NUMBER)
+
 register(
     "correlated_scalar_subquery",
     R.q_correlated_scalar_subquery,

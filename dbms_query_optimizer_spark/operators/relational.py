@@ -701,6 +701,58 @@ ORDER BY l_returnflag
 """
 
 
+GLOBAL_ROWNUM_PARTS = 16
+
+
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-ordered row numbers WITHOUT a single-partition window.
+
+    ``row_number() OVER (ORDER BY k)`` collapses to one partition — the
+    classic scale trap. The distributed form: range-partition on the key
+    (so partitions hold disjoint, ordered key ranges), number rows within
+    each partition in parallel, then add each partition's cumulative
+    offset (a per-partition count — GLOBAL_ROWNUM_PARTS rows — broadcast
+    back). Same result as the global window, but the only full-data
+    operations are one range shuffle and a partition-local sort; the
+    cross-partition coordination handles N_partitions rows, not N.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    parts = docs.select("doc_id", "lang").repartitionByRange(
+        GLOBAL_ROWNUM_PARTS, "doc_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    w_local = W.partitionBy("_pid").orderBy("doc_id")
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "lang",
+            (F.row_number().over(w_local) + F.col("_offset")).alias("rn"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_GLOBAL_ROW_NUMBER = """
+SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per status, one column per priority class."""
     t = load_tables(spark, sf_dir)
