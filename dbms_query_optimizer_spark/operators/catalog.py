@@ -393,6 +393,8 @@ register("agg_filtered", R.q_agg_filtered, R.ORACLE_AGG_FILTERED)
 
 register("global_row_number", R.q_global_row_number, R.ORACLE_GLOBAL_ROW_NUMBER)
 
+register("rollup_grouping_id", R.q_rollup_grouping_id, R.ORACLE_ROLLUP_GROUPING_ID)
+
 register(
     "correlated_scalar_subquery",
     R.q_correlated_scalar_subquery,

@@ -753,6 +753,37 @@ ORDER BY doc_id
 """
 
 
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators: subtotal rows are identified by
+    the grouping flags, not by fragile NULL-vs-real-NULL inspection —
+    the way BI consumers distinguish aggregation levels."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP_GROUPING_ID = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per status, one column per priority class."""
     t = load_tables(spark, sf_dir)
