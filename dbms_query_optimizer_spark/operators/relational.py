@@ -784,6 +784,102 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate data validation: one row per constraint, value = number
+    of violating rows (0 = constraint holds). Covers the expectation
+    classes a pipeline checks before promoting a batch: key uniqueness,
+    referential integrity, null rate, domain range.
+
+    Scale: each check is an independent aggregate over one scan (counts
+    push map-side); the orphan check is the only join and its build side
+    is the distinct customer keys. The union is N_checks rows.
+    """
+    t = load_tables(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("value"))
+        .select(F.lit("dup_orderkey_rows").alias("check_name"), "value")
+    )
+    null_cust = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("value")
+    ).select(F.lit("null_custkey_rows").alias("check_name"), "value")
+    orphans = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("orphan_order_rows").alias("check_name"), "value")
+    )
+    bad_price = orders.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("value")
+    ).select(F.lit("nonpositive_price_rows").alias("check_name"), "value")
+    bad_status = orders.agg(
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("value")
+    ).select(F.lit("unknown_status_rows").alias("check_name"), "value")
+
+    return (
+        dup_keys.unionByName(null_cust)
+        .unionByName(orphans)
+        .unionByName(bad_price)
+        .unionByName(bad_status)
+        .orderBy("check_name")
+    )
+
+
+ORACLE_DATA_QUALITY_REPORT = """
+SELECT * FROM (
+    SELECT 'dup_orderkey_rows' AS check_name, COALESCE(SUM(n), 0) AS value
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'null_custkey_rows', COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'orphan_order_rows', COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'nonpositive_price_rows', COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+    UNION ALL
+    SELECT 'unknown_status_rows',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+)
+ORDER BY check_name
+"""
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: each user's
+    purchase events become validity intervals — value effective from its
+    event until the next one (open-ended for the latest). One shuffle on
+    the entity key; lead() is partition-local after it."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            (F.lead("ts").over(w).isNull()).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+ORACLE_SCD2_BUILD = """
+SELECT user_id,
+       ROUND(value, 2) AS value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per status, one column per priority class."""
     t = load_tables(spark, sf_dir)
