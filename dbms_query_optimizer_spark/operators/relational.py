@@ -716,10 +716,20 @@ def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     operations are one range shuffle and a partition-local sort; the
     cross-partition coordination handles N_partitions rows, not N.
     """
-    docs = load_tables(spark, sf_dir)["documents"]
-    parts = docs.select("doc_id", "lang").repartitionByRange(
-        GLOBAL_ROWNUM_PARTS, "doc_id"
-    ).withColumn("_pid", F.spark_partition_id())
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    # Explicit, deterministic range buckets: driver-computed quantile cuts
+    # make _pid a pure function of the key. (spark_partition_id() after
+    # repartitionByRange is NOT safe here — the offsets branch and the
+    # numbering branch would each sample their own partitioner, and
+    # disagreeing boundaries silently corrupt every offset.)
+    qs = [i / GLOBAL_ROWNUM_PARTS for i in range(1, GLOBAL_ROWNUM_PARTS)]
+    cuts = docs.stat.approxQuantile("doc_id", qs, 0.001)
+    pid = sum(
+        ((F.col("doc_id") > F.lit(c)).cast("int") for c in cuts), F.lit(0)
+    )
+    parts = docs.withColumn("_pid", pid).repartition(
+        GLOBAL_ROWNUM_PARTS, "_pid"
+    )
     offsets = (
         parts.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -95,6 +95,21 @@ COMMENTARY = {
         "shows PartitionFilters: [event_type IN (click,purchase)] — the "
         "three other event_type directories are never opened."
     ),
+    "global_row_number": (
+        "Distributed global numbering. Expect: _pid computed as literal "
+        "quantile-cut comparisons (deterministic function of the key, no "
+        "partitioner sampling), ONE hashpartitioning(_pid) exchange "
+        "feeding the Window directly (no second full-data shuffle, no "
+        "SinglePartition), and a BroadcastHashJoin against the 16-row "
+        "offset table."
+    ),
+    "incremental_agg_merge": (
+        "Snapshot+delta partial-aggregate merge. Expect: two branches of "
+        "partial HashAggregate (one per shipdate side) with their filters "
+        "pushed to the scans, a Union, then one final HashAggregate on "
+        "l_returnflag — the snapshot partials are reused structurally, "
+        "never rescanned at finer grain."
+    ),
     "dpp_join_pruned": (
         "Dynamic partition pruning. Expect: the partitioned fact scan's "
         "PartitionFilters carries dynamicpruningexpression(event_type IN "
