@@ -399,6 +399,8 @@ register("data_quality_report", R.q_data_quality_report, R.ORACLE_DATA_QUALITY_R
 
 register("scd2_build", R.q_scd2_build, R.ORACLE_SCD2_BUILD)
 
+register("window_share_of_total", R.q_window_share_of_total, R.ORACLE_WINDOW_SHARE_OF_TOTAL)
+
 register(
     "correlated_scalar_subquery",
     R.q_correlated_scalar_subquery,

@@ -794,6 +794,60 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total analytics (ratio_to_report): each segment's revenue
+    share of the global total and its share within its nation — two
+    unbounded-window divisions computed without re-joining the aggregate
+    back (one pass, no self-join). Shares are exact-decimal ratios rounded
+    identically on both engines."""
+    t = load_tables(spark, sf_dir)
+    seg = (
+        t["customer"]
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.sum(dec("c_acctbal")).alias("_bal"))
+    )
+    w_all = W.partitionBy()
+    w_nation = W.partitionBy("c_nationkey")
+    return seg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("_bal").cast("double"), 2).alias("balance"),
+        (
+            F.floor(
+                (F.col("_bal").cast("double") / F.sum("_bal").over(w_all).cast("double"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("share_global"),
+        (
+            F.floor(
+                (F.col("_bal").cast("double") / F.sum("_bal").over(w_nation).cast("double"))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("share_nation"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+ORACLE_WINDOW_SHARE_OF_TOTAL = """
+WITH seg AS (
+    SELECT c_nationkey, c_mktsegment,
+           SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS _bal
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment,
+       ROUND(CAST(_bal AS DOUBLE), 2) AS balance,
+       FLOOR(CAST(_bal AS DOUBLE) / CAST(SUM(_bal) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS share_global,
+       FLOOR(CAST(_bal AS DOUBLE) / CAST(SUM(_bal) OVER (PARTITION BY c_nationkey) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS share_nation
+FROM seg
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-gate data validation: one row per constraint, value = number
     of violating rows (0 = constraint holds). Covers the expectation
