@@ -76,6 +76,31 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert one_lang.count() == expected
 
 
+def test_zstd_codec_roundtrip(spark, sf_dir, tmp_path):
+    """Column compression is a storage-layout knob, not a semantics one:
+    zstd-compressed parquet must round-trip identically and the codec must
+    actually be recorded in the column chunks. At 100 TB the codec choice
+    (zstd ~30% smaller than snappy at similar scan cost) is real money."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = str(tmp_path / "docs_zstd")
+    docs.write.option("compression", "zstd").parquet(path)
+
+    f = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    md = pq.ParquetFile(f).metadata
+    codecs = {
+        md.row_group(0).column(i).compression
+        for i in range(md.row_group(0).num_columns)
+    }
+    assert codecs == {"ZSTD"}
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+
+
 def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     """Schema drift across file generations: files written before a column
     existed must still read alongside new files — mergeSchema unions the
