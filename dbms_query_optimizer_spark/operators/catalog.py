@@ -395,6 +395,8 @@ register("global_row_number", R.q_global_row_number, R.ORACLE_GLOBAL_ROW_NUMBER)
 
 register("rollup_grouping_id", R.q_rollup_grouping_id, R.ORACLE_ROLLUP_GROUPING_ID)
 
+register("band_join_lookup", R.q_band_join_lookup, R.ORACLE_BAND_JOIN_LOOKUP)
+
 register("data_quality_report", R.q_data_quality_report, R.ORACLE_DATA_QUALITY_REPORT)
 
 register("scd2_build", R.q_scd2_build, R.ORACLE_SCD2_BUILD)

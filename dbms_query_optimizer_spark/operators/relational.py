@@ -848,6 +848,59 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 1e12),
+]
+
+
+def q_band_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-banding lookup: each order assigned to its price band via
+    a BETWEEN join (lo <= price < hi) against a tiny band table.
+
+    The non-equi containment join has no hash-join form; with a band table
+    of single-digit rows the right plan at ANY fact scale is a broadcast
+    nested loop — per-row band resolution fused into the scan, no shuffle
+    until the per-band rollup. (Only when the range side grows large does
+    the bucketed range join, `range_join_bucketed`, take over.)
+    """
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    o = t["orders"]
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+                "band_revenue"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_BAND_JOIN_LOOKUP = """
+WITH bands(band, lo, hi) AS (
+    VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+           ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 1e12)
+)
+SELECT band, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS band_revenue
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
 def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-gate data validation: one row per constraint, value = number
     of violating rows (0 = constraint holds). Covers the expectation
