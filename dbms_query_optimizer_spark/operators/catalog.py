@@ -397,6 +397,8 @@ register("rollup_grouping_id", R.q_rollup_grouping_id, R.ORACLE_ROLLUP_GROUPING_
 
 register("band_join_lookup", R.q_band_join_lookup, R.ORACLE_BAND_JOIN_LOOKUP)
 
+register("monthly_growth", R.q_monthly_growth, R.ORACLE_MONTHLY_GROWTH)
+
 register("data_quality_report", R.q_data_quality_report, R.ORACLE_DATA_QUALITY_REPORT)
 
 register("scd2_build", R.q_scd2_build, R.ORACLE_SCD2_BUILD)

@@ -848,6 +848,55 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup, then lag() on the
+    AGGREGATED frame (months, not orders) — the window never touches raw
+    rows, so its single-partition ordering is over a few dozen rows no
+    matter the fact size. Growth is quantized with floor(x+0.5) on both
+    engines (Spark and DuckDB round ties differently)."""
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["orders"]
+        .groupBy(F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"))
+        .agg(F.sum(dec("o_totalprice")).alias("_rev"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = W.orderBy("month")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        (
+            F.floor(
+                (
+                    (F.col("_rev").cast("double") - prev.cast("double"))
+                    / prev.cast("double")
+                )
+                * 1e4
+                + 0.5
+            )
+            / 1e4
+        ).alias("mom_growth"),
+    ).orderBy("month")
+
+
+ORACLE_MONTHLY_GROWTH = """
+WITH monthly AS (
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS _rev,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY month
+)
+SELECT month, n_orders,
+       ROUND(CAST(_rev AS DOUBLE), 2) AS revenue,
+       FLOOR(CAST((_rev - LAG(_rev) OVER (ORDER BY month)) AS DOUBLE)
+             / CAST(LAG(_rev) OVER (ORDER BY month) AS DOUBLE) * 1e4 + 0.5) / 1e4
+           AS mom_growth
+FROM monthly
+ORDER BY month
+"""
+
+
 PRICE_BANDS = [
     ("budget", 0.0, 50_000.0),
     ("mid", 50_000.0, 150_000.0),
