@@ -399,6 +399,10 @@ register("band_join_lookup", R.q_band_join_lookup, R.ORACLE_BAND_JOIN_LOOKUP)
 
 register("monthly_growth", R.q_monthly_growth, R.ORACLE_MONTHLY_GROWTH)
 
+register("conform_union", R.q_conform_union, R.ORACLE_CONFORM_UNION)
+
+register("dedup_keep_best", R.q_dedup_keep_best, R.ORACLE_DEDUP_KEEP_BEST)
+
 register("data_quality_report", R.q_data_quality_report, R.ORACLE_DATA_QUALITY_REPORT)
 
 register("scd2_build", R.q_scd2_build, R.ORACLE_SCD2_BUILD)

@@ -848,6 +848,82 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def q_conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema harmonization: two heterogeneous sources (customer, supplier)
+    conformed into one 'parties' dimension — per-source column mapping,
+    a discriminator column, and a shared surrogate key space (source-tagged
+    so keys can't collide). The integration step every multi-source
+    pipeline runs before joins; unionByName keeps it map-side only."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("party_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(dec("c_acctbal").cast("double"), 2).alias("balance"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = t["supplier"].select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("party_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.round(dec("s_acctbal").cast("double"), 2).alias("balance"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp).orderBy("party_id")
+
+
+ORACLE_CONFORM_UNION = """
+SELECT 'C' || c_custkey AS party_id, c_name AS name, c_nationkey AS nationkey,
+       ROUND(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE), 2) AS balance,
+       'customer' AS kind
+FROM customer
+UNION ALL
+SELECT 'S' || s_suppkey, s_name, s_nationkey,
+       ROUND(CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE), 2), 'supplier'
+FROM supplier
+ORDER BY party_id
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven dedup: within each content-fingerprint cluster keep
+    the HIGHEST-QUALITY copy (longest text, doc_id as tiebreak), not
+    merely the first-seen — the survivorship rule of a real corpus
+    compaction. The fingerprint is the 40-char prefix hash (prefix
+    collisions form real multi-doc clusters in the testdata, so the
+    policy is actually exercised: ~24 docs drop at sf0.01). One shuffle
+    on the fingerprint; WindowGroupLimit prunes map-side."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    key = F.md5(
+        F.lower(F.substring(F.col("text"), 1, 40)).cast("binary")
+    ).alias("chash")
+    w = W.partitionBy("chash").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "chash")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = """
+SELECT doc_id, lang, n_chars, chash
+FROM (
+    SELECT doc_id, lang, n_chars, md5(lower(substr(text, 1, 40))) AS chash,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(substr(text, 1, 40)))
+               ORDER BY n_chars DESC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: monthly rollup, then lag() on the
     AGGREGATED frame (months, not orders) — the window never touches raw
