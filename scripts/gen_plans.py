@@ -117,6 +117,13 @@ COMMENTARY = {
         "is reused to decide at runtime which directories to open; no "
         "static predicate on the fact."
     ),
+    "band_join_lookup": (
+        "BETWEEN containment join vs 4-row band dim. Expect: "
+        "BroadcastNestedLoopJoin BuildRight with the two range predicates "
+        "as the join condition — for a constant-size band table this is "
+        "the right plan at any fact scale (per-row band resolution fused "
+        "into the scan stage, no shuffle before the rollup)."
+    ),
     "multimodal_frame_sample": (
         "Strided frame sampling over opaque binary payloads. Expect: "
         "sequence+explode generate the frame offsets JVM-side, per-frame "
