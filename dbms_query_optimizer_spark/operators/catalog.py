@@ -535,6 +535,13 @@ from ..streaming import stateful as SST  # noqa: E402
 for _name, (_fn, _sql) in SST.oracles().items():
     register(_name, _fn, _sql)
 
+# -------------------------------- corpus prep: decontaminate/chunk/pack
+
+from . import pipeline_prep as PP  # noqa: E402
+
+for _name, (_fn, _sql) in PP.oracles().items():
+    register(_name, _fn, _sql)
+
 # ------------------------------------------------- classic TPC-H suite
 
 from . import tpch as TPCH  # noqa: E402

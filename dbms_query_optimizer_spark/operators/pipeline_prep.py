@@ -1,0 +1,267 @@
+"""Training-corpus preparation operators: decontamination, chunking,
+sequence packing, and a skyline/Pareto analytic.
+
+These extend the reference's query surface (it has none of these —
+`/root/reference` stops at scan/filter/join ordering, SURVEY §2.2) with the
+operations an LLM-data pipeline runs between "raw corpus" and "tokenized
+shards":
+
+- decontaminate_ngram : benchmark decontamination — drop/flag training
+  documents sharing any word 8-gram with a held-out eval set (the GPT-3 /
+  Gopher n-gram-overlap protocol, applied with the corpus's span length).
+- chunk_documents     : fixed-size token windows with stride/overlap — the
+  doc -> model-context chunking step for embedding or pretraining prep.
+- pack_sequences      : concat-and-chunk packing — assign each document its
+  (pack_id, pack_offset) in a fixed token-budget stream, per source shard.
+- skyline_pareto      : 2-D Pareto frontier (skyline operator) via a single
+  sort + running-max window — no quadratic self-join.
+
+Scale design (100 TB corpora):
+- decontamination: the eval-side span set is tiny by construction
+  (benchmarks are small), so it BROADCASTS; the corpus side is touched in
+  one pass — per-doc distinct spans (one shuffle, map-side combined), a
+  broadcast left-semi probe (no shuffle), and a groupBy(doc_id) count whose
+  input is only the matched rows.
+- chunking is embarrassingly parallel (per-row generate+slice, zero
+  shuffles beyond the sink's ordering).
+- packing partitions by source shard: each shard's prefix-sum window runs
+  independently in parallel — no global single-partition window. A global
+  stream order would instead reuse the range-partition + broadcast-offsets
+  pattern of ``global_row_number``.
+- skyline: dominance only needs the per-price max size (groupBy, map-side
+  combined), so the window runs over |distinct prices| rows, not |part|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+from ..functions.text import token_count_ws, tokens, word_ngrams
+
+DECON_N = 8  # decontamination span length (words)
+EVAL_MOD = 25  # doc_id % EVAL_MOD == 0 -> held-out eval doc
+CHUNK = 32  # chunk size (tokens)
+STRIDE = 24  # chunk stride (tokens; CHUNK - STRIDE = 8-token overlap)
+PACK_BUDGET = 256  # tokens per packed sequence
+
+SQL_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+SQL_TOKENS_WS = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+# ----------------------------------------------------------- decontamination
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: for every training document, the
+    number of distinct word 8-grams it shares with the eval split
+    (doc_id % 25 == 0), and the resulting drop flag.
+
+    The eval span set is broadcast — at real scale the eval side is a few
+    thousand benchmark documents against a 100 TB corpus, so the probe is
+    map-side (no shuffle of the corpus span explosion); the only shuffles
+    are the per-doc DISTINCT and the final count over matched rows.
+    Reference has no text surface at all (`seq_scan.cc:44` int tuples);
+    this extends SURVEY §2.2's scalar-function gap.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    spans = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams("toks", DECON_N)).alias("span"))
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_spans = spans.filter(is_eval).select("span").distinct()
+    hits = (
+        spans.filter(~is_eval)
+        .join(F.broadcast(eval_spans), "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_overlap_spans"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_decontaminate() -> str:
+    concat = " || ' ' || ".join(f"tk[i+{k}]" for k in range(DECON_N))
+    return f"""
+    WITH sp AS (
+        SELECT DISTINCT doc_id, {concat} AS span
+        FROM (SELECT doc_id, string_split(trim({SQL_NORM}), ' ') AS tk FROM documents),
+             UNNEST(generate_series(1, len(tk) - {DECON_N - 1})) AS t(i)
+    ), ev AS (
+        SELECT DISTINCT span FROM sp WHERE doc_id % {EVAL_MOD} = 0
+    ), hits AS (
+        SELECT doc_id, COUNT(*) AS n_hits
+        FROM sp JOIN ev USING (span)
+        WHERE doc_id % {EVAL_MOD} <> 0
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_hits, 0) AS n_overlap_spans,
+           COALESCE(n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} <> 0) d
+    LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+# ----------------------------------------------------------------- chunking
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking: 32-token chunks every 24 tokens
+    (8-token overlap), trailing partial chunks kept.
+
+    Pure per-row compute — sequence + slice are JVM higher-order
+    functions, the explode is a generator inside whole-stage codegen, and
+    there is no shuffle at any corpus size (ordering here is
+    presentational; a real pipeline writes chunks partition-preserving).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK)
+    return (
+        d.select(
+            "doc_id",
+            ((F.col("start") - 1) / STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+    SELECT doc_id,
+           (s - 1) // {STRIDE} AS chunk_id,
+           len(list_slice(tk, s, s + {CHUNK - 1})) AS n_chunk_tokens,
+           array_to_string(list_slice(tk, s, s + {CHUNK - 1}), ' ') AS chunk_text
+    FROM (SELECT doc_id, string_split(trim({SQL_NORM}), ' ') AS tk FROM documents),
+         UNNEST(generate_series(1, greatest(len(tk), 1), {STRIDE})) AS t(s)
+    ORDER BY doc_id, chunk_id
+    """
+
+
+# ------------------------------------------------------------------ packing
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source shard, documents are
+    laid into a token stream in doc_id order; each doc gets the pack
+    (fixed 256-token budget) and offset where it starts.
+
+    The prefix sum is a window PARTITIONED BY source — every shard packs
+    independently and in parallel, which is exactly how sharded
+    pretraining pipelines pack (packing never crosses shard files). No
+    single-partition global window; a global stream would reuse the
+    range-partition + broadcast-offsets pattern of ``global_row_number``.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = docs.select(
+        "doc_id", "source", token_count_ws("text").alias("n_tokens")
+    ).withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("start_off") / PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("start_off") % PACK_BUDGET).cast("long").alias("pack_offset"),
+    ).orderBy("source", "doc_id")
+
+
+ORACLE_PACK_SEQUENCES = f"""
+    SELECT doc_id, source, n_tokens,
+           start_off // {PACK_BUDGET} AS pack_id,
+           start_off % {PACK_BUDGET} AS pack_offset
+    FROM (
+        SELECT doc_id, source, {SQL_TOKENS_WS} AS n_tokens,
+               COALESCE(SUM({SQL_TOKENS_WS}) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_off
+        FROM documents
+    )
+    ORDER BY source, doc_id
+    """
+
+
+# ------------------------------------------------------------------ skyline
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: (p_retailprice, p_size)
+    pairs not dominated by any part that is >= in both dimensions and
+    strictly greater in one.
+
+    Linearithmic, not quadratic: dominance against the frontier only needs
+    each price's max size (map-side-combined groupBy), then one running-max
+    window in descending price order — a price survives iff its max size
+    strictly exceeds every higher price's. The window frame is |distinct
+    prices| rows, not |part|; no NOT EXISTS self-join anywhere. The oracle
+    states the textbook quadratic NOT EXISTS definition, proving the
+    single-pass plan computes the same frontier.
+    """
+    part = load_tables(spark, sf_dir)["part"]
+    by_price = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("max_size")
+    )
+    w = (
+        W.orderBy(F.col("price").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        by_price.withColumn("best_above", F.max("max_size").over(w))
+        .filter(
+            F.col("best_above").isNull()
+            | (F.col("max_size") > F.col("best_above"))
+        )
+        .select("price", F.col("max_size").alias("size"))
+        .orderBy(F.col("price").desc())
+    )
+
+
+ORACLE_SKYLINE_PARETO = """
+    WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part)
+    SELECT price, size
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price >= p.price AND q.size >= p.size
+          AND (q.price > p.price OR q.size > p.size)
+    )
+    ORDER BY price DESC
+    """
+
+
+def oracles():
+    return {
+        "decontaminate_ngram": (q_decontaminate_ngram, _sql_decontaminate()),
+        "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+        "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+        "skyline_pareto": (q_skyline_pareto, ORACLE_SKYLINE_PARETO),
+    }
