@@ -321,9 +321,94 @@ ORACLE_WINDOW_ANALYTICS = """
 """
 
 
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per return flag: sample
+    stddev/variance of quantity plus price~quantity correlation and
+    sample covariance.
+
+    All four are single-pass mergeable aggregates (Welford-style partials)
+    — map-side combine shrinks the shuffle to one partial state per
+    (partition, group), the same shape as SUM at any scale. Extends the
+    reference's aggregation surface (COUNT-only, implied by
+    `optimizer_test.cc:553`) with the moment family."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_STATS_MOMENTS = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX / MAX_BY: per nation, the customer holding the highest
+    account balance (ties broken by highest custkey).
+
+    Expressed as MAX over a (balance, key) struct — lexicographic struct
+    comparison makes argmax an ordinary mergeable aggregate with map-side
+    combine, instead of a rank-1 window that shuffles every row to sort
+    whole partitions. The oracle states the window formulation, proving
+    the two are equivalent."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max(F.struct("c_acctbal", "c_custkey")).alias("_b"),
+        )
+        .select(
+            "c_nationkey",
+            "n_customers",
+            F.col("_b.c_custkey").alias("top_custkey"),
+            F.col("_b.c_acctbal").alias("top_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_ARGMAX_PER_GROUP = """
+    SELECT c_nationkey, n_customers, top_custkey, top_acctbal
+    FROM (
+        SELECT c_nationkey,
+               c_custkey AS top_custkey,
+               c_acctbal AS top_acctbal,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey DESC
+               ) AS rn
+        FROM customer
+    )
+    WHERE rn = 1
+    ORDER BY c_nationkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+        "stats_moments": (q_stats_moments, ORACLE_STATS_MOMENTS),
+        "argmax_per_group": (q_argmax_per_group, ORACLE_ARGMAX_PER_GROUP),
         "explode_tokens": (q_explode_tokens, ORACLE_EXPLODE_TOKENS),
         "functions_datetime": (q_functions_datetime, ORACLE_FUNCTIONS_DATETIME),
         "functions_string": (q_functions_string, ORACLE_FUNCTIONS_STRING),

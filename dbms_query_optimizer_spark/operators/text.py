@@ -532,9 +532,100 @@ ORACLE_QUALITY_GOPHER_RULES = f"""
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "table", "query")
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed 3-term
+    query (k1=1.2, b=0.75, Lucene's non-negative idf), one row per
+    document containing at least one query term.
+
+    Scale shape: the term filter runs BEFORE the tf shuffle, so the
+    per-(doc, term) aggregate carries only query-term hits — a few rows
+    per matching doc, not the corpus token explosion. Document length is
+    the one corpus-wide aggregate (map-side combined); N/avgdl collapse
+    to a 1-row broadcast and the per-term df table broadcasts (|terms|
+    rows). Nothing quadratic, no Python in the hot path."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), "[^a-z]+").alias("_tk")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("_tk"), lambda x: F.length(x) >= 1)
+        ).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("n_dl").alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("n_dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BM25_SCORE = f"""
+    WITH toks AS (
+        SELECT doc_id, t.token
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> len(x) >= 1)) AS t(token)
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS n_dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT AVG(n_dl) FROM dl) AS avgdl
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks
+        WHERE token IN ('join', 'table', 'query')
+        GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+    )
+    SELECT doc_id,
+           ROUND(SUM(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * tf * ({BM25_K1} + 1)
+                     / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * n_dl / avgdl))), 6) AS bm25
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN dfreq USING (token)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
+        "bm25_score": (q_bm25_score, ORACLE_BM25_SCORE),
         "quality_gopher_rules": (q_quality_gopher_rules, ORACLE_QUALITY_GOPHER_RULES),
         "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
         "text_bigram_logprob": (q_text_bigram_logprob, ORACLE_TEXT_BIGRAM_LOGPROB),
