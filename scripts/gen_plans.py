@@ -171,6 +171,34 @@ COMMENTARY = {
         "span⋈frequency join on already-aggregated rows — the raw span "
         "stream never crosses an exchange unaggregated."
     ),
+    "decontaminate_ngram": (
+        "Benchmark decontamination. Expect: the eval span set feeds a "
+        "BroadcastHashJoin LeftSemi (the corpus span explosion is probed "
+        "map-side, never shuffled against the eval set), one hash-distinct "
+        "exchange for per-doc spans, and a left outer join back to the "
+        "training doc list to surface zero-hit docs."
+    ),
+    "bm25_score": (
+        "Okapi BM25 vs a fixed term set. Expect: the `token IN (...)` "
+        "filter BELOW the (doc_id, token) tf aggregate, the df table and "
+        "the 1-row N/avgdl stats as BroadcastHashJoin / "
+        "BroadcastNestedLoopJoin (1-row cross), and exactly one "
+        "corpus-wide exchange for document lengths."
+    ),
+    "argmax_per_group": (
+        "ARG_MAX as a struct-max aggregate. Expect: partial+final "
+        "SortAggregate on max(struct(c_acctbal, c_custkey)) (struct max "
+        "is not hash-aggregable; the sorts are partition-local) and NO "
+        "Window — the exchange carries one partial row per (partition, "
+        "nation), while the rank-1-window formulation the oracle uses "
+        "would shuffle and sort every customer row."
+    ),
+    "skyline_pareto": (
+        "2-D Pareto frontier. Expect: partial+final HashAggregate "
+        "(per-price max size) BEFORE the single-partition running-max "
+        "Window — the window frame is |distinct prices| rows, and no "
+        "quadratic self-join appears anywhere."
+    ),
     "embedding_quantize_int8": (
         "Int8 quantization. Expect: map-only — array transform/array_max "
         "projections inside the scan stage, no Exchange except the final "
