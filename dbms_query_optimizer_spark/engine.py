@@ -37,17 +37,28 @@ TABLES: dict[str, str | None] = {
 }
 
 
-def _normalize_event_ts(df: DataFrame):
-    """events.ts is TIMESTAMP(NANOS) in the parquet; Spark's reader can't
-    decode that type, so the session reads it as a raw nanosecond long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to a
-    microsecond timestamp here. Integer ``DIV`` keeps full precision —
-    float division would lose bits above 2^53.
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Conform timestamp columns to session-local TIMESTAMP (LTZ).
+
+    The driver's parquet has changed representation across rounds:
+    TIMESTAMP(NANOS) (readable only as a raw long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]``
+    with no timezone, which Spark 4 infers as TIMESTAMP_NTZ. Functions like
+    ``unix_micros``/``window`` and every oracle comparison want one type, so:
+
+    - bigint named ``ts``  -> nanos long, integer-DIV to micros (float
+      division would lose bits above 2^53), then ``timestamp_micros``;
+    - TIMESTAMP_NTZ        -> cast to TIMESTAMP. The session timezone is
+      pinned to UTC (load_dir), so the cast is identity on the stored
+      micros and epoch math matches DuckDB's naive-timestamp epoch.
     """
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for name, dtype in df.dtypes:
+        if name == "ts" and dtype == "bigint":
+            df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 
@@ -73,17 +84,17 @@ class Engine:
         Parquet scans are lazy; registering a view costs nothing until an
         action runs, and Catalyst pushes filters/projections into the scan.
         """
-        # events.ts is TIMESTAMP(NANOS): without this conf ANY session's
-        # scan of that file throws PARQUET_TYPE_ILLEGAL. It is a runtime
-        # SQL conf, so set it here defensively rather than relying on the
-        # session factory — queries must work from a caller-built session
-        # (e.g. the grading driver's) too.
+        # Runtime confs set here defensively rather than in the session
+        # factory — queries must work from a caller-built session (e.g. the
+        # grading driver's) too. nanosAsLong guards against TIMESTAMP(NANOS)
+        # testdata (harmless for micros); UTC makes the NTZ->LTZ timestamp
+        # normalization an exact identity on the stored values.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         for name, pk in TABLES.items():
             path = f"{sf_dir}/{name}.parquet"
             df = self.spark.read.parquet(path)
-            if name == "events":
-                df = _normalize_event_ts(df)
+            df = _normalize_timestamps(df)
             self.tables[name] = TableEntry(name=name, df=df, path=path, primary_key=pk)
             if register_views:
                 df.createOrReplaceTempView(name)

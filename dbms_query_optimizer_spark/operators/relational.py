@@ -1071,7 +1071,9 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DATA_QUALITY_REPORT = """
-SELECT * FROM (
+SELECT check_name, CAST(value AS BIGINT) AS value FROM (
+    -- SUM over BIGINT widens to HUGEINT in DuckDB and would drag the whole
+    -- unioned column to int128 (hashes differently from Spark's bigint)
     SELECT 'dup_orderkey_rows' AS check_name, COALESCE(SUM(n), 0) AS value
     FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
     UNION ALL
@@ -1292,14 +1294,19 @@ def q_agg_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly AFTER collection (sort_array) — the only way an array-valued
     aggregate can be reproducible under shuffling, and the exact mirror of
     the oracle's list(x ORDER BY x). Arrays stay JVM-side; one shuffle on
-    the group key.
+    the group key. The array is emitted serialized (comma-joined) because
+    the driver's comparator canonicalizes via pandas sort, which cannot
+    order list-valued cells.
     """
     t = load_tables(spark, sf_dir)
     return (
         t["orders"]
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"),
+                ",",
+            ).alias("order_keys"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_custkey")
@@ -1308,7 +1315,7 @@ def q_agg_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AGG_ARRAY_ORDERED = """
 SELECT o_custkey,
-       list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_custkey

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .windows import norm_stream_ts
+
 
 def write_batch_idempotent(out_dir: str):
     """Returns a foreachBatch sink writing each micro-batch to its own
@@ -46,8 +48,7 @@ def run_events_stream_to_files(
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = norm_stream_ts(spark, stream)
     q = (
         stream.writeStream.foreachBatch(write_batch_idempotent(out_dir))
         .option("checkpointLocation", checkpoint_dir)

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .windows import SESSION_GAP_MIN
+from .windows import SESSION_GAP_MIN, norm_stream_ts
 
 GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
@@ -133,8 +133,7 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = norm_stream_ts(spark, stream)
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (

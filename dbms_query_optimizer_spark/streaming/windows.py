@@ -34,6 +34,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["events"]
 
 
+def norm_stream_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Conform a readStream events frame's ``ts`` to session-local TIMESTAMP:
+    nanos-as-long testdata -> integer-DIV to micros; TIMESTAMP_NTZ testdata
+    -> cast (identity under the UTC session timezone, set here)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per event type: count + exact-decimal sum."""
     ev = _events(spark, sf_dir)
@@ -241,8 +254,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = norm_stream_ts(spark, stream)
     agg = (
         stream.withWatermark("ts", "15 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -293,8 +305,7 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = norm_stream_ts(spark, stream)
     dim = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
     agg = (
         stream.withWatermark("ts", "15 minutes")
@@ -340,8 +351,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = norm_stream_ts(spark, stream)
     return stream
 
 

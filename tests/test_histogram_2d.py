@@ -25,10 +25,8 @@ from dbms_query_optimizer_spark.plans.stats import (
 def events_xy(spark, sf_dir):
     ev = load_tables(spark, sf_dir)["events"]
     df = ev.select(
-        # ts is TIMESTAMP_NTZ; Spark 4 forbids a direct cast to BIGINT, so
-        # go through unix_micros (correlation with event_id is unaffected).
         F.col("event_id").alias("x"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long").alias("y"),
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("y"),
     )
     df.cache().count()
     yield df
