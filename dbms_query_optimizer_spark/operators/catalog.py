@@ -542,6 +542,13 @@ from . import pipeline_prep as PP  # noqa: E402
 for _name, (_fn, _sql) in PP.oracles().items():
     register(_name, _fn, _sql)
 
+# ------------------------------- corpus governance / audit / robust stats
+
+from . import governance as GOV  # noqa: E402
+
+for _name, (_fn, _sql) in GOV.oracles().items():
+    register(_name, _fn, _sql)
+
 # ------------------------------------------------- classic TPC-H suite
 
 from . import tpch as TPCH  # noqa: E402

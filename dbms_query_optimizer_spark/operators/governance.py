@@ -1,0 +1,599 @@
+"""Corpus-governance operators: histogramming, mixing, curriculum binning,
+Zipf vocabulary audits, robust statistics, and behavioral-sequence analysis.
+
+The operators a training-data pipeline runs *around* the cleaning passes in
+``text.py`` / ``dedup.py``: audit the corpus (length histogram, Zipf token
+rank, per-doc entropy), rebalance the source mix, assign curriculum bins,
+and characterize event streams (7-day rolling distinct users, Markov
+transition matrix). Everything is pure ``pyspark.sql.functions`` — no
+Python in the executor path — and each query ships a DuckDB oracle whose
+expression tree mirrors the Column tree (integer arithmetic wherever
+possible; floats get one division and a ROUND on both sides).
+
+Scale notes per operator live on the docstrings; the common theme is that
+none of these uses a global single-partition window — global numbering is
+done by two-level aggregation (distinct-key cumulative counts + within-key
+local windows), top-k ranks are assigned AFTER the limit, and range joins
+broadcast the small calendar side.
+
+Reference tie-in: ``doc_length_histogram`` is the reference's equi-width
+``IntHistogram`` (``/root/reference/src/optimizer/table_stats.cc:25-139``,
+``span = max(1,(1+max-min)/buckets)``, last-bucket clamp) re-expressed as a
+distributed aggregation query instead of a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+
+N_HIST_BUCKETS = 20
+CURRICULUM_BINS = 4
+ZIPF_TOP_K = 50
+QUOTA_LATE_DAYS = 60
+
+
+# ---------------------------------------------------------------------------
+# 1. equi-width length histogram (reference IntHistogram as a query)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of document lengths, reference formula.
+
+    Two aggregation passes exactly like ``TableStats`` (min/max pass, then
+    bucket-count pass), but each pass is one distributed job: the 1-row
+    min/max result is broadcast into the bucket expression, so at 100 TB
+    this is two map-reduce aggregations and zero shuffles of the raw data
+    beyond the 20-group count. Integer span/clamp arithmetic mirrors
+    ``table_stats.cc:28`` (``span = max(1,(1+max-min)/buckets)``) so the
+    output is exact, not float-binned.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].select("n_chars")
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    nb = F.lit(N_HIST_BUCKETS)
+    span = F.greatest(F.lit(1), (F.lit(1) + F.col("hi") - F.col("lo")) / nb)
+    span = F.floor(span).cast("long")
+    bucket = F.least(
+        nb.cast("long") - 1, F.floor((F.col("n_chars") - F.col("lo")) / span)
+    ).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn("span", span)
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.first("lo") + F.col("bucket") * F.first("span")).alias("bucket_lo"),
+            (F.first("lo") + (F.col("bucket") + 1) * F.first("span") - 1).alias(
+                "bucket_hi"
+            ),
+        )
+        .select("bucket", "bucket_lo", "bucket_hi", "n_docs")
+        .orderBy("bucket")
+    )
+
+
+ORACLE_DOC_LENGTH_HISTOGRAM = f"""
+WITH bounds AS (
+    SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+), spanned AS (
+    SELECT lo, hi,
+           GREATEST(1, (1 + hi - lo) // {N_HIST_BUCKETS}) AS span
+    FROM bounds
+)
+SELECT bucket,
+       lo + bucket * span AS bucket_lo,
+       lo + (bucket + 1) * span - 1 AS bucket_hi,
+       COUNT(*) AS n_docs
+FROM (
+    SELECT lo, hi, span,
+           LEAST({N_HIST_BUCKETS} - 1, (n_chars - lo) // span) AS bucket
+    FROM documents CROSS JOIN spanned
+)
+GROUP BY bucket, lo, span
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Zipf vocabulary audit
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_token_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary with Zipf rank·frequency products.
+
+    The rank window runs AFTER the top-k limit, so the only global sort is
+    a ``TakeOrderedAndProject`` over per-token counts (map-side partial
+    aggregation shrinks the shuffle to vocabulary size, not corpus size —
+    at 100 TB the shuffle carries one row per distinct token). The 50-row
+    re-rank is then trivially single-partition by construction.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(ZIPF_TOP_K)
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+    return counts.withColumn("rnk", rk).withColumn(
+        "zipf_product", F.col("n_occurrences") * F.col("rnk")
+    )
+
+
+ORACLE_ZIPF_TOKEN_RANK = f"""
+SELECT token, n_occurrences,
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rnk,
+       n_occurrences * ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+           AS zipf_product
+FROM (
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {ZIPF_TOP_K}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. source-mix rebalancing weights
+# ---------------------------------------------------------------------------
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) resampling weights toward a uniform target mix.
+
+    weight = target_share / actual_share = total / (n_groups · n_docs).
+    One groupBy over the corpus plus a broadcast of the 1-row group-count /
+    total aggregate — the standard way a data-mixing stage (e.g. DoReMi-
+    style reweighting toward a fixed domain distribution) gets its
+    multipliers without a second corpus scan.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    groups = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    return (
+        groups.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.round(
+                F.col("total_docs") / (F.col("n_groups") * F.col("n_docs")), 6
+            ).alias("weight"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_MIX_REBALANCE = """
+WITH g AS (
+    SELECT lang, source, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang, source
+), t AS (
+    SELECT COUNT(*) AS n_groups, SUM(n_docs) AS total_docs FROM g
+)
+SELECT lang, source, n_docs,
+       ROUND(CAST(total_docs AS DOUBLE) / (n_groups * n_docs), 6) AS weight
+FROM g CROSS JOIN t
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. curriculum binning without a global single-partition window
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency curriculum bins (shortest→longest docs) per bin stats.
+
+    bin(doc) = ⌊(rank−1)·k / N⌋ + 1 over the global (n_chars, doc_id)
+    order. The global rank is computed WITHOUT ``row_number() OVER (ORDER
+    BY …)`` (which collapses to one partition): aggregate counts per
+    distinct n_chars (a table the size of the key domain, not the corpus),
+    take a cumulative sum over that small table, and join the per-key base
+    rank back; the doc_id tie-break is a window partitioned BY n_chars —
+    bounded groups, fully parallel. At 100 TB the only corpus-sized
+    operations are one groupBy(n_chars) and one broadcast-join back.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    key_counts = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("_n"))
+    cum = key_counts.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    local_rn = F.row_number().over(W.partitionBy("n_chars").orderBy("doc_id"))
+    ranked = (
+        docs.join(F.broadcast(cum.select("n_chars", "_base")), "n_chars")
+        .withColumn("_rn", F.col("_base") + local_rn)
+        .crossJoin(F.broadcast(total))
+    )
+    binned = ranked.withColumn(
+        "bin",
+        (
+            F.floor(
+                (F.col("_rn") - 1) * F.lit(CURRICULUM_BINS) / F.col("_total")
+            )
+            + 1
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_CURRICULUM_BINS = f"""
+WITH ranked AS (
+    SELECT n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER () AS total
+    FROM documents
+)
+SELECT CAST(FLOOR((rn - 1) * {CURRICULUM_BINS} / total) + 1 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       SUM(n_chars) AS sum_chars
+FROM ranked
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. per-document token entropy
+# ---------------------------------------------------------------------------
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats), single aggregation tree.
+
+    H = ln(n) − Σ c·ln(c) / n over per-token counts c — the algebraic form
+    that needs only ONE pass over (doc, token) counts, no join back for the
+    doc total. Two shuffles total ((doc,token) then doc), both with
+    map-side partial aggregation; a low-entropy gate is the standard
+    word-soup / template-spam filter in corpus cleaning.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_tokens")) - F.col("_clnc") / F.col("n_tokens"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_ENTROPY = """
+WITH tok AS (
+    SELECT doc_id, token, COUNT(*) AS c
+    FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY doc_id, token
+)
+SELECT doc_id,
+       SUM(c) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy_nats
+FROM tok
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. robust statistics: exact median + MAD per group
+# ---------------------------------------------------------------------------
+
+
+def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and median-absolute-deviation of extended price per
+    return flag — the outlier-robust location/scale pair used to gate
+    numeric feature columns.
+
+    Two grouped exact-percentile aggregations with a broadcast join of the
+    (|groups|-row) medians between them. ``percentile`` is exact with
+    linear interpolation (matches DuckDB ``MEDIAN`` on DOUBLE); at scale
+    the swap is one token — ``approx_percentile`` — trading exactness for
+    a mergeable sketch, same plan shape.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.round(F.first("_med"), 4).alias("median_price"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("_med")),
+                    F.lit(0.5),
+                ),
+                4,
+            ).alias("mad_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_ROBUST_STATS_MAD = """
+WITH med AS (
+    SELECT l_returnflag, MEDIAN(l_extendedprice) AS _med,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ANY_VALUE(n_rows) AS n_rows,
+       ROUND(ANY_VALUE(_med), 4) AS median_price,
+       ROUND(MEDIAN(ABS(l_extendedprice - _med)), 4) AS mad_price
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. sliding 7-day distinct users (rolling DAU without windowed DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per calendar day.
+
+    ``COUNT(DISTINCT) OVER (RANGE …)`` doesn't exist as a scalable
+    primitive; the distributed formulation is: (1) dedupe to (user, day)
+    pairs — the corpus-sized shuffle, with map-side combine; (2) range-join
+    the pairs against the tiny distinct-day calendar (broadcast nested
+    loop over ~tens of rows per pair); (3) exact distinct count per
+    anchor day — cardinality now |days|·|users|, not |events|. Each stage
+    shrinks the data before the next.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    pairs = ev.select(
+        F.to_date("ts").alias("d"), F.col("user_id")
+    ).distinct()
+    days = pairs.select(F.col("d").alias("day")).distinct()
+    return (
+        pairs.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau_7d"))
+        .orderBy("day")
+    )
+
+
+ORACLE_SLIDING_DISTINCT_USERS = """
+WITH pairs AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+    SELECT DISTINCT d AS day FROM pairs
+)
+SELECT day, COUNT(DISTINCT user_id) AS dau_7d
+FROM pairs JOIN days ON d <= day AND d >= day - 6
+GROUP BY day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. TPC-H Q21 shape: late suppliers in multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted to the testdata columns (no l_receiptdate →
+    "late" = shipped > 60 days after order date): suppliers who were the
+    SOLE late shipper on a finished multi-supplier order.
+
+    The Q21 shape is the hardest correlated-subquery pattern in the suite:
+    one EXISTS and one NOT EXISTS against the same fact table, both
+    correlated on (orderkey, ≠suppkey). Spark-first formulation: aggregate
+    lineitem ONCE per order into (n_suppliers, n_late_suppliers,
+    late_suppkey-set) — one shuffle of the fact table — then filter
+    orders with exactly one late supplier among ≥2 total, avoiding BOTH
+    self-joins the literal SQL implies. Cites SURVEY §8.2 (tpch suite);
+    reference has no subquery machinery (SURVEY §2.2).
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {QUOTA_LATE_DAYS} DAYS")
+    ).cast("int")
+    per_order = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(late == 1, F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+            F.max(F.when(late == 1, F.col("l_suppkey"))).alias(
+                "blame_suppkey"
+            ),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            per_order.blame_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_LATE_SUPPLIER_BLAME = f"""
+WITH late_flag AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {QUOTA_LATE_DAYS} DAY
+                THEN 1 ELSE 0 END AS is_late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+), per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp,
+           MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS blame_suppkey
+    FROM late_flag
+    GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON blame_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. event-type Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between event
+    types per user session stream.
+
+    The lead() window is partitioned by user — thousands of small
+    independent partitions, never a global sort. The transition matrix is
+    |types|² rows, so the probability normalization (share of each
+    from-state) runs on a table of trivial size. Sequence-model feature
+    extraction (next-action prediction priors) in one pass.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = W.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(w_from),
+                6,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_type), 6)
+           AS p_transition
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "doc_length_histogram": (q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM),
+        "zipf_token_rank": (q_zipf_token_rank, ORACLE_ZIPF_TOKEN_RANK),
+        "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
+        "curriculum_bins": (q_curriculum_bins, ORACLE_CURRICULUM_BINS),
+        "text_entropy": (q_text_entropy, ORACLE_TEXT_ENTROPY),
+        "robust_stats_mad": (q_robust_stats_mad, ORACLE_ROBUST_STATS_MAD),
+        "sliding_distinct_users": (
+            q_sliding_distinct_users,
+            ORACLE_SLIDING_DISTINCT_USERS,
+        ),
+        "late_supplier_blame": (q_late_supplier_blame, ORACLE_LATE_SUPPLIER_BLAME),
+        "event_transition_matrix": (
+            q_event_transition_matrix,
+            ORACLE_EVENT_TRANSITION_MATRIX,
+        ),
+    }
