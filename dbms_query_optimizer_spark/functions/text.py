@@ -100,7 +100,7 @@ def mean_token_len(col: str | Column = "text") -> Column:
 
 
 def distinct_token_ratio(col: str | Column = "text") -> Column:
-    """(# distinct tokens) / (# tokens) — the repetition signal. Word-soup
+    r"""(# distinct tokens) / (# tokens) — the repetition signal. Word-soup
     spam repeats tokens; natural prose mostly doesn't. One int/int division.
 
     DuckDB: ``len(list_distinct(string_split_regex(trim(t), '\s+')))

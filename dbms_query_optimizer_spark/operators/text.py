@@ -511,8 +511,8 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DTR = (
-    "(len(list_distinct(string_split_regex(trim(text), '\s+')))"
-    " / len(string_split_regex(trim(text), '\s+')))"
+    r"(len(list_distinct(string_split_regex(trim(text), '\s+')))"
+    r" / len(string_split_regex(trim(text), '\s+')))"
 )
 
 ORACLE_QUALITY_GOPHER_RULES = f"""
