@@ -405,20 +405,21 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     )
-    cand = (
+    # Hamming is a pure function of the pair (one simhash per doc), so the
+    # threshold filter runs BEFORE the dedup: the distinct's shuffle then
+    # carries only matching pairs instead of every band-collision candidate.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
         _bucket_pairs(bands, ["doc_id", "simhash"])
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
