@@ -549,6 +549,13 @@ from . import governance as GOV  # noqa: E402
 for _name, (_fn, _sql) in GOV.oracles().items():
     register(_name, _fn, _sql)
 
+# ------------------------------------------------- iterative graph ops
+
+from . import graph as GR  # noqa: E402
+
+for _name, (_fn, _sql) in GR.oracles().items():
+    register(_name, _fn, _sql)
+
 # ------------------------------------------------- classic TPC-H suite
 
 from . import tpch as TPCH  # noqa: E402

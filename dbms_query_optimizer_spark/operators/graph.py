@@ -1,0 +1,145 @@
+"""Iterative graph computation: PageRank over the event-type transition
+graph.
+
+Demonstrates the driver-orchestrated iterative-join pattern (the engine
+shape behind connected components in ``dedup.py::q_dedup_components``,
+label propagation, and k-means in ``similarity.py::q_knn_ivf``): a loop of
+DataFrame joins where each iteration's output feeds the next, with the
+fixed iteration count known up front so the whole computation is one lazy
+plan — Catalyst sees all 10 steps and pipelines them.
+
+Scale notes: the rank vector is |nodes| rows and the edge list |types|²,
+so every join here broadcasts; on a billion-node graph the identical loop
+shape runs with shuffle hash joins instead — the code does not change,
+only Catalyst's physical pick. For unbounded iteration counts add a
+convergence check + ``localCheckpoint()`` every ~10 rounds to cut lineage;
+with a fixed small count the pure-lazy form is faster.
+
+The oracle unrolls the same power iteration as chained CTEs (standard SQL
+forbids aggregation inside a recursive CTE member, so unrolling is the
+portable formulation). Both engines fold contributions in deterministic
+per-node sums of ≤|types| doubles; ROUND(…,6) absorbs ulp-order effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+
+PR_ITERATIONS = 10
+PR_DAMPING = 0.85
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted edge list: P(to | from) from consecutive same-user events."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = F.sum("n").over(W.partitionBy("from_type"))
+    return pairs.select(
+        "from_type", "to_type", (F.col("n") / w_from).alias("p")
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 fixed power iterations, damping 0.85) over event types.
+
+    rank_{t+1}(i) = (1-d)/N + d·Σ_j P(j→i)·rank_t(j). The node count is
+    collected once (|event types| rows — a metadata-scale collect, not a
+    data collect); each iteration is a broadcast join + aggregation.
+    """
+    edges = _edges(spark, sf_dir).cache()
+    nodes = edges.select(F.col("from_type").alias("node")).union(
+        edges.select("to_type")
+    ).distinct().cache()
+    n = nodes.count()
+    base = (1.0 - PR_DAMPING) / n
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(PR_ITERATIONS):
+        contribs = (
+            edges.join(
+                F.broadcast(ranks), edges.from_type == ranks.node
+            )
+            .groupBy(F.col("to_type").alias("node2"))
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(contribs), nodes.node == F.col("node2"), "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node", F.round("rank", 6).alias("pagerank")
+    ).orderBy("node")
+
+
+def _oracle_pagerank() -> str:
+    base = f"(1.0 - {PR_DAMPING}) / (SELECT n FROM nn)"
+    steps = []
+    for i in range(1, PR_ITERATIONS + 1):
+        steps.append(
+            f"""r{i} AS (
+    SELECT n2.node,
+           {base} + {PR_DAMPING} * COALESCE(SUM(e.p * r.rank), 0.0) AS rank
+    FROM nodes n2
+    LEFT JOIN edges e ON e.to_type = n2.node
+    LEFT JOIN r{i - 1} r ON r.node = e.from_type
+    GROUP BY n2.node
+)"""
+        )
+    return f"""
+WITH pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+edges AS (
+    SELECT from_type, to_type,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM pairs
+),
+nodes AS (
+    SELECT DISTINCT from_type AS node FROM pairs
+    UNION
+    SELECT DISTINCT to_type FROM pairs
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{','.join(steps)}
+SELECT node, ROUND(rank, 6) AS pagerank
+FROM r{PR_ITERATIONS}
+ORDER BY node
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
+    }

@@ -404,8 +404,58 @@ ORACLE_ARGMAX_PER_GROUP = """
 """
 
 
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda-expression family over array columns in one query:
+    transform / filter / exists / aggregate / zip_with / slice.
+
+    Higher-order functions run INSIDE codegen on the array representation —
+    no explode/re-group shuffle round-trip and no Python. This is the
+    JVM-side fast path for per-row vector math (the Pandas-UDF plane in
+    ``similarity.py`` is only for logic these can't express). Casts to
+    double happen element-wise before any arithmetic so DuckDB's
+    float32-list math can't diverge.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head8 = F.slice(v, 1, 8)
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 2.0).alias("any_gt2"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x)), 6
+        ).alias("l1_norm"),
+        F.round(
+            F.aggregate(
+                F.zip_with(head8, F.reverse(head8), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("dot_head_rev"),
+    ).orderBy("vec_id")
+
+
+ORACLE_HIGHER_ORDER_FUNCS = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    )
+    SELECT vec_id,
+           len(list_filter(ve, x -> x > 0)) AS n_pos,
+           len(list_filter(ve, x -> x > 2.0)) > 0 AS any_gt2,
+           ROUND(list_sum(list_transform(ve, x -> abs(x))), 6) AS l1_norm,
+           ROUND(list_dot_product(ve[1:8], list_reverse(ve[1:8])), 6)
+               AS dot_head_rev
+    FROM v
+    ORDER BY vec_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "higher_order_funcs": (q_higher_order_funcs, ORACLE_HIGHER_ORDER_FUNCS),
         "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
         "stats_moments": (q_stats_moments, ORACLE_STATS_MOMENTS),
         "argmax_per_group": (q_argmax_per_group, ORACLE_ARGMAX_PER_GROUP),

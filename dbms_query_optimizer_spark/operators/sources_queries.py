@@ -213,6 +213,115 @@ ORACLE_DPP_JOIN_PRUNED = """
 """
 
 
+N_BINARY_DOCS = 50
+
+
+def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion via the ``binaryFile`` source — the multimodal
+    on-ramp (image/audio/video land as whole files, not rows).
+
+    A fixed 50-doc fixture is exported as one .txt file per document, read
+    back as ``(path, modificationTime, length, content: binary)``, and the
+    binary payload is verified value-level: id parsed from the path, md5
+    over the raw bytes, byte length. At scale the source streams file
+    splits to executors (``maxPartitionBytes`` chunks the listing, content
+    loads lazily per task) — the same plumbing ``multimodal.py`` feeds its
+    Arrow decode plane with. Fixture creation is a driver-side loop over
+    exactly 50 tiny rows — deliberate: it builds test INPUT files; the
+    query's read path is fully distributed.
+    """
+    t = load_tables(spark, sf_dir)
+    out_dir = _roundtrip_dir(sf_dir, "binaryfile", "documents")
+    os.makedirs(out_dir, exist_ok=True)
+    rows = (
+        t["documents"]
+        .filter(F.col("doc_id") < N_BINARY_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(out_dir, f"{r.doc_id}.txt"), "w") as f:
+            f.write(r.text)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out_dir)
+    )
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.md5(F.col("content")).alias("content_md5"),
+            F.col("length").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SOURCE_BINARYFILE_SCAN = f"""
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id < {N_BINARY_DOCS}
+    ORDER BY doc_id
+"""
+
+
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: two parquet generations (gen 2 adds
+    ``o_orderpriority``) unioned by ``mergeSchema`` into one view with
+    NULLs for the missing column.
+
+    The mechanism a long-lived ingestion dataset depends on: old files
+    are never rewritten when a column is added; the reader reconciles
+    footers per file. Schema merging is a listing-time operation over
+    footers only — data files are still scanned once, with column pruning
+    intact per generation.
+    """
+    t = load_tables(spark, sf_dir)
+    out_dir = _roundtrip_dir(sf_dir, "evolve", "orders")
+    gen1 = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    gen2 = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+    write_parquet(gen1, os.path.join(out_dir, "gen=1"))
+    write_parquet(gen2, os.path.join(out_dir, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, "gen=1"), os.path.join(out_dir, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_SOURCE_SCHEMA_EVOLUTION = """
+    SELECT COALESCE(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END,
+                    '(pre-schema)') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY priority
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
@@ -221,6 +330,14 @@ def oracles() -> dict[str, tuple]:
         "source_partitioned_scan": (
             q_source_partitioned_scan,
             ORACLE_SOURCE_PARTITIONED_SCAN,
+        ),
+        "source_binaryfile_scan": (
+            q_source_binaryfile_scan,
+            ORACLE_SOURCE_BINARYFILE_SCAN,
+        ),
+        "source_schema_evolution": (
+            q_source_schema_evolution,
+            ORACLE_SOURCE_SCHEMA_EVOLUTION,
         ),
         "dpp_join_pruned": (q_dpp_join_pruned, ORACLE_DPP_JOIN_PRUNED),
     }
