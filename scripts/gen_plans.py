@@ -204,6 +204,40 @@ COMMENTARY = {
         "projections inside the scan stage, no Exchange except the final "
         "sort; embeddings ReadSchema pruned to (vec_id, embedding)."
     ),
+    "doc_length_histogram": (
+        "Reference IntHistogram as two aggregation passes. Expect: a 1-row "
+        "min/max aggregate broadcast (BroadcastNestedLoopJoin over one row) "
+        "into the bucket projection, then partial+final HashAggregate on "
+        "bucket — the raw table is never shuffled, only 20 bucket partials."
+    ),
+    "curriculum_bins": (
+        "Equal-frequency binning without a global window. Expect: "
+        "HashAggregate on n_chars (distinct-key table), a small-window "
+        "cumulative sum over THAT (single partition of |keys| rows, not "
+        "|docs|), a broadcast join back, and a Window partitioned BY "
+        "n_chars — never `row_number() OVER (ORDER BY …)` on the corpus."
+    ),
+    "sliding_distinct_users": (
+        "Trailing 7-day distinct users. Expect: partial+final HashAggregate "
+        "for the (day, user) dedupe FIRST, then BroadcastNestedLoopJoin "
+        "against the tiny distinct-day calendar, then exact "
+        "count_distinct — the range join runs on deduped pairs, never raw "
+        "events, and no windowed DISTINCT appears."
+    ),
+    "late_supplier_blame": (
+        "TPC-H Q21 shape with zero self-joins. Expect: ONE shuffle of "
+        "lineitem (groupBy l_orderkey with partial aggregation), the "
+        "orders filter pushed to its scan, supplier broadcast — the "
+        "EXISTS/NOT-EXISTS pair from the SQL formulation appears as plain "
+        "aggregate columns (n_supp, n_late_supp), not joins."
+    ),
+    "zipf_token_rank": (
+        "Corpus vocabulary top-k. Expect: Generate(explode) in the scan "
+        "stage, partial HashAggregate before the token-count exchange, "
+        "TakeOrderedAndProject for the limit, and the rank Window placed "
+        "AFTER the 50-row limit (single-partition by construction, "
+        "trivially)."
+    ),
 }
 
 
