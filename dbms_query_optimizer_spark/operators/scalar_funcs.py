@@ -453,9 +453,53 @@ ORACLE_HIGHER_ORDER_FUNCS = """
 """
 
 
+def q_functions_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VARIANT type: ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get`` path
+    extraction.
+
+    Variant is the lakehouse answer to string-JSON columns at scale —
+    parse once per row into a binary form whose fields are extracted
+    without re-tokenizing the text (and, with variant shredding in
+    Parquet, without even reading unreferenced fields). The oracle runs
+    DuckDB's JSON extraction over the same path; values are typed ints on
+    both sides.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_k_gt50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FUNCTIONS_VARIANT = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(k) AS sum_k,
+           MAX(k) AS max_k,
+           COUNT(CASE WHEN k > 50 THEN 1 END) AS n_k_gt50
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "higher_order_funcs": (q_higher_order_funcs, ORACLE_HIGHER_ORDER_FUNCS),
+        "functions_variant": (q_functions_variant, ORACLE_FUNCTIONS_VARIANT),
         "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
         "stats_moments": (q_stats_moments, ORACLE_STATS_MOMENTS),
         "argmax_per_group": (q_argmax_per_group, ORACLE_ARGMAX_PER_GROUP),
