@@ -322,8 +322,65 @@ ORACLE_SOURCE_SCHEMA_EVOLUTION = """
 """
 
 
+N_SYNTH_ROWS = 10_000
+
+
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector built on Spark 4's Python Data Source API: the
+    ``synthevents`` generator source (sources/python_datasource.py)
+    registered, scanned with 8 input partitions, and aggregated.
+
+    The source's value function is pure-per-row-id and split-invariant,
+    so the DuckDB oracle reproduces the entire dataset from ``range()``
+    — the check covers the connector's schema, partitioning, and
+    executor-side read path value-for-value. (The reference's analog is
+    the raw segment-file "connector" at buffer_manager.cc:80-85.)
+    """
+    del sf_dir  # generator source — no testdata input
+    from ..sources.python_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthevents")
+        .option("rows", str(N_SYNTH_ROWS))
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("amount").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_amount"),
+            F.max("row_id").alias("max_row_id"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE_SOURCE_PYTHON_DATASOURCE = f"""
+    SELECT kind,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount,
+           MAX(row_id) AS max_row_id
+    FROM (
+        SELECT i AS row_id,
+               ['view','click','purchase','signup','error'][(i % 5) + 1] AS kind,
+               CAST((i * 37) % 1000 AS DOUBLE) / 4.0 AS amount
+        FROM (SELECT UNNEST(range(0, {N_SYNTH_ROWS})) AS i)
+    )
+    GROUP BY kind
+    ORDER BY kind
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "source_python_datasource": (
+            q_source_python_datasource,
+            ORACLE_SOURCE_PYTHON_DATASOURCE,
+        ),
         "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
         "source_json_scan": (q_source_json_scan, ORACLE_SOURCE_JSON_SCAN),
         "source_orc_scan": (q_source_orc_scan, ORACLE_SOURCE_ORC_SCAN),

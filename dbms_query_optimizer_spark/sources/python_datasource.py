@@ -1,0 +1,90 @@
+"""Custom connector via Spark 4's Python Data Source API.
+
+The reference's only "connector" is a numbered heap-segment file opened by
+the buffer manager (``/root/reference/src/buffer/buffer_manager.cc:80-85``).
+Spark's extension point for a from-scratch source is the DataSource API —
+this module implements a deterministic synthetic-events generator source
+(``synthevents``) demonstrating the full surface:
+
+- ``schema()``: the source declares its own typed schema.
+- ``partitions()``: the generator splits into N independent input
+  partitions, so a scan parallelizes across executors exactly like a
+  file-based source splits on files — the 100 TB story is "add
+  partitions", nothing else changes.
+- ``read(partition)``: runs ON THE EXECUTOR, yielding tuples for its
+  partition only. Values are a pure function of the global row id
+  (split-invariant: any partitioning yields the same dataset).
+
+Registered per-session with ``spark.dataSource.register(SyntheticEvents)``
+then read with ``spark.read.format("synthevents").option(...)``. The
+deterministic value function means a DuckDB ``range()`` oracle can verify
+the whole pipeline value-for-value (see
+``operators/sources_queries.py::q_source_python_datasource``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_KINDS = ["view", "click", "purchase", "signup", "error"]
+
+
+def synth_schema() -> StructType:
+    return StructType(
+        [
+            StructField("row_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("amount", DoubleType(), False),
+        ]
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", "1000"))
+        self.n_parts = int(options.get("partitions", "8"))
+
+    def partitions(self):
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition):
+        # Pure function of row id — executor-side, no driver state. The
+        # modular arithmetic mirrors the DuckDB range() oracle term-for-term.
+        for i in range(partition.start, partition.end):
+            kind = EVENT_KINDS[i % len(EVENT_KINDS)]
+            amount = float((i * 37) % 1000) / 4.0
+            yield (i, kind, amount)
+
+
+class SyntheticEvents(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthevents"
+
+    def schema(self):
+        return synth_schema()
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(SyntheticEvents)
