@@ -65,6 +65,15 @@ HEADLINE = [
     "text_unigram_logprob",
     "embedding_quantize_int8",
     "corpus_prep",
+    # round 2: governance / audit, derived-partsupp TPC-H, iterative graph
+    "curriculum_bins",
+    "text_entropy",
+    "sliding_distinct_users",
+    "late_supplier_blame",
+    "robust_stats_mad",
+    "graph_pagerank",
+    "tpch_q2",
+    "source_python_datasource",
 ]
 
 

