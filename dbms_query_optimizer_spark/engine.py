@@ -51,6 +51,13 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     - TIMESTAMP_NTZ        -> cast to TIMESTAMP. The session timezone is
       pinned to UTC (load_dir), so the cast is identity on the stored
       micros and epoch math matches DuckDB's naive-timestamp epoch.
+
+    Caveat: PySpark renders collected TIMESTAMP (LTZ) values through the
+    PYTHON PROCESS's local timezone, which the session conf does not
+    control — exact-value parity of raw timestamp outputs additionally
+    assumes the driver process runs in UTC (true for this environment's
+    harness). TIMESTAMP_NTZ would collect tz-independently but breaks
+    unix_micros/window/watermark arithmetic, which is the worse trade.
     """
     from pyspark.sql import functions as F
 

@@ -78,7 +78,7 @@ def _oracle_corpus_prep() -> str:
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
     SELECT source, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(SUM(quality), 6) AS sum_quality
     FROM kept
     GROUP BY source

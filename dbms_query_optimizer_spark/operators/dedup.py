@@ -753,7 +753,7 @@ def _sql_span_duplication() -> str:
         SELECT span, COUNT(*) AS n_docs FROM sp GROUP BY span
     )
     SELECT doc_id, COUNT(*) AS n_spans,
-           SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
            ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS dup_frac
     FROM sp JOIN freq USING (span)

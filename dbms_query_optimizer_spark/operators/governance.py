@@ -265,7 +265,7 @@ SELECT CAST(FLOOR((rn - 1) * {CURRICULUM_BINS} / total) + 1 AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM ranked
 GROUP BY 1
 ORDER BY bin
@@ -326,7 +326,9 @@ WITH tok AS (
     GROUP BY doc_id, token
 )
 SELECT doc_id,
-       SUM(c) AS n_tokens,
+       -- BIGINT cast: DuckDB widens SUM(BIGINT) to HUGEINT, which the
+       -- driver's pandas canon renders as float64 and hash-mismatches
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct,
        ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy_nats
 FROM tok
@@ -522,19 +524,19 @@ LIMIT 20
 # ---------------------------------------------------------------------------
 
 
-def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition counts/probabilities between event
-    types per user session stream.
+def transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n_transitions) from consecutive same-user
+    events, ordered by (ts, event_id). Shared by the transition-matrix
+    query and ``graph.q_graph_pagerank``'s edge weights — one definition
+    of "transition" so the two can't silently diverge.
 
     The lead() window is partitioned by user — thousands of small
-    independent partitions, never a global sort. The transition matrix is
-    |types|² rows, so the probability normalization (share of each
-    from-state) runs on a table of trivial size. Sequence-model feature
-    extraction (next-action prediction priors) in one pass.
+    independent partitions, never a global sort; the output is |types)|²
+    rows regardless of event count.
     """
     ev = load_tables(spark, sf_dir)["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    return (
         ev.select(
             "user_id",
             F.col("event_type").alias("from_type"),
@@ -544,6 +546,18 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between event
+    types per user session stream.
+
+    The transition matrix is |types|² rows, so the probability
+    normalization (share of each from-state) runs on a table of trivial
+    size. Sequence-model feature extraction (next-action prediction
+    priors) in one pass.
+    """
+    pairs = transition_counts(spark, sf_dir)
     w_from = W.partitionBy("from_type")
     return (
         pairs.withColumn(

@@ -33,23 +33,19 @@ PR_DAMPING = 0.85
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted edge list: P(to | from) from consecutive same-user events."""
+    """Weighted edge list: P(to | from) over the SHARED transition-pair
+    definition (governance.transition_counts) — one source of truth for
+    what a "transition" is across the matrix and PageRank operators."""
     from pyspark.sql import Window as W
 
-    ev = load_tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            F.col("event_type").alias("from_type"),
-            F.lead("event_type").over(w).alias("to_type"),
-        )
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w_from = F.sum("n").over(W.partitionBy("from_type"))
+    from .governance import transition_counts
+
+    pairs = transition_counts(spark, sf_dir)
+    w_from = F.sum("n_transitions").over(W.partitionBy("from_type"))
     return pairs.select(
-        "from_type", "to_type", (F.col("n") / w_from).alias("p")
+        "from_type",
+        "to_type",
+        (F.col("n_transitions") / w_from).alias("p"),
     )
 
 

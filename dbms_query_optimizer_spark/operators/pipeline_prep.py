@@ -196,8 +196,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PACK_SEQUENCES = f"""
     SELECT doc_id, source, n_tokens,
-           start_off // {PACK_BUDGET} AS pack_id,
-           start_off % {PACK_BUDGET} AS pack_offset
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(start_off % {PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM (
         SELECT doc_id, source, {SQL_TOKENS_WS} AS n_tokens,
                COALESCE(SUM({SQL_TOKENS_WS}) OVER (

@@ -483,7 +483,7 @@ def q_functions_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FUNCTIONS_VARIANT = """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            MAX(k) AS max_k,
            COUNT(CASE WHEN k > 50 THEN 1 END) AS n_k_gt50
     FROM (

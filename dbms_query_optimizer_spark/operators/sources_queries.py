@@ -240,7 +240,11 @@ def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     for r in rows:
-        with open(os.path.join(out_dir, f"{r.doc_id}.txt"), "w") as f:
+        # explicit utf-8: platform-default encoding would diverge from the
+        # oracle's byte semantics (or raise) the day text goes non-ASCII
+        with open(
+            os.path.join(out_dir, f"{r.doc_id}.txt"), "w", encoding="utf-8"
+        ) as f:
             f.write(r.text)
     files = (
         spark.read.format("binaryFile")
@@ -261,7 +265,9 @@ def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SOURCE_BINARYFILE_SCAN = f"""
     SELECT doc_id, md5(text) AS content_md5,
-           CAST(length(text) AS BIGINT) AS n_bytes
+           -- byte length (octet_length over the utf-8 encoding), matching
+           -- binaryFile's `length`; length(text) counts characters
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents
     WHERE doc_id < {N_BINARY_DOCS}
     ORDER BY doc_id

@@ -222,7 +222,7 @@ ORACLE_ROLLUP_MULTIRES = """
     ),
     daily AS (
         SELECT date_trunc('day', window_start) AS window_start, event_type,
-               SUM(n_events) AS n_events, SUM(dsum) AS dsum
+               CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(dsum) AS dsum
         FROM hourly GROUP BY 1, 2
     )
     SELECT '1h' AS resolution, window_start, event_type,

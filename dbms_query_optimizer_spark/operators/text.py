@@ -269,7 +269,7 @@ def q_text_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_LANG_QUALITY_SUMMARY = f"""
     SELECT lang, COUNT(*) AS n_docs,
-           SUM({SQL_TOKENS_WS}) AS total_tokens,
+           CAST(SUM({SQL_TOKENS_WS}) AS BIGINT) AS total_tokens,
            ROUND(SUM({SQL_QUALITY}), 6) AS sum_quality
     FROM documents
     GROUP BY lang

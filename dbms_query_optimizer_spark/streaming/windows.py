@@ -153,10 +153,10 @@ ORACLE_EVENTS_SESSIONIZED = f"""
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_no
+               ) AS BIGINT) AS session_no
         FROM flagged
     )
     SELECT user_id, session_no,
@@ -217,10 +217,10 @@ ORACLE_EVENTS_SESSION_WINDOW_NATIVE = f"""
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_no
+               ) AS BIGINT) AS session_no
         FROM flagged
     )
     SELECT user_id,
