@@ -141,9 +141,58 @@ ORDER BY doc_id
 """
 
 
+AQP_RATE_BITS = 4  # keep rows whose hash nibble == 0 -> exact 1/16 rate
+
+
+def q_approx_counts_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic uniform sampling:
+    per-returnflag lineitem counts estimated from a 1/16 hash sample and
+    scaled by the inverse rate, reported next to the sample size.
+
+    The AQP pattern at 100 TB: the sample predicate is a pure function of
+    the key (md5 nibble == '0'), so it fuses into the scan as a map-side
+    filter — the aggregation touches 1/16th of the data, no RNG, no
+    sample materialization, reproducible across engines/partitionings
+    (which is what makes the estimate EXACTLY oracle-checkable, unlike
+    TABLESAMPLE). Estimator: count_est = 16·n_sampled, unbiased for a
+    hash independent of the group key. tests/test_sampling.py bounds the
+    relative error vs the exact counts.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    sampled = li.filter(F.substring(F.md5(key), 1, 1) == "0")
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(
+            "l_returnflag",
+            "n_sampled",
+            (F.col("n_sampled") * (2**AQP_RATE_BITS)).alias("count_est"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_APPROX_COUNTS_SAMPLED = f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           COUNT(*) * {2**AQP_RATE_BITS} AS count_est
+    FROM lineitem
+    WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 1) = '0'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "hash_split_train": (q_hash_split_train, ORACLE_HASH_SPLIT_TRAIN),
         "sample_stratified": (q_sample_stratified, None),
         "sample_weighted": (q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
+        "approx_counts_sampled": (
+            q_approx_counts_sampled,
+            ORACLE_APPROX_COUNTS_SAMPLED,
+        ),
     }

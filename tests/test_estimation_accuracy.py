@@ -137,3 +137,64 @@ def test_reference_boundary_semantics():
     assert h.estimate_selectivity(PredicateType.LT, 1) == 0.0  # = 1-GE(1)
     assert h.estimate_selectivity(PredicateType.GT, 9) == 0.0
     assert h.estimate_selectivity(PredicateType.GE, 0) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# join-cardinality model vs ACTUAL join sizes on the real testdata
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def test_join_cardinality_pk_fk(tables):
+    """PK⋈FK: the model says card(other side) exactly — and on real
+    key-complete data (every order has a customer) that IS the truth,
+    not an estimate. customer.c_custkey is the PK side."""
+    from dbms_query_optimizer_spark.plans.planner import JoinOptimizer
+
+    c, o = tables["customer"], tables["orders"]
+    est = JoinOptimizer.estimate_join_cardinality(
+        PredicateType.EQ, c.count(), o.count(), t1pkey=True, t2pkey=False
+    )
+    act = c.join(o, c.c_custkey == o.o_custkey).count()
+    assert est == act
+
+
+def test_join_cardinality_fk_fk_lower_bound(tables):
+    """No-PK equi-join: max(card1, card2) is the reference's heuristic —
+    on real data it must LOWER-bound the fan-out product (each lineitem
+    matches ≥0 orders rows) while staying within the true output's order
+    of magnitude for FK⋈FK on a shared key."""
+    from dbms_query_optimizer_spark.plans.planner import JoinOptimizer
+
+    li, o = tables["lineitem"], tables["orders"]
+    n_li, n_o = li.count(), o.count()
+    est = JoinOptimizer.estimate_join_cardinality(
+        PredicateType.EQ, n_li, n_o, t1pkey=False, t2pkey=False
+    )
+    act = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert est == max(n_li, n_o)
+    # o_orderkey is unique in orders, so the true output is exactly n_li
+    # rows; the heuristic lands exactly on it here.
+    assert act == n_li
+
+
+def test_join_cardinality_nonequi_scale(tables):
+    """Non-equi: 0.3·card1·card2 — a fixed-selectivity guess. Verify the
+    ACTUAL selectivity of a representative non-equi join lands within an
+    order of magnitude of 0.3 (the model's design envelope), documenting
+    the quality of the reference's constant on real data."""
+    from dbms_query_optimizer_spark.plans.planner import JoinOptimizer
+
+    n, r = tables["nation"], tables["region"]
+    n_n, n_r = n.count(), r.count()
+    est = JoinOptimizer.estimate_join_cardinality(
+        PredicateType.GT, n_n, n_r, t1pkey=False, t2pkey=False
+    )
+    act = n.join(r, n.n_nationkey > r.r_regionkey).count()
+    assert est == int(0.3 * n_n * n_r)
+    true_sel = act / (n_n * n_r)
+    assert 0.03 <= true_sel <= 3 * 0.3  # within 10x of the 0.3 constant

@@ -7,6 +7,8 @@ sampler's statistical behavior.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dbms_query_optimizer_spark.engine import load_tables
@@ -54,3 +56,38 @@ def test_stratified_sample_deterministic_for_seed(spark, sf_dir):
     a = docs.sampleBy("lang", STRATA_FRACTIONS, seed=SAMPLE_SEED)
     b = docs.sampleBy("lang", STRATA_FRACTIONS, seed=SAMPLE_SEED)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_approx_counts_sampled_error_bound(spark, sf_dir):
+    """The 1/16-hash-sample estimator must land within Bernoulli error of
+    the exact per-group counts: |est - exact| <= 4*sqrt(exact*15) (≈4σ of
+    Binomial(n, 1/16) scaled by 16), and the total sampled fraction must
+    sit near 1/16."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbms_query_optimizer_spark.engine import load_tables
+    from dbms_query_optimizer_spark.operators.sampling import (
+        q_approx_counts_sampled,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r["l_returnflag"]: (r["count_est"], r["n_sampled"])
+        for r in q_approx_counts_sampled(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    total_exact = sum(exact.values())
+    total_sampled = sum(n for _, n in est.values())
+    assert total_sampled == pytest.approx(total_exact / 16, rel=0.25)
+    for flag, n_exact in exact.items():
+        count_est, _ = est[flag]
+        bound = 4 * math.sqrt(n_exact * 15)
+        assert abs(count_est - n_exact) <= bound, (
+            f"{flag}: est={count_est} exact={n_exact} bound={bound:.0f}"
+        )
