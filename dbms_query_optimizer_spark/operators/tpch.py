@@ -914,7 +914,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _partsupp(t)
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .join(
-            sup.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
+            # explicit hint: the supplier⋈nation⋈region product is dim-sized
+            # at every SF, but size estimation through joins defaults large,
+            # so the static plan would pick SMJ without it
+            F.broadcast(sup.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
     )

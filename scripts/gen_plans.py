@@ -238,6 +238,19 @@ COMMENTARY = {
         "AFTER the 50-row limit (single-partition by construction, "
         "trivially)."
     ),
+    "tpch_q2": (
+        "Q2 over derived partsupp. Expect: ONE aggregation of lineitem "
+        "building the supply pairs (partial+final), part/supplier/nation/"
+        "region all broadcast, and the correlated MIN-per-part subquery "
+        "realized as a Window partitioned by ps_partkey — no second scan "
+        "of lineitem, no self-join."
+    ),
+    "approx_counts_sampled": (
+        "AQP hash sampling. Expect: the md5-nibble sample predicate as a "
+        "Filter directly above the scan (map-side, fused into the scan "
+        "stage) so the aggregate touches 1/16th of rows; partial+final "
+        "HashAggregate; no Sample operator and no RNG."
+    ),
 }
 
 
