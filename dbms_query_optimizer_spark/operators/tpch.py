@@ -1109,7 +1109,13 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["supplier"]
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .join(
+            # excess is ≤|suppliers| distinct keys — broadcast the semi-join
+            # build side (size estimation through the pair join defaults big)
+            F.broadcast(excess),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_name")
     )
