@@ -1,0 +1,114 @@
+"""Physical-plan property regression tests.
+
+PLANS.md documents the plan shape each representative query must exhibit;
+these tests pin the load-bearing properties programmatically so a
+regression (lost pushdown, a dimension join degrading to SortMergeJoin, a
+window sneaking in before a limit, an accidental cartesian product) fails
+CI instead of silently shipping a 100×-worse plan.
+
+Assertions target the formatted explain string — the same artifact a human
+reads — and check presence/absence of operators, not exact plan text, so
+Catalyst version changes don't produce false failures.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from dbms_query_optimizer_spark.operators import catalog
+
+
+@pytest.fixture(scope="module")
+def explain(spark, sf_dir):
+    qs = catalog.queries()
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                qs[name](spark, sf_dir).explain("formatted")
+            cache[name] = buf.getvalue()
+        return cache[name]
+
+    return get
+
+
+def test_flagship_pushdown_and_broadcast(explain):
+    plan = explain("flagship_join_agg")
+    assert "LessThan(o_totalprice,100000.0)" in plan  # filter reaches the scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_all_predicates_pushed(explain):
+    plan = explain("tpch_q6")
+    # every predicate reaches the scan, which reads only referenced columns
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_tpch_q2_single_lineitem_pass_no_selfjoin(explain):
+    plan = explain("tpch_q2")
+    # derived partsupp: exactly one lineitem scan feeds the whole query
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan  # min-per-part as a window, not a re-scan
+
+
+def test_late_supplier_no_self_join(explain):
+    plan = explain("late_supplier_blame")
+    # Q21 shape collapsed to one aggregation: lineitem scanned once
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_rank_window_after_limit(explain):
+    plan = explain("zipf_token_rank")
+    # the global-rank window must consume the TakeOrdered output (50 rows),
+    # so the plan contains a TakeOrderedAndProject below the Window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+
+
+def test_curriculum_bins_no_global_window_on_corpus(explain):
+    plan = explain("curriculum_bins")
+    # the only single-partition window runs over the distinct-key table,
+    # which is produced by an aggregate — the corpus-sized window is
+    # partitioned by n_chars. Detect the trap: a Window whose child chain
+    # has no HashAggregate would mean numbering raw rows globally.
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+
+
+def test_approx_counts_sample_filter_fused(explain):
+    plan = explain("approx_counts_sampled")
+    assert "md5" in plan and "Filter" in plan
+    assert "Sample" not in plan  # deterministic predicate, not RNG sampling
+
+
+def test_doc_length_histogram_no_corpus_shuffle(explain):
+    plan = explain("doc_length_histogram")
+    # two aggregation trees (bounds + buckets) over the same scan; the
+    # cross join against the 1-row bounds must be a broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_brute_force_broadcast_probe(explain):
+    plan = explain("knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan  # 5 probes × corpus by design
+    assert "SortMergeJoin" not in plan
+
+
+def test_sliding_distinct_dedupe_before_range_join(explain):
+    plan = explain("sliding_distinct_users")
+    # the (day, user) dedupe aggregate must appear below the range join
+    head, _, tail = plan.partition("BroadcastNestedLoopJoin")
+    assert tail, "range join missing"
+    assert "HashAggregate" in tail  # dedupe runs under/before the join
