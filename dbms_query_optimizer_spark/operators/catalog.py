@@ -439,6 +439,12 @@ register(
 )
 
 register(
+    "recursive_cte_ancestors",
+    R.q_recursive_cte_ancestors,
+    R.ORACLE_RECURSIVE_CTE_ANCESTORS,
+)
+
+register(
     "values_inline",
     R.q_values_inline,
     """

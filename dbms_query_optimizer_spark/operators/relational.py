@@ -1371,3 +1371,51 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def q_recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (Spark 4): ancestor-path enumeration over
+    the implicit binary hierarchy parent(k) = k DIV 2 on part keys.
+
+    The reference has no recursion anywhere; SQL-level recursion is the
+    one query shape the rest of this catalog reaches for driver loops to
+    express (``dedup_components``, ``graph_pagerank``). Here the engine's
+    own fixpoint operator does it: each iteration is one distributed step,
+    and the iteration count is bounded by the hierarchy depth —
+    log2(max key), ~20 levels at any scale, each a map-only projection of
+    the shrinking frontier. The DuckDB oracle runs the identical recursion
+    (dialect difference: integer division spells ``DIV`` vs ``//``).
+    """
+    load_tables(spark, sf_dir)  # registers the part view
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+            UNION ALL
+            SELECT node, cur DIV 2, depth + 1 FROM anc WHERE cur > 1
+        )
+        SELECT node AS p_partkey,
+               CAST(MAX(depth) AS BIGINT) AS depth,
+               COUNT(*) AS n_ancestors,
+               CAST(MIN(cur) AS BIGINT) AS root_key
+        FROM anc
+        GROUP BY node
+        ORDER BY p_partkey
+        """
+    )
+
+
+ORACLE_RECURSIVE_CTE_ANCESTORS = """
+WITH RECURSIVE anc AS (
+    SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+    UNION ALL
+    SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 1
+)
+SELECT node AS p_partkey,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+       CAST(MIN(cur) AS BIGINT) AS root_key
+FROM anc
+GROUP BY node
+ORDER BY p_partkey
+"""

@@ -496,10 +496,58 @@ ORACLE_FUNCTIONS_VARIANT = """
 """
 
 
+def q_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression evaluation: ``try_divide`` / ``try_cast``
+    turn division-by-zero and malformed casts into NULLs instead of task
+    failures — the ingest-hardening posture for dirty data at scale (one
+    bad row must not kill a 10-hour job).
+
+    p_size = 10 rows make the divisor zero (NULL margin); p_type is never
+    numeric (NULL cast). The oracle mirrors with TRY_CAST and an explicit
+    NULLIF divisor — DuckDB's double division never raises, so the CASE
+    is the semantic twin, not a workaround.
+    """
+    part = load_tables(spark, sf_dir)["part"]
+    return (
+        part.select(
+            "p_partkey",
+            F.try_divide(
+                F.col("p_retailprice"), (F.col("p_size") - 10).cast("double")
+            ).alias("margin_per_size"),
+            F.col("p_type").try_cast("int").alias("type_as_int"),
+            F.col("p_partkey")
+            .cast("string")
+            .try_cast("int")
+            .alias("key_roundtrip"),
+        )
+        .withColumn(
+            "n_nulls",
+            F.col("margin_per_size").isNull().cast("int")
+            + F.col("type_as_int").isNull().cast("int"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_TRY_SAFE_ARITHMETIC = """
+    SELECT p_partkey,
+           p_retailprice / NULLIF(CAST(p_size - 10 AS DOUBLE), 0.0)
+               AS margin_per_size,
+           TRY_CAST(p_type AS INT) AS type_as_int,
+           TRY_CAST(CAST(p_partkey AS VARCHAR) AS INT) AS key_roundtrip,
+           (CASE WHEN p_size = 10 THEN 1 ELSE 0 END)
+           + (CASE WHEN TRY_CAST(p_type AS INT) IS NULL THEN 1 ELSE 0 END)
+               AS n_nulls
+    FROM part
+    ORDER BY p_partkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "higher_order_funcs": (q_higher_order_funcs, ORACLE_HIGHER_ORDER_FUNCS),
         "functions_variant": (q_functions_variant, ORACLE_FUNCTIONS_VARIANT),
+        "try_safe_arithmetic": (q_try_safe_arithmetic, ORACLE_TRY_SAFE_ARITHMETIC),
         "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
         "stats_moments": (q_stats_moments, ORACLE_STATS_MOMENTS),
         "argmax_per_group": (q_argmax_per_group, ORACLE_ARGMAX_PER_GROUP),
