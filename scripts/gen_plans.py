@@ -245,6 +245,12 @@ COMMENTARY = {
         "realized as a Window partitioned by ps_partkey — no second scan "
         "of lineitem, no self-join."
     ),
+    "recursive_cte_ancestors": (
+        "Native WITH RECURSIVE. Expect: a UnionLoop / recursive-relation "
+        "operator (the engine's fixpoint) rather than N unrolled joins; "
+        "one part scan feeding the anchor; partial+final HashAggregate "
+        "over the recursion output."
+    ),
     "approx_counts_sampled": (
         "AQP hash sampling. Expect: the md5-nibble sample predicate as a "
         "Filter directly above the scan (map-side, fused into the scan "
