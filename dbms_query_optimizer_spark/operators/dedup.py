@@ -479,12 +479,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     components labeled by their minimum doc_id.
 
     This is the iterative-algorithm shape Spark handles with a driver
-    loop over distributed steps: each iteration is one shuffle
-    (edge-join + min-aggregate); the driver-side work is only the
-    convergence test (a changed-row count). localCheckpoint truncates
-    the lineage each round so plan depth stays constant. Iterations =
-    graph diameter — small for near-dup clusters, log-bounded variants
-    (large-star/small-star) exist for adversarial graphs.
+    loop over distributed steps, with DELTA (frontier) propagation: after
+    the first round, only nodes whose label just improved send messages —
+    an unchanged node's label was already absorbed by every neighbor in
+    the round it last changed, so re-sending is pure waste. Message volume
+    therefore tracks the shrinking frontier, not the full edge list; on a
+    billion-edge graph the late rounds join a frontier of stragglers
+    against their incident edges instead of rescanning everything.
+    localCheckpoint truncates the lineage each round so plan depth stays
+    constant; the frontier count doubles as the convergence test.
+    Iterations = graph diameter — small for near-dup clusters, log-bounded
+    variants (large-star/small-star) exist for adversarial graphs.
 
     The DuckDB oracle computes the same components with a recursive CTE
     (transitive closure then per-node min) — full value parity for an
@@ -501,21 +506,24 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    frontier = labels  # round 1: every node announces its own label
     for _ in range(COMPONENTS_MAX_ITERS):
-        msgs = und.join(labels, und.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
-        )
+        msgs = und.join(
+            frontier.toDF("f_node", "f_label"), und.src == F.col("f_node")
+        ).select(F.col("dst").alias("node"), F.col("f_label").alias("label"))
         new_labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # improved nodes = next frontier; its size is the convergence test
+        frontier = (
+            new_labels.toDF("node", "label")
+            .join(labels.toDF("o_node", "o_label"), F.col("node") == F.col("o_node"))
+            .filter(F.col("label") < F.col("o_label"))
+            .select("node", "label")
+            .localCheckpoint()
         )
         labels = new_labels
-        if changed == 0:
+        if frontier.count() == 0:
             break
     else:
         raise RuntimeError(
