@@ -141,7 +141,10 @@ ORDER BY doc_id
 """
 
 
-AQP_RATE_BITS = 4  # keep rows whose hash nibble == 0 -> exact 1/16 rate
+AQP_RATE_BITS = 4  # must be a multiple of 4: the predicate tests whole hex nibbles
+AQP_NIBBLES = AQP_RATE_BITS // 4
+AQP_PREFIX = "0" * AQP_NIBBLES  # rows whose hash starts with this -> 1/2**bits rate
+assert AQP_RATE_BITS % 4 == 0
 
 
 def q_approx_counts_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +165,9 @@ def q_approx_counts_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat_ws(
         "|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
     )
-    sampled = li.filter(F.substring(F.md5(key), 1, 1) == "0")
+    sampled = li.filter(
+        F.substring(F.md5(key), 1, AQP_NIBBLES) == AQP_PREFIX
+    )
     return (
         sampled.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
@@ -180,7 +185,7 @@ ORACLE_APPROX_COUNTS_SAMPLED = f"""
            COUNT(*) AS n_sampled,
            COUNT(*) * {2**AQP_RATE_BITS} AS count_est
     FROM lineitem
-    WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 1) = '0'
+    WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, {AQP_NIBBLES}) = '{AQP_PREFIX}'
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """

@@ -183,18 +183,21 @@ def test_join_cardinality_fk_fk_lower_bound(tables):
 
 
 def test_join_cardinality_nonequi_scale(tables):
-    """Non-equi: 0.3·card1·card2 — a fixed-selectivity guess. Verify the
-    ACTUAL selectivity of a representative non-equi join lands within an
-    order of magnitude of 0.3 (the model's design envelope), documenting
-    the quality of the reference's constant on real data."""
+    """Non-equi: every non-EQ op must route to the 0.3·card1·card2 branch
+    (not a PK/max branch — that is the regression this pins), and the
+    reference's 0.3 constant is documented against a real non-equi join's
+    measured selectivity: nation.key > region.key is 110/125 = 0.88, i.e.
+    the constant under-estimates this dense predicate ~3x but stays within
+    its order-of-magnitude design envelope."""
     from dbms_query_optimizer_spark.plans.planner import JoinOptimizer
 
     n, r = tables["nation"], tables["region"]
     n_n, n_r = n.count(), r.count()
-    est = JoinOptimizer.estimate_join_cardinality(
-        PredicateType.GT, n_n, n_r, t1pkey=False, t2pkey=False
-    )
+    for op in (PredicateType.GT, PredicateType.LE, PredicateType.NE):
+        est = JoinOptimizer.estimate_join_cardinality(
+            op, n_n, n_r, t1pkey=True, t2pkey=True
+        )
+        assert est == int(0.3 * n_n * n_r)  # PK flags must NOT shortcut non-EQ
     act = n.join(r, n.n_nationkey > r.r_regionkey).count()
-    assert est == int(0.3 * n_n * n_r)
     true_sel = act / (n_n * n_r)
-    assert 0.03 <= true_sel <= 3 * 0.3  # within 10x of the 0.3 constant
+    assert 0.03 <= true_sel <= 1.0  # order-of-magnitude envelope of 0.3

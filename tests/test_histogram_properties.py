@@ -28,21 +28,19 @@ def _build(cfg, values):
 @settings(max_examples=200, deadline=None)
 @given(configs, value_lists, st.integers(min_value=-1600, max_value=3600))
 def test_complementarity(cfg, values, probe):
-    """NE = 1-EQ everywhere; LE = 1-GT and LT = 1-GE for probes strictly
-    inside (min, max). AT the domain edges the reference's saturating
-    boundary branches (table_stats.cc:83-136) intentionally break the
-    range complements — e.g. probe == max gives LT 1.0 via the v>=max
-    short-circuit AND GE 1.0 via GE(max)=GT(max-1) hitting the v<=min
-    branch on a 1-wide domain. That behavior is pinned by
-    tests/test_estimation_accuracy.py::test_reference_boundary_semantics;
-    here we assert the law only where the formulas (not the
-    short-circuits) answer."""
+    """NE = 1-EQ and LE = 1-GT hold at EVERY probe (the LE short-circuits
+    agree with GT's at both edges). LT = 1-GE holds everywhere EXCEPT
+    probe == max: there the reference's saturating branches
+    (table_stats.cc:83-136) return LT 1.0 via the v>=max short-circuit
+    while GE(max) = GT(max-1) can exceed 0 — an intentional parity quirk
+    pinned by test_estimation_accuracy.test_reference_boundary_semantics,
+    so only that single probe is excluded from the LT/GE law."""
     h = _build(cfg, values)
     if h.ntups == 0:
         return
     assert abs(h.estimate_selectivity(P.NE, probe) + h.estimate_selectivity(P.EQ, probe) - 1) < 1e-9
-    if h.min_v < probe < h.max_v:
-        assert abs(h.estimate_selectivity(P.LE, probe) + h.estimate_selectivity(P.GT, probe) - 1) < 1e-9
+    assert abs(h.estimate_selectivity(P.LE, probe) + h.estimate_selectivity(P.GT, probe) - 1) < 1e-9
+    if probe != h.max_v:
         assert abs(h.estimate_selectivity(P.LT, probe) + h.estimate_selectivity(P.GE, probe) - 1) < 1e-9
 
 

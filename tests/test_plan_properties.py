@@ -7,8 +7,11 @@ window sneaking in before a limit, an accidental cartesian product) fails
 CI instead of silently shipping a 100×-worse plan.
 
 Assertions target the formatted explain string — the same artifact a human
-reads — and check presence/absence of operators, not exact plan text, so
-Catalyst version changes don't produce false failures.
+reads. Presence/absence checks run over the whole explain; ORDERING
+checks run over the TREE section only (the indented operator diagram) —
+the per-operator detail blocks that follow the tree repeat every
+operator name, so any ordering assertion against the full string is
+vacuously true.
 """
 
 from __future__ import annotations
@@ -19,6 +22,19 @@ from contextlib import redirect_stdout
 import pytest
 
 from dbms_query_optimizer_spark.operators import catalog
+
+
+def _tree(plan: str) -> str:
+    """The operator-diagram section of a formatted explain (everything up
+    to the first '(n) Operator' detail block). Tree lines are emitted
+    top-down, so a child operator's line always appears AFTER its
+    parent's — 'A above B in the plan' == 'A earlier than B in the tree'.
+    """
+    body = plan.split("== Physical Plan ==", 1)[-1]
+    for i, line in enumerate(body.splitlines()):
+        if line.startswith("(") and ") " in line:
+            return "\n".join(body.splitlines()[:i])
+    return body
 
 
 @pytest.fixture(scope="module")
@@ -69,21 +85,24 @@ def test_late_supplier_no_self_join(explain):
 
 
 def test_zipf_rank_window_after_limit(explain):
-    plan = explain("zipf_token_rank")
-    # the global-rank window must consume the TakeOrdered output (50 rows),
-    # so the plan contains a TakeOrderedAndProject below the Window
-    assert "TakeOrderedAndProject" in plan
-    assert "Window" in plan
+    tree = _tree(explain("zipf_token_rank"))
+    # the global-rank window must consume the TakeOrdered output (50 rows):
+    # Window sits ABOVE TakeOrderedAndProject in the tree. The regression
+    # (ranking the full vocabulary, limiting afterwards) flips the order.
+    assert "TakeOrderedAndProject" in tree and "Window" in tree
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject")
 
 
 def test_curriculum_bins_no_global_window_on_corpus(explain):
-    plan = explain("curriculum_bins")
-    # the only single-partition window runs over the distinct-key table,
-    # which is produced by an aggregate — the corpus-sized window is
-    # partitioned by n_chars. Detect the trap: a Window whose child chain
-    # has no HashAggregate would mean numbering raw rows globally.
-    assert "HashAggregate" in plan
-    assert "Window" in plan
+    tree = _tree(explain("curriculum_bins"))
+    # the single-partition cumulative window runs over the distinct-key
+    # table, which an aggregate produces — so below the DEEPEST Window in
+    # the tree there must still be a HashAggregate (the groupBy(n_chars)
+    # key-count). Numbering raw corpus rows globally would put a Window
+    # directly over the scan with no aggregate beneath it.
+    assert "Window" in tree
+    below_last_window = tree[tree.rindex("Window"):]
+    assert "HashAggregate" in below_last_window
 
 
 def test_approx_counts_sample_filter_fused(explain):
@@ -107,8 +126,10 @@ def test_knn_brute_force_broadcast_probe(explain):
 
 
 def test_sliding_distinct_dedupe_before_range_join(explain):
-    plan = explain("sliding_distinct_users")
-    # the (day, user) dedupe aggregate must appear below the range join
-    head, _, tail = plan.partition("BroadcastNestedLoopJoin")
+    tree = _tree(explain("sliding_distinct_users"))
+    # the (day, user) dedupe aggregate must sit BELOW the range join in
+    # the tree (children print after parents): joining raw events first
+    # and deduping afterwards is the 100x-blowup regression.
+    head, _, tail = tree.partition("BroadcastNestedLoopJoin")
     assert tail, "range join missing"
-    assert "HashAggregate" in tail  # dedupe runs under/before the join
+    assert "HashAggregate" in tail  # dedupe in the join's subtree

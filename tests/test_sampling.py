@@ -65,9 +65,6 @@ def test_approx_counts_sampled_error_bound(spark, sf_dir):
     sit near 1/16."""
     import math
 
-    from pyspark.sql import functions as F
-
-    from dbms_query_optimizer_spark.engine import load_tables
     from dbms_query_optimizer_spark.operators.sampling import (
         q_approx_counts_sampled,
     )
