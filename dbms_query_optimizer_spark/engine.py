@@ -110,6 +110,16 @@ class Engine:
     def df(self, name: str) -> DataFrame:
         return self.tables[name].df
 
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL against the registered table views.
+
+        The reference has no SQL entry point at all (queries arrive
+        pre-parsed as LogicalJoinNode vectors, SURVEY §3.2); here the full
+        ANSI surface — including WITH RECURSIVE — comes free from Spark
+        SQL over the views ``load_dir`` registers.
+        """
+        return self.spark.sql(query)
+
     def primary_key(self, name: str) -> str | None:
         return self.tables[name].primary_key
 

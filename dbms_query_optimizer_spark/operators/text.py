@@ -277,6 +277,53 @@ ORACLE_TEXT_LANG_QUALITY_SUMMARY = f"""
 """
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of predicted vs labeled
+    language, with per-cell counts and per-labeled-language recall.
+
+    The eval loop every classifier-driven cleaning stage needs — the
+    lang-id gate (``text_lang_id``) drops documents, so its error
+    structure must be measurable on the same engine that applies it. Two
+    map-only score columns feed a |langs|² aggregation; recall divides by
+    the label's row count via a window over the tiny matrix.
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = t["documents"].select(
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_lang("text").alias("predicted_lang"),
+    )
+    cells = pairs.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_label = W.partitionBy("labeled_lang")
+    return (
+        cells.withColumn(
+            "recall",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w_label), 6),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _oracle_lang_confusion() -> str:
+    case_expr, inner = _sql_predicted_lang()
+    return f"""
+    WITH pred AS (
+        SELECT labeled_lang, {case_expr} AS predicted_lang
+        FROM (SELECT lang AS labeled_lang, {inner} FROM documents)
+    ),
+    cells AS (
+        SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+        FROM pred GROUP BY labeled_lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY labeled_lang), 6) AS recall
+    FROM cells
+    ORDER BY labeled_lang, predicted_lang
+    """
+
+
 TFIDF_MIN_TOKEN_LEN = 3
 TFIDF_TOP_K = 5
 
@@ -631,6 +678,7 @@ def oracles() -> dict[str, tuple]:
         "text_bigram_logprob": (q_text_bigram_logprob, ORACLE_TEXT_BIGRAM_LOGPROB),
         "text_tfidf_top_terms": (q_text_tfidf_top_terms, ORACLE_TEXT_TFIDF_TOP_TERMS),
         "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
+        "text_lang_confusion": (q_text_lang_confusion, _oracle_lang_confusion()),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
         "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
         "text_rolling_fingerprint": (q_text_rolling_fingerprint, _sql_rolling_fingerprint()),

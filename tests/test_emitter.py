@@ -113,3 +113,19 @@ def test_extra_edge_becomes_filter(tables):
         .count()
     )
     assert n == want
+
+
+def test_engine_sql_entry(spark, sf_dir):
+    """Engine.sql runs full SQL over the registered views — the entry
+    point the reference never had (its queries arrive pre-parsed)."""
+    from dbms_query_optimizer_spark.engine import Engine
+
+    eng = Engine(spark).load_dir(sf_dir)
+    row = eng.sql(
+        """
+        SELECT r_name, COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY n DESC, r_name LIMIT 1
+        """
+    ).collect()[0]
+    assert row.n >= 1 and isinstance(row.r_name, str)
