@@ -381,8 +381,75 @@ ORACLE_SOURCE_PYTHON_DATASOURCE = f"""
 """
 
 
+BUCKET_N = 4
+
+
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed tables: both sides written
+    ``bucketBy(4, key).sortBy(key)``, then sort-merge joined with ZERO
+    Exchange operators (tests/test_skew_bucketing.py pins the plan).
+
+    THE static answer to the repeated-join-key problem at 100 TB: pay the
+    shuffle once at write time, then every subsequent join on the bucket
+    key reads co-located buckets directly. The merge hint pins SMJ so a
+    broadcast conversion can't mask whether bucketing actually removed
+    the exchanges. Table names are derived from the sf tag so reruns
+    overwrite deterministically.
+    """
+    t = load_tables(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(BUCKET_N, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable(lt)
+    )
+    (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(BUCKET_N, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable(ot)
+    )
+    return (
+        spark.table(lt)
+        .hint("merge")
+        .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_double(dec("l_quantity"), 2).alias("sum_qty"),
+            dsum_double(dec("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_BUCKETED_COLOCATED_JOIN = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "bucketed_colocated_join": (
+            q_bucketed_colocated_join,
+            ORACLE_BUCKETED_COLOCATED_JOIN,
+        ),
         "source_python_datasource": (
             q_source_python_datasource,
             ORACLE_SOURCE_PYTHON_DATASOURCE,
