@@ -399,6 +399,18 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    # saveAsTable(overwrite) only replaces tables the CURRENT catalog
+    # knows; a fresh session (in-memory catalog) + a leftover warehouse
+    # directory from a previous run raises LOCATION_ALREADY_EXISTS. Drop
+    # from the catalog AND clear any orphaned location first.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        leftover = os.path.join(warehouse, tbl.lower())
+        if os.path.exists(leftover):
+            import shutil
+
+            shutil.rmtree(leftover)
     (
         t["lineitem"]
         .select("l_orderkey", "l_quantity", "l_extendedprice")
