@@ -653,18 +653,32 @@ def cosine_expr(a: str, b: str):
     return dot / (na * nb)
 
 
+EMB_GEMM_BLOCKS = 8  # block-grid width B -> B(B+1)/2 GEMM tiles
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= COSINE_T over the full pairwise
     set (threshold picked at the ~99.99th percentile of this corpus's
     pair-cosine distribution; its max pair cosine is ~0.51).
 
-    Executed as BLOCK MATRIX MULTIPLY, the scale pattern for all-pairs
-    similarity: the (tiny: n x 64 floats) normalized matrix is broadcast to
-    executors, and each partition GEMMs its own rows against it via
-    Arrow-batched mapInPandas + numpy — vectorized C loops instead of a
-    per-pair expression interpreter. 35x faster than the higher-order-
-    function form at sf0.1. At 100 TB the broadcast side becomes a block
-    iterator (grid of GEMM tiles); the per-partition structure is the same.
+    Executed as a DISTRIBUTED BLOCK-GRID GEMM — the exact all-pairs scale
+    pattern. Rows hash into B blocks; each row is replicated B times so
+    every unordered block pair (i <= j) becomes one grid tile holding
+    block i's rows and block j's rows. Tiles shuffle independently and
+    each computes its own dense cosine tile with Arrow-batched
+    applyInPandas + numpy GEMM — vectorized C loops, never a per-pair
+    expression interpreter. Every unordered row pair lands in exactly one
+    tile (diagonal tiles mask the upper triangle), so the result is exact,
+    not approximate.
+
+    Scale: no driver materialization and no corpus broadcast — shuffle
+    volume is B·n rows and peak per-task memory is two blocks of n/B
+    vectors, so B is tuned so a tile fits an executor: 100 TB runs the
+    identical plan with a larger grid. (For a *thresholded* near-dup at
+    even larger n, swap candidate generation to the sign-LSH bucket join
+    of knn_lsh_bucketed and keep the per-bucket GEMM — sub-quadratic, at
+    the cost of LSH recall; this entry keeps the exact contract because
+    its DuckDB oracle is exact.)
     """
     import numpy as np
     import pandas as pd
@@ -672,32 +686,67 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
 
-    local = e.toPandas()
-    ids = local["vec_id"].to_numpy()
-    mat = np.vstack(local["embedding"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    B = EMB_GEMM_BLOCKS
+    # replicate each row to every tile its block participates in: row with
+    # block b meets block o in tile (min(b,o), max(b,o)); o == b is the
+    # diagonal tile. Exactly B copies per row.
+    tiled = (
+        e.withColumn("_blk", F.pmod(F.col("vec_id"), F.lit(B)).cast("int"))
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            "vec_id",
+            "embedding",
+            "_blk",
+            F.least("_blk", "_other").alias("bi"),
+            F.greatest("_blk", "_other").alias("bj"),
+        )
+    )
 
-    def block_pairs(batches):
-        all_ids, all_mat, all_norms = bc.value
-        for pdf in batches:
-            row_ids = pdf["vec_id"].to_numpy()
-            rows = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            row_norms = np.sqrt((rows * rows).sum(axis=1))
-            # tile GEMM: this partition's rows x the whole corpus
-            cos = (rows @ all_mat.T) / np.outer(row_norms, all_norms)
-            cos = np.round(cos, 6)
-            ii, jj = np.nonzero((cos >= COSINE_T) & (row_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
+    def gemm_tile(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return pd.DataFrame(
                 {
-                    "id_a": row_ids[ii],
-                    "id_b": all_ids[jj],
-                    "cosine": cos[ii, jj],
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
                 }
             )
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        if bi == bj:
+            cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+            ii, jj = np.nonzero((cos >= COSINE_T) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {"id_a": ids[ii], "id_b": ids[jj], "cosine": cos[ii, jj]}
+            )
+        a = (pdf["_blk"].to_numpy() == bi)
+        ids_a, ids_b = ids[a], ids[~a]
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        cos = np.round(
+            (mat[a] @ mat[~a].T) / np.outer(norms[a], norms[~a]), 6
+        )
+        ii, jj = np.nonzero(cos >= COSINE_T)
+        # normalize pair order: the pair appears only in this tile
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_a[ii], ids_b[jj]),
+                "id_b": np.maximum(ids_a[ii], ids_b[jj]),
+                "cosine": cos[ii, jj],
+            }
+        )
 
     return (
-        e.mapInPandas(block_pairs, schema="id_a long, id_b long, cosine double")
+        tiled.groupBy("bi", "bj")
+        .applyInPandas(gemm_tile, schema="id_a long, id_b long, cosine double")
         .orderBy("id_a", "id_b")
     )
 

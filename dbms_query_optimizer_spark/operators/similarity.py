@@ -185,13 +185,17 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probe: each query scores only vectors in its IVF_NPROBE closest cells
     — an equi-join on cell id, ~nprobe/k of the corpus per query.
 
-    At 100 TB the structure is identical: train on a sample, broadcast
-    the (k x dim) centroid matrix, write the corpus partitioned by cell
-    so probes become partition-pruned scans. k-means isn't expressible in
-    SQL, so this entry has no DuckDB oracle; recall against the exact
-    brute-force baseline is asserted in tests/test_similarity.py.
+    Probe-cell assignment is DISTRIBUTED: the (k x dim) centroid matrix —
+    the only driver-side artifact, k rows by construction — becomes a
+    broadcast frame; queries crossJoin it, squared distance is a JVM-side
+    zip_with/aggregate fold, and a per-query rank window keeps the
+    IVF_NPROBE nearest cells. No ``.collect()`` of query vectors, so the
+    query side can itself be a 100 TB table. At that scale the corpus is
+    additionally written partitioned by cell so probes become
+    partition-pruned scans. k-means isn't expressible in SQL, so this
+    entry has no DuckDB oracle; recall against the exact brute-force
+    baseline is asserted in tests/test_similarity.py.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -208,20 +212,26 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prediction").alias("cell"),
     )
 
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-    queries = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cvec array<double>",
     )
-    probe_rows = []
-    for r in queries:
-        q = np.asarray(r.embedding, dtype=np.float64)
-        d = ((centroids - q) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:IVF_NPROBE]:
-            probe_rows.append((r.vec_id, int(cell), r.embedding))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, cell int, vq array<float>"
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("vq"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_d2", sqdist)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= IVF_NPROBE)
+        .select("query_id", "cell", "vq")
     )
 
     pairs = (

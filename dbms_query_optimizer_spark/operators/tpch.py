@@ -497,9 +497,13 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 top supplier: supplier(s) achieving the maximum quarterly
     revenue.
 
-    The revenue "view" aggregates once; the max is an unpartitioned
-    window over that (small) aggregate, so revenue == max is an exact
-    decimal comparison — no re-aggregation, no driver round-trip.
+    The revenue "view" aggregates once; the global max collapses to a
+    1-row aggregate broadcast back over the view (same pattern as Q11's
+    total-value threshold), so revenue == max is an exact decimal
+    comparison with no single-partition window: at 100 TB the revenue
+    frame is one row per supplier — hundreds of millions of rows — and
+    an unpartitioned ``Window.partitionBy()`` would force them all into
+    one task, while the agg+broadcast-crossJoin stays fully parallel.
     """
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].filter(
@@ -508,11 +512,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(disc_price_expr()).alias("_rev")
     )
-    from pyspark.sql import Window as W
-
-    best = revenue.withColumn("_max", F.max("_rev").over(W.partitionBy()))
+    best = revenue.agg(F.max("_rev").alias("_max"))
     return (
-        best.filter(F.col("_rev") == F.col("_max"))
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("_rev") == F.col("_max"))
         .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
