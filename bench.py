@@ -74,6 +74,10 @@ HEADLINE = [
     "graph_pagerank",
     "tpch_q2",
     "source_python_datasource",
+    # round 3: the formerly scale-weak trio, now distributed (block-grid
+    # GEMM dedup is above; these two complete the before/after story)
+    "knn_ivf",
+    "tpch_q15",
 ]
 
 

@@ -1,0 +1,200 @@
+"""Manifest-based transactional table over parquet.
+
+The reference's behavioral spec for transactions is its log-manager test
+surface (reference: ``test/unit/log/log_manager_test.cc:249-300`` commit →
+crash → recover keeps data; ``:440-464`` abort / uncommitted-at-crash data
+is invisible even when pages were flushed). The reference's own LogManager
+is an empty stub (``src/log/log_manager.cc:55-138``), so WAL replay is not
+the contract — the *observable* contract is atomic visibility, and the
+Spark-native way to provide it over immutable parquet is a commit log of
+manifests (the core idea of Delta Lake / Iceberg, reduced to its minimum):
+
+    root/
+      data/<txn-id>/part-*.parquet    -- staging, one dir per transaction
+      manifest/<%012d>.json           -- committed snapshots, dense versions
+
+- A transaction writes parquet into its own staging dir. Flushed task
+  files are the analog of flushed heap pages: durable but NOT visible,
+  because no manifest references them ("flush pages to defeat NO-STEAL"
+  in the reference test maps to files existing on disk pre-commit).
+- ``commit()`` publishes version N+1 = previous file list + this txn's
+  files. The commit point is a single atomic ``os.link`` of a fully
+  fsynced temp file onto the next version name — a torn commit can only
+  leave a ``*.tmp`` file, which readers never resolve. ``O_EXCL``-like
+  link semantics give first-committer-wins: a version collision (another
+  writer committed concurrently) retries against the new tip, which is
+  safe because staged file sets are disjoint.
+- Readers resolve the highest committed manifest and read exactly its
+  file list → snapshot isolation; crash recovery is a no-op (re-open and
+  resolve — nothing to replay).
+- ``abort()`` / process death before commit leaves unreferenced staging
+  files; ``vacuum()`` removes them (the undo analog, idempotent).
+
+Scale: the manifest holds file paths + schema, never data — O(files),
+not O(rows). At 100 TB the data plane is still ordinary distributed
+parquet tasks; only the O(KB) commit record is serialized through the
+driver, which is exactly how production lakehouse commit protocols work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "manifest"
+_DATA_DIR = "data"
+_VERSION_WIDTH = 12
+
+
+def _manifest_name(version: int) -> str:
+    return f"{version:0{_VERSION_WIDTH}d}.json"
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+class Transaction:
+    """One writer's staging scope. Visible only after ``commit()``."""
+
+    def __init__(self, table: "TransactionalTable") -> None:
+        self.txn_id = uuid.uuid4().hex
+        self._table = table
+        self._staging = os.path.join(table.root, _DATA_DIR, self.txn_id)
+        self._done = False
+
+    def insert(self, df: DataFrame) -> None:
+        """Stage rows: a durable parquet write that no reader can see
+        (the manifest doesn't reference it yet)."""
+        assert not self._done, "transaction already finished"
+        df.write.mode("append").parquet(self._staging)
+
+    def staged_files(self) -> list[str]:
+        if not os.path.isdir(self._staging):
+            return []
+        return sorted(
+            os.path.join(self._staging, f)
+            for f in os.listdir(self._staging)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+
+    def commit(self) -> int:
+        """Publish staged files atomically; returns the committed version."""
+        assert not self._done, "transaction already finished"
+        version = self._table._publish(self.staged_files())
+        self._done = True
+        return version
+
+    def abort(self) -> None:
+        """Drop staged files. Also safe to simply crash instead — an
+        unpublished staging dir is invisible either way."""
+        assert not self._done, "transaction already finished"
+        shutil.rmtree(self._staging, ignore_errors=True)
+        self._done = True
+
+
+class TransactionalTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._manifest_dir = os.path.join(root, _MANIFEST_DIR)
+        if not os.path.isdir(self._manifest_dir):
+            raise FileNotFoundError(
+                f"not a transactional table (no manifest dir): {root}"
+            )
+
+    # ------------------------------------------------------------- create
+    @staticmethod
+    def create(root: str, schema: StructType) -> "TransactionalTable":
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+        mdir = os.path.join(root, _MANIFEST_DIR)
+        if not os.listdir(mdir):
+            _write_manifest_atomic(
+                mdir, 0, {"version": 0, "schema": schema.json(), "files": []}
+            )
+        return TransactionalTable(root)
+
+    # -------------------------------------------------------------- state
+    def latest_version(self) -> int:
+        return max(
+            int(f.split(".")[0])
+            for f in os.listdir(self._manifest_dir)
+            if f.endswith(".json")
+        )
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir, _manifest_name(version))) as fh:
+            return json.load(fh)
+
+    def snapshot(self, version: int | None = None) -> dict:
+        return self._read_manifest(
+            self.latest_version() if version is None else version
+        )
+
+    # ------------------------------------------------------------- writer
+    def begin(self) -> Transaction:
+        return Transaction(self)
+
+    def _publish(self, new_files: list[str]) -> int:
+        while True:
+            base = self.snapshot()
+            version = base["version"] + 1
+            manifest = {
+                "version": version,
+                "schema": base["schema"],
+                "files": base["files"] + new_files,
+            }
+            try:
+                _write_manifest_atomic(self._manifest_dir, version, manifest)
+                return version
+            except FileExistsError:
+                continue  # lost the race: retry on top of the new tip
+
+    # ------------------------------------------------------------- reader
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if not snap["files"]:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*snap["files"])
+
+    # ------------------------------------------------------------- vacuum
+    def vacuum(self) -> list[str]:
+        """Remove staging dirs with no file referenced by the LATEST
+        manifest (aborted / crashed-uncommitted writers). Returns removed
+        dirs. Referenced files are never touched."""
+        live = {os.path.dirname(f) for f in self.snapshot()["files"]}
+        removed = []
+        data_dir = os.path.join(self.root, _DATA_DIR)
+        for d in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, d)
+            if full not in live:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed
+
+
+def _write_manifest_atomic(mdir: str, version: int, manifest: dict) -> None:
+    """fsync'd temp file + hard link onto the version name: the link is
+    the atomic commit point and fails (FileExistsError) on a version
+    collision instead of silently overwriting."""
+    final = os.path.join(mdir, _manifest_name(version))
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    finally:
+        os.unlink(tmp)
+    _fsync_dir(mdir)
