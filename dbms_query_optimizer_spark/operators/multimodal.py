@@ -7,12 +7,15 @@ run decode/feature-extraction as Arrow-batched Python over
 ``mapInPandas`` — executors stream record batches, so a 100 TB corpus
 never materializes anywhere.
 
-The testdata has no real media, so the *payload* is synthesized (UTF-8
-bytes of the document text) and the *decoder* is a STUB: ``decode_image``
-raises NotImplementedError exactly where a real pillow/ffmpeg call would
-go, and the pipeline runs with a deterministic fake featurizer instead.
-The Spark-side plumbing — schema, binary handling, Arrow batch shapes,
-partition-parallel UDF — is real and tested.
+The testdata has no real media, so payloads are synthesized two ways:
+the metadata-plane queries use UTF-8 bytes of the document text, and the
+decode-plane query uses REAL binary PPM (P6) images generated
+deterministically per doc_id. ``decode_image`` is a complete pure-Python
+P6 decoder (no pillow/ffmpeg in this environment — PPM needs neither),
+so ``q_multimodal_features`` exercises the full decode path end-to-end:
+opaque bytes in, parsed header + pixel array out, features computed from
+actual decoded pixels inside Arrow-batched ``mapInPandas``. Swapping in
+a JPEG/PNG decoder changes one function, not the plumbing.
 """
 
 from __future__ import annotations
@@ -50,22 +53,100 @@ def multimodal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — real image decoding needs pillow/opencv, not in this
-    environment. The mapInPandas pipeline calls the fake featurizer
-    instead; swap this in when a decoder library is available."""
-    raise NotImplementedError(
-        "image decode stub: install pillow/opencv and decode payload here"
-    )
+# --------------------------------------------------------- PPM decode plane
+
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+_U64 = (1 << 64) - 1
 
 
-def _fake_features(payload: bytes) -> list[int]:
-    """Deterministic stand-in featurizer: 8-bin histogram of byte values.
-    Stands where decode_image(...) -> resize -> embed would run."""
+def _pixel_stream(seed: int, n: int) -> bytes:
+    """Deterministic pseudo-random bytes (64-bit LCG, high bits): the
+    synthetic 'sensor' producing each image's pixel data."""
+    s = (seed * _LCG_A + _LCG_C) & _U64
+    out = bytearray(n)
+    for i in range(n):
+        s = (s * _LCG_A + _LCG_C) & _U64
+        out[i] = (s >> 33) & 0xFF
+    return bytes(out)
+
+
+def image_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 5, 6 + doc_id % 4
+
+
+def make_ppm(doc_id: int) -> bytes:
+    """Binary PPM (P6) image for a doc_id: real header + raw RGB plane."""
+    w, h = image_dims(doc_id)
+    return b"P6\n%d %d\n255\n" % (w, h) + _pixel_stream(doc_id, w * h * 3)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a binary PPM (P6) image: returns (width, height, rgb bytes).
+
+    Complete pure-Python decoder — handles the whitespace grammar and
+    ``#`` comments of the netpbm header. Raises ValueError on anything
+    that isn't a well-formed P6 (wrong magic, bad dims, truncated pixel
+    plane), so corrupt payloads fail loudly in the executor, not as
+    silent garbage features.
+    """
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (dims {w}x{h}, maxval {maxval})")
+    pos += 1  # single whitespace byte after maxval
+    pixels = payload[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError(
+            f"truncated pixel plane: want {w * h * 3} bytes, have {len(pixels)}"
+        )
+    return w, h, pixels
+
+
+def pixel_histogram(pixels: bytes) -> list[int]:
+    """FEATURE_BINS-bin histogram over decoded pixel values — the feature
+    computed from actual image content (not payload bytes)."""
     counts = [0] * FEATURE_BINS
-    for b in payload:
+    for b in pixels:
         counts[b * FEATURE_BINS // 256] += 1
     return counts
+
+
+def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary) with REAL P6 image payloads.
+
+    Payload synthesis runs inside mapInPandas (executor-side, partition-
+    parallel) — at 100 TB this stage is the ingest decode job's reader;
+    only doc_id crosses the Arrow boundary inbound.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make_ppm(int(d))),
+                }
+            )
+
+    return docs.mapInPandas(attach, schema="doc_id long, payload binary")
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,32 +239,38 @@ ORACLE_MULTIMODAL_FRAME_SAMPLE = f"""
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-plane query: Arrow-batched mapInPandas over the binary
-    column, emitting a fixed-width feature vector per row.
+    column — payloads are REAL P6 images, ``decode_image`` parses header
+    + pixel plane, and features (dims + pixel-value histogram) come from
+    the decoded pixels, not the raw payload bytes.
 
-    No SQL oracle (the decode plane is definitionally not SQL); determinism
-    and batch-shape behavior are asserted in tests/test_multimodal.py.
+    No SQL oracle (the decode plane is definitionally not SQL); pixel
+    values are checked against a Python-side decode oracle in
+    tests/test_multimodal.py.
     """
-    df = multimodal_table(spark, sf_dir)
+    df = image_table(spark, sf_dir)
 
     schema = (
-        "doc_id long, n_bytes int, "
+        "doc_id long, width int, height int, n_bytes int, "
         + ", ".join(f"f{i} int" for i in range(FEATURE_BINS))
     )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_fake_features)
+            decoded = pdf["payload"].map(lambda p: decode_image(bytes(p)))
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "width": decoded.map(lambda d: d[0]).astype("int32"),
+                    "height": decoded.map(lambda d: d[1]).astype("int32"),
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
                 }
             )
+            feats = decoded.map(lambda d: pixel_histogram(d[2]))
             for i in range(FEATURE_BINS):
                 out[f"f{i}"] = feats.map(lambda v, i=i: v[i]).astype("int32")
             yield out
 
-    return df.select("doc_id", "payload").mapInPandas(featurize, schema=schema)
+    return df.mapInPandas(featurize, schema=schema)
 
 
 def oracles() -> dict[str, tuple]:

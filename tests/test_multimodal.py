@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: binary payload schema, Arrow batch decode
-path (mapInPandas), determinism, and the decode stub's explicit failure."""
+"""Multimodal plumbing tests: binary payload schema, the real PPM decode
+path (mapInPandas), determinism, and decoded-pixel value parity against a
+Python-side oracle."""
 
 from __future__ import annotations
 
@@ -8,7 +9,10 @@ import pytest
 from dbms_query_optimizer_spark.operators.multimodal import (
     FEATURE_BINS,
     decode_image,
+    image_dims,
+    make_ppm,
     multimodal_table,
+    pixel_histogram,
     q_multimodal_features,
 )
 
@@ -23,6 +27,47 @@ def test_schema_and_payload(spark, sf_dir):
     assert row["meta"]["n_bytes"] == len(row["payload"])
 
 
+def test_ppm_roundtrip():
+    for doc_id in (0, 1, 7, 123):
+        w, h, pixels = decode_image(make_ppm(doc_id))
+        assert (w, h) == image_dims(doc_id)
+        assert len(pixels) == w * h * 3
+
+
+def test_decoder_handles_comments_and_whitespace():
+    img = b"P6\n# a comment\n 4\t3 # trailing\n255\n" + bytes(range(36))
+    w, h, pixels = decode_image(img)
+    assert (w, h, pixels) == (4, 3, bytes(range(36)))
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"\x89PNG...",                              # wrong magic
+        b"P6\n4 3\n65535\n" + bytes(72),            # 16-bit maxval
+        b"P6\n4 3\n255\n" + bytes(10),              # truncated pixels
+        b"P6\nx 3\n255\n" + bytes(36),              # malformed header
+    ],
+)
+def test_decode_rejects_corrupt(bad):
+    with pytest.raises(ValueError):
+        decode_image(bad)
+
+
+def test_features_match_python_decode_oracle(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in q_multimodal_features(spark, sf_dir).filter("doc_id < 5").collect()
+    }
+    assert len(rows) == 5
+    for doc_id, r in rows.items():
+        payload = make_ppm(doc_id)
+        w, h, pixels = decode_image(payload)
+        expect = pixel_histogram(pixels)
+        assert (r["width"], r["height"], r["n_bytes"]) == (w, h, len(payload))
+        assert [r[f"f{i}"] for i in range(FEATURE_BINS)] == expect
+
+
 def test_features_deterministic_and_complete(spark, sf_dir):
     df = q_multimodal_features(spark, sf_dir)
     rows1 = {r["doc_id"]: tuple(r) for r in df.collect()}
@@ -30,11 +75,7 @@ def test_features_deterministic_and_complete(spark, sf_dir):
     assert rows1 == rows2  # deterministic across runs
     n_docs = multimodal_table(spark, sf_dir).count()
     assert len(rows1) == n_docs
-    # histogram bins sum to payload byte count
-    sample = next(iter(rows1.values()))
-    assert sum(sample[2 : 2 + FEATURE_BINS]) == sample[1]
-
-
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+    # histogram bins sum to the decoded pixel count (w*h*3), not payload size
+    for doc_id, row in list(rows1.items())[:10]:
+        w, h = image_dims(doc_id)
+        assert sum(row[4 : 4 + FEATURE_BINS]) == w * h * 3
