@@ -11,9 +11,11 @@ plan — Catalyst sees all 10 steps and pipelines them.
 Scale notes: the rank vector is |nodes| rows and the edge list |types|²,
 so every join here broadcasts; on a billion-node graph the identical loop
 shape runs with shuffle hash joins instead — the code does not change,
-only Catalyst's physical pick. For unbounded iteration counts add a
-convergence check + ``localCheckpoint()`` every ~10 rounds to cut lineage;
-with a fixed small count the pure-lazy form is faster.
+only Catalyst's physical pick. ``localCheckpoint()`` every
+PR_CHECKPOINT_EVERY rounds truncates lineage, so plan depth is bounded by
+the checkpoint interval no matter the iteration count (verified in
+tests/test_iterative_lineage.py) while Catalyst still pipelines the
+rounds inside each interval.
 
 The oracle unrolls the same power iteration as chained CTEs (standard SQL
 forbids aggregation inside a recursive CTE member, so unrolling is the
@@ -30,6 +32,7 @@ from ..engine import load_tables
 
 PR_ITERATIONS = 10
 PR_DAMPING = 0.85
+PR_CHECKPOINT_EVERY = 5  # lineage-truncation interval (bounds plan depth)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,8 +57,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rank_{t+1}(i) = (1-d)/N + d·Σ_j P(j→i)·rank_t(j). The node count is
     collected once (|event types| rows — a metadata-scale collect, not a
-    data collect); each iteration is a broadcast join + aggregation.
+    data collect); each iteration is a broadcast join + aggregation, and
+    lineage is truncated every PR_CHECKPOINT_EVERY rounds so the plan
+    never grows with iteration count.
     """
+    return _pagerank(spark, sf_dir, PR_ITERATIONS)
+
+
+def _pagerank(spark: SparkSession, sf_dir: str, iterations: int) -> DataFrame:
     edges = _edges(spark, sf_dir).cache()
     nodes = edges.select(F.col("from_type").alias("node")).union(
         edges.select("to_type")
@@ -64,7 +73,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (1.0 - PR_DAMPING) / n
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(PR_ITERATIONS):
+    for it in range(iterations):
         contribs = (
             edges.join(
                 F.broadcast(ranks), edges.from_type == ranks.node
@@ -84,6 +93,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        if (it + 1) % PR_CHECKPOINT_EVERY == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "node", F.round("rank", 6).alias("pagerank")
     ).orderBy("node")
