@@ -90,6 +90,13 @@ class Engine:
 
         Parquet scans are lazy; registering a view costs nothing until an
         action runs, and Catalyst pushes filters/projections into the scan.
+
+        SESSION-WIDE SIDE EFFECT: sets ``spark.sql.session.timeZone=UTC``
+        and ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
+        session (required for the NTZ->LTZ timestamp normalization to be
+        an identity on stored values). Any timezone-sensitive query the
+        caller runs on the same session afterwards sees UTC; a warning is
+        logged if a different pre-existing timeZone is being overridden.
         """
         # Runtime confs set here defensively rather than in the session
         # factory — queries must work from a caller-built session (e.g. the
@@ -97,6 +104,15 @@ class Engine:
         # testdata (harmless for micros); UTC makes the NTZ->LTZ timestamp
         # normalization an exact identity on the stored values.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prev_tz = self.spark.conf.get("spark.sql.session.timeZone", None)
+        if prev_tz not in (None, "UTC"):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "load_dir overriding spark.sql.session.timeZone=%s with UTC "
+                "(required for exact timestamp normalization)",
+                prev_tz,
+            )
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         for name, pk in TABLES.items():
             path = f"{sf_dir}/{name}.parquet"

@@ -48,9 +48,13 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-count pass), but each pass is one distributed job: the 1-row
     min/max result is broadcast into the bucket expression, so at 100 TB
     this is two map-reduce aggregations and zero shuffles of the raw data
-    beyond the 20-group count. Integer span/clamp arithmetic mirrors
-    ``table_stats.cc:28`` (``span = max(1,(1+max-min)/buckets)``) so the
-    output is exact, not float-binned.
+    beyond the 20-group count. Bucketing uses an INTEGER-SPAN variant of
+    the reference formula (``table_stats.cc:28`` keeps
+    ``span = max(1.0,(1+max-min)/buckets)`` as a float, as does
+    ``plans/stats.py``; here span is floored so bucket bounds are exact
+    integers — boundaries diverge from the reference histogram whenever
+    ``1+hi-lo`` isn't a multiple of the bucket count, which is fine for a
+    length *report* and keeps both engines' arithmetic integer-exact).
     """
     docs = load_tables(spark, sf_dir)["documents"].select("n_chars")
     bounds = docs.agg(

@@ -232,6 +232,12 @@ def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     out_dir = _roundtrip_dir(sf_dir, "binaryfile", "documents")
+    # defensive cleanup (as in q_bucketed_colocated_join): stale *.txt from
+    # a previous run with different doc ids would match the glob and
+    # silently break oracle parity
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     rows = (
         t["documents"]

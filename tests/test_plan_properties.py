@@ -84,13 +84,24 @@ def test_late_supplier_no_self_join(explain):
     assert "CartesianProduct" not in plan
 
 
+def _op_spans(tree: str, op: str) -> list[int]:
+    """Start offsets of operator token ``op`` as a WHOLE word — a bare
+    substring index would alias longer operator names (e.g. a 'Window'
+    search matching WindowGroupLimit inserted by rank-limit pushdown)."""
+    import re
+
+    return [m.start() for m in re.finditer(rf"(?<![A-Za-z]){op}(?![A-Za-z])", tree)]
+
+
 def test_zipf_rank_window_after_limit(explain):
     tree = _tree(explain("zipf_token_rank"))
     # the global-rank window must consume the TakeOrdered output (50 rows):
     # Window sits ABOVE TakeOrderedAndProject in the tree. The regression
     # (ranking the full vocabulary, limiting afterwards) flips the order.
-    assert "TakeOrderedAndProject" in tree and "Window" in tree
-    assert tree.index("Window") < tree.index("TakeOrderedAndProject")
+    windows = _op_spans(tree, "Window")
+    takes = _op_spans(tree, "TakeOrderedAndProject")
+    assert windows and takes
+    assert windows[0] < takes[0]
 
 
 def test_curriculum_bins_no_global_window_on_corpus(explain):
@@ -100,8 +111,9 @@ def test_curriculum_bins_no_global_window_on_corpus(explain):
     # the tree there must still be a HashAggregate (the groupBy(n_chars)
     # key-count). Numbering raw corpus rows globally would put a Window
     # directly over the scan with no aggregate beneath it.
-    assert "Window" in tree
-    below_last_window = tree[tree.rindex("Window"):]
+    windows = _op_spans(tree, "Window")
+    assert windows
+    below_last_window = tree[windows[-1]:]
     assert "HashAggregate" in below_last_window
 
 
