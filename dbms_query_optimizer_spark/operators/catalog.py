@@ -596,7 +596,7 @@ DRIVER_PRIORITY = [
     "join_semi",
     "join_anti",
     "join_nonequi",
-    "distinct",
+    "txn_write_read",         # §2.1 transactional write path (manifest log)
     "sort_limit",
     "topk_per_group",
     "window_running",

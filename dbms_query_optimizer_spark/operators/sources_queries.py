@@ -462,8 +462,54 @@ ORACLE_BUCKETED_COLOCATED_JOIN = """
 """
 
 
+def q_txn_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional write path, end-to-end through the manifest commit
+    log (sources/manifest.py — the observable contract of the reference's
+    transaction surface, test/unit/log/log_manager_test.cc:249-300):
+    txn1 commits one slice of orders, txn2 stages another slice and
+    ABORTS, txn3 commits a third slice. The read resolves the latest
+    committed manifest, so the result must contain exactly the two
+    committed slices — abort invisibility verified at the value level by
+    the DuckDB oracle over the equivalent predicate.
+
+    Scale: the data plane is ordinary distributed parquet writes; only
+    the O(KB) manifest commit serializes through the driver.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 0))
+    t1.commit()
+    t2 = table.begin()
+    t2.insert(orders.filter(F.col("o_orderkey") % 10 == 1))
+    t2.abort()
+    t3 = table.begin()
+    t3.insert(orders.filter(F.col("o_orderkey") % 10 == 2))
+    t3.commit()
+    # fresh open = the recovery path readers take after a crash
+    return TransactionalTable(root).read(spark).orderBy("o_orderkey")
+
+
+ORACLE_TXN_WRITE_READ = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 IN (0, 2)
+    ORDER BY o_orderkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
         "bucketed_colocated_join": (
             q_bucketed_colocated_join,
             ORACLE_BUCKETED_COLOCATED_JOIN,

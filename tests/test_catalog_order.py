@@ -27,6 +27,7 @@ FAMILIES = {
     "corpus_pipelines": {"corpus_prep", "decontaminate_ngram", "pack_sequences"},
     "temporal": {"asof_join", "range_join_bucketed"},
     "sources": {"source_python_datasource", "dpp_join_pruned"},
+    "transactional_write": {"txn_write_read"},
     "streaming": {"events_sessionized", "streaming_tumbling", "streaming_dedup"},
     "governance": {"robust_stats_mad"},
     "tpch": {"tpch_q1", "tpch_q15"},
