@@ -257,6 +257,28 @@ COMMENTARY = {
         "stage) so the aggregate touches 1/16th of rows; partial+final "
         "HashAggregate; no Sample operator and no RNG."
     ),
+    "dedup_embedding_cosine": (
+        "Exact all-pairs cosine as a distributed block-grid GEMM. Expect: "
+        "ONE embeddings scan, a generator/explode replicating each row to "
+        "its B grid tiles, a single hash shuffle on (bi, bj), and "
+        "FlatMapGroupsInPandas doing the per-tile numpy GEMM — no "
+        "driver-side collect, no corpus broadcast, no unblocked "
+        "CartesianProduct."
+    ),
+    "knn_ivf": (
+        "IVF probe path. Expect: probe-cell assignment fully distributed — "
+        "queries BroadcastNestedLoopJoin'd against the tiny centroid frame, "
+        "squared distance as a JVM-side higher-order fold, row_number "
+        "window bounded at k rows per query — then a broadcast equi-join "
+        "on cell against the assigned corpus. No query-vector collect."
+    ),
+    "tpch_q15": (
+        "Q15 top supplier. Expect: the per-supplier revenue aggregate "
+        "consumed by a 1-row MAX aggregate + BroadcastNestedLoopJoin "
+        "(crossJoin of the 1-row max) + Filter — and NO Window with an "
+        "empty partition spec anywhere (the single-partition scale-killer "
+        "this formulation exists to avoid)."
+    ),
 }
 
 
