@@ -764,6 +764,107 @@ ORACLE_EMBEDDING_COSINE = f"""
 """
 
 
+EMB_LSH_BANDS = 4  # sign-LSH bands for the sub-quadratic variant
+EMB_LSH_DIMS = 4  # dims per band -> 16 buckets per band
+
+
+def _emb_band_key(col: str, band: int):
+    base = band * EMB_LSH_DIMS
+    return sum(
+        (
+            F.when(F.col(col).getItem(base + i) > 0, F.lit(2**i)).otherwise(F.lit(0))
+            for i in range(EMB_LSH_DIMS)
+        ),
+        F.lit(0),
+    )
+
+
+def _emb_band_key_sql(band: int) -> str:
+    base = band * EMB_LSH_DIMS
+    return " + ".join(
+        f"(CASE WHEN embedding[{base + i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(EMB_LSH_DIMS)
+    )
+
+
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup: banded sign-LSH candidate
+    generation, exact cosine verify inside buckets only.
+
+    The scale path past even the block-grid GEMM of
+    ``q_dedup_embedding_cosine``: each vector lands in EMB_LSH_BANDS
+    buckets (sign pattern of that band's dims — OR-amplification across
+    bands), candidates are same-(band, bucket) pairs found by an
+    EQUI-join, and only candidates pay the exact-cosine verify. Work is
+    Σ|bucket|² per band instead of n² — fully shuffle-bounded, no
+    replication of the corpus beyond the band count. The trade is
+    recall: sign agreement is probabilistic, so this catches a subset of
+    the exact operator's pairs (measured against it in
+    tests/test_similarity.py); raise bands/probe for more recall.
+
+    Deterministic coordinate-hyperplane LSH keeps it SQL-expressible, so
+    unlike most ANN paths this one has a full value-level DuckDB oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), _emb_band_key("embedding", b).alias("key")
+            )
+            for b in range(EMB_LSH_BANDS)
+        ]
+    )
+    bk = e.select("vec_id", F.explode(bands).alias("bk")).select(
+        "vec_id", "bk.band", "bk.key"
+    )
+    cand = (
+        bk.toDF("id_a", "band", "key")
+        .join(bk.toDF("id_b", "band", "key"), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair agreeing in several bands is one candidate
+    )
+    ea = e.toDF("id_a", "va")
+    eb = e.toDF("id_b", "vb")
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= COSINE_T)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_embedding_cosine_lsh() -> str:
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ({_emb_band_key_sql(b)}) AS key FROM embeddings"
+        for b in range(EMB_LSH_BANDS)
+    )
+    cos = (
+        "ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+    WITH bk AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {cos} AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE {cos} >= {COSINE_T}
+    ORDER BY id_a, id_b
+    """
+
+
 SPAN_N = 8  # span length (tokens) for cross-document span duplication
 
 
@@ -884,4 +985,8 @@ def oracles() -> dict[str, tuple]:
         "dedup_components": (q_dedup_components, _oracle_dedup_components()),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _oracle_ngram_jaccard()),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_EMBEDDING_COSINE),
+        "dedup_embedding_cosine_lsh": (
+            q_dedup_embedding_cosine_lsh,
+            _oracle_embedding_cosine_lsh(),
+        ),
     }

@@ -68,3 +68,27 @@ def test_brute_force_shape(spark, sf_dir):
         cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_embedding_dedup_lsh_subset_and_recall(spark, sf_dir):
+    from dbms_query_optimizer_spark.operators.dedup import (
+        q_dedup_embedding_cosine,
+        q_dedup_embedding_cosine_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in q_dedup_embedding_cosine_lsh(spark, sf_dir).collect()
+    }
+    # every LSH pair is a true pair with the identical verified cosine
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == c for p, c in lsh.items())
+    # banded sign-LSH recall on this corpus (pairs hover just above the
+    # 0.4 threshold — the hard regime for LSH); deterministic, so a fixed
+    # floor is safe: measured 35/59 at sf0.01
+    if exact:
+        assert len(lsh) / len(exact) >= 0.4, (len(lsh), len(exact))
