@@ -78,6 +78,8 @@ HEADLINE = [
     # GEMM dedup is above; these two complete the before/after story)
     "knn_ivf",
     "tpch_q15",
+    # round 3: incremental materialized-view maintenance (delta joins)
+    "incremental_join_view",
 ]
 
 

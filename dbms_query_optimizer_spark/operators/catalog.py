@@ -541,6 +541,14 @@ from ..streaming import stateful as SST  # noqa: E402
 for _name, (_fn, _sql) in SST.oracles().items():
     register(_name, _fn, _sql)
 
+# ------------------------- incremental view maintenance (delta joins)
+
+register(
+    "incremental_join_view",
+    R.q_incremental_join_view,
+    R.ORACLE_INCREMENTAL_JOIN_VIEW,
+)
+
 # -------------------------------- corpus prep: decontaminate/chunk/pack
 
 from . import pipeline_prep as PP  # noqa: E402

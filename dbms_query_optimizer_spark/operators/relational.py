@@ -1373,6 +1373,69 @@ ORDER BY l_returnflag
 """
 
 
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance via delta-join decomposition.
+
+    A materialized orders⋈lineitem revenue-by-month view built from the
+    pre-1998 snapshot of BOTH inputs is advanced when each side receives a
+    delta (orders split on o_orderdate, lineitem on l_shipdate — the
+    splits genuinely overlap, so every term is non-empty). With
+    A = A_old ∪ ΔA and B = B_old ∪ ΔB the refreshed view is
+
+        V_old ⊕ ΔA⋈B_old ⊕ A_old⋈ΔB ⊕ ΔA⋈ΔB
+
+    — three delta-sized joins instead of one full re-join, the algebra
+    every incremental/streaming materialized view engine applies. Only
+    mergeable partials (counts, exact-decimal sums) cross the batch
+    boundary, so ⊕ is a re-aggregation on the group key. At 100 TB the
+    snapshot sides stay bucketed by orderkey and each delta term becomes
+    a co-located probe of a small delta against one bucketed snapshot;
+    the full re-join the oracle runs is exactly the cost this avoids.
+    The oracle joins and aggregates the complete tables in one pass: the
+    incrementally-maintained view must be value-identical.
+    """
+    t = load_tables(spark, sf_dir)
+    cut = F.lit("1998-01-01").cast("timestamp")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate", disc_price_expr().alias("_rev"))
+    o_old = o.filter(F.col("o_orderdate") < cut)
+    o_new = o.filter(F.col("o_orderdate") >= cut)
+    l_old = li.filter(F.col("l_shipdate") < cut)
+    l_new = li.filter(F.col("l_shipdate") >= cut)
+
+    def partials(odf: DataFrame, ldf: DataFrame) -> DataFrame:
+        return (
+            odf.join(ldf, odf["o_orderkey"] == ldf["l_orderkey"])
+            .groupBy(F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"))
+            .agg(F.sum("_rev").alias("p_rev"), F.count(F.lit(1)).alias("p_n"))
+        )
+
+    merged = (
+        partials(o_old, l_old)  # V_old
+        .unionAll(partials(o_new, l_old))
+        .unionAll(partials(o_old, l_new))
+        .unionAll(partials(o_new, l_new))
+    )
+    return (
+        merged.groupBy("month")
+        .agg(
+            F.round(F.sum("p_rev").cast("double"), 4).alias("revenue"),
+            F.sum("p_n").alias("n_items"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_INCREMENTAL_JOIN_VIEW = """
+SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY month
+ORDER BY month
+"""
+
+
 def q_recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``WITH RECURSIVE`` (Spark 4): ancestor-path enumeration over
     the implicit binary hierarchy parent(k) = k DIV 2 on part keys.

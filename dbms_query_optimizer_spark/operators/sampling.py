@@ -191,9 +191,72 @@ ORACLE_APPROX_COUNTS_SAMPLED = f"""
 """
 
 
+RESERVOIR_K = 20  # docs kept per source
+RESERVOIR_SALTS = 16  # stage-1 shards per source
+
+
+def q_sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: the RESERVOIR_K docs with the
+    smallest md5(doc_id) within each source — a fixed-size uniform sample
+    per group that is reproducible across runs, engines, and partition
+    layouts (the classic distributed substitute for stateful reservoir
+    sampling: rank by key hash, keep the k smallest).
+
+    Executed in two stages so no single task ever sees a whole group: a
+    per-(source, salt) top-k window first cuts each source to at most
+    SALTS·K rows, then the per-source window ranks that bounded set. At
+    100 TB a hot source streams through its 16 salt shards in parallel
+    and the final window input is 320 rows per source regardless of
+    corpus size. The single-stage SQL oracle is value-identical because
+    each group's true top-k survives stage 1 (every top-k row is also
+    top-k within its salt shard).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    salted = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(RESERVOIR_SALTS)).alias("_salt"),
+    )
+    w1 = W.partitionBy("source", "_salt").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    pruned = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= RESERVOIR_K)
+    )
+    w2 = W.partitionBy("source").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("source", "sample_rank", "doc_id", "lang")
+        .orderBy("source", "sample_rank")
+    )
+
+
+ORACLE_SAMPLE_RESERVOIR_PER_GROUP = f"""
+    SELECT source, sample_rank, doc_id, lang
+    FROM (
+        SELECT source, doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+               ) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= {RESERVOIR_K}
+    ORDER BY source, sample_rank
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "hash_split_train": (q_hash_split_train, ORACLE_HASH_SPLIT_TRAIN),
+        "sample_reservoir_per_group": (
+            q_sample_reservoir_per_group,
+            ORACLE_SAMPLE_RESERVOIR_PER_GROUP,
+        ),
         "sample_stratified": (q_sample_stratified, None),
         "sample_weighted": (q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
         "approx_counts_sampled": (

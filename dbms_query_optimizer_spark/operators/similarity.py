@@ -245,6 +245,138 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(pairs)
 
 
+PQ_M = 16  # subspaces (codes per vector)
+PQ_SUBDIM = 4  # dims per subspace (PQ_M * PQ_SUBDIM = EMB_DIM)
+PQ_K = 32  # centroids per subspace codebook
+PQ_ITERS = 6  # Lloyd's iterations
+
+
+def _pq_sq_l2() -> F.Column:
+    """Squared L2 between ``subvec`` (float) and ``cvec`` (double)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("subvec"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_mean_centroids(assigned: DataFrame) -> DataFrame:
+    """(sub, code, subvec) rows -> per-(sub, code) element-wise mean, as a
+    double array rebuilt in dim order (the embedding_centroids pattern)."""
+    return (
+        assigned.select("sub", "code", F.posexplode("subvec").alias("dim", "v"))
+        .groupBy("sub", "code", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("_a"))
+        .select("sub", "code", F.transform("_a", lambda s: s["mu"]).alias("cvec"))
+    )
+
+
+def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric distance.
+
+    Build: the 64-dim embedding splits into PQ_M=16 subvectors and each
+    subspace trains a PQ_K=32-centroid codebook — but NOT as M separate
+    fits: all subspaces run Lloyd's iterations TOGETHER, the subspace id
+    being just another group key. Init is deterministic random-partition
+    (code = xxhash64(vec_id) mod K, so every cell starts non-empty);
+    each iteration is one assign (broadcast-codebook join + struct-min
+    argmin, map-side combine) and one mean update (posexplode + grouped
+    avg), i.e. two bounded shuffles per iteration over the whole codebook
+    regardless of M — at 100 TB training reads a sample, and the codebook
+    stays M·K·subdim doubles, localCheckpointed per iteration so lineage
+    doesn't compound. The corpus then compresses 16× (one byte-sized code
+    per subspace vs 4-byte floats).
+
+    Search (ADC): each query precomputes a per-(sub, code) squared-distance
+    table — Q·M·K rows, broadcast — and candidate distances are the
+    equi-join of corpus codes with that table summed per (query, vector):
+    no float vectors are touched at query time, which is what makes PQ
+    serving viable when the corpus no longer fits in cluster memory
+    uncompressed. k-means isn't SQL-expressible, so this entry is
+    rows-only for the driver; recall against the exact L2 baseline is
+    asserted in tests/test_similarity.py.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    sub = (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("sub"),
+                            F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                                "subvec"
+                            ),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", F.col("s.sub").alias("sub"), F.col("s.subvec").alias("subvec"))
+        .cache()
+    )
+
+    d2 = _pq_sq_l2()
+
+    # ---- codebook training: joint Lloyd's over all subspaces
+    codebook = _pq_mean_centroids(
+        sub.withColumn("code", F.pmod(F.xxhash64("vec_id"), F.lit(PQ_K)).cast("int"))
+    ).localCheckpoint(eager=True)
+    for _ in range(PQ_ITERS):
+        assigned = (
+            sub.join(F.broadcast(codebook), "sub")
+            .withColumn("_d2", d2)
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))).alias(
+                    "m"
+                ),
+                F.first("subvec").alias("subvec"),
+            )
+            .select("sub", F.col("m.c").alias("code"), "subvec")
+        )
+        codebook = _pq_mean_centroids(assigned).localCheckpoint(eager=True)
+
+    codes = (
+        sub.join(F.broadcast(codebook), "sub")
+        .withColumn("_d2", d2)
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))).alias("m"))
+        .select("vec_id", "sub", F.col("m.c").alias("code"))
+    )
+
+    qtab = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codebook), "sub")
+        .withColumn("_d2", d2)
+        .select(F.col("vec_id").alias("query_id"), "sub", "code", "_d2")
+    )
+
+    adc = (
+        codes.join(F.broadcast(qtab), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "_d2")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("_d2"), 6).alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm + bucket occupancy — the precomputation a serving
     path would materialize once (norms make cosine a pure dot product)."""
@@ -370,5 +502,6 @@ def oracles() -> dict[str, tuple]:
         "embedding_centroids": (q_embedding_centroids, ORACLE_EMBEDDING_CENTROIDS),
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
         "knn_ivf": (q_knn_ivf, None),
+        "embedding_pq_adc": (q_embedding_pq_adc, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
     }

@@ -92,3 +92,50 @@ def test_embedding_dedup_lsh_subset_and_recall(spark, sf_dir):
     # floor is safe: measured 35/59 at sf0.01
     if exact:
         assert len(lsh) / len(exact) >= 0.4, (len(lsh), len(exact))
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """PQ-ADC ranks by approximate squared L2; recall is judged against the
+    exact L2 top-k (numpy oracle over the raw parquet), plus structural
+    invariants: full rank lists, self excluded, distances non-negative and
+    ascending."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbms_query_optimizer_spark.operators.similarity import (
+        N_QUERIES,
+        q_embedding_pq_adc,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    X = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    exact: dict[int, set[int]] = {}
+    for qi in range(N_QUERIES):
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        top = np.argsort(d2, kind="stable")[:TOP_K]
+        exact[int(ids[qi])] = {int(ids[i]) for i in top}
+
+    per_q: dict[int, list] = {}
+    for r in q_embedding_pq_adc(spark, sf_dir).collect():
+        per_q.setdefault(r["query_id"], []).append(r)
+
+    assert set(per_q) == set(exact)
+    recalls = []
+    for qid, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, TOP_K + 1))
+        d2s = [r["adc_d2"] for r in rs]
+        assert d2s == sorted(d2s) and d2s[0] >= 0
+        assert all(r["neighbor_id"] != qid for r in rs)
+        recalls.append(len({r["neighbor_id"] for r in rs} & exact[qid]) / TOP_K)
+    mean_recall = sum(recalls) / len(recalls)
+    # 32 centroids x 16 subspaces: measured 0.44 at sf0.01 vs 0.02 by
+    # chance. Floor sits below the measurement because centroid means are
+    # float sums whose partial-aggregation order varies with partitioning —
+    # a borderline assignment may flip between cluster layouts.
+    assert mean_recall >= 0.35, f"mean recall {mean_recall:.2f}, per-query {recalls}"
