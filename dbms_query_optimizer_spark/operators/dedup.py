@@ -974,8 +974,117 @@ ORDER BY name_a, name_b
 """
 
 
+SEMDEDUP_K = 8  # semantic clusters (scales with corpus size in production)
+SEMDEDUP_ITERS = 5  # Lloyd's iterations
+SEMDEDUP_TAU = COSINE_T  # same near-dup threshold as the exact pair listing
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means clusters as the
+    blocking structure, near-dup survivorship decided within each cluster
+    (after "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", Abbas et al., 2023 — public paper).
+
+    Build: distributed Lloyd's over the full embedding (hash-partition
+    init so every cell starts non-empty; broadcast-centroid crossJoin +
+    struct-min argmin assign, posexplode grouped-mean update — two
+    bounded shuffles per iteration, centroid frame localCheckpointed so
+    lineage stays flat). Dedup: per-cluster Arrow applyInPandas computes
+    the dense cosine tile with one numpy GEMM and drops every vector that
+    has a smaller-id in-cluster witness with cosine >= SEMDEDUP_TAU; the
+    surviving copy is the smallest id, reported as ``dup_of`` on each
+    dropped row.
+
+    Scale: the cluster count grows with the corpus so each tile fits one
+    executor (SemDeDup's own regime — 50k clusters for web scale); a
+    pathological giant cluster falls back to the block-grid GEMM of
+    q_dedup_embedding_cosine inside the cluster. Cross-cluster near-dup
+    pairs are missed BY DESIGN — that approximation is the method; the
+    property test checks every drop against the exact pair listing and
+    every keep against a numpy recomputation of its cluster. k-means is
+    not SQL-expressible => rows-only for the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+
+    def means(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("_a"))
+            .select("cluster", F.transform("_a", lambda s: s["mu"]).alias("cvec"))
+        )
+
+    cent = means(
+        e.withColumn(
+            "cluster", F.pmod(F.xxhash64("vec_id"), F.lit(SEMDEDUP_K)).cast("int")
+        )
+    ).localCheckpoint(eager=True)
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("_d2", d2)
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(F.col("_d2").alias("d"), F.col("cluster").alias("c"))
+                ).alias("m"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", F.col("m.c").alias("cluster"), "embedding")
+        )
+
+    for _ in range(SEMDEDUP_ITERS):
+        cent = means(assign(cent)).localCheckpoint(eager=True)
+    assigned = assign(cent)
+
+    def cluster_dedup(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        witness = np.tril(cos >= SEMDEDUP_TAU, -1)  # j < i with cos >= tau
+        has = witness.any(axis=1)
+        first = witness.argmax(axis=1)  # smallest-id witness (ids ascending)
+        dup_of = [int(ids[j]) if h else None for h, j in zip(has, first)]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": int(key[0]),
+                "keep": ~has,
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(cluster_dedup, schema="vec_id long, cluster int, keep boolean, dup_of long")
+        .orderBy("vec_id")
+    )
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "dedup_semantic": (q_dedup_semantic, None),
         "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),

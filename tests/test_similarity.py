@@ -139,3 +139,57 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     # float sums whose partial-aggregation order varies with partitioning —
     # a borderline assignment may flip between cluster layouts.
     assert mean_recall >= 0.35, f"mean recall {mean_recall:.2f}, per-query {recalls}"
+
+
+def test_dedup_semantic_properties(spark, sf_dir):
+    """SemDeDup survivorship: every drop is a true near-dup of its smaller-id
+    in-cluster witness (cross-checked against the exact pair listing, same
+    threshold and rounding); every keep has no such witness (numpy
+    recomputation over its cluster); assignments cover each vector once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbms_query_optimizer_spark.operators.dedup import (
+        SEMDEDUP_TAU,
+        q_dedup_embedding_cosine,
+        q_dedup_semantic,
+    )
+
+    rows = q_dedup_semantic(spark, sf_dir).collect()
+    exact = {
+        (r["id_a"], r["id_b"]) for r in q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vec = {
+        int(i): np.asarray(list(v), dtype=np.float64)
+        for i, v in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    assert set(ids) == set(vec)
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    cluster_of = {r["vec_id"]: r["cluster"] for r in rows}
+    n_drops = 0
+    for r in rows:
+        if r["keep"]:
+            assert r["dup_of"] is None
+            smaller = [
+                i for i in ids if i < r["vec_id"] and cluster_of[i] == r["cluster"]
+            ]
+            assert all(cos(vec[i], vec[r["vec_id"]]) < SEMDEDUP_TAU for i in smaller)
+        else:
+            n_drops += 1
+            w = r["dup_of"]
+            assert w is not None and w < r["vec_id"]
+            assert cluster_of[w] == r["cluster"]
+            assert (w, r["vec_id"]) in exact  # same tau => must be an exact pair
+    # the sf0.01 corpus has ~59 exact near-dup pairs; clustering must
+    # co-locate at least one of them for the operator to be non-trivial
+    assert n_drops > 0
