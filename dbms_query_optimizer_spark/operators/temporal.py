@@ -459,8 +459,89 @@ ORDER BY event_type, day
 """
 
 
+OVERLAP_BAND_HOURS = 6  # bucket width for interval-overlap candidates
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: for each user's daily active interval
+    [min ts, max ts], count the OTHER users whose same-day interval
+    overlaps it — the concurrency/co-presence query shape (meeting
+    detection, resource contention, ad co-viewership) that needs an
+    interval ⋈ interval predicate, the one temporal join neither the
+    as-of nor the trailing-range operator covers.
+
+    A naive theta join is a per-day cross product. Here candidates come
+    from an EQUI-join on (day, band): each interval explodes over the
+    OVERLAP_BAND_HOURS-hour bands it covers, overlapping intervals
+    necessarily share a band, the exact predicate (sa <= eb AND
+    sb <= ea) filters inside the band, and pairs that meet in several
+    bands collapse with one distinct. Band width is the knob: finer
+    bands cut false candidates quadratically but replicate long
+    intervals linearly — at 100 TB it is sized so one (day, band) cell
+    fits an executor, and a skewed cell (flash-crowd day) further
+    splits by salting the band exactly like the salted equi-join.
+    Zero-overlap intervals are restored with a left join so the result
+    covers every user-day.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    iv = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+
+    def banded(side: str) -> DataFrame:
+        return iv.select(
+            F.col("user_id").alias(f"user_{side}"),
+            "day",
+            F.col("s").alias(f"s{side}"),
+            F.col("e").alias(f"e{side}"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.hour("s") / OVERLAP_BAND_HOURS),
+                    F.floor(F.hour("e") / OVERLAP_BAND_HOURS),
+                )
+            ).alias("band"),
+        )
+
+    pairs = (
+        banded("a")
+        .join(banded("b"), ["day", "band"])
+        .filter(
+            (F.col("user_a") != F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("user_a", "user_b", "day")
+        .distinct()
+    )
+    counts = pairs.groupBy("user_a", "day").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        iv.select(F.col("user_id").alias("user_a"), "day")
+        .join(counts, ["user_a", "day"], "left")
+        .select("user_a", "day", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+        .orderBy("user_a", "day")
+    )
+
+
+ORACLE_INTERVAL_OVERLAP_JOIN = """
+    WITH iv AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               MIN(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS s,
+               MAX(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS e
+        FROM events GROUP BY user_id, day
+    )
+    SELECT a.user_id AS user_a, a.day AS day,
+           COUNT(b.user_id) AS n_overlap
+    FROM iv a LEFT JOIN iv b
+      ON a.day = b.day AND a.user_id <> b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id, a.day
+    ORDER BY user_a, day
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
