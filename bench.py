@@ -78,8 +78,10 @@ HEADLINE = [
     # GEMM dedup is above; these two complete the before/after story)
     "knn_ivf",
     "tpch_q15",
-    # round 3: incremental materialized-view maintenance (delta joins)
+    # round 3: incremental materialized-view maintenance (delta joins),
+    # sweep-line interval-overlap census
     "incremental_join_view",
+    "interval_overlap_join",
 ]
 
 

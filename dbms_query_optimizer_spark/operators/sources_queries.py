@@ -507,9 +507,67 @@ ORACLE_TXN_WRITE_READ = """
 """
 
 
+def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel over the manifest commit log: two
+    committed versions of the table, then BOTH read back concurrently —
+    ``read(version=v1)`` must see only txn1's rows even though v2 is
+    already the latest manifest (immutable data files + versioned
+    manifests make historical reads free, the Iceberg/Delta property the
+    reference's transaction tests imply but its empty LogManager cannot
+    deliver; log_manager_test.cc:249-300 is the commit-visibility spec).
+    The result is one aggregate row per snapshot; the oracle recomputes
+    each snapshot's membership predicate directly.
+
+    Scale: a historical read plans exactly like a current read — the
+    manifest pins a file list, the scan is ordinary distributed parquet.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_tt", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 3))
+    v1 = t1.commit()
+    t2 = table.begin()
+    t2.insert(orders.filter(F.col("o_orderkey") % 10 == 4))
+    v2 = t2.commit()
+
+    fresh = TransactionalTable(root)  # recovery-path open
+
+    def snap(version: int, name: str) -> DataFrame:
+        return (
+            fresh.read(spark, version=version)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+            )
+            .select(F.lit(name).alias("snapshot"), "n_rows", "sum_price")
+        )
+
+    return snap(v1, "v1").unionAll(snap(v2, "v2")).orderBy("snapshot")
+
+
+ORACLE_TXN_TIME_TRAVEL = """
+    SELECT 'v1' AS snapshot, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT 'v2' AS snapshot, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 10 IN (3, 4)
+    ORDER BY snapshot
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
+        "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),
         "bucketed_colocated_join": (
             q_bucketed_colocated_join,
             ORACLE_BUCKETED_COLOCATED_JOIN,

@@ -279,6 +279,29 @@ COMMENTARY = {
         "empty partition spec anywhere (the single-partition scale-killer "
         "this formulation exists to avoid)."
     ),
+    "incremental_join_view": (
+        "Delta-join view maintenance. Expect: FOUR orders⋈lineitem joins — "
+        "each with the date-split predicates pushed into both parquet scans "
+        "(PushedFilters on o_orderdate / l_shipdate) — feeding partial "
+        "hash aggregates that union and re-aggregate on month. The full "
+        "re-join the oracle runs appears nowhere; every join input is a "
+        "filtered (snapshot- or delta-sized) scan."
+    ),
+    "interval_overlap_join": (
+        "Sweep-line interval-overlap COUNT (n = #{s_b <= e_a} - "
+        "#{e_b < s_a} - 1) — no pair materialization (the true pair set "
+        "is ~34 M at sf0.1). Expect: marker/probe unions hash-partitioned "
+        "on (day, band), running-sum Windows whose partitions are single "
+        "hour bands, a per-day prefix Window over <= 24 band rows, and "
+        "equi-joins only — no CartesianProduct, no day-wide window "
+        "partition, output one row per interval."
+    ),
+    "sample_reservoir_per_group": (
+        "Two-stage per-group reservoir. Expect: stage-1 Window partitioned "
+        "by (source, _salt) — 16 shards per group, so no task sorts a whole "
+        "source — a rank filter bounding each shard to k rows, then the "
+        "stage-2 per-source Window over at most 16·k rows per group."
+    ),
 }
 
 
