@@ -543,9 +543,72 @@ ORACLE_TRY_SAFE_ARITHMETIC = """
 """
 
 
+def q_functions_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family — scalar masks/shifts/popcount per key plus
+    the BIT_AND/BIT_OR/BIT_XOR aggregates (capability-flag folding). All
+    codegen'd integer ops fused into the scan; the aggregate half is a
+    single map-side-combinable groupBy."""
+    t = load_tables(spark, sf_dir)
+    scal = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .select(
+            "o_orderkey",
+            F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("and_lo"),
+            F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("or_hi"),
+            F.col("o_orderkey").bitwiseXOR(F.lit(1365)).alias("xor_pat"),
+            F.shiftleft(F.col("o_orderkey"), 3).alias("shl3"),
+            F.shiftright(F.col("o_orderkey"), 2).alias("shr2"),
+            F.bit_count(F.col("o_orderkey")).alias("popcount"),
+        )
+    )
+    aggd = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .groupBy(F.pmod(F.col("o_orderkey"), F.lit(4)).alias("grp"))
+        .agg(
+            F.bit_and("o_orderkey").alias("agg_and"),
+            F.bit_or("o_orderkey").alias("agg_or"),
+            F.bit_xor("o_orderkey").alias("agg_xor"),
+        )
+    )
+    return (
+        scal.join(aggd, F.pmod(F.col("o_orderkey"), F.lit(4)) == F.col("grp"))
+        .drop("grp")
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_FUNCTIONS_BITWISE = """
+    WITH scal AS (
+        SELECT o_orderkey,
+               o_orderkey & 255 AS and_lo,
+               o_orderkey | 4096 AS or_hi,
+               xor(o_orderkey, 1365) AS xor_pat,
+               o_orderkey << 3 AS shl3,
+               o_orderkey >> 2 AS shr2,
+               CAST(bit_count(o_orderkey) AS INT) AS popcount
+        FROM orders WHERE o_orderkey <= 400
+    ),
+    aggd AS (
+        SELECT o_orderkey % 4 AS grp,
+               bit_and(o_orderkey) AS agg_and,
+               bit_or(o_orderkey) AS agg_or,
+               bit_xor(o_orderkey) AS agg_xor
+        FROM orders WHERE o_orderkey <= 400
+        GROUP BY grp
+    )
+    SELECT s.o_orderkey, s.and_lo, s.or_hi, s.xor_pat, s.shl3, s.shr2,
+           s.popcount, a.agg_and, a.agg_or, a.agg_xor
+    FROM scal s JOIN aggd a ON s.o_orderkey % 4 = a.grp
+    ORDER BY s.o_orderkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "higher_order_funcs": (q_higher_order_funcs, ORACLE_HIGHER_ORDER_FUNCS),
+        "functions_bitwise": (q_functions_bitwise, ORACLE_FUNCTIONS_BITWISE),
         "functions_variant": (q_functions_variant, ORACLE_FUNCTIONS_VARIANT),
         "try_safe_arithmetic": (q_try_safe_arithmetic, ORACLE_TRY_SAFE_ARITHMETIC),
         "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
