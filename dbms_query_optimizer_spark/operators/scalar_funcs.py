@@ -605,10 +605,35 @@ ORACLE_FUNCTIONS_BITWISE = """
 """
 
 
+LATERAL_TOPK_SQL = """
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+    ) c
+    ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-nation top-2 customers by balance,
+    written as the SQL-standard lateral derived table (Spark decorrelates
+    the inner ORDER BY ... LIMIT into a per-key rank under the hood, so
+    the physical plan is the same windowed top-k as ``topk_per_group``,
+    not N correlated executions). The identical statement runs on DuckDB
+    as the oracle — this entry pins the SQL surface itself."""
+    load_tables(spark, sf_dir)  # registers views
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "higher_order_funcs": (q_higher_order_funcs, ORACLE_HIGHER_ORDER_FUNCS),
         "functions_bitwise": (q_functions_bitwise, ORACLE_FUNCTIONS_BITWISE),
+        "lateral_topk": (q_lateral_topk, LATERAL_TOPK_SQL),
         "functions_variant": (q_functions_variant, ORACLE_FUNCTIONS_VARIANT),
         "try_safe_arithmetic": (q_try_safe_arithmetic, ORACLE_TRY_SAFE_ARITHMETIC),
         "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),

@@ -669,9 +669,37 @@ ORACLE_BM25_SCORE = f"""
     """
 
 
+APPROX_TOPK_TERMS_K = 20
+
+
+def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: Spark 4's ``approx_top_k`` aggregate
+    over the corpus token stream. The sketch is bounded-memory and
+    MERGEABLE — each partition builds its own frequency sketch and only
+    sketches cross the shuffle, so at 100 TB the shuffle volume is
+    (sketch size × partitions), independent of vocabulary, where the
+    exact path (``zipf_token_rank``) shuffles one row per distinct
+    token. Sketch estimates aren't cross-engine reproducible => rows-only
+    for the driver; tests/test_text_sketch.py asserts the reported
+    counts equal exact counts at test scale (vocabulary fits the
+    sketch's maxItemsTracked, so no estimation error)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sk = tokens.selectExpr(f"approx_top_k(token, {APPROX_TOPK_TERMS_K}) AS tk")
+    return sk.select(F.posexplode("tk").alias("pos", "s")).select(
+        (F.col("pos") + 1).alias("rnk"),
+        F.col("s.item").alias("token"),
+        F.col("s.count").alias("est_count"),
+    )
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
+        "approx_topk_terms": (q_approx_topk_terms, None),
         "bm25_score": (q_bm25_score, ORACLE_BM25_SCORE),
         "quality_gopher_rules": (q_quality_gopher_rules, ORACLE_QUALITY_GOPHER_RULES),
         "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
