@@ -387,6 +387,76 @@ ORACLE_SOURCE_PYTHON_DATASOURCE = f"""
 """
 
 
+N_SYNTH_STREAM_ROWS = 2000
+SYNTH_STREAM_BATCH = 500
+
+
+def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom connector: the ``synthevents`` source read through
+    Spark 4's Python DataSourceStreamReader — row-id offsets, four
+    micro-batches of SYNTH_STREAM_BATCH rows, each batch split into
+    executor-side partitions, drained synchronously into a memory sink.
+
+    The offset log makes each batch replayable and the read is a pure
+    function of the row range, so the streamed union of micro-batches
+    must equal the batch dataset — the DuckDB range() oracle verifies
+    the full connector surface (offsets, per-batch partitioning,
+    executor read) value-for-value.
+    """
+    del sf_dir  # generator source — no testdata input
+    import uuid
+
+    from ..sources.python_datasource import register
+
+    register(spark)
+    name = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("synthevents")
+        .option("rows", str(N_SYNTH_STREAM_ROWS))
+        .option("rowsPerBatch", str(SYNTH_STREAM_BATCH))
+        .option("partitions", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("amount").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_amount"),
+            F.max("row_id").alias("max_row_id"),
+        )
+        .orderBy("kind")
+    )
+
+
+ORACLE_SOURCE_PYTHON_STREAM = f"""
+    SELECT kind,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount,
+           MAX(row_id) AS max_row_id
+    FROM (
+        SELECT i AS row_id,
+               ['view','click','purchase','signup','error'][(i % 5) + 1] AS kind,
+               CAST((i * 37) % 1000 AS DOUBLE) / 4.0 AS amount
+        FROM (SELECT UNNEST(range(0, {N_SYNTH_STREAM_ROWS})) AS i)
+    )
+    GROUP BY kind
+    ORDER BY kind
+"""
+
+
 BUCKET_N = 4
 
 
@@ -568,6 +638,7 @@ def oracles() -> dict[str, tuple]:
     return {
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),
+        "source_python_stream": (q_source_python_stream, ORACLE_SOURCE_PYTHON_STREAM),
         "bucketed_colocated_join": (
             q_bucketed_colocated_join,
             ORACLE_BUCKETED_COLOCATED_JOIN,

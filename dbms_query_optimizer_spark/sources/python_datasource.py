@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     InputPartition,
 )
@@ -110,6 +111,51 @@ class SyntheticEventsReader(DataSourceReader):
             yield (i, kind, amount)
 
 
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAMING reader over the same deterministic row space.
+
+    Offsets are row ids: each ``latestOffset()`` call advances the high
+    watermark by ``rowsPerBatch`` until ``rows`` is reached, so the source
+    emits a bounded, replayable sequence of micro-batches. ``partitions()``
+    splits every batch's [start, end) row range into ``partitions``
+    independent slices read executor-side — the same scale story as the
+    batch reader (add partitions, nothing else changes), now per batch.
+    Offsets are plain dicts checkpointed by Spark; ``read`` is a pure
+    function of the row range, so recovery/replay of any batch is
+    value-identical — exactly-once end to end with an idempotent sink.
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("rowsPerBatch", "250"))
+        self.n_parts = int(options.get("partitions", "4"))
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def latestOffset(self):
+        self._latest = min(self._latest + self.batch_rows, self.n_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["row"]), int(end["row"])
+        n = max(1, hi - lo)
+        step = max(1, -(-n // self.n_parts))
+        return [
+            _RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            kind = EVENT_KINDS[i % len(EVENT_KINDS)]
+            amount = float((i * 37) % 1000) / 4.0
+            yield (i, kind, amount)
+
+    def commit(self, end):
+        pass
+
+
 class SyntheticEvents(DataSource):
     @classmethod
     def name(cls):
@@ -120,6 +166,9 @@ class SyntheticEvents(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -79,3 +79,62 @@ def test_unsupported_filters_returned():
         )
     )
     assert len(leftovers) == 2  # only kind-equality is consumed
+
+
+def test_stream_reader_batches_and_replay():
+    """Offset mechanics without a SparkSession: the high watermark ratchets
+    by rowsPerBatch up to rows; any [start, end) range reads the same
+    values on replay (pure function of row id); batch partitioning splits
+    the range without overlap or loss."""
+    from dbms_query_optimizer_spark.sources.python_datasource import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader(
+        {"rows": "1000", "rowsPerBatch": "300", "partitions": "3"}
+    )
+    assert r.initialOffset() == {"row": 0}
+    highs = [r.latestOffset()["row"] for _ in range(5)]
+    assert highs == [300, 600, 900, 1000, 1000]  # ratchets, then caps
+
+    parts = r.partitions({"row": 300}, {"row": 600})
+    ranges = sorted((p.start, p.end) for p in parts)
+    assert ranges[0][0] == 300 and ranges[-1][1] == 600
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 == s2  # contiguous, no overlap
+
+    rows_a = [row for p in parts for row in r.read(p)]
+    rows_b = [row for p in r.partitions({"row": 300}, {"row": 600}) for row in r.read(p)]
+    assert rows_a == rows_b  # replay-identical
+    assert [row[0] for row in rows_a] == list(range(300, 600))
+
+
+def test_stream_query_equals_batch(spark):
+    """End-to-end micro-batch drain: the streamed union equals the batch
+    read of the same source (same rows, same values), across 4 batches."""
+    from dbms_query_optimizer_spark.operators.sources_queries import (
+        N_SYNTH_STREAM_ROWS,
+        q_source_python_stream,
+    )
+    from dbms_query_optimizer_spark.sources.python_datasource import register
+
+    got = {r["kind"]: (r["n_rows"], r["sum_amount"], r["max_row_id"])
+           for r in q_source_python_stream(spark, "ignored").collect()}
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    batch = (
+        spark.read.format("synthevents")
+        .option("rows", str(N_SYNTH_STREAM_ROWS))
+        .load()
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("amount").cast("decimal(12,2)")).cast("double").alias("sum_amount"),
+            F.max("row_id").alias("max_row_id"),
+        )
+    )
+    want = {r["kind"]: (r["n_rows"], r["sum_amount"], r["max_row_id"])
+            for r in batch.collect()}
+    assert got == want
