@@ -549,6 +549,12 @@ register(
     R.ORACLE_INCREMENTAL_JOIN_VIEW,
 )
 
+register(
+    "join_shuffle_hash",
+    R.q_join_shuffle_hash,
+    R.ORACLE_JOIN_SHUFFLE_HASH,
+)
+
 # -------------------------------- corpus prep: decontaminate/chunk/pack
 
 from . import pipeline_prep as PP  # noqa: E402

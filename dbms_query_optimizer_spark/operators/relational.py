@@ -1436,6 +1436,39 @@ ORDER BY month
 """
 
 
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-hash join, explicitly hinted — the middle physical strategy
+    between broadcast (build side must fit every executor) and sort-merge
+    (both sides pay a full sort). At 100 TB it is the right pick for a
+    fact ⋈ mid-size-dimension join: both sides shuffle on the key, the
+    smaller side's PARTITION (not the whole table) is hashed in memory,
+    and no sort happens at all. Catalyst would choose SMJ here by
+    default; the hint pins the hash build so the plan property test can
+    hold the strategy. Same result set as the unhinted join — strategy
+    choice must never change values (the oracle checks that)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"].hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_JOIN_SHUFFLE_HASH = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``WITH RECURSIVE`` (Spark 4): ancestor-path enumeration over
     the implicit binary hierarchy parent(k) = k DIV 2 on part keys.

@@ -43,6 +43,32 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    target_files: int | None = None,
+) -> None:
+    """INSERT-OVERWRITE semantics at partition granularity: only the
+    partitions PRESENT in ``df`` are replaced; every other partition of
+    the table is left untouched (``partitionOverwriteMode=dynamic``, set
+    per-write so the session default stays static).
+
+    The routine maintenance primitive for a 100 TB date-partitioned
+    table: a daily backfill rewrites yesterday's directory atomically-ish
+    without listing, reading, or rewriting the other ~3650 partitions —
+    with static overwrite (Spark's default) the same call would DELETE
+    the whole table first.
+    """
+    (
+        _shape(df, target_files)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -145,3 +145,11 @@ def test_sliding_distinct_dedupe_before_range_join(explain):
     head, _, tail = tree.partition("BroadcastNestedLoopJoin")
     assert tail, "range join missing"
     assert "HashAggregate" in tail  # dedupe in the join's subtree
+
+
+def test_shuffle_hash_join_strategy_pinned(explain):
+    plan = explain("join_shuffle_hash")
+    tree = _tree(plan)
+    assert "ShuffledHashJoin" in tree  # the hinted middle strategy
+    assert "SortMergeJoin" not in tree  # what Catalyst would default to
+    assert "CartesianProduct" not in tree

@@ -205,3 +205,48 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert (
         a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     )
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """Dynamic overwrite replaces ONLY the partitions present in the new
+    frame; static overwrite (the default) would truncate the whole table.
+    The backfill rewrites the 'click' partition with zeroed values; every
+    other event_type partition must survive byte-identical."""
+    from pyspark.sql import functions as F
+
+    from dbms_query_optimizer_spark.engine import load_tables
+    from dbms_query_optimizer_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+        write_parquet,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    path = str(tmp_path / "events_part")
+    write_parquet(ev, path, partition_by=["event_type"], target_files=4)
+
+    before = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+
+    backfill = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.lit(0.0)
+    )
+    overwrite_partitions_dynamic(backfill, path, ["event_type"], target_files=2)
+
+    after = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert set(after) == set(before)  # no partition vanished
+    for k in before:
+        if k == "click":
+            assert after[k] == (before[k][0], 0.0)  # rewritten, zeroed
+        else:
+            assert after[k] == before[k]  # untouched
