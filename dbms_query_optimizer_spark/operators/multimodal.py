@@ -273,9 +273,71 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInPandas(featurize, schema=schema)
 
 
+THUMB_W, THUMB_H = 4, 4  # thumbnail dims for the resize stage
+
+
+def resize_nearest(w: int, h: int, pixels: bytes, ow: int, oh: int):
+    """Nearest-neighbor resample of an RGB plane to (ow, oh) — the exact
+    integer mapping y_src = y_out·h // oh (deterministic, no float
+    filtering), returned as an (oh, ow, 3) uint8 array."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    return arr[ys][:, xs]
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the decode plane: decode each P6 payload, nearest-
+    neighbor downsample to a THUMB_W×THUMB_H thumbnail, emit the
+    thumbnail digest and per-channel sums — the thumbnail-generation /
+    preprocessing-to-fixed-input-shape job every multimodal training
+    pipeline runs. Pure map over Arrow batches: decode, resize, and
+    digest all happen executor-side on the streamed batch; nothing but
+    fixed-width features crosses back. At 100 TB this pairs with
+    frame-sampling so only surviving frames are ever decoded.
+    Rows-only for the driver (not SQL); tests/test_multimodal.py
+    recomputes thumbnails with an independent Python oracle.
+    """
+    import hashlib
+
+    df = image_table(spark, sf_dir)
+    cols = [
+        "doc_id", "src_w", "src_h", "out_w", "out_h",
+        "thumb_digest", "sum_r", "sum_g", "sum_b",
+    ]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(bytes(p))
+                t = resize_nearest(w, h, px, THUMB_W, THUMB_H)
+                rows.append(
+                    (
+                        int(d), w, h, THUMB_W, THUMB_H,
+                        hashlib.md5(t.tobytes()).hexdigest(),
+                        int(t[:, :, 0].sum()),
+                        int(t[:, :, 1].sum()),
+                        int(t[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, src_w int, src_h int, out_w int, out_h int, "
+            "thumb_digest string, sum_r long, sum_g long, sum_b long"
+        ),
+    ).orderBy("doc_id")
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+        "multimodal_resize": (q_multimodal_resize, None),
         "multimodal_frame_sample": (
             q_multimodal_frame_sample,
             ORACLE_MULTIMODAL_FRAME_SAMPLE,

@@ -79,3 +79,34 @@ def test_features_deterministic_and_complete(spark, sf_dir):
     for doc_id, row in list(rows1.items())[:10]:
         w, h = image_dims(doc_id)
         assert sum(row[4 : 4 + FEATURE_BINS]) == w * h * 3
+
+
+def test_resize_matches_python_oracle(spark, sf_dir):
+    """Thumbnails recomputed independently: decode + the same integer
+    nearest-neighbor mapping must reproduce digest and channel sums; every
+    document yields exactly one fixed-shape thumbnail."""
+    import hashlib
+
+    from dbms_query_optimizer_spark.operators.multimodal import (
+        THUMB_H,
+        THUMB_W,
+        q_multimodal_resize,
+        resize_nearest,
+    )
+
+    rows = {r["doc_id"]: r for r in q_multimodal_resize(spark, sf_dir).collect()}
+    n_docs = multimodal_table(spark, sf_dir).count()
+    assert len(rows) == n_docs
+
+    for doc_id in list(rows)[:8]:
+        r = rows[doc_id]
+        w, h, pixels = decode_image(make_ppm(doc_id))
+        t = resize_nearest(w, h, pixels, THUMB_W, THUMB_H)
+        assert (r["src_w"], r["src_h"]) == (w, h)
+        assert (r["out_w"], r["out_h"]) == (THUMB_W, THUMB_H)
+        assert r["thumb_digest"] == hashlib.md5(t.tobytes()).hexdigest()
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+            int(t[:, :, 0].sum()),
+            int(t[:, :, 1].sum()),
+            int(t[:, :, 2].sum()),
+        )
