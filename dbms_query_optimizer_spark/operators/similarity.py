@@ -498,6 +498,93 @@ ORACLE_EMBEDDING_QUANTIZE_INT8 = """
 """
 
 
+PCA_K = 4  # principal components kept
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection — the canonical big-data/small-model
+    split: the d×d covariance is assembled DISTRIBUTEDLY (each row
+    contributes its outer product as d² (i, j, x_i·x_j) tuples via nested
+    indexed transforms — all JVM expression code, map-side combine
+    shrinks the shuffle to d² partial sums per partition), the 64×64
+    eigendecomposition runs on the driver (O(d³), data-size-independent),
+    and the top-PCA_K component matrix broadcasts back as literal arrays
+    for a zip_with/aggregate projection pass. At 100 TB only the d²-sized
+    moment frame ever crosses the cluster; no vector is collected.
+    Eigenvector signs are normalized (largest-|entry| coordinate made
+    positive) so the output is deterministic up to float-sum jitter.
+    Not SQL-expressible (eigendecomposition) => rows-only; the numpy
+    PCA oracle in tests/test_similarity.py checks projections, variance
+    ordering, and centering.
+    """
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "label", "embedding")
+
+    # first + second moments, one distributed pass each
+    n = e.count()
+    mean_rows = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"))
+        .collect()
+    )
+    mu = np.zeros(EMB_DIM)
+    for r in mean_rows:
+        mu[r["i"]] = r["s"] / n
+
+    prods = F.explode(
+        F.flatten(
+            F.transform(
+                "embedding",
+                lambda x, i: F.transform(
+                    "embedding",
+                    lambda y, j: F.struct(
+                        (i * EMB_DIM + j).alias("ij"),
+                        (x.cast("double") * y.cast("double")).alias("p"),
+                    ),
+                ),
+            )
+        )
+    )
+    sec_rows = (
+        e.select(prods.alias("s"))
+        .select(F.col("s.ij").alias("ij"), F.col("s.p").alias("p"))
+        .groupBy("ij")
+        .agg(F.sum("p").alias("sp"))
+        .collect()
+    )
+    sec = np.zeros((EMB_DIM, EMB_DIM))
+    for r in sec_rows:
+        sec[r["ij"] // EMB_DIM, r["ij"] % EMB_DIM] = r["sp"]
+    cov = sec / n - np.outer(mu, mu)
+
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :PCA_K].T  # (k, d), descending variance
+    for c in comps:  # deterministic sign: largest-|entry| coordinate > 0
+        if c[int(np.abs(c).argmax())] < 0:
+            c *= -1.0
+
+    centered = F.zip_with(
+        F.col("embedding"),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x.cast("double") - m,
+    )
+    out = e.withColumn("_c", centered)
+    for k in range(PCA_K):
+        comp = F.array(*[F.lit(float(v)) for v in comps[k]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_c"), comp, lambda x, v: x * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out.withColumn(f"pc{k + 1}", F.round(dot, 6))
+    return out.select(
+        "vec_id", "label", *[f"pc{k + 1}" for k in range(PCA_K)]
+    ).orderBy("vec_id")
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
@@ -506,5 +593,6 @@ def oracles() -> dict[str, tuple]:
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
         "knn_ivf": (q_knn_ivf, None),
         "embedding_pq_adc": (q_embedding_pq_adc, None),
+        "embedding_pca_project": (q_embedding_pca_project, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
     }

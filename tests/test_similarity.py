@@ -193,3 +193,43 @@ def test_dedup_semantic_properties(spark, sf_dir):
     # the sf0.01 corpus has ~59 exact near-dup pairs; clustering must
     # co-locate at least one of them for the operator to be non-trivial
     assert n_drops > 0
+
+
+def test_pca_projection_matches_numpy_oracle(spark, sf_dir):
+    """Distributed PCA vs an independent numpy PCA over the raw parquet:
+    projections agree to float-jitter tolerance, explained variance is
+    descending, and each component's projections are centered."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbms_query_optimizer_spark.operators.similarity import (
+        PCA_K,
+        q_embedding_pca_project,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    X = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    mu = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :PCA_K].T.copy()
+    for c in comps:
+        if c[int(np.abs(c).argmax())] < 0:
+            c *= -1.0
+    want = (X - mu) @ comps.T  # (n, k)
+
+    rows = {r["vec_id"]: r for r in q_embedding_pca_project(spark, sf_dir).collect()}
+    assert set(rows) == set(int(i) for i in ids)
+    got = np.array(
+        [[rows[int(i)][f"pc{k + 1}"] for k in range(PCA_K)] for i in ids]
+    )
+    assert np.abs(got - want).max() < 1e-3, np.abs(got - want).max()
+
+    # descending explained variance, centered projections
+    var = got.var(axis=0)
+    assert all(var[k] >= var[k + 1] - 1e-9 for k in range(PCA_K - 1)), var
+    assert np.abs(got.mean(axis=0)).max() < 1e-3
