@@ -669,6 +669,63 @@ ORACLE_BM25_SCORE = f"""
     """
 
 
+# fixed logistic weights — a distilled "quality classifier" of the
+# fasttext-gate kind every corpus pipeline runs at ingest; interpretable
+# features, weights frozen at export time
+QC_BIAS = -2.0
+QC_W_STOP = 6.0
+QC_W_MLEN = 0.4
+QC_W_LTOK = 0.3
+QC_THRESHOLD = 0.5
+
+
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model INFERENCE in the pipeline: a frozen logistic quality
+    classifier scored per document entirely as codegen'd expressions —
+    z = b + w·(stop_ratio, mean_token_len, ln(1+tokens)), p = σ(z),
+    keep = p ≥ τ. No UDF, no model server: at 100 TB a distilled linear
+    head over cheap features is the standard first gate (the expensive
+    neural scorer then sees only the survivors), and expressing it as
+    columns keeps it inside whole-stage codegen, fused with the scan.
+    The DuckDB oracle runs the identical arithmetic; σ is computed via
+    exp() on both engines and rounded at 6 dp.
+    """
+    t = load_tables(spark, sf_dir)
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * T.stopword_ratio("text")
+        + F.lit(QC_W_MLEN) * T.mean_token_len("text")
+        + F.lit(QC_W_LTOK) * F.log(F.lit(1.0) + T.token_count_ws("text"))
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.round(p, 6).alias("quality_p"),
+            (F.round(p, 6) >= QC_THRESHOLD).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER_SCORE = f"""
+    SELECT doc_id, lang,
+           ROUND(1.0 / (1.0 + exp(-({QC_BIAS}
+                 + {QC_W_STOP} * {SQL_STOP_RATIO}
+                 + {QC_W_MLEN} * {SQL_MEAN_TOKEN_LEN}
+                 + {QC_W_LTOK} * ln(1.0 + {SQL_TOKENS_WS})))), 6) AS quality_p,
+           ROUND(1.0 / (1.0 + exp(-({QC_BIAS}
+                 + {QC_W_STOP} * {SQL_STOP_RATIO}
+                 + {QC_W_MLEN} * {SQL_MEAN_TOKEN_LEN}
+                 + {QC_W_LTOK} * ln(1.0 + {SQL_TOKENS_WS})))), 6) >= {QC_THRESHOLD}
+               AS keep
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 APPROX_TOPK_TERMS_K = 20
 
 
@@ -700,6 +757,10 @@ def oracles() -> dict[str, tuple]:
     return {
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
         "approx_topk_terms": (q_approx_topk_terms, None),
+        "quality_classifier_score": (
+            q_quality_classifier_score,
+            ORACLE_QUALITY_CLASSIFIER_SCORE,
+        ),
         "bm25_score": (q_bm25_score, ORACLE_BM25_SCORE),
         "quality_gopher_rules": (q_quality_gopher_rules, ORACLE_QUALITY_GOPHER_RULES),
         "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
