@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..engine import load_tables
+from ..functions.numeric import dec, disc_price_expr
 
 
 # pandas_udf() parses its DDL return type against the ACTIVE session, so the
@@ -176,9 +177,105 @@ ORACLE_UDTF_SPLIT_SENTENCES = f"""
 """
 
 
+COGROUP_CUST_LIMIT = 300  # bounded output: customers with custkey < limit
+
+
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-table keyed-batch API: orders and
+    (lineitem ⋈ orders-key) shuffle ON THE SAME KEY and arrive as PAIRED
+    pandas frames per customer, reconciled in one Python pass (order
+    count + header total vs item count + line revenue). The shape for
+    side-by-side entity resolution / ledger reconciliation where per-key
+    logic needs BOTH tables' rows at once and a join would force the
+    pairing logic into SQL.
+
+    Money is moved as integer CENTS (exact in int64, immune to float
+    summation order), so the DuckDB oracle — the equivalent join of two
+    aggregates — must match to the cent. Scale: each cogroup sees one
+    customer's rows; skew bounded by the largest single key, the same
+    contract as any keyed applyInPandas.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_custkey") < COGROUP_CUST_LIMIT)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(dec("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+    )
+    okeys = (
+        t["orders"]
+        .filter(F.col("o_custkey") < COGROUP_CUST_LIMIT)
+        .select(
+            F.col("o_orderkey").alias("ok_orderkey"),
+            F.col("o_custkey").alias("ok_custkey"),
+        )
+    )
+    items = (
+        t["lineitem"]
+        .join(okeys, F.col("l_orderkey") == F.col("ok_orderkey"))
+        .select(
+            F.col("ok_custkey").alias("o_custkey"),
+            F.round(disc_price_expr() * 10000).cast("long").alias("rev_tenthmills"),
+        )
+    )
+
+    def reconcile(key, odf: pd.DataFrame, idf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(key[0])],
+                "n_orders": [len(odf)],
+                "sum_total_cents": [int(odf["total_cents"].sum())],
+                "n_items": [len(idf)],
+                "sum_rev_tenthmills": [int(idf["rev_tenthmills"].sum())],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(items.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "o_custkey long, n_orders long, sum_total_cents long, "
+                "n_items long, sum_rev_tenthmills long"
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_COGROUP_RECONCILE = f"""
+    WITH o AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT))
+                   AS sum_total_cents
+        FROM orders WHERE o_custkey < {COGROUP_CUST_LIMIT}
+        GROUP BY o_custkey
+    ),
+    i AS (
+        SELECT o_custkey, COUNT(*) AS n_items,
+               SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT))
+                   AS sum_rev_tenthmills
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey < {COGROUP_CUST_LIMIT}
+        GROUP BY o_custkey
+    )
+    SELECT o.o_custkey, o.n_orders, o.sum_total_cents,
+           COALESCE(i.n_items, 0) AS n_items,
+           COALESCE(i.sum_rev_tenthmills, 0) AS sum_rev_tenthmills
+    FROM o LEFT JOIN i USING (o_custkey)
+    ORDER BY o_custkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "udf_price_score": (q_udf_price_score, ORACLE_UDF_PRICE_SCORE),
+        "cogroup_reconcile": (q_cogroup_reconcile, ORACLE_COGROUP_RECONCILE),
         "udaf_geomean": (q_udaf_geomean, ORACLE_UDAF_GEOMEAN),
         "udtf_split_sentences": (q_udtf_split_sentences, ORACLE_UDTF_SPLIT_SENTENCES),
     }
