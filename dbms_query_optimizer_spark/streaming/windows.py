@@ -462,6 +462,52 @@ ORACLE_STREAMING_DEDUP = """
 """
 
 
+def q_streaming_foreachbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once ingestion, end to end: the events table
+    drains through the idempotent per-batch_id file sink
+    (streaming/sinks.py — each micro-batch overwrites its own batch=<id>
+    directory, so checkpoint-redelivered batches replace identical bytes
+    instead of duplicating), then the landed directories are read back
+    and aggregated. The oracle aggregates the source directly: any lost
+    or doubled batch breaks the value hash, which is exactly the
+    exactly-once contract. Fresh checkpoint/output dirs per run so the
+    entry re-executes the full drain every time.
+    """
+    import shutil
+    import tempfile
+
+    from .sinks import run_events_stream_to_files
+
+    root = tempfile.mkdtemp(prefix="spark_graft_fbsink_")
+    out_dir, ckpt_dir = f"{root}/out", f"{root}/ckpt"
+    try:
+        run_events_stream_to_files(spark, sf_dir, out_dir, ckpt_dir)
+        landed = spark.read.parquet(out_dir)
+        return (
+            landed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("event_id").alias("n_distinct_events"),
+                dsum_double(dec("value"), 2).alias("sum_value"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint()  # materialize before the dirs vanish
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_STREAMING_FOREACHBATCH_INGEST = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_distinct_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
@@ -478,4 +524,8 @@ def oracles() -> dict[str, tuple]:
             ORACLE_STREAM_STREAM_JOIN,
         ),
         "streaming_dedup": (q_streaming_dedup, ORACLE_STREAMING_DEDUP),
+        "streaming_foreachbatch_ingest": (
+            q_streaming_foreachbatch_ingest,
+            ORACLE_STREAMING_FOREACHBATCH_INGEST,
+        ),
     }
