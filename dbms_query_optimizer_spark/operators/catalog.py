@@ -555,6 +555,12 @@ register(
     R.ORACLE_JOIN_SHUFFLE_HASH,
 )
 
+register(
+    "scd2_point_in_time",
+    R.q_scd2_point_in_time,
+    R.ORACLE_SCD2_POINT_IN_TIME,
+)
+
 # -------------------------------- corpus prep: decontaminate/chunk/pack
 
 from . import pipeline_prep as PP  # noqa: E402

@@ -1124,6 +1124,74 @@ ORDER BY user_id, valid_from
 """
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension: every click event
+    is priced with the purchase value VALID AT ITS TIMESTAMP
+    (valid_from <= ts < valid_to, open-ended current row) — the
+    as-of-correct fact⋈dimension join that prevents time-travel leakage
+    in feature pipelines. Physically an equi-join on the entity key with
+    the interval predicate applied post-join: a user's dimension rows are
+    few (their own change history), so the per-key fan-out is bounded by
+    history length, never by fact volume; each fact matches at most one
+    interval because intervals partition the timeline. Aggregated per
+    user so the result is entity-sized.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            dec(F.round("value", 2)).alias("d_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = clicks.join(
+        scd,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("valid_from").alias("n_priced"),
+            F.round(F.sum("d_value").cast("double"), 2).alias("sum_priced_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SCD2_POINT_IN_TIME = """
+WITH scd AS (
+    SELECT user_id AS d_user,
+           CAST(ROUND(value, 2) AS DECIMAL(12,2)) AS d_value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM events
+    WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id,
+       COUNT(*) AS n_clicks,
+       COUNT(s.valid_from) AS n_priced,
+       ROUND(CAST(SUM(s.d_value) AS DOUBLE), 2) AS sum_priced_value
+FROM clicks c
+LEFT JOIN scd s
+  ON s.d_user = c.user_id
+ AND s.valid_from <= c.ts
+ AND (s.valid_to IS NULL OR c.ts < s.valid_to)
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per status, one column per priority class."""
     t = load_tables(spark, sf_dir)
