@@ -202,6 +202,56 @@ ORDER BY lang, source
 """
 
 
+MIX_TEMPERATURE = 0.7  # multilingual-sampling temperature (0<T<1 flattens)
+
+
+def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the multilingual-pretraining
+    recipe: sample language ℓ with probability p_ℓ^T / Σ p^T, 0 < T < 1,
+    so low-resource languages are up-sampled without full uniformity).
+    Emits each language's natural share, temperature share, and the
+    per-document resampling multiplier q_ℓ / p_ℓ. Same physical shape as
+    mix_rebalance: one grouped count + a broadcast 1-row normalizer —
+    the Σ p^T reduction — so the corpus is scanned once regardless of
+    language count.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = langs.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.pow(F.col("n_docs"), F.lit(MIX_TEMPERATURE))).alias("z"),
+    )
+    p = F.col("n_docs") / F.col("total")
+    q = F.pow(F.col("n_docs"), F.lit(MIX_TEMPERATURE)) / F.col("z")
+    return (
+        langs.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p, 6).alias("p_natural"),
+            F.round(q, 6).alias("p_temperature"),
+            F.round(q / p, 6).alias("resample_multiplier"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_MIX_TEMPERATURE_WEIGHTS = f"""
+WITH g AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), t AS (
+    SELECT SUM(n_docs) AS total, SUM(pow(n_docs, {MIX_TEMPERATURE})) AS z FROM g
+)
+SELECT lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS p_natural,
+       ROUND(pow(n_docs, {MIX_TEMPERATURE}) / z, 6) AS p_temperature,
+       ROUND((pow(n_docs, {MIX_TEMPERATURE}) / z) / (CAST(n_docs AS DOUBLE) / total), 6)
+           AS resample_multiplier
+FROM g CROSS JOIN t
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. curriculum binning without a global single-partition window
 # ---------------------------------------------------------------------------
@@ -602,6 +652,10 @@ def oracles() -> dict[str, tuple]:
         "doc_length_histogram": (q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM),
         "zipf_token_rank": (q_zipf_token_rank, ORACLE_ZIPF_TOKEN_RANK),
         "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
+        "mix_temperature_weights": (
+            q_mix_temperature_weights,
+            ORACLE_MIX_TEMPERATURE_WEIGHTS,
+        ),
         "curriculum_bins": (q_curriculum_bins, ORACLE_CURRICULUM_BINS),
         "text_entropy": (q_text_entropy, ORACLE_TEXT_ENTROPY),
         "robust_stats_mad": (q_robust_stats_mad, ORACLE_ROBUST_STATS_MAD),
