@@ -561,6 +561,8 @@ register(
     R.ORACLE_SCD2_POINT_IN_TIME,
 )
 
+register("stats_selectivity_report", R.q_stats_selectivity_report, None)
+
 # -------------------------------- corpus prep: decontaminate/chunk/pack
 
 from . import pipeline_prep as PP  # noqa: E402

@@ -1124,6 +1124,59 @@ ORDER BY user_id, valid_from
 """
 
 
+STATS_PROBE_GRID = {
+    "p_size": [12, 25, 38],
+    "p_partkey": [400, 1000, 1600],
+}
+
+
+def q_stats_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimizer's statistics layer made observable: build the
+    reference-model ``TableStats`` (equi-width int histograms,
+    table_stats.cc:61-139 formulas — two distributed jobs) over part,
+    then report estimated vs ACTUAL selectivity for a predicate grid,
+    all six comparison ops × interior probe points per column. Actuals
+    come from ONE conditional-aggregation pass (no per-predicate scans).
+    The abs_err column is the optimizer-quality metric the reference
+    never measured on real data; tests/test_estimation_accuracy.py
+    bounds it at 0.06 for interior probes. Estimates are a product of
+    our Python estimator, not SQL => rows-only for the driver.
+    """
+    from ..plans.stats import PredicateType, TableStats
+
+    cols = list(STATS_PROBE_GRID)
+    part = load_tables(spark, sf_dir)["part"].select(*cols)
+    stats = TableStats.from_dataframe(part, columns=cols)
+
+    ops = list(PredicateType)
+    probes = [
+        (c, op, v) for c in cols for op in ops for v in STATS_PROBE_GRID[c]
+    ]
+    sym = {
+        PredicateType.EQ: "==", PredicateType.NE: "!=",
+        PredicateType.LT: "<", PredicateType.LE: "<=",
+        PredicateType.GT: ">", PredicateType.GE: ">=",
+    }
+    aggs = [
+        F.avg(
+            F.when(F.expr(f"{c} {sym[op]} {v}"), F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias(f"a{i}")
+        for i, (c, op, v) in enumerate(probes)
+    ]
+    actual = part.agg(*aggs).collect()[0]
+
+    rows = []
+    for i, (c, op, v) in enumerate(probes):
+        est = stats.estimate_selectivity(c, op, v)
+        act = float(actual[f"a{i}"])
+        rows.append((c, op.name, v, round(est, 6), round(act, 6), round(abs(est - act), 6)))
+    return spark.createDataFrame(
+        rows,
+        "column string, op string, constant int, est_selectivity double, "
+        "actual_selectivity double, abs_err double",
+    ).orderBy("column", "op", "constant")
+
+
 def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup against the SCD2 dimension: every click event
     is priced with the purchase value VALID AT ITS TIMESTAMP
