@@ -514,13 +514,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        # improved nodes = next frontier; its size is the convergence test
+        # improved nodes = next frontier; its size is the convergence test.
+        # NOT checkpointed: both parents are, so recomputing this small
+        # join (once for the count, once inside next round's msgs) is
+        # cheaper than materializing it — lineage depth stays bounded
+        # either way.
         frontier = (
             new_labels.toDF("node", "label")
             .join(labels.toDF("o_node", "o_label"), F.col("node") == F.col("o_node"))
             .filter(F.col("label") < F.col("o_label"))
             .select("node", "label")
-            .localCheckpoint()
         )
         labels = new_labels
         if frontier.count() == 0:

@@ -302,6 +302,25 @@ COMMENTARY = {
         "source — a rank filter bounding each shard to k rows, then the "
         "stage-2 per-source Window over at most 16·k rows per group."
     ),
+    "scd2_point_in_time": (
+        "Point-in-time SCD2 lookup. Expect: ONE events scan feeding both "
+        "sides, the dimension built by a per-user Window (lead), then an "
+        "equi-join on the user key (hash or SMJ — NOT a nested loop: the "
+        "interval predicate rides the equi-join as a post-join Filter), "
+        "left-outer so unpriced facts survive."
+    ),
+    "cogroup_reconcile": (
+        "Cogrouped applyInPandas. Expect: both inputs Exchange on the SAME "
+        "key (o_custkey) feeding one FlatMapCoGroupsInPandas — paired "
+        "per-key pandas frames, no join node, no second shuffle; integer "
+        "cents computed JVM-side before the Arrow boundary."
+    ),
+    "quality_classifier_score": (
+        "Frozen logistic gate. Expect: a single documents scan with the "
+        "whole feature vector + sigmoid fused into one WholeStageCodegen "
+        "Project — no Python evaluator, no shuffle before the sort; "
+        "ReadSchema pruned to (doc_id, lang, text)."
+    ),
 }
 
 
