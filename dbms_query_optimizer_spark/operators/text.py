@@ -669,6 +669,50 @@ ORACLE_BM25_SCORE = f"""
     """
 
 
+def q_doc_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition cleanup (the C4/Gopher line-dedup rule at
+    token granularity): collapse CONSECUTIVE repeated tokens, report
+    before/after counts and the cleaned text. One indexed higher-order
+    filter — token i survives iff i = 0 or it differs from token i-1 —
+    entirely JVM-side, zero shuffle, fused with the scan: the map-only
+    rewrite shape an ingest cleaning pass must have at 100 TB. The
+    DuckDB oracle runs the same indexed lambda (1-based there)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), " ")
+    cleaned = F.expr(
+        "filter(split(trim(text), ' '), (x, i) -> i = 0 OR x <> split(trim(text), ' ')[i-1])"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens_before"),
+            F.size(cleaned).alias("n_tokens_after"),
+            (F.size(toks) - F.size(cleaned)).alias("n_removed"),
+            F.array_join(cleaned, " ").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_REPEAT_REMOVAL = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(text), ' ') AS toks,
+               list_filter(string_split(trim(text), ' '),
+                           (x, i) -> i = 1 OR x <> (string_split(trim(text), ' '))[i-1])
+                   AS cleaned
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens_before,
+           CAST(len(cleaned) AS INT) AS n_tokens_after,
+           CAST(len(toks) - len(cleaned) AS INT) AS n_removed,
+           array_to_string(cleaned, ' ') AS cleaned_text
+    FROM t
+    ORDER BY doc_id
+"""
+
+
 # fixed logistic weights — a distilled "quality classifier" of the
 # fasttext-gate kind every corpus pipeline runs at ingest; interpretable
 # features, weights frozen at export time
@@ -761,6 +805,7 @@ def oracles() -> dict[str, tuple]:
             q_quality_classifier_score,
             ORACLE_QUALITY_CLASSIFIER_SCORE,
         ),
+        "doc_repeat_removal": (q_doc_repeat_removal, ORACLE_DOC_REPEAT_REMOVAL),
         "bm25_score": (q_bm25_score, ORACLE_BM25_SCORE),
         "quality_gopher_rules": (q_quality_gopher_rules, ORACLE_QUALITY_GOPHER_RULES),
         "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
