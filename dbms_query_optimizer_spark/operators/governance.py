@@ -202,6 +202,67 @@ ORDER BY lang, source
 """
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95  # winsorization percentiles
+
+
+def q_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length winsorization: clip each document's character
+    count to its language's exact [p05, p95] band and flag the clipped
+    tails — the outlier-taming step before length-based curriculum or
+    quality features. Plan shape: one grouped exact-percentile aggregate
+    (|langs| rows) broadcast back over the corpus; the clip itself is a
+    map-only expression. At 100 TB the one-token swap to
+    ``approx_percentile`` makes the percentile pass a mergeable sketch,
+    identical downstream plan.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", F.length("text").alias("n_chars_actual")
+    )
+    pct = docs.groupBy("lang").agg(
+        F.percentile("n_chars_actual", F.lit(WINSOR_LO)).alias("p_lo"),
+        F.percentile("n_chars_actual", F.lit(WINSOR_HI)).alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("n_chars_actual").cast("double"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        docs.join(F.broadcast(pct), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars_actual",
+            F.round("p_lo", 4).alias("p_lo"),
+            F.round("p_hi", 4).alias("p_hi"),
+            F.round(clipped, 4).alias("n_chars_clipped"),
+            (
+                (F.col("n_chars_actual") < F.col("p_lo"))
+                | (F.col("n_chars_actual") > F.col("p_hi"))
+            ).alias("was_clipped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LENGTH_WINSORIZE = f"""
+WITH d AS (
+    SELECT doc_id, lang, length(text) AS n_chars_actual FROM documents
+),
+p AS (
+    SELECT lang,
+           quantile_cont(n_chars_actual, {WINSOR_LO}) AS p_lo,
+           quantile_cont(n_chars_actual, {WINSOR_HI}) AS p_hi
+    FROM d GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       CAST(d.n_chars_actual AS INT) AS n_chars_actual,
+       ROUND(p.p_lo, 4) AS p_lo,
+       ROUND(p.p_hi, 4) AS p_hi,
+       ROUND(LEAST(GREATEST(CAST(d.n_chars_actual AS DOUBLE), p.p_lo), p.p_hi), 4)
+           AS n_chars_clipped,
+       (d.n_chars_actual < p.p_lo OR d.n_chars_actual > p.p_hi) AS was_clipped
+FROM d JOIN p USING (lang)
+ORDER BY d.doc_id
+"""
+
+
 MIX_TEMPERATURE = 0.7  # multilingual-sampling temperature (0<T<1 flattens)
 
 
@@ -656,6 +717,7 @@ def oracles() -> dict[str, tuple]:
             q_mix_temperature_weights,
             ORACLE_MIX_TEMPERATURE_WEIGHTS,
         ),
+        "length_winsorize": (q_length_winsorize, ORACLE_LENGTH_WINSORIZE),
         "curriculum_bins": (q_curriculum_bins, ORACLE_CURRICULUM_BINS),
         "text_entropy": (q_text_entropy, ORACLE_TEXT_ENTROPY),
         "robust_stats_mad": (q_robust_stats_mad, ORACLE_ROBUST_STATS_MAD),
