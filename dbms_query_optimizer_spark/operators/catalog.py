@@ -563,6 +563,8 @@ register(
 
 register("stats_selectivity_report", R.q_stats_selectivity_report, None)
 
+register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, None)
+
 # -------------------------------- corpus prep: decontaminate/chunk/pack
 
 from . import pipeline_prep as PP  # noqa: E402

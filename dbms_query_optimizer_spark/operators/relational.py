@@ -1124,6 +1124,53 @@ ORDER BY user_id, valid_from
 """
 
 
+def q_cbo_vs_dp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both optimizers on ONE join graph, made observable: the reference
+    Selinger DP (plans/planner.py, join_optimizer.cc:108-137 semantics)
+    and Catalyst's own CostBasedJoinReorder (ANALYZE-fed) each choose an
+    order for customer⋈orders⋈lineitem⋈nation; both orders are then
+    costed under the REFERENCE model. The DP is optimal over left-deep
+    orders under that model, so its cost must be ≤ Catalyst's — the
+    cross-optimizer invariant tests/test_cbo_compare.py enforces; this
+    entry surfaces the orders and costs as data. Stats collection is
+    distributed (TableStats two-job build, Catalyst ANALYZE); only the
+    O(2^n) enumeration over 4 tables runs on the driver — optimizer
+    work, not data work. Python cost model => rows-only.
+    """
+    from ..engine import TABLES
+    from ..plans.cbo_compare import (
+        catalyst_join_order,
+        reference_cost_of_order,
+        table_order_of_plan,
+    )
+    from ..plans.planner import JoinOptimizer, LogicalJoinNode
+    from ..plans.stats import PredicateType as P
+    from ..plans.stats import TableStats
+
+    joins = [
+        LogicalJoinNode("customer", "orders", "c_custkey", "o_custkey", P.EQ),
+        LogicalJoinNode("orders", "lineitem", "o_orderkey", "l_orderkey", P.EQ),
+        LogicalJoinNode("customer", "nation", "c_nationkey", "n_nationkey", P.EQ),
+    ]
+    involved = ["customer", "orders", "lineitem", "nation"]
+    t = load_tables(spark, sf_dir)
+    stats = {n: TableStats.from_dataframe(t[n], columns=[]) for n in involved}
+    sels = {n: 1.0 for n in involved}
+
+    dp_order = table_order_of_plan(JoinOptimizer(joins, TABLES).order_joins(stats, sels))
+    dp_cost = reference_cost_of_order(dp_order, joins, stats, sels, TABLES)
+    cat_order = catalyst_join_order(spark, sf_dir, joins)
+    cat_cost = reference_cost_of_order(cat_order, joins, stats, sels, TABLES)
+
+    rows = [
+        ("catalyst_cbo", " -> ".join(cat_order), float(cat_cost)),
+        ("reference_dp", " -> ".join(dp_order), float(dp_cost)),
+    ]
+    return spark.createDataFrame(
+        rows, "optimizer string, join_order string, cost_under_reference_model double"
+    ).orderBy("optimizer")
+
+
 STATS_PROBE_GRID = {
     "p_size": [12, 25, 38],
     "p_partkey": [400, 1000, 1600],
