@@ -1011,7 +1011,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select("vec_id", "embedding")
+    # cached: every Lloyd's iteration re-reads this frame (assign joins it
+    # against the new centroids); without the cache the corpus would be
+    # re-scanned SEMDEDUP_ITERS+2 times
+    e = t["embeddings"].select("vec_id", "embedding").cache()
 
     def means(assigned: DataFrame) -> DataFrame:
         return (
