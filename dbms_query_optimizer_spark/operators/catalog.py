@@ -565,6 +565,8 @@ register("stats_selectivity_report", R.q_stats_selectivity_report, None)
 
 register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, None)
 
+register("market_basket_pairs", R.q_market_basket_pairs, R.ORACLE_MARKET_BASKET_PAIRS)
+
 # -------------------------------- corpus prep: decontaminate/chunk/pack
 
 from . import pipeline_prep as PP  # noqa: E402

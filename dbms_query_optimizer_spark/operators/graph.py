@@ -146,7 +146,72 @@ ORDER BY node
 """
 
 
+TRIANGLE_MIN_SUPPORT = 2  # co-purchase edge threshold
+
+
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts bought together in ≥ TRIANGLE_MIN_SUPPORT orders form an
+    edge). Edges are oriented u < v so each triangle {i<j<k} is produced
+    by exactly one join path (i→j)⋈(j→k)⋈(i→k) — two hash equi-joins, no
+    post-dedup, the standard DataFrame formulation of the MapReduce
+    triangle-enumeration algorithm. Per-join fan-out is bounded by node
+    degree; at web scale the same query first re-orients edges
+    low-degree→high-degree, which caps the join key's fan-out at
+    O(sqrt(|E|)) — the degree-ordering refinement, noted here because the
+    co-purchase graph is near-uniform and doesn't need it. Output is a
+    1-row summary (nodes, edges, triangles) so the value hash is
+    meaningful even when the triangle count is small.
+    """
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("okey", "pa")
+    b = li.toDF("okey", "pb")
+    edges = (
+        a.join(b, "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .cache()
+    )
+    e1 = edges.toDF("i", "j")
+    e2 = edges.toDF("j", "k")
+    e3 = edges.toDF("i", "k")
+    triangles = e1.join(e2, "j").join(e3, ["i", "k"])
+    nodes = edges.select(F.col("u").alias("n")).union(edges.select("v")).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+ORACLE_GRAPH_TRIANGLE_COUNT = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+),
+nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
+        "graph_triangle_count": (q_graph_triangle_count, ORACLE_GRAPH_TRIANGLE_COUNT),
     }

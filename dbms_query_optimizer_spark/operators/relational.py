@@ -1124,6 +1124,54 @@ ORDER BY user_id, valid_from
 """
 
 
+BASKET_TOP_K = 50
+
+
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise frequent-itemset mining (market-basket support counts):
+    the top-BASKET_TOP_K part pairs most often bought in the SAME order.
+    The pair generator is a self-join on the order key — safe at any
+    scale because its fan-out is items-per-order choose 2 (TPC-H ≤ 7
+    lines/order ⇒ ≤ 21 pairs), bounded per basket regardless of corpus
+    size; support counting is a map-side-combinable groupBy on the pair,
+    and the rank window runs AFTER the top-k limit (the zipf_token_rank
+    discipline — never a corpus-sized global sort). Distinct-ifying
+    partkeys first keeps duplicate part lines from inflating support.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = li.toDF("okey", "part_a")
+    b = li.toDF("okey", "part_b")
+    pairs = a.join(b, "okey").filter(F.col("part_a") < F.col("part_b"))
+    top = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+    )
+    return top.withColumn("rnk", rk).orderBy("rnk")
+
+
+ORACLE_MARKET_BASKET_PAIRS = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem
+),
+top AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+    FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+)
+SELECT part_a, part_b, support,
+       ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b) AS rnk
+FROM top
+ORDER BY rnk
+"""
+
+
 def q_cbo_vs_dp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both optimizers on ONE join graph, made observable: the reference
     Selinger DP (plans/planner.py, join_optimizer.cc:108-137 semantics)
