@@ -497,6 +497,16 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.unix_micros(F.min("ts")).alias("s"), F.unix_micros(F.max("ts")).alias("e"))
     )
+    return overlap_counts(iv)
+
+
+def overlap_counts(iv: DataFrame) -> DataFrame:
+    """Sweep-line overlap census over an intervals frame
+    ``(user_id, day, s, e)`` (s/e integral, s <= e): one row per
+    interval with ``n_overlap`` = # other same-day intervals it
+    overlaps. See q_interval_overlap_join for the algorithm; factored
+    out so tests can drive it with synthetic interval sets against a
+    brute-force oracle."""
 
     def census(marker_col: str, probe_col: str, markers_first: bool) -> DataFrame:
         """#markers with t_marker <= t_probe (markers_first=True) or

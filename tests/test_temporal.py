@@ -65,3 +65,39 @@ def test_range_join_equals_naive(spark, sf_dir):
     naive_counts = {r.purchase_id: r.n_follow for r in naive.collect()}
     bucketed = q_range_join_bucketed(spark, sf_dir).collect()
     assert {r.purchase_id: r.n_follow for r in bucketed} == naive_counts
+
+
+def test_overlap_census_matches_bruteforce(spark):
+    """Sweep-line census vs O(n²) brute force on adversarial synthetic
+    intervals: shared endpoints (ties), point intervals, nested, disjoint,
+    band-boundary-straddling, multi-day — three seeded random sets."""
+    import random
+
+    from dbms_query_optimizer_spark.operators.temporal import (
+        OVERLAP_BAND_US,
+        overlap_counts,
+    )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = []
+        for uid in range(120):
+            day = rng.choice(["2024-01-01", "2024-01-02"])
+            # cluster endpoints on a coarse grid so ties and shared
+            # endpoints are common; straddle band boundaries on purpose
+            lo = rng.randrange(0, 20) * (OVERLAP_BAND_US // 2)
+            span = rng.choice([0, 1, 2, 7, 13]) * (OVERLAP_BAND_US // 3)
+            rows.append((uid, day, lo, lo + span))
+        iv = spark.createDataFrame(rows, "user_id long, day string, s long, e long")
+
+        got = {
+            (r["user_a"], r["day"]): r["n_overlap"]
+            for r in overlap_counts(iv).collect()
+        }
+        for uid, day, s, e in rows:
+            want = sum(
+                1
+                for (uid2, day2, s2, e2) in rows
+                if uid2 != uid and day2 == day and s2 <= e and s <= e2
+            )
+            assert got[(uid, day)] == want, (seed, uid, day, got[(uid, day)], want)
