@@ -250,12 +250,91 @@ ORACLE_SAMPLE_RESERVOIR_PER_GROUP = f"""
 """
 
 
+AES_K = 100  # weighted-reservoir size
+AES_SALTS = 16
+
+
+def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES:
+    each document draws key = −ln(u)/w (w = n_chars, u a deterministic
+    md5-derived uniform — hex chars 17-24, disjoint from the split's 1-8
+    and the Bernoulli sample's 9-16) and the AES_K smallest keys win.
+    Inclusion probability is proportional to weight, jointly correct
+    without replacement — the property the Bernoulli sampler
+    (q_sample_weighted) doesn't give. Deterministic ⇒ exactly
+    oracle-checkable, unlike RNG-based weighted reservoirs.
+
+    Scale: same two-stage discipline as the per-group reservoir — keys
+    are map-side expressions, a per-salt top-k bounds every shard to
+    AES_K rows, and the global window ranks at most SALTS·K survivors.
+    u = (h + 0.5)/2³² is an exact dyadic rational (never 0, identical
+    IEEE value both engines); only ln's final ulp differs, orders of
+    magnitude below inter-key gaps.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("_k"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(AES_SALTS)).alias("_salt"),
+    )
+    w1 = W.partitionBy("_salt").orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+    pruned = keyed.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= AES_K
+    )
+    w2 = W.orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= AES_K)
+        .select(
+            "sample_rank",
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("_k", 8).alias("aes_key"),
+        )
+        .orderBy("sample_rank")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED_RESERVOIR = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT + 0.5)
+               / 4294967296.0) / n_chars AS k
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, n_chars, k,
+           ROW_NUMBER() OVER (ORDER BY k ASC, doc_id ASC) AS sample_rank
+    FROM keyed
+)
+SELECT sample_rank, doc_id, lang, n_chars, ROUND(k, 8) AS aes_key
+FROM ranked
+WHERE sample_rank <= {AES_K}
+ORDER BY sample_rank
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "hash_split_train": (q_hash_split_train, ORACLE_HASH_SPLIT_TRAIN),
         "sample_reservoir_per_group": (
             q_sample_reservoir_per_group,
             ORACLE_SAMPLE_RESERVOIR_PER_GROUP,
+        ),
+        "sample_weighted_reservoir": (
+            q_sample_weighted_reservoir,
+            ORACLE_SAMPLE_WEIGHTED_RESERVOIR,
         ),
         "sample_stratified": (q_sample_stratified, None),
         "sample_weighted": (q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),

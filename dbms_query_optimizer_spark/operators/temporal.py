@@ -459,6 +459,92 @@ ORDER BY event_type, day
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each event matched to the user's NEXT purchase
+    at-or-after its timestamp — the time-to-conversion / next-treatment
+    lookup, the mirror the backward operator (q_asof_join) can't express.
+    Same one-shuffle union-sort-window plan, with the carry direction
+    reversed: ``first(build, ignorenulls)`` over the FOLLOWING frame
+    (current row → unbounded following), builds sorted before probes at
+    equal ts so a purchase matches itself at gap 0. DuckDB's ASOF JOIN
+    is backward-only, so the oracle decorrelates the forward lookup as a
+    window over the identical union — same shape, independent engine.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+
+    probes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lit(None).cast("struct<purchase_ts:timestamp,purchase_id:bigint>").alias("build"),
+        F.lit(1).alias("is_probe"),
+    )
+    builds = ev.filter(F.col("event_type") == ASOF_BUILD_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.struct(
+            F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+        ).alias("build"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = probes.unionByName(builds).withColumn(
+        "m", F.first("build", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter((F.col("is_probe") == 1) & F.col("m").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("m.purchase_id").alias("purchase_id"),
+            F.col("m.purchase_ts").alias("purchase_ts"),
+            (F.unix_micros("m.purchase_ts") - F.unix_micros("ts")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_JOIN_FORWARD = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, ts, event_id, event_type, NULL::BIGINT AS purchase_id,
+               NULL::TIMESTAMP AS purchase_ts, 1 AS is_probe
+        FROM ev
+        UNION ALL
+        SELECT user_id, ts, NULL, NULL, event_id, ts, 0
+        FROM ev WHERE event_type = '{ASOF_BUILD_TYPE}'
+    ),
+    filled AS (
+        SELECT *,
+               FIRST_VALUE(purchase_id IGNORE NULLS) OVER w AS m_id,
+               FIRST_VALUE(purchase_ts IGNORE NULLS) OVER w AS m_ts
+        FROM pts
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, is_probe
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT event_id, user_id, event_type,
+           m_id AS purchase_id, m_ts AS purchase_ts,
+           epoch_us(m_ts) - epoch_us(ts) AS gap_us
+    FROM filled
+    WHERE is_probe = 1 AND m_id IS NOT NULL
+    ORDER BY event_id
+"""
+
+
 OVERLAP_BAND_US = 3600 * 1_000_000  # sweep-line band width: 1 hour
 
 
@@ -588,6 +674,7 @@ def oracles() -> dict[str, tuple]:
     return {
         "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+        "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_JOIN_FORWARD),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
         "events_anomaly_zscore": (q_events_anomaly_zscore, ORACLE_EVENTS_ANOMALY_ZSCORE),
