@@ -177,6 +177,61 @@ ORACLE_UDTF_SPLIT_SENTENCES = f"""
 """
 
 
+def q_arrow_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python rung: raw pyarrow
+    RecordBatches in and out, no pandas conversion at all (the right
+    call when the computation is itself Arrow-native — pyarrow.compute
+    kernels here: utf8 length, whitespace split-count). Per-doc results
+    then aggregate per language JVM-side. The DuckDB oracle recomputes
+    the same quantities relationally, proving the Arrow kernel path
+    value-identical to SQL semantics.
+
+    Scale: batches stream executor-side exactly like mapInPandas, minus
+    the pandas materialization — for wide binary/text columns the saved
+    copy is the difference between one and two in-memory copies per
+    batch.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column(2)
+            n_chars = pc.utf8_length(text)
+            # tokens = whitespace splits: count_substring(' ') + 1
+            n_tokens = pc.add(pc.count_substring(text, " "), 1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), n_chars, n_tokens],
+                ["doc_id", "lang", "n_chars", "n_tokens"],
+            )
+
+    per_doc = docs.mapInArrow(
+        stats, schema="doc_id long, lang string, n_chars int, n_tokens long"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_ARROW_MAP_STATS = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           SUM(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
 COGROUP_CUST_LIMIT = 300  # bounded output: customers with custkey < limit
 
 
@@ -276,6 +331,7 @@ def oracles() -> dict[str, tuple]:
     return {
         "udf_price_score": (q_udf_price_score, ORACLE_UDF_PRICE_SCORE),
         "cogroup_reconcile": (q_cogroup_reconcile, ORACLE_COGROUP_RECONCILE),
+        "arrow_map_stats": (q_arrow_map_stats, ORACLE_ARROW_MAP_STATS),
         "udaf_geomean": (q_udaf_geomean, ORACLE_UDAF_GEOMEAN),
         "udtf_split_sentences": (q_udtf_split_sentences, ORACLE_UDTF_SPLIT_SENTENCES),
     }
