@@ -387,6 +387,49 @@ ORACLE_SOURCE_PYTHON_DATASOURCE = f"""
 """
 
 
+def q_source_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered write → 2-D-selective read, end to end: orders
+    rewritten Morton-interleaved on (o_custkey, o_totalprice) into 8
+    files, then a query selective on BOTH dimensions aggregates the
+    survivors. Because every file carries a bounded min/max band on ALL
+    z-ordered columns (tests/test_zorder.py pins the band property),
+    either predicate alone skips most files from footer stats — the
+    lakehouse OPTIMIZE ZORDER layout expressed with stock Spark
+    operators. The oracle runs the same predicate on the original table:
+    layout must never change results.
+    """
+    from ..sources.writers import write_zorder_parquet
+
+    t = load_tables(spark, sf_dir)
+    zdir = _roundtrip_dir(sf_dir, "zorder", "orders")
+    write_zorder_parquet(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        zdir,
+        cols=["o_custkey", "o_totalprice"],
+        num_files=8,
+    )
+    z = spark.read.parquet(zdir)
+    return (
+        z.filter((F.col("o_custkey") < 300) & (F.col("o_totalprice") < 50000.0))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+            dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_SOURCE_ZORDER_SCAN = """
+    SELECT COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS min_orderkey,
+           MAX(o_orderkey) AS max_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
+    FROM orders
+    WHERE o_custkey < 300 AND o_totalprice < 50000.0
+"""
+
+
 N_SYNTH_STREAM_ROWS = 2000
 SYNTH_STREAM_BATCH = 500
 
@@ -639,6 +682,7 @@ def oracles() -> dict[str, tuple]:
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),
         "source_python_stream": (q_source_python_stream, ORACLE_SOURCE_PYTHON_STREAM),
+        "source_zorder_scan": (q_source_zorder_scan, ORACLE_SOURCE_ZORDER_SCAN),
         "bucketed_colocated_join": (
             q_bucketed_colocated_join,
             ORACLE_BUCKETED_COLOCATED_JOIN,
