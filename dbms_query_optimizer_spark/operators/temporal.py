@@ -465,13 +465,20 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup, the mirror the backward operator (q_asof_join) can't express.
     Same one-shuffle union-sort-window plan, with the carry direction
     reversed: ``first(build, ignorenulls)`` over the FOLLOWING frame
-    (current row → unbounded following), builds sorted before probes at
-    equal ts so a purchase matches itself at gap 0. DuckDB's ASOF JOIN
+    (current row → unbounded following). Because the frame looks FORWARD,
+    probes must sort BEFORE builds at equal ts (``is_probe`` DESC — the
+    mirror of the backward join's ASC) so an at-the-same-instant build is
+    inside the frame and a purchase matches itself at gap 0; equal-ts
+    builds tie-break on purchase_id so both engines pick the same one.
+    DuckDB's ASOF JOIN
     is backward-only, so the oracle decorrelates the forward lookup as a
     window over the identical union — same shape, independent engine.
     """
-    ev = load_tables(spark, sf_dir)["events"]
+    return asof_forward_frame(load_tables(spark, sf_dir)["events"])
 
+
+def asof_forward_frame(ev: DataFrame) -> DataFrame:
+    """Frame-level forward as-of core (see q_asof_join_forward)."""
     probes = ev.select(
         "user_id",
         "ts",
@@ -492,7 +499,11 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
+        .orderBy(
+            "ts",
+            F.col("is_probe").desc(),
+            F.coalesce(F.col("build.purchase_id"), F.lit(-1)),
+        )
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     filled = probes.unionByName(builds).withColumn(
@@ -532,7 +543,8 @@ ORACLE_ASOF_JOIN_FORWARD = f"""
                FIRST_VALUE(purchase_ts IGNORE NULLS) OVER w AS m_ts
         FROM pts
         WINDOW w AS (
-            PARTITION BY user_id ORDER BY ts, is_probe
+            PARTITION BY user_id
+            ORDER BY ts, is_probe DESC, COALESCE(purchase_id, -1)
             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
         )
     )

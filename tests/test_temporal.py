@@ -9,7 +9,9 @@ from dbms_query_optimizer_spark.engine import load_tables
 from dbms_query_optimizer_spark.operators.temporal import (
     ASOF_BUILD_TYPE,
     RANGE_WINDOW_MIN,
+    asof_forward_frame,
     q_asof_join,
+    q_asof_join_forward,
     q_range_join_bucketed,
 )
 
@@ -41,6 +43,39 @@ def test_asof_match_is_latest_at_or_before(spark, sf_dir):
     for r in q_asof_join(spark, sf_dir).collect():
         best = max(x for x in by_user[r.user_id] if x[0] <= probe_us[r.event_id])
         assert best[1] == r.purchase_id, (r.event_id, best, r.purchase_id)
+
+
+def test_asof_forward_purchase_matches_itself(spark, sf_dir):
+    """At-or-after semantics: a purchase's NEXT purchase at-or-after
+    itself is itself, at gap 0 (regression: the FOLLOWING frame used to
+    sort builds before probes at equal ts, excluding the self-match)."""
+    out = q_asof_join_forward(spark, sf_dir).filter(
+        F.col("event_type") == ASOF_BUILD_TYPE
+    )
+    rows = out.collect()
+    assert rows, "no purchase rows matched"
+    assert all(r.purchase_id == r.event_id and r.gap_us == 0 for r in rows)
+
+
+def test_asof_forward_equal_ts_probe_and_build(spark):
+    """A non-purchase probe sharing a timestamp with a purchase must match
+    that purchase at gap_us=0 (at-or-after, not strictly-after)."""
+    ev = spark.createDataFrame(
+        [
+            (1, 7, "view", "2024-01-01 10:00:00"),   # same instant as purchase 2
+            (2, 7, "purchase", "2024-01-01 10:00:00"),
+            (3, 7, "view", "2024-01-01 11:00:00"),   # after last purchase → drops
+            (4, 8, "view", "2024-01-01 09:00:00"),   # strictly-before case
+            (5, 8, "purchase", "2024-01-01 09:30:00"),
+        ],
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r.event_id: (r.purchase_id, r.gap_us) for r in asof_forward_frame(ev).collect()}
+    assert got[1] == (2, 0), got          # equal-ts view matches the purchase
+    assert got[2] == (2, 0), got          # purchase self-match
+    assert 3 not in got                   # no later purchase → inner-drop
+    assert got[4] == (5, 30 * 60 * 1_000_000), got
+    assert got[5] == (5, 0), got
 
 
 def test_range_join_equals_naive(spark, sf_dir):
