@@ -46,8 +46,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event matched to the user's most recent purchase at-or-before
     its timestamp (events that precede every purchase drop out — inner
     as-of semantics, like DuckDB's ASOF JOIN)."""
-    ev = load_tables(spark, sf_dir)["events"]
+    return asof_backward_frame(load_tables(spark, sf_dir)["events"])
 
+
+def _asof_union(ev: DataFrame) -> DataFrame:
+    """Probe/build union shared by the as-of variants: every event is a
+    probe; purchases are additionally build rows carrying their payload in
+    a struct so one ignorenulls window fill resolves the match."""
     probes = ev.select(
         "user_id",
         "ts",
@@ -66,6 +71,30 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("build"),
         F.lit(0).alias("is_probe"),
     )
+    return probes.unionByName(builds)
+
+
+def _asof_project(filled: DataFrame, match_col: str = "m") -> DataFrame:
+    """Project the filled union back to the as-of join result schema."""
+    m = F.col(match_col)
+    return (
+        filled.filter((F.col("is_probe") == 1) & m.isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            m.getField("purchase_id").alias("purchase_id"),
+            m.getField("purchase_ts").alias("purchase_ts"),
+            (F.unix_micros("ts") - F.unix_micros(m.getField("purchase_ts"))).alias(
+                "gap_us"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+def asof_backward_frame(ev: DataFrame) -> DataFrame:
+    """Frame-level backward as-of core (see q_asof_join)."""
     # builds sort before probes at equal ts (is_probe asc), making the
     # match inclusive: a purchase matches itself with gap 0.
     w = (
@@ -73,21 +102,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_probe")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = probes.unionByName(builds).withColumn(
-        "m", F.last("build", ignorenulls=True).over(w)
-    )
-    return (
-        filled.filter((F.col("is_probe") == 1) & F.col("m").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.col("m.purchase_id").alias("purchase_id"),
-            F.col("m.purchase_ts").alias("purchase_ts"),
-            (F.unix_micros("ts") - F.unix_micros("m.purchase_ts")).alias("gap_us"),
-        )
-        .orderBy("event_id")
-    )
+    filled = _asof_union(ev).withColumn("m", F.last("build", ignorenulls=True).over(w))
+    return _asof_project(filled)
 
 
 ORACLE_ASOF_JOIN = f"""
@@ -479,24 +495,6 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def asof_forward_frame(ev: DataFrame) -> DataFrame:
     """Frame-level forward as-of core (see q_asof_join_forward)."""
-    probes = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.lit(None).cast("struct<purchase_ts:timestamp,purchase_id:bigint>").alias("build"),
-        F.lit(1).alias("is_probe"),
-    )
-    builds = ev.filter(F.col("event_type") == ASOF_BUILD_TYPE).select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("string").alias("event_type"),
-        F.struct(
-            F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
-        ).alias("build"),
-        F.lit(0).alias("is_probe"),
-    )
     w = (
         W.partitionBy("user_id")
         .orderBy(
@@ -506,9 +504,7 @@ def asof_forward_frame(ev: DataFrame) -> DataFrame:
         )
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
-    filled = probes.unionByName(builds).withColumn(
-        "m", F.first("build", ignorenulls=True).over(w)
-    )
+    filled = _asof_union(ev).withColumn("m", F.first("build", ignorenulls=True).over(w))
     return (
         filled.filter((F.col("is_probe") == 1) & F.col("m").isNotNull())
         .select(
@@ -555,6 +551,84 @@ ORACLE_ASOF_JOIN_FORWARD = f"""
     WHERE is_probe = 1 AND m_id IS NOT NULL
     ORDER BY event_id
 """
+
+
+ASOF_SALT_BUCKETS = 16
+
+
+def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened backward as-of join: identical semantics (and oracle)
+    to q_asof_join, but a hot user no longer serializes into one task.
+
+    q_asof_join partitions the probe/build union by user_id alone, so a
+    user with 10^8 events lands in a single sort task. Here each user's
+    timeline is range-split into ASOF_SALT_BUCKETS contiguous time
+    buckets and the fill runs in two phases, the classic distributed
+    prefix-scan shape:
+
+    1. *Local fill* per (user_id, bucket) — the same ignorenulls window,
+       now over at most 1/B of the hot key's rows per task.
+    2. *Carry* — per (user_id, bucket) take the latest build, then a
+       window over the tiny per-user bucket list (≤ B rows per user, no
+       skew possible) computes each bucket's carry-in: the last build of
+       any earlier bucket. A probe whose bucket-local fill found nothing
+       coalesces to the carry-in.
+
+    At 100 TB the bucket count is a knob: B ≈ (hot-key rows) /
+    (target task rows). Keys too small to matter pay one extra tiny
+    join, no extra shuffle of the wide data (local fill and final join
+    share the (user_id, bucket) partitioning)."""
+    return asof_salted_frame(
+        load_tables(spark, sf_dir)["events"], n_buckets=ASOF_SALT_BUCKETS
+    )
+
+
+def asof_salted_frame(ev: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Frame-level salted backward as-of core (see q_asof_join_salted)."""
+    u = _asof_union(ev)
+    lo_hi = u.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).first()
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:
+        return _asof_project(u.withColumn("m", F.col("build")))
+    width = max(1, (hi - lo) // n_buckets + 1)
+    u = u.withColumn(
+        "bkt", ((F.unix_micros("ts") - F.lit(lo)) / F.lit(width)).cast("long")
+    )
+
+    # Phase 1: bucket-local fill — same window as the unsalted plan but
+    # partitioned by (user_id, bkt) so hot users parallelize B-ways.
+    w_local = (
+        W.partitionBy("user_id", "bkt")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = u.withColumn("m_local", F.last("build", ignorenulls=True).over(w_local))
+
+    # Phase 2: per-bucket last build → carry-in per bucket. The carry
+    # table has ≤ n_buckets rows per user, so its per-user window can't
+    # skew regardless of how hot the key is.
+    last_per_bucket = (
+        u.filter(F.col("is_probe") == 0)
+        .groupBy("user_id", "bkt")
+        .agg(F.max(F.struct("ts", "build")).alias("mx"))
+        .select("user_id", "bkt", F.col("mx.build").alias("last_build"))
+    )
+    buckets = u.select("user_id", "bkt").distinct()
+    w_carry = (
+        W.partitionBy("user_id").orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(last_per_bucket, ["user_id", "bkt"], "left")
+        .withColumn("carry_in", F.last("last_build", ignorenulls=True).over(w_carry))
+        .select("user_id", "bkt", "carry_in")
+    )
+
+    filled = local.join(carry, ["user_id", "bkt"], "left").withColumn(
+        "m", F.coalesce("m_local", "carry_in")
+    )
+    return _asof_project(filled)
 
 
 OVERLAP_BAND_US = 3600 * 1_000_000  # sweep-line band width: 1 hour
@@ -686,6 +760,7 @@ def oracles() -> dict[str, tuple]:
     return {
         "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+        "asof_join_salted": (q_asof_join_salted, ORACLE_ASOF_JOIN),
         "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_JOIN_FORWARD),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),

@@ -9,9 +9,12 @@ from dbms_query_optimizer_spark.engine import load_tables
 from dbms_query_optimizer_spark.operators.temporal import (
     ASOF_BUILD_TYPE,
     RANGE_WINDOW_MIN,
+    asof_backward_frame,
     asof_forward_frame,
+    asof_salted_frame,
     q_asof_join,
     q_asof_join_forward,
+    q_asof_join_salted,
     q_range_join_bucketed,
 )
 
@@ -76,6 +79,52 @@ def test_asof_forward_equal_ts_probe_and_build(spark):
     assert 3 not in got                   # no later purchase → inner-drop
     assert got[4] == (5, 30 * 60 * 1_000_000), got
     assert got[5] == (5, 0), got
+
+
+def test_asof_salted_equals_unsalted(spark, sf_dir):
+    """The two-phase salted plan must be row-for-row identical to the
+    single-partition-per-key plan on real data."""
+    plain = {r.event_id: (r.purchase_id, r.gap_us) for r in q_asof_join(spark, sf_dir).collect()}
+    salted = {
+        r.event_id: (r.purchase_id, r.gap_us)
+        for r in q_asof_join_salted(spark, sf_dir).collect()
+    }
+    assert salted == plain
+
+
+def test_asof_salted_hot_key_fixture(spark):
+    """One user owns 96% of the rows (the serializing case) with sparse
+    purchases, so most time buckets have probes but no build and the
+    carry-in must propagate across multiple empty buckets. Cold users
+    interleave to check carry isolation between keys."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000  # µs epoch
+    for _ in range(4000):  # hot user 1: purchases only in the first 5% of time
+        eid += 1
+        us = base + rng.randrange(0, 10**9)
+        etype = "purchase" if us < base + 5 * 10**7 and rng.random() < 0.02 else "view"
+        rows.append((eid, 1, etype, us))
+    for uid in range(2, 40):  # cold users, some with zero purchases
+        for _ in range(rng.randrange(1, 8)):
+            eid += 1
+            us = base + rng.randrange(0, 10**9)
+            etype = "purchase" if uid % 3 and rng.random() < 0.3 else "view"
+            rows.append((eid, uid, etype, us))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, us long"
+    ).select("event_id", "user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+
+    plain = {r.event_id: (r.purchase_id, r.gap_us) for r in asof_backward_frame(ev).collect()}
+    for n_buckets in (3, 16):
+        salted = {
+            r.event_id: (r.purchase_id, r.gap_us)
+            for r in asof_salted_frame(ev, n_buckets=n_buckets).collect()
+        }
+        assert salted == plain, f"mismatch at n_buckets={n_buckets}"
 
 
 def test_range_join_equals_naive(spark, sf_dir):
