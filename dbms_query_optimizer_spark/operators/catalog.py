@@ -328,7 +328,7 @@ register(
     """,
 )
 
-register("approx_aggs", R.q_approx_aggs, None)  # sketch outputs are engine-defined
+register("approx_aggs", R.q_approx_aggs, R.ORACLE_APPROX_AGGS)
 
 register("approx_hll_mergeable", R.q_approx_hll_mergeable, None)  # sketch bytes engine-defined
 

@@ -528,16 +528,66 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``approx_count_distinct`` (HyperLogLog++) and ``percentile_approx``
     replace exact shuffles with mergeable sketches — the only sane way to
-    compute these at 100 TB. No SQL oracle: sketch outputs are
-    implementation-defined; the harness records a rows-only check, and the
-    companion exact query ``q_exact_distinct_counts`` is the tight gate.
+    compute these at 100 TB. Sketch outputs are implementation-defined, so
+    the query emits the EXACT values (engine-independent) alongside
+    booleans asserting each sketch landed inside its error bound: HLL at
+    rsd=0.01 within ±5 % (5σ) of the exact distinct count, and the approx
+    median checked by RANK — the fraction of rows at-or-below the sketch's
+    value must sit within ±1 % of 0.5 (percentile_approx guarantees rank
+    error ≤ 1/accuracy = 1e-4). The DuckDB oracle computes the exact side
+    and literal TRUEs, so any bound violation flips a hash-checked column.
     """
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    li = t["lineitem"]
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_med"),
     )
+    # Rank-check pass: one extra scan joined to the broadcast 1-row stats.
+    ranked = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(stats))
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("n_orders").alias("n_orders"),
+            F.first("n_parts").alias("n_parts"),
+            F.first("a_orders").alias("a_orders"),
+            F.first("a_parts").alias("a_parts"),
+            (
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= F.col("a_med"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("med_rank_frac"),
+        )
+    )
+    return ranked.select(
+        "n_rows",
+        "n_orders",
+        "n_parts",
+        (
+            F.abs(F.col("a_orders") - F.col("n_orders")) <= 0.05 * F.col("n_orders")
+        ).alias("orders_within_bound"),
+        (
+            F.abs(F.col("a_parts") - F.col("n_parts")) <= 0.05 * F.col("n_parts")
+        ).alias("parts_within_bound"),
+        (F.abs(F.col("med_rank_frac") - 0.5) <= 0.01).alias("median_within_bound"),
+    )
+
+
+ORACLE_APPROX_AGGS = """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound,
+           TRUE AS median_within_bound
+    FROM lineitem
+"""
 
 
 def q_exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
