@@ -620,6 +620,55 @@ ORACLE_TXN_WRITE_READ = """
 """
 
 
+def q_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed copy-on-write MERGE through the manifest log — the
+    counterpart of the reference's in-place heap update with before-image
+    logging (reference: src/heap/heap_file.cc:151-257): v1 commits the
+    o_orderkey%10==5 slice of orders across many small files; a second
+    transaction merges a source that UPDATES half of them (%20==5, price
+    +1000) and INSERTS the %10==6 slice, rewriting only the files that
+    contain a matched key. The read is a fresh recovery-path open of the
+    latest manifest; the oracle recomputes the post-merge state from the
+    base table, so matched-update, unmatched-insert, and untouched-row
+    semantics are all value-checked.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_merge", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    # many small files so the merge demonstrably rewrites a subset
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 5).repartition(8))
+    t1.commit()
+
+    updates = orders.filter(F.col("o_orderkey") % 20 == 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 6)
+    t2 = table.begin()
+    t2.merge(spark, updates.unionByName(inserts), "o_orderkey")
+    t2.commit()
+
+    return TransactionalTable(root).read(spark).orderBy("o_orderkey")
+
+
+ORACLE_TXN_MERGE_UPSERT = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 20 = 5 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 IN (5, 6)
+    ORDER BY o_orderkey
+"""
+
+
 def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel over the manifest commit log: two
     committed versions of the table, then BOTH read back concurrently —
@@ -680,6 +729,7 @@ ORACLE_TXN_TIME_TRAVEL = """
 def oracles() -> dict[str, tuple]:
     return {
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
+        "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),
         "source_python_stream": (q_source_python_stream, ORACLE_SOURCE_PYTHON_STREAM),
         "source_zorder_scan": (q_source_zorder_scan, ORACLE_SOURCE_ZORDER_SCAN),

@@ -43,12 +43,20 @@ import os
 import shutil
 import uuid
 
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "manifest"
 _DATA_DIR = "data"
 _VERSION_WIDTH = 12
+
+
+class ConflictError(RuntimeError):
+    """Write-write conflict: the table tip moved past the version a
+    copy-on-write transaction rewrote its files against."""
 
 
 def _manifest_name(version: int) -> str:
@@ -71,6 +79,8 @@ class Transaction:
         self._table = table
         self._staging = os.path.join(table.root, _DATA_DIR, self.txn_id)
         self._done = False
+        self._replaced: list[str] = []
+        self._base_version: int | None = None
 
     def insert(self, df: DataFrame) -> None:
         """Stage rows: a durable parquet write that no reader can see
@@ -87,10 +97,73 @@ class Transaction:
             if f.startswith("part-") and not f.endswith(".crc")
         )
 
+    def merge(self, spark: SparkSession, source: DataFrame, key) -> None:
+        """Stage a copy-on-write MERGE (upsert by ``key``): source rows
+        with a matching key REPLACE the target rows; unmatched source rows
+        are inserts.
+
+        The reference updates a heap tuple in place after logging a
+        before-image UPDATE record (reference: src/heap/heap_file.cc:151-257,
+        src/include/log/log_manager.h:16-23). Over immutable parquet the
+        equivalent is copy-on-write: only the files that contain a matched
+        key are rewritten (minus their matched rows, plus the full source),
+        and ``commit()`` publishes ``base.files − affected + staged`` in
+        one atomic manifest link. The untouched old files ARE the
+        before-image — until the commit point swaps the manifest a crash
+        leaves the previous version fully intact, and afterwards it stays
+        readable via time travel.
+
+        Scale: the affected-file discovery is a semi-join of the target
+        against the (distinct) source keys — distributed, with only the
+        matched FILE PATHS collected (O(files), not O(rows)); the rewrite
+        reads just those files. A merge touching k of N files costs
+        O(k·file_size + |source|), never a full-table rewrite. Conflict
+        rule: first-committer-wins — commit raises ConflictError if the
+        tip moved past the snapshot the rewrite was computed against
+        (insert-only transactions still rebase and retry automatically).
+        """
+        assert not self._done, "transaction already finished"
+        assert not self._replaced, "one merge per transaction"
+        keys = [key] if isinstance(key, str) else list(key)
+        snap = self._table.snapshot()
+        self._base_version = snap["version"]
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        src = source.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        if snap["files"]:
+            target = (
+                spark.read.schema(schema)
+                .parquet(*snap["files"])
+                .withColumn("__file", F.input_file_name())
+            )
+            src_keys = src.select(*keys).distinct()
+            affected_uris = [
+                r["__file"]
+                for r in target.join(src_keys, keys, "semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+            by_path = {urlparse(f).path or f: f for f in affected_uris}
+            self._replaced = [f for f in snap["files"] if f in by_path]
+            if affected_uris:
+                survivors = (
+                    target.filter(F.col("__file").isin(affected_uris))
+                    .join(src_keys, keys, "anti")
+                    .drop("__file")
+                )
+                src = survivors.unionByName(src)
+        self.insert(src)
+
     def commit(self) -> int:
         """Publish staged files atomically; returns the committed version."""
         assert not self._done, "transaction already finished"
-        version = self._table._publish(self.staged_files())
+        version = self._table._publish(
+            self.staged_files(),
+            replaced=self._replaced,
+            expected_base=self._base_version,
+        )
         self._done = True
         return version
 
@@ -144,14 +217,25 @@ class TransactionalTable:
     def begin(self) -> Transaction:
         return Transaction(self)
 
-    def _publish(self, new_files: list[str]) -> int:
+    def _publish(
+        self,
+        new_files: list[str],
+        replaced: list[str] | None = None,
+        expected_base: int | None = None,
+    ) -> int:
+        gone = set(replaced or [])
         while True:
             base = self.snapshot()
+            if expected_base is not None and base["version"] != expected_base:
+                raise ConflictError(
+                    f"table advanced to v{base['version']} past the merge's "
+                    f"base v{expected_base}; rewritten files may be stale"
+                )
             version = base["version"] + 1
             manifest = {
                 "version": version,
                 "schema": base["schema"],
-                "files": base["files"] + new_files,
+                "files": [f for f in base["files"] if f not in gone] + new_files,
             }
             try:
                 _write_manifest_atomic(self._manifest_dir, version, manifest)
@@ -170,8 +254,11 @@ class TransactionalTable:
     # ------------------------------------------------------------- vacuum
     def vacuum(self) -> list[str]:
         """Remove staging dirs with no file referenced by the LATEST
-        manifest (aborted / crashed-uncommitted writers). Returns removed
-        dirs. Referenced files are never touched."""
+        manifest (aborted / crashed-uncommitted writers, and dirs whose
+        files were all replaced by copy-on-write merges — so vacuuming
+        trades away time travel to pre-merge versions, as in any
+        lakehouse). Returns removed dirs. Referenced files are never
+        touched."""
         live = {os.path.dirname(f) for f in self.snapshot()["files"]}
         removed = []
         data_dir = os.path.join(self.root, _DATA_DIR)

@@ -17,7 +17,7 @@ import os
 
 import pytest
 
-from dbms_query_optimizer_spark.sources.manifest import TransactionalTable
+from dbms_query_optimizer_spark.sources.manifest import ConflictError, TransactionalTable
 
 
 @pytest.fixture()
@@ -100,6 +100,111 @@ def test_torn_commit_artifact_ignored(spark, table):
         fh.write('{"version": 99, "files": ["/nonexistent"]')  # truncated
     assert TransactionalTable(table.root).latest_version() == 1
     assert _rows(spark, table.root) == [7]
+
+
+# ---------------------------------------------------------------- merge
+# Copy-on-write MERGE — the committed-write counterpart of the
+# reference's in-place heap update + before-image UPDATE record
+# (reference: src/heap/heap_file.cc:151-257).
+
+
+@pytest.fixture()
+def kv_table(spark, tmp_path):
+    root = str(tmp_path / "kv_table")
+    df = spark.createDataFrame([], "id long, val string")
+    return TransactionalTable.create(root, df.schema)
+
+
+def _kv(spark, root, version=None):
+    t = TransactionalTable(root)
+    return {r.id: r.val for r in t.read(spark, version).collect()}
+
+
+def _kv_insert(spark, txn, *pairs):
+    txn.insert(spark.createDataFrame(list(pairs), "id long, val string"))
+
+
+def test_merge_commit_crash_recovers_new_values(spark, kv_table):
+    t1 = kv_table.begin()
+    _kv_insert(spark, t1, (1, "a"), (2, "b"), (3, "c"))
+    t1.commit()
+    t2 = kv_table.begin()
+    t2.merge(
+        spark, spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string"), "id"
+    )
+    t2.commit()
+    # crash → recover: matched row updated, unmatched inserted, rest kept
+    assert _kv(spark, kv_table.root) == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_merge_uncommitted_crash_keeps_old_values(spark, kv_table):
+    t1 = kv_table.begin()
+    _kv_insert(spark, t1, (1, "a"), (2, "b"))
+    t1.commit()
+    t2 = kv_table.begin()
+    t2.merge(spark, spark.createDataFrame([(2, "B")], "id long, val string"), "id")
+    assert t2.staged_files()  # rewrite is durable on disk, yet invisible
+    # crash without commit → before-image (the untouched old files) wins
+    assert _kv(spark, kv_table.root) == {1: "a", 2: "b"}
+
+
+def test_merge_abort_keeps_old_values(spark, kv_table):
+    t1 = kv_table.begin()
+    _kv_insert(spark, t1, (1, "a"), (2, "b"))
+    t1.commit()
+    t2 = kv_table.begin()
+    t2.merge(spark, spark.createDataFrame([(1, "X")], "id long, val string"), "id")
+    t2.abort()
+    assert _kv(spark, kv_table.root) == {1: "a", 2: "b"}
+
+
+def test_merge_rewrites_only_affected_files(spark, kv_table):
+    t1 = kv_table.begin()
+    _kv_insert(spark, t1, (1, "a"), (2, "b"))
+    t1.commit()
+    t2 = kv_table.begin()
+    _kv_insert(spark, t2, (10, "x"), (11, "y"))
+    t2.commit()
+    before = set(kv_table.snapshot()["files"])
+    hit = {
+        f
+        for f in before
+        if any(r.id == 1 for r in spark.read.parquet(f).collect())
+    }
+    assert hit, "fixture must place the matched key somewhere"
+    t3 = kv_table.begin()
+    t3.merge(spark, spark.createDataFrame([(1, "A")], "id long, val string"), "id")
+    t3.commit()
+    files_after = set(kv_table.snapshot()["files"])
+    assert (before - hit) <= files_after, "unaffected files must survive untouched"
+    assert hit.isdisjoint(files_after), "files holding a matched key are replaced"
+    assert _kv(spark, kv_table.root) == {1: "A", 2: "b", 10: "x", 11: "y"}
+
+
+def test_merge_time_travel_preserves_before_image(spark, kv_table):
+    t1 = kv_table.begin()
+    _kv_insert(spark, t1, (1, "a"))
+    v1 = t1.commit()
+    t2 = kv_table.begin()
+    t2.merge(spark, spark.createDataFrame([(1, "A")], "id long, val string"), "id")
+    v2 = t2.commit()
+    assert _kv(spark, kv_table.root, version=v1) == {1: "a"}
+    assert _kv(spark, kv_table.root, version=v2) == {1: "A"}
+
+
+def test_merge_conflict_first_committer_wins(spark, kv_table):
+    t1 = kv_table.begin()
+    _kv_insert(spark, t1, (1, "a"))
+    t1.commit()
+    tm = kv_table.begin()
+    tm.merge(spark, spark.createDataFrame([(1, "M")], "id long, val string"), "id")
+    # a second writer commits first → the merge's rewrite is stale
+    ti = kv_table.begin()
+    _kv_insert(spark, ti, (2, "b"))
+    ti.commit()
+    with pytest.raises(ConflictError):
+        tm.commit()
+    assert _kv(spark, kv_table.root) == {1: "a", 2: "b"}
 
 
 def test_vacuum_removes_only_unreferenced(spark, table):
