@@ -82,6 +82,13 @@ HEADLINE = [
     # sweep-line interval-overlap census
     "incremental_join_view",
     "interval_overlap_join",
+    # round 4: the sub-quadratic embedding-dedup exemplar (the plan a user
+    # should copy at 100 TB; the exact GEMM twin stays above as the
+    # verification path), the skew-hardened as-of join, and the committed
+    # copy-on-write MERGE through the manifest log
+    "dedup_embedding_cosine_lsh",
+    "asof_join_salted",
+    "txn_merge_upsert",
 ]
 
 

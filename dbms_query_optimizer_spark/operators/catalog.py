@@ -599,81 +599,111 @@ for _name, (_fn, _sql) in TPCH.oracles().items():
 # ------------------------------------------------------------ driver order
 #
 # The grading driver oracle-checks the FIRST 50 entries of queries(), so
-# catalog order IS the driver's correctness-evidence sample. The priority
-# list below packs at least one representative of every SURVEY §2.1 unit
-# and every pipeline family (text, dedup, graph, similarity, multimodal,
-# scalar/higher-order funcs, UDF/UDAF/UDTF, sampling, corpus/pipeline
-# prep, temporal, sources, streaming windows + stateful, governance,
-# TPC-H) into that window; everything after slot 50 keeps registration
-# order and is covered by the local full-catalog gate
-# (tests/test_queries_oracle.py).
+# catalog order IS the driver's correctness-evidence sample. The window
+# ROTATES each round: a few sentinels stay pinned (so a regression in the
+# core path is always caught), and every other slot goes to queries that
+# have never produced a driver CORRECTNESS row, maximizing cumulative
+# independent-oracle coverage of the 190+-query catalog. Everything
+# outside the window keeps registration order and is covered by the local
+# full-catalog gate (tests/test_queries_oracle.py — the identical DuckDB
+# hash check over every oracled entry).
 
-DRIVER_PRIORITY = [
-    # relational / §2.1 core
-    "flagship_join_agg",      # entry() query
-    "cbo_ordered_join",       # Selinger DP join ordering end-to-end
-    "scan",
-    "filter_predicates",      # EQ..GE predicate vocabulary
-    "projection",
-    "agg_global",
-    "agg_grouped",
-    "join_inner",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_nonequi",
-    "txn_write_read",         # §2.1 transactional write path (manifest log)
-    "sort_limit",
-    "topk_per_group",
-    "window_running",
-    "rollup",
-    "pivot",
-    "expressions",
-    "recursive_cte_ancestors",
-    "subquery_in",
-    "approx_aggs",            # sketch family (rows-only by design)
-    # text analysis
-    "text_token_stats",
-    "text_lang_id",
-    # dedup
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    # iterative / graph
-    "dedup_components",
-    "graph_pagerank",
-    # similarity search
-    "knn_lsh_bucketed",
-    "knn_ivf",                # rows-only by design (k-means not in SQL)
-    # multimodal
-    "multimodal_meta",
-    "multimodal_features",    # rows-only by design (decode plane)
-    # scalar / higher-order functions
-    "higher_order_funcs",
-    # UDF / UDAF / UDTF
-    "udaf_geomean",
-    "udtf_split_sentences",
-    # sampling / splits
-    "hash_split_train",
-    # corpus pipelines
-    "corpus_prep",
-    "decontaminate_ngram",
-    "pack_sequences",
-    # temporal joins / rollup
-    "asof_join",
-    "range_join_bucketed",
-    # source connectors
-    "source_python_datasource",
-    "dpp_join_pruned",
-    # streaming (event-time windows + real readStream + stateful)
-    "events_sessionized",
-    "streaming_tumbling",
-    "streaming_dedup",
-    # governance / robust stats
-    "robust_stats_mad",
-    # TPC-H
-    "tpch_q1",
-    "tpch_q15",
+# Names with a hash-checked driver row in rounds 1-3 (union of
+# CORRECTNESS_r0{1,2,3}.json minus the no_oracle rows-only entries).
+DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
+    "agg_array_ordered", "agg_filtered", "agg_global", "agg_grouped",
+    "asof_join", "band_join_lookup", "bm25_score", "cbo_ordered_join",
+    "conform_union", "corpus_prep", "correlated_scalar_subquery", "cube",
+    "data_quality_report", "decontaminate_ngram", "dedup_components",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_keep_best",
+    "dedup_minhash_lsh", "distinct", "dpp_join_pruned",
+    "events_sessionized", "exact_distinct_counts", "expressions",
+    "filter_predicates", "flagship_join_agg", "global_row_number",
+    "graph_pagerank", "hash_split_train", "having", "higher_order_funcs",
+    "incremental_agg_merge", "join_anti", "join_full_outer", "join_inner",
+    "join_left_outer", "join_multiway", "join_nonequi", "join_salted_skew",
+    "join_semi", "knn_lsh_bucketed", "latest_per_key", "merge_upsert",
+    "monthly_growth", "multimodal_meta", "pack_sequences", "pivot",
+    "projection", "range_join_bucketed", "recursive_cte_ancestors",
+    "robust_stats_mad", "rollup", "rollup_grouping_id", "scan",
+    "scd2_build", "set_ops", "sort_limit", "source_python_datasource",
+    "streaming_dedup", "streaming_tumbling", "subquery_in",
+    "subquery_not_exists", "text_lang_id", "text_token_stats",
+    "topk_per_group", "tpch_q1", "tpch_q15", "txn_write_read",
+    "udaf_geomean", "udtf_split_sentences", "unpivot_metrics",
+    "values_inline", "window_range_frame", "window_running",
+    "window_share_of_total",
+})
+
+# Pinned sentinels: re-checked every round regardless of rotation.
+DRIVER_SENTINELS = [
+    "flagship_join_agg",  # entry() query — the core join+agg path
+    "cbo_ordered_join",   # Selinger DP join ordering end-to-end
+    "txn_write_read",     # transactional write path (manifest log)
+    "tpch_q1",            # pure scan + partial-agg baseline
+]
+
+# Round-4 window: sentinels + queries with no prior driver hash row —
+# all remaining TPC-H, the full source/sink connector suite, the
+# governance family, SCD2 point-in-time, SemDeDup + PQ-ADC (rows-only by
+# design: k-means isn't SQL), the remaining streaming windows, and this
+# round's new/changed entries (approx_aggs now hash-checkable, the COW
+# MERGE, the salted + forward as-of joins, the sub-quadratic LSH
+# embedding dedup).
+DRIVER_PRIORITY = DRIVER_SENTINELS + [
+    # new or newly-oracled this round
+    "approx_aggs",
+    "txn_merge_upsert",
+    "asof_join_salted",
+    "asof_join_forward",
+    "dedup_embedding_cosine_lsh",
+    # TPC-H: every query without a prior driver row
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    # source/sink connector suite
+    "source_csv_scan",
+    "source_json_scan",
+    "source_orc_scan",
+    "source_partitioned_scan",
+    "source_binaryfile_scan",
+    "source_schema_evolution",
+    "source_python_stream",
+    "source_zorder_scan",
+    "bucketed_colocated_join",
+    "txn_time_travel",
+    # governance / corpus-mix family
+    "doc_length_histogram",
+    "zipf_token_rank",
+    "mix_rebalance",
+    "mix_temperature_weights",
+    "length_winsorize",
+    "curriculum_bins",
+    # SCD2 temporal lookup
+    "scd2_point_in_time",
+    # semantic dedup + PQ (rows-only by design: k-means not in SQL)
+    "dedup_semantic",
+    "embedding_pq_adc",
+    # streaming event-time windows not yet driver-checked
+    "events_tumbling",
+    "events_sliding",
+    "streaming_stream_stream_join",
 ]
 
 

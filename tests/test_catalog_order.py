@@ -1,48 +1,39 @@
 """Catalog-order contract: the grading driver oracle-checks the FIRST 50
-entries of ``queries()``, so the front of the catalog must cover every
-SURVEY §2 family. Guards against a registration reshuffle silently
-pushing a family out of the driver's evidence window."""
+entries of ``queries()``, so the front of the catalog IS the driver's
+correctness-evidence sample. The window ROTATES per round (sentinels
+pinned, every other slot spent on queries with no prior driver hash row)
+to maximize cumulative independent-oracle coverage; these tests pin that
+policy so a registration reshuffle can't silently waste the window on
+already-proven queries."""
 
 from dbms_query_optimizer_spark.operators import catalog as C
 
 WINDOW = 50
 
-# family -> representatives that must appear in the driver window
-FAMILIES = {
-    "relational_core": {"scan", "filter_predicates", "projection", "agg_grouped"},
-    "joins": {"join_inner", "join_semi", "join_anti", "join_nonequi"},
-    "cbo": {"cbo_ordered_join"},
-    "window": {"window_running", "topk_per_group"},
-    "grouping": {"rollup", "pivot"},
-    "subquery_cte": {"subquery_in", "recursive_cte_ancestors"},
-    "approx": {"approx_aggs"},
-    "text": {"text_token_stats", "text_lang_id"},
-    "dedup": {"dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine"},
-    "graph_iterative": {"dedup_components", "graph_pagerank"},
-    "similarity": {"knn_lsh_bucketed", "knn_ivf"},
-    "multimodal": {"multimodal_meta", "multimodal_features"},
-    "higher_order_funcs": {"higher_order_funcs"},
-    "udf_udaf_udtf": {"udaf_geomean", "udtf_split_sentences"},
-    "sampling": {"hash_split_train"},
-    "corpus_pipelines": {"corpus_prep", "decontaminate_ngram", "pack_sequences"},
-    "temporal": {"asof_join", "range_join_bucketed"},
-    "sources": {"source_python_datasource", "dpp_join_pruned"},
-    "transactional_write": {"txn_write_read"},
-    "streaming": {"events_sessionized", "streaming_tumbling", "streaming_dedup"},
-    "governance": {"robust_stats_mad"},
-    "tpch": {"tpch_q1", "tpch_q15"},
-}
-
-
-def test_priority_window_covers_every_family():
-    head = set(list(C.CATALOG)[:WINDOW])
-    for family, reps in FAMILIES.items():
-        assert reps <= head, f"{family}: {sorted(reps - head)} outside first {WINDOW}"
-
 
 def test_priority_list_is_exactly_the_window():
     assert len(C.DRIVER_PRIORITY) == WINDOW
     assert list(C.CATALOG)[:WINDOW] == C.DRIVER_PRIORITY
+
+
+def test_sentinels_pinned():
+    assert set(C.DRIVER_SENTINELS) <= set(C.DRIVER_PRIORITY)
+
+
+def test_window_spends_slots_on_new_evidence():
+    """Every non-sentinel slot must go to a query with no hash-checked
+    driver row in any prior round (new, reworked-oracle, or simply never
+    sampled) — the rotation policy."""
+    fresh = set(C.DRIVER_PRIORITY) - set(C.DRIVER_SENTINELS)
+    stale = fresh & C.DRIVER_CHECKED_PRIOR_ROUNDS
+    assert not stale, f"window wastes slots on already-proven queries: {sorted(stale)}"
+
+
+def test_window_mostly_oracled():
+    """Rows-only entries give weaker evidence; cap them so the window
+    stays dominated by full hash checks."""
+    no_oracle = [n for n in C.DRIVER_PRIORITY if C.CATALOG[n][1] is None]
+    assert len(no_oracle) <= 4, no_oracle
 
 
 def test_catalog_intact_after_reorder():
