@@ -994,9 +994,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffles per iteration, centroid frame localCheckpointed so
     lineage stays flat). Dedup: per-cluster Arrow applyInPandas computes
     the dense cosine tile with one numpy GEMM and drops every vector that
-    has a smaller-id in-cluster witness with cosine >= SEMDEDUP_TAU; the
-    surviving copy is the smallest id, reported as ``dup_of`` on each
-    dropped row.
+    has a smaller-id in-cluster witness with cosine >= SEMDEDUP_TAU;
+    ``dup_of`` on a dropped row names its smallest-id witness — which in
+    a similarity chain (a~b, b~c, a≁c) can itself be a dropped row, so
+    ``dup_of`` is the dedup *cause*, not necessarily a kept survivor.
 
     Scale: the cluster count grows with the corpus so each tile fits one
     executor (SemDeDup's own regime — 50k clusters for web scale); a
