@@ -153,3 +153,115 @@ def test_shuffle_hash_join_strategy_pinned(explain):
     assert "ShuffledHashJoin" in tree  # the hinted middle strategy
     assert "SortMergeJoin" not in tree  # what Catalyst would default to
     assert "CartesianProduct" not in tree
+
+
+# ---------------------------------------------------------------------------
+# Per-headline structural pins. Every query benched in bench.py HEADLINE
+# carries at least the default gate (no cartesian product, no
+# row-at-a-time Python eval) plus, where listed, the load-bearing
+# property of ITS plan — so a Spark upgrade or refactor that silently
+# de-optimizes a headline plan fails here instead of surfacing as an
+# unexplained bench regression rounds later.
+#
+# must_have entries match the full formatted explain; entries prefixed
+# with "tree:" match only the operator diagram. A leading "!" negates.
+
+_DEFAULT_MUST_NOT = ("CartesianProduct", "BatchEvalPython")
+
+HEADLINE_PROPS: dict[str, list[str]] = {
+    # relational core: partial (map-side) aggregation before the shuffle
+    "agg_grouped": ["tree:HashAggregate", "partial_"],
+    "join_multiway": ["BroadcastHashJoin"],
+    "cbo_ordered_join": ["BroadcastHashJoin"],
+    # rank-limit pushdown keeps per-group top-k from sorting whole groups
+    "topk_per_group": ["tree:WindowGroupLimit"],
+    "window_running": ["tree:Window"],
+    "dedup_exact": ["tree:HashAggregate"],
+    # LSH candidate generation must stay bucket-blocked (no theta join)
+    "dedup_minhash_lsh": ["!tree:SortMergeJoin"],
+    "dedup_simhash_pairs": ["!tree:SortMergeJoin"],
+    "dedup_ngram_jaccard": [],
+    "dedup_embedding_cosine": ["tree:FlatMapGroupsInPandas"],  # Arrow GEMM tiles
+    "dedup_embedding_cosine_lsh": ["!tree:MapInPandas"],  # pure JVM path
+    "dedup_span_duplication": [],
+    "knn_brute_force": ["tree:BroadcastNestedLoopJoin", "!tree:SortMergeJoin"],
+    # bucketed ANN probes are an equi-join, never a nested loop
+    "knn_lsh_bucketed": ["!tree:BroadcastNestedLoopJoin"],
+    # centroid assignment is a tiny broadcast nested loop BY DESIGN (k
+    # rows); the pin is that the corpus probe stays a broadcast equi-join
+    "knn_ivf": ["tree:BroadcastHashJoin"],
+    # text family: single-pass codegen column math, no Python eval plane
+    "text_quality": ["!ArrowEvalPython", "!MapInPandas"],
+    "text_lang_quality_summary": ["!ArrowEvalPython", "!MapInPandas"],
+    "text_rolling_fingerprint": [],
+    "text_tfidf_top_terms": [],
+    "explode_tokens": ["tree:Generate", "tree:HashAggregate"],
+    "percentile_exact": [],
+    "multimodal_frame_sample": ["tree:Generate"],  # JVM frame-index explode
+    "events_tumbling": ["tree:HashAggregate"],
+    "events_sessionized": ["tree:Window"],
+    "asof_join": ["tree:Window", "!tree:SortMergeJoin"],
+    "asof_join_salted": ["tree:Window"],
+    "range_join_bucketed": ["!tree:BroadcastNestedLoopJoin"],  # bucket equi-join
+    "interval_overlap_join": ["!tree:SortMergeJoin"],  # census, no pair join
+    "tpch_q1": ["tree:HashAggregate", "partial_", "!tree:Join"],
+    "tpch_q3": ["BroadcastHashJoin"],
+    "tpch_q5": ["BroadcastHashJoin"],
+    "tpch_q6": [],  # bespoke test above
+    "tpch_q10": ["BroadcastHashJoin"],
+    "tpch_q18": [],
+    "tpch_q19": ["BroadcastHashJoin"],
+    "events_rollup_multires": [],
+    "events_funnel": ["tree:HashAggregate", "BroadcastHashJoin"],
+    "latest_per_key": ["tree:WindowGroupLimit"],  # rank-1 pushdown
+    "join_salted_skew": [],  # deliberate-replication demonstrator
+    "quality_gopher_rules": ["!ArrowEvalPython", "!MapInPandas"],
+    "text_unigram_logprob": [],
+    "embedding_quantize_int8": ["!MapInPandas"],  # JVM transform math
+    "corpus_prep": ["!tree:SortMergeJoin"],  # gates+LSH stay broadcast/blocked
+    "curriculum_bins": [],  # bespoke test above
+    "text_entropy": [],
+    "sliding_distinct_users": [],  # bespoke test above
+    "late_supplier_blame": [],  # bespoke test above
+    "robust_stats_mad": [],
+    "graph_pagerank": [],
+    "tpch_q2": [],  # bespoke test above
+    "source_python_datasource": [],
+    "tpch_q15": [],
+    "incremental_join_view": [],
+    "txn_merge_upsert": [],
+    "flagship_join_agg": [],  # bespoke test above
+}
+
+
+def _headline_names():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), os.pardir, "bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.HEADLINE
+
+
+def test_every_headline_query_has_a_property_entry():
+    missing = [n for n in _headline_names() if n not in HEADLINE_PROPS]
+    assert not missing, f"headline queries without a plan pin: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_PROPS))
+def test_headline_plan_properties(explain, name):
+    plan = explain(name)
+    tree = _tree(plan)
+    for op in _DEFAULT_MUST_NOT:
+        assert op not in tree, f"{name}: forbidden operator {op}"
+    for prop in HEADLINE_PROPS[name]:
+        negate = prop.startswith("!")
+        pat = prop.lstrip("!")
+        hay = tree if pat.startswith("tree:") else plan
+        pat = pat.removeprefix("tree:")
+        found = bool(_op_spans(hay, pat)) if pat[0].isupper() else pat in hay
+        assert found != negate, f"{name}: property {prop!r} violated"
