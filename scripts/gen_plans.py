@@ -266,11 +266,49 @@ COMMENTARY = {
         "CartesianProduct."
     ),
     "knn_ivf": (
-        "IVF probe path. Expect: probe-cell assignment fully distributed — "
-        "queries BroadcastNestedLoopJoin'd against the tiny centroid frame, "
+        "IVF probe path over the PERSISTED index (build_ivf_index trains "
+        "once; the corpus parquet is partitioned by cell). Expect: "
+        "probe-cell assignment fully distributed — queries "
+        "BroadcastNestedLoopJoin'd against the tiny centroid frame, "
         "squared distance as a JVM-side higher-order fold, row_number "
         "window bounded at k rows per query — then a broadcast equi-join "
-        "on cell against the assigned corpus. No query-vector collect."
+        "on cell against the cell-partitioned corpus (inverted lists = "
+        "physical partitions). No query-vector collect, no training in "
+        "the query."
+    ),
+    "asof_join_salted": (
+        "Skew-hardened backward as-of join: two-phase distributed prefix "
+        "scan. Expect: the probe/build union windowed per (user_id, bkt) "
+        "— a hot user's timeline splits across B contiguous time buckets "
+        "instead of one sort task — a per-bucket last-build aggregate, a "
+        "tiny per-user carry Window (<= B rows per user), and an "
+        "equi-join of carry-in back on (user_id, bkt). Output identical "
+        "to asof_join (same oracle)."
+    ),
+    "dedup_embedding_cosine_lsh": (
+        "Sub-quadratic near-dup: sign-LSH buckets bound candidate pairs "
+        "to sum(|bucket|^2) << n^2, exact cosine re-check inside buckets. "
+        "Expect: bucket ids computed JVM-side from the leading dims, "
+        "candidates via bucket equi-join (no CartesianProduct, no "
+        "sort-merge theta join), cosine as a codegen higher-order fold. "
+        "This is the plan to copy at 100 TB; dedup_embedding_cosine is "
+        "its exact verification twin."
+    ),
+    "txn_merge_upsert": (
+        "Committed copy-on-write MERGE through the manifest log. The "
+        "merge itself runs at call time (semi-join to find affected "
+        "files, rewrite minus matched plus source, atomic manifest "
+        "publish); the explained plan is the post-merge snapshot read. "
+        "Expect: a plain parquet scan of exactly the manifest's file "
+        "list — recovery is resolution, nothing to replay."
+    ),
+    "approx_aggs": (
+        "Sketch family, hash-checkable. Expect: one pass computing exact "
+        "distinct counts + HLL + approx-percentile together (ObjectHashAggregate), "
+        "then a second scan rank-checking the sketch median via a "
+        "BroadcastNestedLoopJoin against the 1-row stats — booleans "
+        "assert each sketch met its bound so DuckDB can value-verify "
+        "without comparing engine-defined sketch outputs."
     ),
     "tpch_q15": (
         "Q15 top supplier. Expect: the per-supplier revenue aggregate "
