@@ -508,6 +508,99 @@ ORACLE_STREAMING_FOREACHBATCH_INGEST = """
 """
 
 
+def q_streaming_upsert_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the events stream drains through foreachBatch
+    and every micro-batch MERGEs its latest-per-user rows into the
+    transactional manifest table (sources/manifest.py COW merge) — the
+    lakehouse "streaming upsert sink" pattern, state = one row per user.
+
+    Batching-invariant and exactly-once by construction: each batch
+    reduces to argmax(ts, event_id) per user, the merge source keeps the
+    newer of (incoming, current) for matched keys (read-modify-write with
+    an associative max), so any batch split, reordering, or checkpoint
+    REPLAY of a batch converges to the same final state — at-least-once
+    delivery plus an idempotent merge is the exactly-once contract, the
+    same argument as the per-batch_id file sink (streaming/sinks.py).
+
+    Scale: per batch the merge rewrites only files holding touched users;
+    the read-modify-write joins batch-sized frames against the snapshot
+    (key-pruned by the semi-join inside merge). The oracle recomputes the
+    global latest-per-user directly.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import TransactionalTable
+
+    root = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    table_root = f"{root}/table"
+    ckpt = f"{root}/ckpt"
+
+    src = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    table = TransactionalTable.create(table_root, src.schema)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select("user_id", "m.ts", "m.event_id", "m.value")
+        )
+        cur = table.read(batch_df.sparkSession)
+        merged = (
+            latest.unionByName(cur.join(latest.select("user_id"), "user_id", "semi"))
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select("user_id", "m.ts", "m.event_id", "m.value")
+        )
+        tx = table.begin()
+        tx.merge(batch_df.sparkSession, merged, "user_id")
+        tx.commit()
+
+    q = (
+        src.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        return (
+            TransactionalTable(table_root)  # fresh recovery-path open
+            .read(spark)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint()  # materialize before the dirs vanish
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_STREAMING_UPSERT_INGEST = """
+    WITH ev AS (
+        SELECT user_id, event_id, value,
+               CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM ev
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
@@ -527,5 +620,9 @@ def oracles() -> dict[str, tuple]:
         "streaming_foreachbatch_ingest": (
             q_streaming_foreachbatch_ingest,
             ORACLE_STREAMING_FOREACHBATCH_INGEST,
+        ),
+        "streaming_upsert_ingest": (
+            q_streaming_upsert_ingest,
+            ORACLE_STREAMING_UPSERT_INGEST,
         ),
     }
