@@ -656,6 +656,28 @@ def cosine_expr(a: str, b: str):
     return dot / (na * nb)
 
 
+def dot_expr(a: str, b: str):
+    """Dot product of two array<float> columns, JVM-side, in double."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: str):
+    """L2 norm of an array<float> column, JVM-side, in double — identical
+    float-op order to the norm inside cosine_expr, so precomputing it per
+    ROW and dividing per PAIR is bit-for-bit the same cosine."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 EMB_GEMM_BLOCKS = 8  # block-grid width B -> B(B+1)/2 GEMM tiles
 
 
@@ -828,13 +850,22 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()  # a pair agreeing in several bands is one candidate
     )
-    ea = e.toDF("id_a", "va")
-    eb = e.toDF("id_b", "vb")
+    # Norms precomputed per ROW (n folds) instead of per PAIR (2·|cand|
+    # folds): Spark's array lambdas run interpreted, so at |cand| ≫ n
+    # this cuts the verify's fold work 3×. Same float-op order as
+    # cosine_expr → bit-identical cosines, oracle unchanged.
+    en = e.select("vec_id", "embedding", norm_expr("embedding").alias("nrm"))
+    ea = en.toDF("id_a", "va", "na")
+    eb = en.toDF("id_b", "vb", "nb")
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
-            "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine")
+            "id_a",
+            "id_b",
+            F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= COSINE_T)
         .orderBy("id_a", "id_b")
