@@ -678,6 +678,9 @@ def norm_expr(a: str):
     )
 
 
+EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
+
+
 EMB_GEMM_BLOCKS = 8  # block-grid width B -> B(B+1)/2 GEMM tiles
 
 
@@ -829,7 +832,18 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic coordinate-hyperplane LSH keeps it SQL-expressible, so
     unlike most ANN paths this one has a full value-level DuckDB oracle.
+
+    Parallelism note: both the candidate self-join and the per-pair
+    verify are CPU-bound (interpreted fold per pair), not byte-bound —
+    exactly the case AQE's size-based partition coalescing mispredicts
+    (a few MB of (id_a, id_b) pairs coalesce to ~3 tasks while each row
+    costs a 64-element fold). The explicit round-robin ``repartition(P)``
+    on the tiny pair frame pins the verify stage's task count to the
+    session's shuffle parallelism; AQE does not re-coalesce a
+    user-specified partition count. Cost: one extra shuffle of 16-byte
+    rows — linear, negligible against the verify it parallelizes.
     """
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
     bands = F.array(
@@ -840,8 +854,10 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(EMB_LSH_BANDS)
         ]
     )
-    bk = e.select("vec_id", F.explode(bands).alias("bk")).select(
-        "vec_id", "bk.band", "bk.key"
+    bk = (
+        e.repartition(par)
+        .select("vec_id", F.explode(bands).alias("bk"))
+        .select("vec_id", "bk.band", "bk.key")
     )
     cand = (
         bk.toDF("id_a", "band", "key")
@@ -858,7 +874,8 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = en.toDF("id_a", "va", "na")
     eb = en.toDF("id_b", "vb", "nb")
     return (
-        cand.join(ea, "id_a")
+        cand.repartition(par)
+        .join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             "id_a",
