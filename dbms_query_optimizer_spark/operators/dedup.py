@@ -52,12 +52,30 @@ SQL_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 # ---------------------------------------------------------------------------
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism.
+
+    Tokenize/shingle pipelines are CPU-bound per input row, but the
+    documents table is a small compressed file — Spark's byte-based split
+    sizing scans it as ONE task, serializing the tokenization, and AQE's
+    size-based coalescing keeps downstream partitions few. An explicit
+    repartition (user counts are never re-coalesced by AQE) buys P-way
+    tokenization for one shuffle of the raw rows. At 100 TB a corpus
+    arrives as many files and the repartition collapses to a cheap
+    balanced exchange — or can be dropped entirely; it is the small-file
+    floor, not the scale path, that needs it.
+    """
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(par)
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs, shingle = word 3-gram of the
     normalized text. The explode is map-only; distinct shuffles on
     (doc_id, shingle) — linear in corpus token count."""
     return (
-        docs.select("doc_id", tokens("text").alias("toks"))
+        _fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", F.explode(word_ngrams("toks", 3)).alias("shingle"))
         .distinct()
     )
@@ -86,7 +104,10 @@ def _bucket_pairs(bands: DataFrame, member_cols: list[str]) -> DataFrame:
     ordering = lexicographic on member_cols, so lead with the id column).
     """
     members = F.sort_array(F.collect_set(F.struct(*member_cols)))
-    buckets = (
+    # _fan_out: the pair-grid explode below does |bucket|²/2 row builds
+    # from a few thousand tiny bucket rows — AQE's size-based coalescing
+    # would run it single-task.
+    buckets = _fan_out(
         bands.groupBy("band", "key")
         .agg(members.alias("ms"))
         .filter(F.size("ms") > 1)
@@ -312,41 +333,44 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the signature bit. All integer arithmetic — engine-portable to the
     bit (votes > 0  <=>  2·popcount-contribution > token count).
 
-    Single-shuffle formulation: collect_set dedups tokens map-side and
-    ships one (doc_id, token-set) row per doc; the 32 per-bit votes are
-    higher-order array aggregates in the same projection. The previous
-    explode → DISTINCT → re-aggregate shape shuffled the raw exploded
-    token stream twice (once hashed by (doc, token), once by doc) — at
-    corpus scale that is 2x the data motion for the same result.
+    Whole-stage-codegen formulation: the token hash is computed on the
+    EXPLODED stream (codegen md5 per row), the distinct collapses
+    (doc, token) with map-side partial aggregation, and the 32 bit votes
+    are plain SUM aggregates (32 columns in one hash aggregate — also
+    codegen, also map-side combined). An earlier collect_set +
+    higher-order-fold variant kept one shuffle but paid ~80M interpreted
+    lambda evaluations for the votes; measured slower than this shape,
+    whose second shuffle moves only n_docs × 33 partial sums. Mirrors the
+    oracle's explode → DISTINCT → GROUP BY structure exactly.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(norm_text("text")), " ")).alias("tok")
+    toks = (
+        _fan_out(docs.select("doc_id", "text"))
+        .select(
+            "doc_id", F.explode(F.split(F.trim(norm_text("text")), " ")).alias("tok")
+        )
+        .distinct()
     )
-    sets = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
-    vals = F.transform(
-        F.col("toks"),
-        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long"),
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
     )
-    d = sets.select("doc_id", vals.alias("vals"), F.size("toks").alias("n"))
+    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("int")).alias(
+                f"s{j}"
+            )
+            for j in range(32)
+        ],
+    )
     sim = sum(
         (
-            F.when(
-                F.aggregate(
-                    "vals",
-                    F.lit(0),
-                    lambda acc, v: acc
-                    + F.shiftright(v, j).bitwiseAND(F.lit(1)).cast("int"),
-                )
-                * 2
-                > F.col("n"),
-                F.lit(2**j),
-            ).otherwise(F.lit(0))
+            F.when(F.col(f"s{j}") * 2 > F.col("n"), F.lit(2**j)).otherwise(F.lit(0))
             for j in range(32)
         ),
         F.lit(0),
     ).cast("long")
-    return d.select("doc_id", sim.alias("simhash"))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def _sql_simhash_core() -> str:
@@ -933,7 +957,8 @@ def q_dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"]
     spans = (
-        docs.select("doc_id", tokens("text").alias("toks"))
+        _fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", F.explode(word_ngrams("toks", SPAN_N)).alias("span"))
         .distinct()
     )
