@@ -56,6 +56,29 @@ class PlannedQuery:
     stats: dict[str, TableStats]
 
 
+# (session, frame semantic hash, histogram columns) -> TableStats. A real
+# engine's ANALYZE statistics live in the catalog across queries (the
+# reference holds one TableStats per segment for the process lifetime,
+# table_stats.cc:156); rebuilding them per planned query would be 2 Spark
+# jobs per table per call. semanticHash keys on the LOGICAL plan, so the
+# same parquet path at a different sf_dir — or any transformation change —
+# misses the cache. Keyed by the session OBJECT so a recreated session
+# never serves stale statistics.
+_STATS_CACHE: dict[tuple, TableStats] = {}
+
+
+def _cached_stats(
+    df: DataFrame, io_cost_per_page: int, columns: list[str]
+) -> TableStats:
+    key = (df.sparkSession, df.semanticHash(), io_cost_per_page, tuple(sorted(columns)))
+    hit = _STATS_CACHE.get(key)
+    if hit is None:
+        hit = _STATS_CACHE[key] = TableStats.from_dataframe(
+            df, io_cost_per_page=io_cost_per_page, columns=columns
+        )
+    return hit
+
+
 def plan_and_emit(
     tables: dict[str, DataFrame],
     joins: list[LogicalJoinNode],
@@ -82,10 +105,8 @@ def plan_and_emit(
         for spec in filters:
             filtered_cols.setdefault(spec.table, []).append(spec.column)
         stats = {
-            name: TableStats.from_dataframe(
-                tables[name],
-                io_cost_per_page=io_cost_per_page,
-                columns=filtered_cols[name],
+            name: _cached_stats(
+                tables[name], io_cost_per_page, filtered_cols[name]
             )
             for name in involved
         }
