@@ -290,9 +290,12 @@ COMMENTARY = {
         "to sum(|bucket|^2) << n^2, exact cosine re-check inside buckets. "
         "Expect: bucket ids computed JVM-side from the leading dims, "
         "candidates via bucket equi-join (no CartesianProduct, no "
-        "sort-merge theta join), cosine as a codegen higher-order fold. "
-        "This is the plan to copy at 100 TB; dedup_embedding_cosine is "
-        "its exact verification twin."
+        "sort-merge theta join), cosine as a JVM-side higher-order fold. "
+        "Expect explicit round-robin Exchanges pinning the candidate and "
+        "verify stages to full parallelism — the per-pair fold is "
+        "CPU-bound, and AQE's byte-based coalescing would otherwise run "
+        "it on ~3 tasks. This is the plan to copy at 100 TB; "
+        "dedup_embedding_cosine is its exact verification twin."
     ),
     "txn_merge_upsert": (
         "Committed copy-on-write MERGE through the manifest log. The "
