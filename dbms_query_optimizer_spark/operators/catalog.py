@@ -697,9 +697,11 @@ DRIVER_PRIORITY = DRIVER_SENTINELS + [
     "curriculum_bins",
     # SCD2 temporal lookup
     "scd2_point_in_time",
-    # semantic dedup + PQ (rows-only by design: k-means not in SQL)
+    # semantic dedup (rows-only by design: k-means not in SQL)
     "dedup_semantic",
-    "embedding_pq_adc",
+    # zone-map file skipping through the manifest — the oracle pins the
+    # pruned file count itself (files_read/files_total columns)
+    "txn_zonemap_scan",
     # streaming event-time windows not yet driver-checked
     "events_tumbling",
     "events_sliding",

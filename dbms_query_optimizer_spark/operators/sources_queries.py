@@ -669,6 +669,79 @@ ORACLE_TXN_MERGE_UPSERT = """
 """
 
 
+def q_txn_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping through the manifest (sources/manifest.py
+    ``_harvest_stats``/``prune_files``) — the manifest-level analog of the
+    reference's histogram-driven selectivity (src/optimizer/
+    table_stats.cc): statistics exist so the engine can skip work a
+    predicate provably excludes; here whole FILES are excluded before the
+    distributed scan is planned, as in every lakehouse format's
+    file-stats pruning.
+
+    Four transactions commit orders clustered into key quartiles (one
+    file each); the read carries ``where = (o_orderkey >= mid)``, so the
+    manifest's footer-harvested min/max must prune exactly the two lower
+    quartile files. The PRUNING ITSELF is value-checked: files_read /
+    files_total are emitted as columns and the oracle pins them at 2 / 4
+    — a bug that reads too many files (no pruning) or too few (wrong
+    rows) fails the hash either on the counts or on the aggregates.
+
+    Scale: pruning cost is O(files) driver-side metadata against the
+    already-loaded manifest; on a range-clustered 100 TB key it removes
+    entire task waves before scheduling.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_zonemap", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # quartile bounds from the key domain — a metadata-scale collect
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    q = [(i * (mx + 1)) // 4 for i in range(5)]
+
+    table = TransactionalTable.create(root, orders.schema)
+    for lo, hi in zip(q, q[1:]):
+        t = table.begin()
+        t.insert(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).coalesce(1)
+        )
+        t.commit()
+
+    reader = TransactionalTable(root)  # fresh open = recovery path
+    cut = q[2]
+    df = reader.read(spark, where=("o_orderkey", ">=", cut))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    ).select(
+        "n_rows",
+        "min_key",
+        "sum_price",
+        F.lit(reader.last_scan["files_read"]).alias("files_read"),
+        F.lit(reader.last_scan["files_total"]).alias("files_total"),
+    )
+
+
+ORACLE_TXN_ZONEMAP_SCAN = """
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           2 AS files_read,
+           4 AS files_total
+    FROM orders
+    WHERE o_orderkey >= (SELECT ((MAX(o_orderkey) + 1) * 2) // 4 FROM orders)
+"""
+
+
 def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel over the manifest commit log: two
     committed versions of the table, then BOTH read back concurrently —
@@ -730,6 +803,7 @@ def oracles() -> dict[str, tuple]:
     return {
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
         "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
+        "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),
         "source_python_stream": (q_source_python_stream, ORACLE_SOURCE_PYTHON_STREAM),
         "source_zorder_scan": (q_source_zorder_scan, ORACLE_SOURCE_ZORDER_SCAN),

@@ -59,6 +59,131 @@ class ConflictError(RuntimeError):
     copy-on-write transaction rewrote its files against."""
 
 
+# ------------------------------------------------------------- zone maps
+#
+# Per-file column statistics harvested from the parquet FOOTERS at commit
+# time and carried in the manifest — the minimum viable form of the
+# manifest-level file statistics every lakehouse format keeps (and the
+# file-level analog of the reference's table histograms,
+# src/optimizer/table_stats.cc: both exist so scans can skip work a
+# predicate provably excludes). Harvesting reads O(files) footers, no
+# data pages — the same metadata-scale cost as the manifest itself.
+# Readers prune the snapshot's file list against a predicate before the
+# distributed scan is even planned: at 100 TB on a range-clustered key,
+# that is the difference between scheduling 10⁵ tasks and 10².
+
+_ZONE_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+def _json_scalar(v):
+    """Footer min/max → JSON-storable scalar (None = not representable)."""
+    if isinstance(v, bool) or v is None:
+        return None  # booleans: zone pruning not worth the edge cases
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _harvest_stats(files: list[str]) -> dict:
+    """path -> {column -> {min, max, nulls, rows}} from parquet footers.
+
+    Columns whose physical min/max are absent or non-scalar (nested,
+    binary, timestamp) get only null/row counts — pruning treats missing
+    bounds as "cannot exclude". Multi-row-group files fold to
+    min-of-mins / max-of-maxes.
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for path in files:
+        local = urlparse(path).path or path
+        try:
+            md = pq.ParquetFile(local).metadata
+        except Exception:
+            continue  # unreadable footer: file simply carries no stats
+        cols: dict[str, dict] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if "." in name:
+                    continue  # nested leaf: not a top-level zone
+                entry = cols.setdefault(
+                    name, {"min": None, "max": None, "nulls": 0, "rows": 0}
+                )
+                entry["rows"] += g.num_rows
+                st = c.statistics
+                if st is None:
+                    entry["min"] = entry["max"] = None
+                    entry["nulls"] = None
+                    continue
+                if entry["nulls"] is not None:
+                    entry["nulls"] += st.null_count or 0
+                mn = _json_scalar(st.min) if st.has_min_max else None
+                mx = _json_scalar(st.max) if st.has_min_max else None
+                first = rg == 0
+                entry["min"] = (
+                    mn
+                    if first
+                    else (None if None in (mn, entry["min"]) else min(mn, entry["min"]))
+                )
+                entry["max"] = (
+                    mx
+                    if first
+                    else (None if None in (mx, entry["max"]) else max(mx, entry["max"]))
+                )
+        out[path] = cols
+    return out
+
+
+def _zone_may_match(zone: dict | None, op: str, value) -> bool:
+    """Can any row in a file with this zone satisfy ``col op value``?
+
+    Conservative: missing stats → True. SQL semantics: NULL never
+    satisfies a comparison, so an all-null zone is skippable outright.
+    """
+    if zone is None or value is None:
+        return True
+    nulls, rows = zone.get("nulls"), zone.get("rows")
+    if nulls is not None and rows and nulls == rows:
+        return False  # every value NULL: no comparison can hold
+    mn, mx = zone.get("min"), zone.get("max")
+    if mn is None or mx is None:
+        return True
+    try:
+        if op == "=":
+            return mn <= value <= mx
+        if op == "!=":
+            # only a constant file with zero nulls is provably all-equal
+            return not (mn == mx == value and zone.get("nulls") == 0)
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+    except TypeError:
+        return True  # cross-type comparison: never prune on it
+    return True
+
+
+def prune_files(snapshot: dict, where: tuple) -> tuple[list[str], list[str]]:
+    """Split a snapshot's files into (kept, skipped) for ``where`` =
+    ``(column, op, value)``. Pure metadata — no Spark, no I/O."""
+    col, op, value = where
+    if op not in _ZONE_OPS:
+        raise ValueError(f"unsupported zone predicate op: {op!r}")
+    stats = snapshot.get("stats", {})
+    kept, skipped = [], []
+    for f in snapshot["files"]:
+        zone = stats.get(f, {}).get(col)
+        (kept if _zone_may_match(zone, op, value) else skipped).append(f)
+    return kept, skipped
+
+
 def _manifest_name(version: int) -> str:
     return f"{version:0{_VERSION_WIDTH}d}.json"
 
@@ -157,12 +282,18 @@ class Transaction:
         self.insert(src)
 
     def commit(self) -> int:
-        """Publish staged files atomically; returns the committed version."""
+        """Publish staged files atomically; returns the committed version.
+
+        Zone maps are harvested from the staged files' parquet footers
+        here — commit is the one point that knows the final file set, and
+        footer reads are O(files) metadata, not data."""
         assert not self._done, "transaction already finished"
+        staged = self.staged_files()
         version = self._table._publish(
-            self.staged_files(),
+            staged,
             replaced=self._replaced,
             expected_base=self._base_version,
+            stats=_harvest_stats(staged),
         )
         self._done = True
         return version
@@ -222,6 +353,7 @@ class TransactionalTable:
         new_files: list[str],
         replaced: list[str] | None = None,
         expected_base: int | None = None,
+        stats: dict | None = None,
     ) -> int:
         gone = set(replaced or [])
         while True:
@@ -232,10 +364,15 @@ class TransactionalTable:
                     f"base v{expected_base}; rewritten files may be stale"
                 )
             version = base["version"] + 1
+            merged_stats = {
+                f: s for f, s in base.get("stats", {}).items() if f not in gone
+            }
+            merged_stats.update(stats or {})
             manifest = {
                 "version": version,
                 "schema": base["schema"],
                 "files": [f for f in base["files"] if f not in gone] + new_files,
+                "stats": merged_stats,
             }
             try:
                 _write_manifest_atomic(self._manifest_dir, version, manifest)
@@ -244,12 +381,36 @@ class TransactionalTable:
                 continue  # lost the race: retry on top of the new tip
 
     # ------------------------------------------------------------- reader
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: tuple | None = None,
+    ) -> DataFrame:
+        """Read a committed snapshot; ``where = (column, op, value)``
+        additionally prunes the file list against the manifest's zone
+        maps BEFORE the scan is planned, then applies the same predicate
+        as a residual row filter — identical results to a full scan +
+        filter, strictly fewer files opened. ``last_scan`` records
+        {files_total, files_read} for observability."""
         snap = self.snapshot(version)
         schema = StructType.fromJson(json.loads(snap["schema"]))
-        if not snap["files"]:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*snap["files"])
+        files = snap["files"]
+        residual = None
+        if where is not None:
+            files, _skipped = prune_files(snap, where)
+            col, op, value = where
+            c = F.col(col)
+            residual = {
+                "=": c == value, "!=": c != value, "<": c < value,
+                "<=": c <= value, ">": c > value, ">=": c >= value,
+            }[op]
+        self.last_scan = {"files_total": len(snap["files"]), "files_read": len(files)}
+        if not files:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*files)
+        return df.filter(residual) if residual is not None else df
 
     # ------------------------------------------------------------- vacuum
     def vacuum(self) -> list[str]:

@@ -1,0 +1,162 @@
+"""Zone-map file skipping on the manifest table.
+
+The observable contract: `read(where=...)` returns EXACTLY the rows a
+full scan + filter returns, while opening only the files whose
+footer-harvested min/max can satisfy the predicate. The pruning decision
+itself (`prune_files` / `_zone_may_match`) is pure metadata, so it is
+tested exhaustively against a brute-force evaluation; the end-to-end
+path is tested for parity + file counts on a range-clustered table.
+
+Reference tie-in: statistics that let the engine skip provably-excluded
+work are the reference's TableStats idea (src/optimizer/
+table_stats.cc:262-268) lifted from row-selectivity to file-selectivity.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_query_optimizer_spark.sources.manifest import (
+    TransactionalTable,
+    _zone_may_match,
+    prune_files,
+)
+
+OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _build(spark, root: str):
+    """Four committed single-file transactions, k clustered [0,10) /
+    [10,20) / [20,30) / [30,40); one file is all-NULL in v."""
+    shutil.rmtree(root, ignore_errors=True)
+    rows = [(i, float(i) if i < 30 else None, f"s{i:02d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v double, s string")
+    table = TransactionalTable.create(root, df.schema)
+    for lo in (0, 10, 20, 30):
+        t = table.begin()
+        t.insert(df.filter((F.col("k") >= lo) & (F.col("k") < lo + 10)).coalesce(1))
+        t.commit()
+    return TransactionalTable(root), df
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    """Shared READ-ONLY table — the mutating merge test builds its own."""
+    return _build(spark, str(tmp_path_factory.mktemp("zonemap") / "zm"))
+
+
+def test_harvested_stats_present(clustered):
+    table, _ = clustered
+    snap = table.snapshot()
+    assert len(snap["files"]) == 4
+    stats = snap["stats"]
+    assert set(stats) == set(snap["files"])
+    zones = sorted(
+        (s["k"]["min"], s["k"]["max"], s["k"]["rows"]) for s in stats.values()
+    )
+    assert zones == [(0, 9, 10), (10, 19, 10), (20, 29, 10), (30, 39, 10)]
+    # all-NULL v file: no bounds, nulls == rows
+    vnull = [s["v"] for s in stats.values() if s["v"]["nulls"] == 10]
+    assert vnull == [{"min": None, "max": None, "nulls": 10, "rows": 10}]
+
+
+@pytest.mark.parametrize("op", list(OPS))
+@pytest.mark.parametrize("value", [-1, 0, 9, 10, 15, 29, 39, 40])
+def test_prune_never_drops_matching_file(clustered, op, value):
+    """Exhaustive soundness: a skipped file must contain NO row matching
+    the predicate (completeness of pruning is checked by count below)."""
+    table, _ = clustered
+    snap = table.snapshot()
+    kept, skipped = prune_files(snap, ("k", op, value))
+    assert sorted(kept + skipped) == sorted(snap["files"])
+    # brute force: k is contiguous within each file's [min, max] zone
+    stats = snap["stats"]
+    for f in skipped:
+        z = stats[f]["k"]
+        matches = [k for k in range(z["min"], z["max"] + 1) if OPS[op](k, value)]
+        assert not matches, (op, value, z)
+
+
+def test_prune_counts_tight_on_ranges(clustered):
+    table, _ = clustered
+    snap = table.snapshot()
+    kept, skipped = prune_files(snap, ("k", ">=", 20))
+    assert len(kept) == 2 and len(skipped) == 2
+    kept, skipped = prune_files(snap, ("k", "=", 15))
+    assert len(kept) == 1
+    kept, skipped = prune_files(snap, ("k", "<", 0))
+    assert len(kept) == 0
+
+
+def test_all_null_zone_is_skipped(clustered):
+    table, _ = clustered
+    snap = table.snapshot()
+    # v is NULL exactly in the [30,40) file: any comparison excludes it
+    kept, skipped = prune_files(snap, ("v", ">=", 0.0))
+    assert len(skipped) == 1
+    z = snap["stats"][skipped[0]]["v"]
+    assert z["nulls"] == z["rows"] == 10
+
+
+def test_read_where_parity_and_file_counts(clustered, spark):
+    table, df = clustered
+    expected = sorted(
+        (r.k, r.v, r.s) for r in df.filter(F.col("k") >= 17).collect()
+    )
+    got = sorted(
+        (r.k, r.v, r.s)
+        for r in table.read(spark, where=("k", ">=", 17)).collect()
+    )
+    assert got == expected
+    assert table.last_scan == {"files_total": 4, "files_read": 3}
+    # residual filter matters: the [10,20) file is read but rows 10..16 drop
+    assert min(k for k, _, _ in got) == 17
+
+
+def test_string_zone_pruning(clustered, spark):
+    table, _ = clustered
+    got = table.read(spark, where=("s", ">", "s29")).collect()
+    assert table.last_scan["files_read"] == 1
+    assert sorted(r.s for r in got) == [f"s{i}" for i in range(30, 40)]
+
+
+def test_missing_stats_backward_compatible(clustered, spark, tmp_path):
+    """A manifest without a stats section (pre-zone-map layout) must
+    read fully and prune nothing."""
+    table, _ = clustered
+    snap = table.snapshot()
+    legacy = {k: v for k, v in snap.items() if k != "stats"}
+    kept, skipped = prune_files(legacy, ("k", ">=", 20))
+    assert kept == legacy["files"] and skipped == []
+
+
+def test_merge_refreshes_stats(spark, tmp_path):
+    """COW merge: replaced files leave the stats map; rewritten files
+    arrive with fresh footer stats covering the updated values."""
+    table, df = _build(spark, str(tmp_path / "zm_merge"))
+    src = spark.createDataFrame([(5, 99.0, "zz")], "k long, v double, s string")
+    t = table.begin()
+    t.merge(spark, src, "k")
+    t.commit()
+    snap = table.snapshot()
+    assert set(snap["stats"]) == set(snap["files"])
+    # the rewritten file's v zone now reaches 99
+    vmax = max(
+        s["v"]["max"] for s in snap["stats"].values() if s["v"]["max"] is not None
+    )
+    assert vmax == 99.0
+    # pruning still sound after the merge
+    kept, _ = prune_files(snap, ("v", ">=", 99.0))
+    got = table.read(spark, where=("v", ">=", 99.0)).collect()
+    assert [(r.k, r.v) for r in got] == [(5, 99.0)]
+    assert table.last_scan["files_read"] == len(kept)
