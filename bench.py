@@ -89,6 +89,9 @@ HEADLINE = [
     "dedup_embedding_cosine_lsh",
     "asof_join_salted",
     "txn_merge_upsert",
+    # round 4: zone-map file skipping through the manifest (commit-time
+    # footer stats -> pruned file list before the scan is planned)
+    "txn_zonemap_scan",
 ]
 
 

@@ -742,6 +742,85 @@ ORACLE_TXN_ZONEMAP_SCAN = """
 """
 
 
+def q_txn_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (lakehouse OPTIMIZE) + zone-map payoff in one
+    lifecycle: the o_orderkey%10==7 slice of orders lands as 8
+    round-robin (unclustered) files — streaming-ingest-shaped small-file
+    debt — then ``compact(sort_by=o_orderkey, target_files=2)``
+    range-clusters it into 2 files through a copy-on-write commit, and a
+    ``>= 90% of max key`` read prunes to ONE of them via the refreshed
+    commit-time zone maps. Emitted columns pin the whole story for the
+    oracle: row aggregates (data survived the rewrite bit-for-bit),
+    files_before 8, files_total 2, files_read 1 (pruning works on the
+    clustered layout — against the pre-compact random layout the same
+    predicate must read all 8, since every file spans the key range).
+
+    Scale: compaction reads only sub-target files and writes
+    ceil(bytes/target) outputs via repartitionByRange — a distributed
+    sort, no single-task funnel; old versions stay time-travel-readable
+    until vacuum.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable, prune_files
+
+    root = _roundtrip_dir(sf_dir, "txn_compact", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    slice_ = orders.filter(F.col("o_orderkey") % 10 == 7)
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(slice_.repartition(8))  # round-robin: every file spans the range
+    t1.commit()
+
+    mx = slice_.agg(F.max("o_orderkey")).collect()[0][0]
+    cut = (9 * (mx + 1)) // 10
+    files_before = len(table.snapshot()["files"])
+    # Pre-compact layout check: every round-robin file spans the key
+    # range, so a low-quartile cut prunes NOTHING (a high cut would make
+    # this probabilistic on tiny slices — whether file i caught one of
+    # the few top-decile keys).
+    cut_low = (mx + 1) // 4
+    unpruned = len(prune_files(table.snapshot(), ("o_orderkey", ">=", cut_low))[0])
+
+    table.compact(spark, sort_by="o_orderkey", target_files=2)
+
+    reader = TransactionalTable(root)
+    df = reader.read(spark, where=("o_orderkey", ">=", cut))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    ).select(
+        "n_rows",
+        "min_key",
+        "sum_price",
+        F.lit(files_before).alias("files_before"),
+        F.lit(unpruned).alias("unpruned_before"),
+        F.lit(reader.last_scan["files_read"]).alias("files_read"),
+        F.lit(reader.last_scan["files_total"]).alias("files_total"),
+    )
+
+
+ORACLE_TXN_COMPACT_SCAN = """
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           8 AS files_before,
+           8 AS unpruned_before,
+           1 AS files_read,
+           2 AS files_total
+    FROM orders
+    WHERE o_orderkey % 10 = 7
+      AND o_orderkey >= (SELECT ((MAX(o_orderkey) + 1) * 9) // 10
+                         FROM orders WHERE o_orderkey % 10 = 7)
+"""
+
+
 def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel over the manifest commit log: two
     committed versions of the table, then BOTH read back concurrently —
@@ -804,6 +883,7 @@ def oracles() -> dict[str, tuple]:
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
         "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
+        "txn_compact_scan": (q_txn_compact_scan, ORACLE_TXN_COMPACT_SCAN),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),
         "source_python_stream": (q_source_python_stream, ORACLE_SOURCE_PYTHON_STREAM),
         "source_zorder_scan": (q_source_zorder_scan, ORACLE_SOURCE_ZORDER_SCAN),

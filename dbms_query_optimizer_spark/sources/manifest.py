@@ -412,6 +412,64 @@ class TransactionalTable:
             df = spark.read.schema(schema).parquet(*files)
         return df.filter(residual) if residual is not None else df
 
+    # ------------------------------------------------------------ compact
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        target_files: int | None = None,
+        sort_by: str | None = None,
+    ) -> int | None:
+        """Bin-pack small files into ~target-size files (lakehouse
+        OPTIMIZE) through an ordinary copy-on-write transaction: read the
+        files below target size, rewrite them as ``ceil(bytes/target)``
+        files (or exactly ``target_files``), publish base − small +
+        rewritten atomically. Old versions stay time-travel-readable;
+        ``vacuum`` reclaims them. Returns the committed version, or None
+        if fewer than two files qualify (nothing to pack).
+
+        ``sort_by`` range-clusters the rewritten files on a column
+        (``repartitionByRange`` + ``sortWithinPartitions`` — a
+        distributed sort, no single-task funnel), which is what makes the
+        commit-time zone maps SELECTIVE: after clustering, a range
+        predicate prunes to O(matching) files. Compaction and zone maps
+        are two halves of one mechanism — the first creates the layout
+        the second exploits, exactly as in any lakehouse OPTIMIZE +
+        file-stats design. At 100 TB the same plan holds per partition:
+        small-file debt from streaming ingest is the thing this exists
+        to pay down.
+
+        First-committer-wins: raises ConflictError if the tip moved past
+        the snapshot the rewrite was computed against.
+        """
+        snap = self.snapshot()
+        sizes: dict[str, int] = {}
+        for f in snap["files"]:
+            local = urlparse(f).path or f
+            try:
+                sizes[f] = os.path.getsize(local)
+            except OSError:
+                sizes[f] = target_file_bytes  # unknown: treat as full
+        small = [f for f in snap["files"] if sizes[f] < target_file_bytes]
+        if len(small) < 2:
+            return None
+        n_out = target_files or max(
+            1, -(-sum(sizes[f] for f in small) // target_file_bytes)
+        )
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        df = spark.read.schema(schema).parquet(*small)
+        if sort_by is not None:
+            df = df.repartitionByRange(n_out, F.col(sort_by)).sortWithinPartitions(
+                sort_by
+            )
+        else:
+            df = df.coalesce(n_out)
+        txn = self.begin()
+        txn._base_version = snap["version"]
+        txn._replaced = small
+        txn.insert(df)
+        return txn.commit()
+
     # ------------------------------------------------------------- vacuum
     def vacuum(self) -> list[str]:
         """Remove staging dirs with no file referenced by the LATEST

@@ -160,3 +160,38 @@ def test_merge_refreshes_stats(spark, tmp_path):
     got = table.read(spark, where=("v", ">=", 99.0)).collect()
     assert [(r.k, r.v) for r in got] == [(5, 99.0)]
     assert table.last_scan["files_read"] == len(kept)
+
+
+def test_compact_packs_and_preserves(spark, tmp_path):
+    """OPTIMIZE semantics: same rows, fewer files, zones refreshed and
+    range-selective after sort_by clustering; prior version still
+    time-travel-readable."""
+    table, df = _build(spark, str(tmp_path / "zm_compact"))
+    v_before = table.latest_version()
+    rows_before = sorted((r.k, r.v, r.s) for r in table.read(spark).collect())
+
+    v = table.compact(spark, sort_by="k", target_files=2)
+    assert v == v_before + 1
+    snap = table.snapshot()
+    assert len(snap["files"]) == 2
+    assert set(snap["stats"]) == set(snap["files"])
+    # clustered zones: the two files partition the key range
+    zones = sorted((s["k"]["min"], s["k"]["max"]) for s in snap["stats"].values())
+    assert zones[0][1] < zones[1][0]
+    assert zones[0][0] == 0 and zones[1][1] == 39
+    # data identical
+    rows_after = sorted((r.k, r.v, r.s) for r in table.read(spark).collect())
+    assert rows_after == rows_before
+    # old version still readable (time travel)
+    old = sorted((r.k, r.v, r.s) for r in table.read(spark, version=v_before).collect())
+    assert old == rows_before
+    # pruning selective on the packed layout
+    table.read(spark, where=("k", ">=", zones[1][0]))
+    assert table.last_scan == {"files_total": 2, "files_read": 1}
+
+
+def test_compact_noop_below_two_files(spark, tmp_path):
+    table, df = _build(spark, str(tmp_path / "zm_noop"))
+    table.compact(spark, target_files=1)  # packs 4 -> 1
+    assert len(table.snapshot()["files"]) == 1
+    assert table.compact(spark) is None  # single file: nothing to pack
