@@ -195,3 +195,47 @@ def test_compact_noop_below_two_files(spark, tmp_path):
     table.compact(spark, target_files=1)  # packs 4 -> 1
     assert len(table.snapshot()["files"]) == 1
     assert table.compact(spark) is None  # single file: nothing to pack
+
+
+# ---------------------------------------------------------- property-based
+# _zone_may_match is pure metadata logic, so hypothesis can hammer it:
+# generate a file's actual values, derive its zone the way the harvester
+# would, and assert pruning is SOUND (never skips a file containing a
+# matching row) for every op and probe value.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vals = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    min_size=1,
+    max_size=12,
+)
+_probe = st.integers(min_value=-55, max_value=55)
+
+
+@settings(max_examples=300, deadline=None)
+@given(values=_vals, op=st.sampled_from(sorted(OPS)), probe=_probe)
+def test_zone_match_sound_property(values, op, probe):
+    present = [v for v in values if v is not None]
+    zone = {
+        "min": min(present) if present else None,
+        "max": max(present) if present else None,
+        "nulls": sum(1 for v in values if v is None),
+        "rows": len(values),
+    }
+    has_match = any(OPS[op](v, probe) for v in present)
+    may = _zone_may_match(zone, op, probe)
+    if has_match:
+        assert may, (zone, op, probe)
+    # completeness on the shapes the harvester emits: with exact bounds,
+    # range ops must prune when no value can match
+    if present and not has_match and op in ("<", "<=", ">", ">="):
+        assert not may, (zone, op, probe)
+
+
+@settings(max_examples=200, deadline=None)
+@given(probe=_probe, op=st.sampled_from(sorted(OPS)))
+def test_zone_missing_stats_never_prunes(probe, op):
+    assert _zone_may_match(None, op, probe)
+    assert _zone_may_match({"min": None, "max": None, "nulls": None, "rows": 5}, op, probe)
+    assert _zone_may_match({"min": 1, "max": 9, "nulls": 0, "rows": 5}, op, None)
