@@ -170,17 +170,28 @@ def _zone_may_match(zone: dict | None, op: str, value) -> bool:
     return True
 
 
-def prune_files(snapshot: dict, where: tuple) -> tuple[list[str], list[str]]:
-    """Split a snapshot's files into (kept, skipped) for ``where`` =
-    ``(column, op, value)``. Pure metadata — no Spark, no I/O."""
-    col, op, value = where
-    if op not in _ZONE_OPS:
-        raise ValueError(f"unsupported zone predicate op: {op!r}")
+def _as_conjuncts(where) -> list[tuple]:
+    """Normalize ``where`` to a list of (column, op, value) conjuncts —
+    a single tuple or a list of tuples (ANDed, as in any scan filter)."""
+    conj = [where] if isinstance(where, tuple) else list(where)
+    for c in conj:
+        if len(c) != 3 or c[1] not in _ZONE_OPS:
+            raise ValueError(f"unsupported zone predicate: {c!r}")
+    return conj
+
+
+def prune_files(snapshot: dict, where) -> tuple[list[str], list[str]]:
+    """Split a snapshot's files into (kept, skipped) for ``where`` — one
+    ``(column, op, value)`` tuple or a list of them ANDed together (a
+    file survives only if EVERY conjunct's zone check passes). Pure
+    metadata — no Spark, no I/O."""
+    conj = _as_conjuncts(where)
     stats = snapshot.get("stats", {})
     kept, skipped = [], []
     for f in snapshot["files"]:
-        zone = stats.get(f, {}).get(col)
-        (kept if _zone_may_match(zone, op, value) else skipped).append(f)
+        zones = stats.get(f, {})
+        ok = all(_zone_may_match(zones.get(c), op, v) for c, op, v in conj)
+        (kept if ok else skipped).append(f)
     return kept, skipped
 
 
@@ -385,26 +396,29 @@ class TransactionalTable:
         self,
         spark: SparkSession,
         version: int | None = None,
-        where: tuple | None = None,
+        where: tuple | list | None = None,
     ) -> DataFrame:
-        """Read a committed snapshot; ``where = (column, op, value)``
-        additionally prunes the file list against the manifest's zone
-        maps BEFORE the scan is planned, then applies the same predicate
-        as a residual row filter — identical results to a full scan +
-        filter, strictly fewer files opened. ``last_scan`` records
-        {files_total, files_read} for observability."""
+        """Read a committed snapshot; ``where`` — one ``(column, op,
+        value)`` tuple or a list of them ANDed — additionally prunes the
+        file list against the manifest's zone maps BEFORE the scan is
+        planned, then applies the same predicate as a residual row
+        filter — identical results to a full scan + filter, strictly
+        fewer files opened. ``last_scan`` records {files_total,
+        files_read} for observability."""
         snap = self.snapshot(version)
         schema = StructType.fromJson(json.loads(snap["schema"]))
         files = snap["files"]
         residual = None
         if where is not None:
             files, _skipped = prune_files(snap, where)
-            col, op, value = where
-            c = F.col(col)
-            residual = {
-                "=": c == value, "!=": c != value, "<": c < value,
-                "<=": c <= value, ">": c > value, ">=": c >= value,
-            }[op]
+            ops = {
+                "=": lambda c, v: c == v, "!=": lambda c, v: c != v,
+                "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+                ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+            }
+            for col, op, value in _as_conjuncts(where):
+                term = ops[op](F.col(col), value)
+                residual = term if residual is None else residual & term
         self.last_scan = {"files_total": len(snap["files"]), "files_read": len(files)}
         if not files:
             df = spark.createDataFrame([], schema)

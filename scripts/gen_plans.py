@@ -305,6 +305,22 @@ COMMENTARY = {
         "Expect: a plain parquet scan of exactly the manifest's file "
         "list — recovery is resolution, nothing to replay."
     ),
+    "txn_zonemap_scan": (
+        "Zone-map file skipping: commit-time parquet-footer min/max in "
+        "the manifest prune the file list BEFORE the scan is planned. "
+        "Expect: the FileScan's InMemoryFileIndex lists only the 2 "
+        "surviving quartile files (pruning happened at plan build, so "
+        "the skipped files appear nowhere), plus the residual "
+        "o_orderkey >= cut row filter pushed into the scan."
+    ),
+    "txn_compact_scan": (
+        "Post-OPTIMIZE read: 8 round-robin small files compacted into 2 "
+        "range-clustered files (repartitionByRange + sortWithinPartitions "
+        "at compact time), then a top-decile predicate prunes to 1. "
+        "Expect: FileScan over a single file with the residual filter "
+        "pushed; the compaction itself is a COW commit, not part of the "
+        "explained plan."
+    ),
     "approx_aggs": (
         "Sketch family, hash-checkable. Expect: one pass computing exact "
         "distinct counts + HLL + approx-percentile together (ObjectHashAggregate), "

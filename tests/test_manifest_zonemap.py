@@ -239,3 +239,17 @@ def test_zone_missing_stats_never_prunes(probe, op):
     assert _zone_may_match(None, op, probe)
     assert _zone_may_match({"min": None, "max": None, "nulls": None, "rows": 5}, op, probe)
     assert _zone_may_match({"min": 1, "max": 9, "nulls": 0, "rows": 5}, op, None)
+
+
+def test_conjunct_pruning_intersects(clustered, spark):
+    """AND-conjuncts: a file survives only if every conjunct's zone
+    check passes — k >= 17 keeps 3 files, adding k < 25 drops [30,40)."""
+    table, df = clustered
+    pred = [("k", ">=", 17), ("k", "<", 25)]
+    got = sorted(r.k for r in table.read(spark, where=pred).collect())
+    assert got == list(range(17, 25))
+    assert table.last_scan == {"files_total": 4, "files_read": 2}
+    # multi-COLUMN conjunct: s zone narrows it to one file
+    got = table.read(spark, where=[("k", ">=", 10), ("s", "<", "s20")]).collect()
+    assert table.last_scan["files_read"] == 1
+    assert sorted(r.k for r in got) == list(range(10, 20))
