@@ -520,9 +520,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator SQL alone cannot express without recursion.
     """
     edges = q_dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").cache()
-    und = edges.union(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).toDF("src", "dst")
+    # the union doubles the cached pair frame's partition count; without
+    # the coalesce every round's message join scans 64 near-empty map
+    # partitions — per-round task-launch overhead, not data, dominated
+    # the loop's wall time.
+    und = (
+        edges.union(
+            edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .toDF("src", "dst")
+        .coalesce(8)
+    )
     labels = (
         edges.select(F.col("id_a").alias("node"))
         .union(edges.select("id_b"))
@@ -532,24 +540,37 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = labels  # round 1: every node announces its own label
     for _ in range(COMPONENTS_MAX_ITERS):
-        msgs = und.join(
-            frontier.toDF("f_node", "f_label"), und.src == F.col("f_node")
-        ).select(F.col("dst").alias("node"), F.col("f_label").alias("label"))
-        new_labels = (
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        # improved nodes = next frontier; its size is the convergence test.
-        # NOT checkpointed: both parents are, so recomputing this small
-        # join (once for the count, once inside next round's msgs) is
-        # cheaper than materializing it — lineage depth stays bounded
-        # either way.
-        frontier = (
-            new_labels.toDF("node", "label")
-            .join(labels.toDF("o_node", "o_label"), F.col("node") == F.col("o_node"))
-            .filter(F.col("label") < F.col("o_label"))
-            .select("node", "label")
+        # min message per receiver FIRST (map-side combine collapses the
+        # edge fan-in before the shuffle), then ONE left join against the
+        # current labels computes both the new label and the improved
+        # flag — the flag rides inside the checkpointed frame, so the
+        # frontier filter and the convergence count both scan cached
+        # partitions instead of re-running the round's joins (the
+        # previous union → groupBy → re-join shape paid one full extra
+        # round of stages per iteration just to measure the frontier).
+        msg_min = (
+            und.join(frontier.toDF("f_node", "f_label"), und.src == F.col("f_node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("f_label").alias("m"))
         )
-        labels = new_labels
+        new_labels = (
+            labels.join(msg_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("m", "label")).alias("new_label"),
+                (F.col("m") < F.col("label")).alias("improved"),
+            )
+            .select("node", F.col("new_label").alias("label"), "improved")
+            # the label frame is |nodes| tiny rows but its plan inherits
+            # 64 union/shuffle partitions; eager localCheckpoint would
+            # materialize (and every later round re-scan) 64 near-empty
+            # cached partitions per round. coalesce folds the checkpoint
+            # to 8 reduce tasks without an extra shuffle.
+            .coalesce(8)
+            .localCheckpoint()
+        )
+        frontier = new_labels.filter("improved").select("node", "label")
+        labels = new_labels.select("node", "label")
         if frontier.count() == 0:
             break
     else:
