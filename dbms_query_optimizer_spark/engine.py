@@ -172,3 +172,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     tables = {name: e.df for name, e in eng.tables.items()}
     _TABLE_CACHE[key] = (spark, tables)
     return dict(tables)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism.
+
+    For stages whose cost is per-row CPU (tokenization, shingling,
+    per-pair verification) over a SMALL byte footprint: Spark's
+    byte-based split sizing scans a small compressed file as one task,
+    and AQE's byte-based coalescing keeps downstream partitions few —
+    both mispredict CPU-bound work. An explicit repartition (user counts
+    are never re-coalesced by AQE) buys P-way compute for one shuffle of
+    the raw rows. At 100 TB the input arrives as many files and this
+    collapses to a cheap balanced exchange — it is the small-file floor,
+    not the scale path, that needs it.
+    """
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(par)

@@ -52,21 +52,7 @@ SQL_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 # ---------------------------------------------------------------------------
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's shuffle parallelism.
-
-    Tokenize/shingle pipelines are CPU-bound per input row, but the
-    documents table is a small compressed file — Spark's byte-based split
-    sizing scans it as ONE task, serializing the tokenization, and AQE's
-    size-based coalescing keeps downstream partitions few. An explicit
-    repartition (user counts are never re-coalesced by AQE) buys P-way
-    tokenization for one shuffle of the raw rows. At 100 TB a corpus
-    arrives as many files and the repartition collapses to a cheap
-    balanced exchange — or can be dropped entirely; it is the small-file
-    floor, not the scale path, that needs it.
-    """
-    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(par)
+from ..engine import fan_out as _fan_out  # shared CPU-bound-stage fan-out
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:

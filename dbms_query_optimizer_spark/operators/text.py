@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..engine import load_tables
+from ..engine import fan_out, load_tables
 from ..functions import text as T
 from ..functions.text import word_ngrams
 
@@ -213,7 +213,9 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum hash (the winnowing-style sketch value) and the distinct-hash
     count."""
     t = load_tables(spark, sf_dir)
-    return rolling_fingerprint_arrow(t["documents"]).orderBy("doc_id")
+    return rolling_fingerprint_arrow(
+        fan_out(t["documents"])
+    ).orderBy("doc_id")
 
 
 def _sql_rolling_fingerprint() -> str:
@@ -341,7 +343,8 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir)["documents"]
     tokens = (
-        docs.select(
+        fan_out(docs.select("doc_id", "lang", "text"))
+        .select(
             "doc_id",
             "lang",
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
@@ -417,7 +420,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     soup — both tails are what the gate drops.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    tokens = docs.select(
+    tokens = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
     ).filter(F.length("token") >= 1)
     freq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -678,16 +681,19 @@ def q_doc_repeat_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite shape an ingest cleaning pass must have at 100 TB. The
     DuckDB oracle runs the same indexed lambda (1-based there)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = F.split(F.trim(F.col("text")), " ")
-    cleaned = F.expr(
-        "filter(split(trim(text), ' '), (x, i) -> i = 0 OR x <> split(trim(text), ' ')[i-1])"
+    # materialize the token array ONCE per row: the naive single-expression
+    # form re-evaluated split(trim(text)) inside the lambda for every
+    # token index — quadratic in document length
+    tokd = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
     )
+    cleaned = F.expr("filter(toks, (x, i) -> i = 0 OR x <> toks[i-1])")
     return (
-        docs.select(
+        tokd.select(
             "doc_id",
-            F.size(toks).alias("n_tokens_before"),
+            F.size("toks").alias("n_tokens_before"),
             F.size(cleaned).alias("n_tokens_after"),
-            (F.size(toks) - F.size(cleaned)).alias("n_removed"),
+            (F.size("toks") - F.size(cleaned)).alias("n_removed"),
             F.array_join(cleaned, " ").alias("cleaned_text"),
         )
         .orderBy("doc_id")

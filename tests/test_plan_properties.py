@@ -230,6 +230,13 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "tpch_q15": [],
     "incremental_join_view": [],
     "txn_merge_upsert": [],
+    # zone maps pruned the file list BEFORE planning: the scan's file
+    # index holds exactly 2 of the 4 quartile files (formatted explain
+    # prints the first path + "... 1 entries"), and the residual range
+    # predicate is pushed into the parquet scan
+    # (lowercase-start literals: uppercase-start pins go through the
+    # whole-word regex matcher, and these contain regex metacharacters)
+    "txn_zonemap_scan": ["... 1 entries]", "o_orderkey), GreaterThanOrEqual"],
     "flagship_join_agg": [],  # bespoke test above
 }
 
