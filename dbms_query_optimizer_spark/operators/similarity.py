@@ -327,8 +327,39 @@ def _pq_mean_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via product quantization + asymmetric distance.
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, subvec): the PQ_M-way subspace split of each vector."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("sub"),
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "subvec"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.subvec").alias("subvec"))
+
+
+_PQ_INDEX_ROOT = None  # default resolved lazily (tempdir)
+
+
+def pq_index_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    root = _PQ_INDEX_ROOT or os.path.join(tempfile.gettempdir(), "spark_graft_pq")
+    return os.path.join(root, os.path.basename(sf_dir.rstrip("/")))
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Train the PQ codebooks ONCE and persist codebook + code table.
 
     Build: the 64-dim embedding splits into PQ_M=16 subvectors and each
     subspace trains a PQ_K=32-centroid codebook — but NOT as M separate
@@ -340,44 +371,23 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg), i.e. two bounded shuffles per iteration over the whole codebook
     regardless of M — at 100 TB training reads a sample, and the codebook
     stays M·K·subdim doubles, localCheckpointed per iteration so lineage
-    doesn't compound. The corpus then compresses 16× (one byte-sized code
-    per subspace vs 4-byte floats).
-
-    Search (ADC): each query precomputes a per-(sub, code) squared-distance
-    table — Q·M·K rows, broadcast — and candidate distances are the
-    equi-join of corpus codes with that table summed per (query, vector):
-    no float vectors are touched at query time, which is what makes PQ
-    serving viable when the corpus no longer fits in cluster memory
-    uncompressed. k-means isn't SQL-expressible, so this entry is
-    rows-only for the driver; recall against the exact L2 baseline is
-    asserted in tests/test_similarity.py.
+    doesn't compound. The persisted artifacts are ``codebook`` (M·K
+    rows) and ``codes`` — the corpus compressed 16× (one byte-sized code
+    per subspace vs 4-byte floats), which is the whole point of PQ: the
+    compressed table is what serves. Idempotent via a _BUILT marker —
+    the same build-once/probe-many split as build_ivf_index.
     """
-    t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select("vec_id", "embedding")
-    sub = (
-        e.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("sub"),
-                            F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
-                                "subvec"
-                            ),
-                        )
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("vec_id", F.col("s.sub").alias("sub"), F.col("s.subvec").alias("subvec"))
-        .cache()
-    )
+    import os
 
+    root = pq_index_dir(sf_dir)
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker) and not force:
+        return root
+
+    t = load_tables(spark, sf_dir)
+    sub = _pq_subvectors(t["embeddings"].select("vec_id", "embedding")).cache()
     d2 = _pq_sq_l2()
 
-    # ---- codebook training: joint Lloyd's over all subspaces
     codebook = _pq_mean_centroids(
         sub.withColumn("code", F.pmod(F.xxhash64("vec_id"), F.lit(PQ_K)).cast("int"))
     ).localCheckpoint(eager=True)
@@ -403,9 +413,42 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))).alias("m"))
         .select("vec_id", "sub", F.col("m.c").alias("code"))
     )
+    codes.write.mode("overwrite").parquet(os.path.join(root, "codes"))
+    codebook.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
+    sub.unpersist()
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return root
 
+
+def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric distance,
+    over the PERSISTED index (build_pq_index — trained once, reused), so
+    this query's cost is the true ADC serving cost, not Lloyd's.
+
+    Search (ADC): each query precomputes a per-(sub, code) squared-distance
+    table — Q·M·K rows, broadcast — and candidate distances are the
+    equi-join of corpus codes with that table summed per (query, vector):
+    no float vectors are touched at query time, which is what makes PQ
+    serving viable when the corpus no longer fits in cluster memory
+    uncompressed. k-means isn't SQL-expressible, so this entry is
+    rows-only for the driver; recall against the exact L2 baseline is
+    asserted in tests/test_similarity.py.
+    """
+    import os
+
+    root = build_pq_index(spark, sf_dir)
+    codebook = spark.read.parquet(os.path.join(root, "codebook"))
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    d2 = _pq_sq_l2()
+
+    t = load_tables(spark, sf_dir)
     qtab = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
+        _pq_subvectors(
+            t["embeddings"]
+            .select("vec_id", "embedding")
+            .filter(F.col("vec_id") < N_QUERIES)
+        )
         .join(F.broadcast(codebook), "sub")
         .withColumn("_d2", d2)
         .select(F.col("vec_id").alias("query_id"), "sub", "code", "_d2")
