@@ -821,6 +821,52 @@ ORACLE_TXN_COMPACT_SCAN = """
 """
 
 
+def q_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log history (DESCRIBE HISTORY analog) for a table
+    lifecycle — create, two inserts (4 + 2 files), an ABORTED third
+    insert, and a compaction packing the 6 files into 2. Each row is
+    (version, live files, files added, files removed), derived by
+    diffing consecutive manifests. The whole history is value-determined
+    by the lifecycle, so the oracle is a VALUES table: the commit-log
+    bookkeeping itself — including abort invisibility (the aborted txn
+    produces NO version between v2 and the compaction) and the
+    compaction's 6-out/2-in swap — is hash-checked, not just final
+    state.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_history", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 8).repartition(4))
+    t1.commit()  # v1: +4
+    t2 = table.begin()
+    t2.insert(orders.filter(F.col("o_orderkey") % 10 == 9).repartition(2))
+    t2.commit()  # v2: +2
+    t3 = table.begin()
+    t3.insert(orders.filter(F.col("o_orderkey") % 10 == 3))
+    t3.abort()  # no version — invisible in the history
+    table.compact(spark, target_files=2)  # v3: -6 +2
+    return table.history(spark).orderBy("version")
+
+
+ORACLE_TXN_HISTORY = """
+    SELECT * FROM (VALUES (0, 0, 0, 0),
+                          (1, 4, 4, 0),
+                          (2, 6, 2, 0),
+                          (3, 2, 2, 6))
+        AS t(version, n_files, n_added, n_removed)
+    ORDER BY version
+"""
+
+
 def q_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel over the manifest commit log: two
     committed versions of the table, then BOTH read back concurrently —
@@ -884,6 +930,7 @@ def oracles() -> dict[str, tuple]:
         "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
         "txn_compact_scan": (q_txn_compact_scan, ORACLE_TXN_COMPACT_SCAN),
+        "txn_history": (q_txn_history, ORACLE_TXN_HISTORY),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),
         "source_python_stream": (q_source_python_stream, ORACLE_SOURCE_PYTHON_STREAM),
         "source_zorder_scan": (q_source_zorder_scan, ORACLE_SOURCE_ZORDER_SCAN),

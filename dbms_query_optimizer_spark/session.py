@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # local mode = one JVM for driver + all executor threads; Spark's
+        # 1g default is sized for a driver that only coordinates. 32
+        # concurrent tasks' aggregate buffers (ObjectHashAggregate
+        # percentile summaries, distinct Expand streams, broadcast
+        # relations) share this heap — 1g OOMs a full-catalog sf0.1
+        # sweep. Applied only at JVM launch; harmless no-op if the
+        # session already exists (cluster deploys size the driver via
+        # spark-submit instead).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if master is not None:
         builder = builder.master(master)

@@ -426,6 +426,26 @@ class TransactionalTable:
             df = spark.read.schema(schema).parquet(*files)
         return df.filter(residual) if residual is not None else df
 
+    # ------------------------------------------------------------ history
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Commit-log history (DESCRIBE HISTORY analog): one row per
+        committed version with its live-file count and the add/remove
+        delta vs the previous version — pure manifest bookkeeping,
+        derived by diffing consecutive file lists, so it is exact for
+        any mix of inserts, COW merges, and compactions. O(versions ×
+        files) driver-side metadata; no data files are opened."""
+        rows = []
+        prev: set[str] = set()
+        for v in range(self.latest_version() + 1):
+            files = set(self._read_manifest(v)["files"])
+            rows.append(
+                (v, len(files), len(files - prev), len(prev - files))
+            )
+            prev = files
+        return spark.createDataFrame(
+            rows, "version int, n_files int, n_added int, n_removed int"
+        )
+
     # ------------------------------------------------------------ compact
     def compact(
         self,
