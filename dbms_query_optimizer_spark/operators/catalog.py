@@ -699,13 +699,15 @@ DRIVER_PRIORITY = DRIVER_SENTINELS + [
     "scd2_point_in_time",
     # semantic dedup (rows-only by design: k-means not in SQL)
     "dedup_semantic",
-    # zone-map file skipping through the manifest — the oracle pins the
-    # pruned file count itself (files_read/files_total columns)
+    # zone-map file skipping + bloom point lookup through the manifest —
+    # both oracles pin the pruned file count itself (files_read /
+    # files_total columns), so the PRUNING is what's hash-checked
     "txn_zonemap_scan",
+    "txn_point_lookup",
     # streaming event-time windows not yet driver-checked
+    # (streaming_stream_stream_join rotates into the next round's window)
     "events_tumbling",
     "events_sliding",
-    "streaming_stream_stream_join",
 ]
 
 

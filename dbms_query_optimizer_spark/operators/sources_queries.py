@@ -742,6 +742,75 @@ ORACLE_TXN_ZONEMAP_SCAN = """
 """
 
 
+def q_txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point read through per-file bloom indexes — the distributed analog
+    of the reference's heap point read by TID (reference:
+    src/heap/heap_file.cc:86-137 ``HeapFile::get_tuple`` fetches exactly
+    the one page holding a tuple; SURVEY §2.1-4): touch only the storage
+    unit that can contain the key.
+
+    The table is created with ``bloom_columns=["o_orderkey"]`` and a
+    single commit HASH-clusters orders into 8 files — the adversarial
+    layout for zone maps, since every file spans essentially the whole
+    key range and min/max excludes nothing. The ``=`` read then prunes
+    on the commit-time blooms: a bloom "no" is a proof of absence, so
+    exactly the one file whose hash partition holds the key survives
+    (pinned by the oracle as files_read 1 / files_total 8 — deterministic
+    because the bloom hashing is seeded blake2b, and at 32 bits/key the
+    false-positive odds are ~6e-5 per file).
+
+    Scale: at 100 TB an unclustered key lookup is a full scan wave
+    without this; with manifest blooms the driver schedules tasks for
+    O(1) files. Build cost is one column-pruned pass per committed file,
+    folded into commit exactly where a production writer computes it.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_bloom", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(
+        root, orders.schema, bloom_columns=["o_orderkey"]
+    )
+    t1 = table.begin()
+    # hash clustering: every file spans the key range -> zones are useless
+    t1.insert(orders.repartition(8, F.col("o_orderkey")))
+    t1.commit()
+
+    # deterministic probe key — a metadata-scale collect, mirrored by the
+    # oracle's scalar subquery
+    key = orders.filter(F.col("o_orderkey") % 7 == 3).agg(
+        F.max("o_orderkey")
+    ).collect()[0][0]
+
+    reader = TransactionalTable(root)  # fresh open = recovery path
+    df = reader.read(spark, where=("o_orderkey", "=", int(key)))
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(dec("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+        F.lit(reader.last_scan["files_read"]).alias("files_read"),
+        F.lit(reader.last_scan["files_total"]).alias("files_total"),
+    )
+
+
+ORACLE_TXN_POINT_LOOKUP = """
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2)
+               AS o_totalprice,
+           1 AS files_read,
+           8 AS files_total
+    FROM orders
+    WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders
+                        WHERE o_orderkey % 7 = 3)
+"""
+
+
 def q_txn_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (lakehouse OPTIMIZE) + zone-map payoff in one
     lifecycle: the o_orderkey%10==7 slice of orders lands as 8
@@ -929,6 +998,7 @@ def oracles() -> dict[str, tuple]:
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
         "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
+        "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
         "txn_compact_scan": (q_txn_compact_scan, ORACLE_TXN_COMPACT_SCAN),
         "txn_history": (q_txn_history, ORACLE_TXN_HISTORY),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),

@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from .bloom import BloomFilter, harvest_blooms
+
 _MANIFEST_DIR = "manifest"
 _DATA_DIR = "data"
 _VERSION_WIDTH = 12
@@ -180,17 +182,33 @@ def _as_conjuncts(where) -> list[tuple]:
     return conj
 
 
+def _bloom_may_match(bloom_b64: str | None, op: str, value) -> bool:
+    """Can a file with this bloom satisfy ``col op value``? Only ``=``
+    is bloom-answerable; a bloom "no" is a proof of absence (no false
+    negatives), so pruning on it is exact."""
+    if bloom_b64 is None or op != "=" or value is None:
+        return True
+    return BloomFilter.from_b64(bloom_b64).might_contain(value)
+
+
 def prune_files(snapshot: dict, where) -> tuple[list[str], list[str]]:
     """Split a snapshot's files into (kept, skipped) for ``where`` — one
     ``(column, op, value)`` tuple or a list of them ANDed together (a
-    file survives only if EVERY conjunct's zone check passes). Pure
-    metadata — no Spark, no I/O."""
+    file survives only if EVERY conjunct passes both its zone check and,
+    for ``=`` on a bloom-indexed column, its bloom check). Pure
+    metadata — no Spark, no data I/O."""
     conj = _as_conjuncts(where)
     stats = snapshot.get("stats", {})
+    blooms = snapshot.get("blooms", {})
     kept, skipped = [], []
     for f in snapshot["files"]:
         zones = stats.get(f, {})
-        ok = all(_zone_may_match(zones.get(c), op, v) for c, op, v in conj)
+        fblooms = blooms.get(f, {})
+        ok = all(
+            _zone_may_match(zones.get(c), op, v)
+            and _bloom_may_match(fblooms.get(c), op, v)
+            for c, op, v in conj
+        )
         (kept if ok else skipped).append(f)
     return kept, skipped
 
@@ -300,11 +318,13 @@ class Transaction:
         footer reads are O(files) metadata, not data."""
         assert not self._done, "transaction already finished"
         staged = self.staged_files()
+        bloom_cols = self._table.snapshot().get("bloom_columns") or []
         version = self._table._publish(
             staged,
             replaced=self._replaced,
             expected_base=self._base_version,
             stats=_harvest_stats(staged),
+            blooms=harvest_blooms(staged, bloom_cols) if bloom_cols else None,
         )
         self._done = True
         return version
@@ -328,14 +348,23 @@ class TransactionalTable:
 
     # ------------------------------------------------------------- create
     @staticmethod
-    def create(root: str, schema: StructType) -> "TransactionalTable":
+    def create(
+        root: str,
+        schema: StructType,
+        bloom_columns: list[str] | None = None,
+    ) -> "TransactionalTable":
+        """``bloom_columns`` opts named columns into per-file bloom
+        indexes (built at each commit, carried in the manifest) so ``=``
+        reads prune files even on layouts zone maps can't help with —
+        the table-property analog of Delta's per-column bloom indexes."""
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         mdir = os.path.join(root, _MANIFEST_DIR)
         if not os.listdir(mdir):
-            _write_manifest_atomic(
-                mdir, 0, {"version": 0, "schema": schema.json(), "files": []}
-            )
+            manifest = {"version": 0, "schema": schema.json(), "files": []}
+            if bloom_columns:
+                manifest["bloom_columns"] = list(bloom_columns)
+            _write_manifest_atomic(mdir, 0, manifest)
         return TransactionalTable(root)
 
     # -------------------------------------------------------------- state
@@ -365,6 +394,7 @@ class TransactionalTable:
         replaced: list[str] | None = None,
         expected_base: int | None = None,
         stats: dict | None = None,
+        blooms: dict | None = None,
     ) -> int:
         gone = set(replaced or [])
         while True:
@@ -379,12 +409,20 @@ class TransactionalTable:
                 f: s for f, s in base.get("stats", {}).items() if f not in gone
             }
             merged_stats.update(stats or {})
+            merged_blooms = {
+                f: b for f, b in base.get("blooms", {}).items() if f not in gone
+            }
+            merged_blooms.update(blooms or {})
             manifest = {
                 "version": version,
                 "schema": base["schema"],
                 "files": [f for f in base["files"] if f not in gone] + new_files,
                 "stats": merged_stats,
             }
+            if base.get("bloom_columns"):
+                manifest["bloom_columns"] = base["bloom_columns"]
+            if merged_blooms:
+                manifest["blooms"] = merged_blooms
             try:
                 _write_manifest_atomic(self._manifest_dir, version, manifest)
                 return version
