@@ -811,6 +811,87 @@ ORACLE_TXN_POINT_LOOKUP = """
 """
 
 
+def q_txn_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the transactional write path — the ingest
+    quality gate, enforced as TABLE metadata so every writer is bound:
+    the table declares ``price_positive: o_totalprice > 0`` and
+    ``key_not_null: o_orderkey IS NOT NULL``; a first transaction
+    commits a clean slice of orders, then a second stages the same
+    table's %10==2 slice with prices NEGATED for o_orderkey%3==0 — the
+    write itself raises ConstraintViolation (per-constraint counts) and
+    auto-aborts, leaving the table untouched.
+
+    Enforcement rides the staging write via ``Observation`` metrics —
+    zero extra passes over the data, the only cost model that survives
+    100 TB ingest. SQL CHECK semantics: NULL passes; only provably-FALSE
+    rows violate.
+
+    The result pins the whole story for the oracle: visible row count +
+    price sum (only the clean slice), the rejected transaction's
+    violating-row count (recomputed by the oracle from the base table),
+    and the table version (1 = the rejected txn consumed no version).
+    """
+    import shutil
+
+    from ..sources.manifest import ConstraintViolation, TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_constraint", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(
+        root,
+        orders.schema,
+        constraints={
+            "price_positive": "o_totalprice > 0",
+            "key_not_null": "o_orderkey IS NOT NULL",
+        },
+    )
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 1))
+    t1.commit()
+
+    corrupted = orders.filter(F.col("o_orderkey") % 10 == 2).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    t2 = table.begin()
+    n_rejected = 0
+    try:
+        t2.insert(corrupted)
+        t2.commit()  # must be unreachable
+    except ConstraintViolation as e:
+        n_rejected = e.violations.get("price_positive", 0)
+
+    fresh = TransactionalTable(root)  # recovery-path open
+    return fresh.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(int(n_rejected)).alias("n_rejected"),
+        F.lit(fresh.latest_version()).alias("version"),
+    )
+
+
+ORACLE_TXN_CONSTRAINT_GATE = """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 10 = 2 AND o_orderkey % 3 = 0
+              AND o_totalprice > 0) AS n_rejected,
+           1 AS version
+    FROM orders
+    WHERE o_orderkey % 10 = 1
+"""
+
+
 def q_txn_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (lakehouse OPTIMIZE) + zone-map payoff in one
     lifecycle: the o_orderkey%10==7 slice of orders lands as 8
@@ -999,6 +1080,7 @@ def oracles() -> dict[str, tuple]:
         "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
         "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
+        "txn_constraint_gate": (q_txn_constraint_gate, ORACLE_TXN_CONSTRAINT_GATE),
         "txn_compact_scan": (q_txn_compact_scan, ORACLE_TXN_COMPACT_SCAN),
         "txn_history": (q_txn_history, ORACLE_TXN_HISTORY),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),

@@ -61,6 +61,19 @@ class ConflictError(RuntimeError):
     copy-on-write transaction rewrote its files against."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A staged write contained rows that fail a table CHECK constraint.
+    The transaction is auto-aborted; the table is untouched. Carries
+    ``violations`` = {constraint name -> violating row count}."""
+
+    def __init__(self, violations: dict) -> None:
+        self.violations = violations
+        super().__init__(
+            "CHECK constraint(s) violated: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in violations.items())
+        )
+
+
 # ------------------------------------------------------------- zone maps
 #
 # Per-file column statistics harvested from the parquet FOOTERS at commit
@@ -238,9 +251,42 @@ class Transaction:
 
     def insert(self, df: DataFrame) -> None:
         """Stage rows: a durable parquet write that no reader can see
-        (the manifest doesn't reference it yet)."""
+        (the manifest doesn't reference it yet).
+
+        If the table declares CHECK constraints, they are enforced here
+        via ``Observation`` metrics piggybacked on the staging write
+        itself — ZERO extra passes over the data (the accumulator rides
+        the write tasks), which is the only enforcement cost model that
+        survives 100 TB ingest. SQL CHECK semantics: a row violates only
+        when the expression is provably FALSE — NULL/UNKNOWN passes. On
+        any violation the transaction auto-aborts (staged files removed,
+        table untouched) and raises ConstraintViolation with per-
+        constraint counts.
+        """
         assert not self._done, "transaction already finished"
+        constraints = self._table.snapshot().get("constraints") or {}
+        obs = None
+        if constraints:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(F.expr(expr), F.lit(True)), 1
+                        ).otherwise(0)
+                    ).alias(name)
+                    for name, expr in constraints.items()
+                ],
+            )
         df.write.mode("append").parquet(self._staging)
+        if obs is not None:
+            bad = {n: c for n, c in obs.get.items() if c}
+            if bad:
+                self.abort()
+                raise ConstraintViolation(bad)
 
     def staged_files(self) -> list[str]:
         if not os.path.isdir(self._staging):
@@ -352,11 +398,17 @@ class TransactionalTable:
         root: str,
         schema: StructType,
         bloom_columns: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "TransactionalTable":
         """``bloom_columns`` opts named columns into per-file bloom
         indexes (built at each commit, carried in the manifest) so ``=``
         reads prune files even on layouts zone maps can't help with —
-        the table-property analog of Delta's per-column bloom indexes."""
+        the table-property analog of Delta's per-column bloom indexes.
+
+        ``constraints`` declares named CHECK expressions ({name -> SQL
+        boolean}) enforced on every staged insert/merge — the quality
+        gate every production ingest needs, carried as table metadata so
+        every writer is bound by it, not just well-behaved ones."""
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         mdir = os.path.join(root, _MANIFEST_DIR)
@@ -364,6 +416,8 @@ class TransactionalTable:
             manifest = {"version": 0, "schema": schema.json(), "files": []}
             if bloom_columns:
                 manifest["bloom_columns"] = list(bloom_columns)
+            if constraints:
+                manifest["constraints"] = dict(constraints)
             _write_manifest_atomic(mdir, 0, manifest)
         return TransactionalTable(root)
 
@@ -423,6 +477,8 @@ class TransactionalTable:
                 manifest["bloom_columns"] = base["bloom_columns"]
             if merged_blooms:
                 manifest["blooms"] = merged_blooms
+            if base.get("constraints"):
+                manifest["constraints"] = base["constraints"]
             try:
                 _write_manifest_atomic(self._manifest_dir, version, manifest)
                 return version
