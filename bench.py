@@ -92,6 +92,11 @@ HEADLINE = [
     # round 4: zone-map file skipping through the manifest (commit-time
     # footer stats -> pruned file list before the scan is planned)
     "txn_zonemap_scan",
+    # round 4: bloom point lookup (heap-point-read analog: = probe prunes
+    # to 1 of 8 hash-clustered files) and the CHECK-constraint ingest
+    # gate (Observation metrics riding the staging write)
+    "txn_point_lookup",
+    "txn_constraint_gate",
 ]
 
 

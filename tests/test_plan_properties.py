@@ -237,6 +237,11 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # (lowercase-start literals: uppercase-start pins go through the
     # whole-word regex matcher, and these contain regex metacharacters)
     "txn_zonemap_scan": ["... 1 entries]", "o_orderkey), GreaterThanOrEqual"],
+    # bloom pruning left exactly ONE file in the scan's file index (a
+    # multi-file index would print "... N entries]") and the = probe is
+    # pushed into the parquet scan
+    "txn_point_lookup": ["!entries]", "o_orderkey), EqualTo"],
+    "txn_constraint_gate": [],  # lifecycle demo; default gates apply
     "flagship_join_agg": [],  # bespoke test above
 }
 
