@@ -313,6 +313,23 @@ COMMENTARY = {
         "the skipped files appear nowhere), plus the residual "
         "o_orderkey >= cut row filter pushed into the scan."
     ),
+    "txn_point_lookup": (
+        "Bloom point lookup (the heap-point-read analog): the table's "
+        "per-file blooms, built at commit and carried in the manifest, "
+        "prune a hash-clustered 8-file layout — where every file spans "
+        "the key range and min/max excludes NOTHING — down to the one "
+        "file whose bloom admits the key. Expect: InMemoryFileIndex "
+        "listing a single file and the EqualTo probe pushed into the "
+        "parquet scan."
+    ),
+    "txn_constraint_gate": (
+        "CHECK-constraint ingest gate. Enforcement rides the staging "
+        "write via Observation metrics (no extra pass), so the explained "
+        "plan is just the post-commit aggregate over the clean slice. "
+        "Expect: plain scan of the committed files + partial/final hash "
+        "aggregate; the rejected transaction left no trace in the file "
+        "list."
+    ),
     "txn_compact_scan": (
         "Post-OPTIMIZE read: 8 round-robin small files compacted into 2 "
         "range-clustered files (repartitionByRange + sortWithinPartitions "
