@@ -97,6 +97,9 @@ HEADLINE = [
     # gate (Observation metrics riding the staging write)
     "txn_point_lookup",
     "txn_constraint_gate",
+    # round 4: continual-ingest dedup — incoming batch probed against the
+    # persisted corpus signature store (build amortized across batches)
+    "dedup_incremental_lsh",
 ]
 
 

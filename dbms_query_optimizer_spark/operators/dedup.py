@@ -197,6 +197,20 @@ ORACLE_DEDUP_EXACT = f"""
 # ---------------------------------------------------------------------------
 
 
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) from a minhash signature frame: each band's key
+    is the md5 of its NUM_PERM/LSH_BANDS signature rows."""
+    rows_per_band = NUM_PERM // LSH_BANDS
+    band_keys = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            .cast("binary")
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sig.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -209,16 +223,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     sh = _doc_shingles(t["documents"]).cache()
     sig = _minhash_sig(sh)
-
-    rows_per_band = NUM_PERM // LSH_BANDS
-    band_keys = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-            .cast("binary")
-        )
-        for b in range(LSH_BANDS)
-    ]
-    bands = sig.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key"))
+    bands = _sig_bands(sig)
 
     cand = (
         _bucket_pairs(bands, ["doc_id"])
@@ -254,17 +259,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_pair_ctes() -> str:
-    """The WITH-clause body computing verified near-dup pairs — shared by
-    the minhash oracle and the corpus-prep pipeline oracle."""
+def _sql_band_rows() -> str:
+    """LATERAL VALUES rows mapping a signature row to its LSH band keys —
+    shared by every oracle that mirrors _sig_bands."""
     rows_per_band = NUM_PERM // LSH_BANDS
-    band_rows = ",\n            ".join(
+    return ",\n            ".join(
         "({b}, md5({concat}))".format(
             b=b,
             concat=" || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
         )
         for b in range(LSH_BANDS)
     )
+
+
+def _sql_minhash_pair_ctes() -> str:
+    """The WITH-clause body computing verified near-dup pairs — shared by
+    the minhash oracle and the corpus-prep pipeline oracle."""
+    band_rows = _sql_band_rows()
     return f"""sh AS ({_sql_shingles()}),
     sig AS ({_sql_minhash_sig()}),
     bands AS (
@@ -300,6 +311,163 @@ def _oracle_minhash_lsh() -> str:
     SELECT id_a, id_b, n_inter, jaccard
     FROM pairs
     ORDER BY id_a, id_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# 2b. incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+#
+# The continual-ingest shape of near-dup dedup: a production corpus is
+# deduped ONCE, its LSH band keys persisted; each day's incoming batch is
+# hashed and joined against the store — the corpus is never re-shingled.
+# The only existing docs that get re-read are the candidate matches.
+
+INCR_MOD = 5  # doc_id % 5 == 0 plays the "incoming batch" role
+
+_LSH_STORE_ROOT = None  # default resolved lazily (tempdir)
+
+
+def lsh_store_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    root = _LSH_STORE_ROOT or os.path.join(
+        tempfile.gettempdir(), "spark_graft_lsh_store"
+    )
+    return os.path.join(root, os.path.basename(sf_dir.rstrip("/")))
+
+
+def build_lsh_store(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Shingle + minhash the EXISTING corpus once and persist its LSH
+    band keys as the signature store: one parquet table (band, key,
+    doc_id), repartitioned on key so probe joins co-locate. Idempotent
+    via a _BUILT marker — the one-off O(corpus) build is separated from
+    the per-batch probe cost, exactly the split a 100 TB deployment
+    makes (there the store is bucketed on key so the daily probe join
+    is shuffle-free on the corpus side, and each day's accepted batch
+    is appended to the store instead of rebuilding it).
+    """
+    import os
+
+    root = lsh_store_dir(sf_dir)
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker) and not force:
+        return root
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") % INCR_MOD != 0
+    )
+    bands = _sig_bands(_minhash_sig(_doc_shingles(docs)))
+    bands.repartition(8, "key").write.mode("overwrite").parquet(
+        os.path.join(root, "bands")
+    )
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return root
+
+
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of an incoming batch against the
+    persisted corpus signature store (see build_lsh_store).
+
+    The incoming batch (doc_id % 5 == 0 here) is shingled and minhashed
+    fresh; its band keys BROADCAST-join the store (batch << corpus is
+    the defining asymmetry of continual ingest), giving candidate
+    (incoming, existing) pairs at band-collision granularity. Exact
+    Jaccard verification then re-shingles ONLY the matched existing
+    docs — a semi-join-pruned read, not a corpus pass.
+
+    Scale: per batch the work is O(batch tokens) hashing + a broadcast
+    probe of the store + O(candidates) verification. The corpus-sized
+    costs (shingle, sign, store write) happened once at build. The same
+    store serves every subsequent batch.
+    """
+    build_lsh_store(spark, sf_dir)
+    import os
+
+    store = spark.read.parquet(os.path.join(lsh_store_dir(sf_dir), "bands"))
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    in_sh = _doc_shingles(incoming).cache()
+    in_bands = _sig_bands(_minhash_sig(in_sh))
+
+    cand = (
+        F.broadcast(
+            in_bands.select(
+                F.col("doc_id").alias("in_id"), "band", "key"
+            )
+        )
+        .join(store, ["band", "key"])
+        .select("in_id", F.col("doc_id").alias("ex_id"))
+        .distinct()
+    )
+
+    # verify: re-shingle only the matched existing docs
+    ex_matched = docs.join(
+        cand.select(F.col("ex_id").alias("doc_id")).distinct(), "doc_id", "semi"
+    )
+    ex_sh = _doc_shingles(ex_matched).cache()
+
+    in_sizes = in_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_in"))
+    ex_sizes = ex_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ex"))
+    inter = (
+        cand.join(in_sh.alias("si"), F.col("si.doc_id") == F.col("in_id"))
+        .join(
+            ex_sh.alias("se"),
+            (F.col("se.doc_id") == F.col("ex_id"))
+            & (F.col("se.shingle") == F.col("si.shingle")),
+        )
+        .groupBy("in_id", "ex_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(in_sizes.alias("za"), F.col("za.doc_id") == F.col("in_id"))
+        .join(ex_sizes.alias("zb"), F.col("zb.doc_id") == F.col("ex_id"))
+        .select(
+            "in_id",
+            "ex_id",
+            "n_inter",
+            (
+                F.col("n_inter")
+                / (F.col("za.n_in") + F.col("zb.n_ex") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .orderBy("in_id", "ex_id")
+    )
+
+
+def _oracle_incremental_lsh() -> str:
+    return f"""
+    WITH sh AS ({_sql_shingles()}),
+    sig AS ({_sql_minhash_sig()}),
+    bands AS (
+        SELECT doc_id, band, key
+        FROM sig, LATERAL (VALUES {_sql_band_rows()}) AS v(band, key)
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+        FROM bands i JOIN bands e
+          ON i.band = e.band AND i.key = e.key
+        WHERE i.doc_id % {INCR_MOD} = 0 AND e.doc_id % {INCR_MOD} <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT in_id, ex_id, COUNT(*) AS n_inter
+        FROM cand
+        JOIN sh si ON si.doc_id = in_id
+        JOIN sh se ON se.doc_id = ex_id AND se.shingle = si.shingle
+        GROUP BY in_id, ex_id
+    )
+    SELECT in_id, ex_id, n_inter,
+           n_inter / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = in_id
+    JOIN sizes zb ON zb.doc_id = ex_id
+    WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= {MINHASH_JACCARD_T}
+    ORDER BY in_id, ex_id
     """
 
 
@@ -1176,6 +1344,7 @@ def oracles() -> dict[str, tuple]:
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
+        "dedup_incremental_lsh": (q_dedup_incremental_lsh, _oracle_incremental_lsh()),
         "dedup_simhash": (q_dedup_simhash, _oracle_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs, _oracle_simhash_pairs()),
         "dedup_components": (q_dedup_components, _oracle_dedup_components()),

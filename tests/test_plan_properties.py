@@ -242,6 +242,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # pushed into the parquet scan
     "txn_point_lookup": ["!entries]", "o_orderkey), EqualTo"],
     "txn_constraint_gate": [],  # lifecycle demo; default gates apply
+    # the incoming batch's band keys BROADCAST-probe the persisted store
+    # (batch << corpus); verification joins may shuffle, the probe must not
+    "dedup_incremental_lsh": ["BroadcastHashJoin"],
     "flagship_join_agg": [],  # bespoke test above
 }
 
