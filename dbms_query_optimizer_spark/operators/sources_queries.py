@@ -9,6 +9,7 @@ parquet views — values must survive the format roundtrip bit-for-bit
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -892,6 +893,92 @@ ORACLE_TXN_CONSTRAINT_GATE = """
 """
 
 
+def q_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE ADD COLUMN through the manifest: v1
+    commits a 3-column slice of orders, ``alter_schema`` publishes a
+    4-column schema WITHOUT rewriting any file, and v3 commits a second
+    slice that populates the new ``o_priority`` column. The latest read
+    resolves the current schema — pre-alter files have no pages for the
+    new column and surface NULL; time travel to v1 still shows the
+    3-column shape (schemas are versioned with the data).
+
+    The result pins all of it for the oracle: per-priority counts and
+    price sums (NULL group = the pre-alter rows), plus the column counts
+    of the v1 and latest schemas.
+
+    Scale: the alter is an O(KB) manifest write — a 100 TB table changes
+    shape in milliseconds, which is exactly why lakehouse formats do
+    schema evolution as metadata.
+    """
+    import shutil
+
+    from pyspark.sql.types import StringType
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_evolve", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 4))
+    t1.commit()
+
+    evolved = orders.schema.add("o_priority", StringType())
+    table.alter_schema(evolved)
+
+    t2 = table.begin()
+    t2.insert(
+        orders.filter(F.col("o_orderkey") % 10 == 5).withColumn(
+            "o_priority",
+            F.when(F.col("o_totalprice") > 150000.0, "high").otherwise("normal"),
+        )
+    )
+    t2.commit()
+
+    fresh = TransactionalTable(root)  # recovery-path open
+    v1_cols = len(json.loads(fresh.snapshot(1)["schema"])["fields"])
+    cur_cols = len(json.loads(fresh.snapshot()["schema"])["fields"])
+    return (
+        fresh.read(spark)
+        .groupBy("o_priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "o_priority",
+            "n_rows",
+            "sum_price",
+            F.lit(v1_cols).alias("v1_n_cols"),
+            F.lit(cur_cols).alias("n_cols"),
+        )
+        .orderBy("o_priority")
+    )
+
+
+ORACLE_TXN_SCHEMA_EVOLUTION = """
+    SELECT o_priority, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           3 AS v1_n_cols,
+           4 AS n_cols
+    FROM (
+        SELECT CAST(NULL AS VARCHAR) AS o_priority, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 4
+        UNION ALL
+        SELECT CASE WHEN o_totalprice > 150000.0 THEN 'high'
+                    ELSE 'normal' END, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 5
+    )
+    GROUP BY o_priority
+    ORDER BY o_priority
+"""
+
+
 def q_txn_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (lakehouse OPTIMIZE) + zone-map payoff in one
     lifecycle: the o_orderkey%10==7 slice of orders lands as 8
@@ -1081,6 +1168,7 @@ def oracles() -> dict[str, tuple]:
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
         "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
         "txn_constraint_gate": (q_txn_constraint_gate, ORACLE_TXN_CONSTRAINT_GATE),
+        "txn_schema_evolution": (q_txn_schema_evolution, ORACLE_TXN_SCHEMA_EVOLUTION),
         "txn_compact_scan": (q_txn_compact_scan, ORACLE_TXN_COMPACT_SCAN),
         "txn_history": (q_txn_history, ORACLE_TXN_HISTORY),
         "txn_time_travel": (q_txn_time_travel, ORACLE_TXN_TIME_TRAVEL),

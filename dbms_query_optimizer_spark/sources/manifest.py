@@ -520,6 +520,31 @@ class TransactionalTable:
             df = spark.read.schema(schema).parquet(*files)
         return df.filter(residual) if residual is not None else df
 
+    # ------------------------------------------------------- schema change
+    def alter_schema(self, new_schema: StructType) -> int:
+        """Publish a new version with an updated schema and the SAME file
+        list — ALTER TABLE ADD/DROP COLUMN as pure metadata, the lakehouse
+        way: no file is rewritten. Readers resolve each version's OWN
+        schema, so time travel shows the table as it was declared then;
+        under the new schema, files written before an added column simply
+        have no pages for it and read as NULL, and files that still carry
+        a dropped column have it pruned by the explicit read schema.
+
+        Scale: O(KB) manifest write; a 100 TB table changes shape in
+        milliseconds. First-committer-wins like any other commit."""
+        while True:
+            base = self.snapshot()
+            manifest = dict(base)
+            manifest["version"] = base["version"] + 1
+            manifest["schema"] = new_schema.json()
+            try:
+                _write_manifest_atomic(
+                    self._manifest_dir, manifest["version"], manifest
+                )
+                return manifest["version"]
+            except FileExistsError:
+                continue
+
     # ------------------------------------------------------------ history
     def history(self, spark: SparkSession) -> DataFrame:
         """Commit-log history (DESCRIBE HISTORY analog): one row per
