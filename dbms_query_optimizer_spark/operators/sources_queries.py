@@ -670,6 +670,114 @@ ORACLE_TXN_MERGE_UPSERT = """
 """
 
 
+def q_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION through the manifest log: v1 commits
+    the o_orderkey%10==7 slice of orders, v2 MERGEs a corrupting update
+    (+9999 on every row), v3 = restore(1) rolls the data back as a NEW
+    commit (sources/manifest.py restore — metadata-only; the reference's
+    abort path restores before-images, src/log/log_manager.cc:16-23
+    contract, and over immutable files the before-image is the old
+    manifest itself). The read is a fresh recovery-path open, so the
+    result must be the ORIGINAL v1 rows; n_versions=3 is emitted as a
+    column and pinned by the oracle, proving the rollback was an
+    auditable forward commit, not a manifest rewrite."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_restore", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 7).repartition(4))
+    t1.commit()
+
+    corrupt = orders.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(9999.0)
+    )
+    t2 = table.begin()
+    t2.merge(spark, corrupt, "o_orderkey")
+    t2.commit()
+
+    table.restore(1)
+    reader = TransactionalTable(root)  # fresh open = recovery path
+    return (
+        reader.read(spark)
+        .withColumn("n_versions", F.lit(reader.latest_version()))
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_TXN_RESTORE = """
+    SELECT o_orderkey, o_custkey, o_totalprice, 3 AS n_versions
+    FROM orders
+    WHERE o_orderkey % 10 = 7
+    ORDER BY o_orderkey
+"""
+
+
+def q_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed versions
+    (sources/manifest.py ``changes``): v1 commits the o_orderkey%10==5
+    slice of orders across 8 files, v2 MERGEs an update of half of them
+    (%20==5, price +1000) plus the %10==6 slice as inserts. The feed
+    over (v1, v2] must contain the updated rows as delete+insert pairs
+    (old and new values), the inserted slice as inserts, and — the sharp
+    edge — NONE of the copy-on-write survivor rows (%20==15) that were
+    rewritten byte-identical into new files during the merge; the
+    exceptAll row diff cancels them. Only the changed files are ever
+    scanned, so the feed costs O(churn), not O(table)."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_changes", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 5).repartition(8))
+    t1.commit()
+
+    updates = orders.filter(F.col("o_orderkey") % 20 == 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 6)
+    t2 = table.begin()
+    t2.merge(spark, updates.unionByName(inserts), "o_orderkey")
+    t2.commit()
+
+    return (
+        TransactionalTable(root)
+        .changes(spark, 1, 2)
+        .orderBy("o_orderkey", "_change_type", "o_totalprice")
+    )
+
+
+ORACLE_TXN_CHANGES = """
+    WITH feed AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+               'insert' AS _change_type
+        FROM orders WHERE o_orderkey % 20 = 5
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, 'insert'
+        FROM orders WHERE o_orderkey % 10 = 6
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, 'delete'
+        FROM orders WHERE o_orderkey % 20 = 5
+    )
+    SELECT * FROM feed
+    ORDER BY o_orderkey, _change_type, o_totalprice
+"""
+
+
 def q_txn_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file skipping through the manifest (sources/manifest.py
     ``_harvest_stats``/``prune_files``) — the manifest-level analog of the
@@ -1165,6 +1273,8 @@ def oracles() -> dict[str, tuple]:
     return {
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
         "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
+        "txn_restore": (q_txn_restore, ORACLE_TXN_RESTORE),
+        "txn_changes": (q_txn_changes, ORACLE_TXN_CHANGES),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
         "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
         "txn_constraint_gate": (q_txn_constraint_gate, ORACLE_TXN_CONSTRAINT_GATE),

@@ -803,8 +803,96 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII redaction patterns — restricted to syntax Java regex (Spark) and
+# RE2 (DuckDB) interpret identically: literal classes, +/{m,}, \\b, \\d.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every LLM training pipeline
+    runs before tokenization: count and mask email addresses and
+    phone-shaped numbers per document.
+
+    The corpus is synthetic word-salad with no PII, so each document is
+    first salted DETERMINISTICALLY (doc_id % 3 repeated emails, a phone
+    number on even doc_ids) with the identical concat on both engines —
+    the redaction itself is then genuinely exercised and value-checked:
+    per-doc match counts, the redacted length, and the md5 of the full
+    redacted text (any masking difference anywhere in the string flips
+    the hash).
+
+    Scale: pure codegen Column expressions (concat/regexp_count/
+    regexp_replace/md5) — zero Python, zero shuffles before the final
+    presentation sort; at 100 TB this is a map-only pass at scan
+    bandwidth."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "repeat(concat(' u', cast(doc_id as string), '@example.com'),"
+                " cast(doc_id % 3 as int))"
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    red = salted.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_REDACT = f"""
+    WITH salted AS (
+        SELECT doc_id,
+               text
+               || repeat(' u' || CAST(doc_id AS VARCHAR) || '@example.com',
+                         CAST(doc_id % 3 AS INT))
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+        FROM documents
+    ), red AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+        FROM salted
+    )
+    SELECT doc_id, n_emails, n_phones,
+           length(redacted) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red
+    ORDER BY doc_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
         "approx_topk_terms": (q_approx_topk_terms, None),
         "quality_classifier_score": (

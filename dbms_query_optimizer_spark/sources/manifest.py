@@ -623,6 +623,98 @@ class TransactionalTable:
         txn.insert(df)
         return txn.commit()
 
+    # ------------------------------------------------------------ restore
+    def restore(self, to_version: int) -> int:
+        """RESTORE TABLE ... TO VERSION: publish a NEW version whose file
+        list, schema, and file statistics are the target version's — the
+        rollback is itself an auditable commit, so ``history`` keeps every
+        state (including the rolled-back ones), time travel still reaches
+        them, and the restore is exactly as crash-atomic as any other
+        manifest link (the reference's abort path undoes a txn by
+        restoring before-images, src/log/log_manager.cc:16-23 contract;
+        over immutable files the before-image IS the old manifest).
+
+        Metadata-only: no data file is read, copied, or rewritten — a
+        100 TB table rolls back in milliseconds. Raises FileNotFoundError
+        if ``vacuum`` already reclaimed any file the target version
+        references (vacuum trades away restorability, as in any
+        lakehouse), so a restore can never publish a manifest that points
+        at missing data."""
+        target = self._read_manifest(to_version)
+        missing = [
+            f
+            for f in target["files"]
+            if not os.path.exists(urlparse(f).path or f)
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{to_version}: {len(missing)} file(s) "
+                f"vacuumed, e.g. {missing[0]}"
+            )
+        while True:
+            base = self.snapshot()
+            manifest = dict(target)
+            manifest["version"] = base["version"] + 1
+            # table-wide POLICIES (bloom declarations, CHECK constraints)
+            # are not data: the tip's declarations survive the rollback
+            for policy in ("bloom_columns", "constraints"):
+                if base.get(policy):
+                    manifest[policy] = base[policy]
+                else:
+                    manifest.pop(policy, None)
+            try:
+                _write_manifest_atomic(
+                    self._manifest_dir, manifest["version"], manifest
+                )
+                return manifest["version"]
+            except FileExistsError:
+                continue
+
+    # ------------------------------------------------------------ changes
+    def changes(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Change-data-feed between two committed versions: every row
+        inserted or deleted in (v_from, v_to], tagged ``_change_type``
+        ('insert' | 'delete'); an update surfaces as a delete+insert
+        pair. The feed is derived, not logged — possible because files
+        are immutable, so a row can only change by its file leaving the
+        manifest:
+
+        1. File diff (driver-side, O(files) metadata): files only in
+           v_to are insert CANDIDATES, files only in v_from are delete
+           candidates. Files common to both versions provably hold
+           unchanged rows and are never scanned.
+        2. Row diff (distributed): ``exceptAll`` each candidate scan
+           against the other — copy-on-write survivor rows (rewritten
+           byte-identical into new files) appear in both scans and
+           cancel, leaving exactly the true row-level delta.
+
+        Cost scales with the CHURN (changed files), never table size: a
+        merge that rewrote 3 of 10 000 files feeds 3 + 3 files into two
+        hash-partitioned set differences. Rows are compared under
+        v_to's schema (columns added/dropped between the versions read
+        as NULL / are pruned, matching time-travel read semantics)."""
+        a = self.snapshot(v_from)
+        b = self.snapshot(v_to)
+        schema = StructType.fromJson(json.loads(b["schema"]))
+        fa, fb = set(a["files"]), set(b["files"])
+
+        def scan(files: list[str]) -> DataFrame:
+            if not files:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(*files)
+
+        added = scan(sorted(fb - fa))
+        removed = scan(sorted(fa - fb))
+        inserts = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     # ------------------------------------------------------------- vacuum
     def vacuum(self) -> list[str]:
         """Remove staging dirs with no file referenced by the LATEST
