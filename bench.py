@@ -100,6 +100,8 @@ HEADLINE = [
     # round 4: continual-ingest dedup — incoming batch probed against the
     # persisted corpus signature store (build amortized across batches)
     "dedup_incremental_lsh",
+    # round 4: PII masking (map-only codegen regexp pass at scan bandwidth)
+    "pii_redact",
 ]
 
 

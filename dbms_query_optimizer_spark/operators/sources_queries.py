@@ -778,6 +778,139 @@ ORACLE_TXN_CHANGES = """
 """
 
 
+def q_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE with metadata-first file discovery
+    (sources/manifest.py ``Transaction.delete``): four commits load
+    orders clustered into key quartiles (one file each); DELETE
+    ``o_orderkey >= mid AND o_totalprice < 100000`` must rewrite ONLY
+    the two upper-quartile files — the zone maps PROVE the lower two
+    hold no matching row, so they are never read (the reference's heap
+    delete logs each old tuple, src/heap/heap_file.cc:151-257; over
+    immutable files the untouched+old files are the before-image). The
+    PRUNING is value-checked: files_rewritten/files_total are emitted
+    as columns and pinned at 2/4 by the oracle, alongside the surviving
+    rows' aggregate — wrong rows deleted or wrong files touched both
+    flip the hash. At 100 TB on a key-clustered layout a DELETE costs
+    O(matching files), never a table scan."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_delete", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    q = [(i * (mx + 1)) // 4 for i in range(5)]
+
+    table = TransactionalTable.create(root, orders.schema)
+    for lo, hi in zip(q, q[1:]):
+        t = table.begin()
+        t.insert(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).coalesce(1)
+        )
+        t.commit()
+
+    cut = q[2]
+    td = table.begin()
+    td.delete(
+        spark, [("o_orderkey", ">=", cut), ("o_totalprice", "<", 100000.0)]
+    )
+    n_rewritten = len(td._replaced)
+    td.commit()
+
+    reader = TransactionalTable(root)  # fresh open = recovery path
+    return reader.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(n_rewritten).alias("files_rewritten"),
+        F.lit(4).alias("files_total"),
+    )
+
+
+ORACLE_TXN_DELETE_WHERE = """
+    WITH cut AS (
+        SELECT (2 * (MAX(o_orderkey) + 1)) // 4 AS mid FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           2 AS files_rewritten,
+           4 AS files_total
+    FROM orders, cut
+    WHERE NOT (o_orderkey >= mid AND o_totalprice < 100000.0)
+"""
+
+
+def q_txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence (sources/manifest.py ``clone``): the
+    source table commits the o_orderkey%10==1 slice of orders, is cloned
+    (zero-copy: the clone's v0 manifest references the source's files),
+    then each side commits its OWN extra slice — %10==2 into the source,
+    %10==3 into the clone. The per-side aggregates prove both sides see
+    the shared base plus only their own divergent commit; any metadata
+    bleed between the tables (shared tip, wrong file list) flips the
+    hash. Cloning is O(KB) regardless of table size."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_clone_src", "orders")
+    clone_root = _roundtrip_dir(sf_dir, "txn_clone_dst", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(clone_root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = TransactionalTable.create(root, orders.schema)
+    t1 = src.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 1))
+    t1.commit()
+
+    dst = src.clone(clone_root)
+
+    t2 = src.begin()
+    t2.insert(orders.filter(F.col("o_orderkey") % 10 == 2))
+    t2.commit()
+    t3 = dst.begin()
+    t3.insert(orders.filter(F.col("o_orderkey") % 10 == 3))
+    t3.commit()
+
+    def side(name: str, table_root: str) -> DataFrame:
+        return (
+            TransactionalTable(table_root)
+            .read(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+            )
+            .select(F.lit(name).alias("side"), "n_rows", "sum_price")
+        )
+
+    return side("clone", clone_root).unionByName(side("source", root)).orderBy("side")
+
+
+ORACLE_TXN_CLONE = """
+    SELECT 'clone' AS side, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders WHERE o_orderkey % 10 IN (1, 3)
+    UNION ALL
+    SELECT 'source', COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+    FROM orders WHERE o_orderkey % 10 IN (1, 2)
+    ORDER BY side
+"""
+
+
 def q_txn_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file skipping through the manifest (sources/manifest.py
     ``_harvest_stats``/``prune_files``) — the manifest-level analog of the
@@ -1275,6 +1408,8 @@ def oracles() -> dict[str, tuple]:
         "txn_merge_upsert": (q_txn_merge_upsert, ORACLE_TXN_MERGE_UPSERT),
         "txn_restore": (q_txn_restore, ORACLE_TXN_RESTORE),
         "txn_changes": (q_txn_changes, ORACLE_TXN_CHANGES),
+        "txn_delete_where": (q_txn_delete_where, ORACLE_TXN_DELETE_WHERE),
+        "txn_clone": (q_txn_clone, ORACLE_TXN_CLONE),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
         "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
         "txn_constraint_gate": (q_txn_constraint_gate, ORACLE_TXN_CONSTRAINT_GATE),

@@ -356,6 +356,47 @@ class Transaction:
                 src = survivors.unionByName(src)
         self.insert(src)
 
+    def delete(self, spark: SparkSession, where) -> None:
+        """Stage a copy-on-write DELETE: rows where the predicate is TRUE
+        are removed (SQL DELETE semantics — NULL/UNKNOWN rows stay).
+        ``where`` is one ``(column, op, value)`` tuple or a list of them
+        ANDed, the same grammar the zone-mapped read takes.
+
+        File discovery is METADATA-first, and this is the scale story:
+        ``prune_files`` drops every file whose zone maps (and blooms for
+        ``=``) PROVE no row can match, so only candidate files are read
+        and rewritten minus their matching rows; on a layout clustered by
+        the predicate column a DELETE touches O(matching) files of a
+        100 TB table and never scans the rest. The untouched files are
+        the before-image (reference: the heap delete logs the old tuple,
+        src/heap/heap_file.cc:151-257); the old version stays
+        time-travel-readable until vacuumed. First-committer-wins via
+        the snapshot base version, like merge."""
+        assert not self._done, "transaction already finished"
+        assert not self._replaced, "one merge/delete per transaction"
+        snap = self._table.snapshot()
+        self._base_version = snap["version"]
+        candidates, _ = prune_files(snap, where)
+        self._replaced = candidates
+        if not candidates:
+            return  # provably nothing to delete: commit is a no-op version
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        ops = {
+            "=": lambda c, v: c == v, "!=": lambda c, v: c != v,
+            "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+        }
+        pred = None
+        for col, op, value in _as_conjuncts(where):
+            term = ops[op](F.col(col), value)
+            pred = term if pred is None else pred & term
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*candidates)
+            .filter(~F.coalesce(pred, F.lit(False)))
+        )
+        self.insert(survivors)
+
     def commit(self) -> int:
         """Publish staged files atomically; returns the committed version.
 
@@ -622,6 +663,32 @@ class TransactionalTable:
         txn._replaced = small
         txn.insert(df)
         return txn.commit()
+
+    # -------------------------------------------------------------- clone
+    def clone(self, new_root: str) -> "TransactionalTable":
+        """SHALLOW CLONE: a new, independent table whose v0 manifest
+        references the source's CURRENT files — zero data copied, O(KB)
+        metadata, so cloning a 100 TB table is instant. Because data
+        files are immutable, the two tables safely share them; commits
+        to either side diverge independently from the clone point
+        (dev/test forks, experiment branches, blue-green migrations).
+
+        The standard lakehouse caveat applies and is inherited
+        deliberately: the clone references files under the SOURCE's
+        root, and the source's ``vacuum`` does not know about clones —
+        vacuuming the source can reclaim files a clone still references
+        (exactly as with Delta shallow clones). Fork-then-vacuum
+        workflows should compact/rewrite the clone first."""
+        if os.path.exists(os.path.join(new_root, _MANIFEST_DIR)):
+            raise FileExistsError(f"clone target already a table: {new_root}")
+        os.makedirs(os.path.join(new_root, _MANIFEST_DIR))
+        os.makedirs(os.path.join(new_root, _DATA_DIR), exist_ok=True)
+        manifest = dict(self.snapshot())
+        manifest["version"] = 0
+        _write_manifest_atomic(
+            os.path.join(new_root, _MANIFEST_DIR), 0, manifest
+        )
+        return TransactionalTable(new_root)
 
     # ------------------------------------------------------------ restore
     def restore(self, to_version: int) -> int:

@@ -1,0 +1,113 @@
+"""COW DELETE (zone-map-accelerated) and SHALLOW CLONE semantics of the
+manifest table.
+
+DELETE mirrors the reference's heap delete with before-image logging
+(reference: src/heap/heap_file.cc:151-257) over immutable files: only
+files whose zone maps ADMIT a match are rewritten; the old version stays
+time-travel-readable. SQL semantics: rows where the predicate is
+NULL/UNKNOWN survive.
+"""
+
+import pytest
+
+from dbms_query_optimizer_spark.sources.manifest import TransactionalTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "del_table")
+    df = spark.range(0).selectExpr("id", "cast(id as double) as val")
+    return TransactionalTable.create(root, df.schema)
+
+
+def _insert(spark, txn, *pairs):
+    txn.insert(
+        spark.createDataFrame(list(pairs), "id long, val double").coalesce(1)
+    )
+
+
+def _rows(spark, root, version=None):
+    t = TransactionalTable(root)
+    return sorted(
+        (r.id, r.val) for r in t.read(spark, version).collect()
+    )
+
+
+def test_delete_removes_matching_rows_only(spark, table):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0), (2, 2.0), (3, 3.0))
+    t1.commit()
+    td = table.begin()
+    td.delete(spark, ("id", ">=", 2))
+    td.commit()
+    assert _rows(spark, table.root) == [(1, 1.0)]
+    # before-image intact via time travel
+    assert _rows(spark, table.root, version=1) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_delete_null_predicate_rows_survive(spark, table):
+    """SQL DELETE removes rows where the predicate is TRUE; a NULL
+    (UNKNOWN) predicate keeps the row — filter(~pred) alone would drop it."""
+    t1 = table.begin()
+    _insert(spark, t1, (1, None), (2, -5.0), (3, 5.0))
+    t1.commit()
+    td = table.begin()
+    td.delete(spark, ("val", "<", 0.0))
+    td.commit()
+    assert _rows(spark, table.root) == [(1, None), (3, 5.0)]
+
+
+def test_delete_prunes_files_by_zone_maps(spark, table):
+    # two files with disjoint id ranges
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0), (2, 2.0))
+    t1.commit()
+    t2 = table.begin()
+    _insert(spark, t2, (100, 100.0), (200, 200.0))
+    t2.commit()
+    td = table.begin()
+    td.delete(spark, ("id", ">=", 100))
+    # zone maps prove the low file holds no match: exactly one candidate
+    assert len(td._replaced) == 1
+    td.commit()
+    assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0)]
+
+
+def test_delete_nothing_matches_is_noop_version(spark, table):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()
+    td = table.begin()
+    td.delete(spark, ("id", ">", 1000))
+    assert td._replaced == []  # proven no-op: no file read or rewritten
+    v = td.commit()
+    assert v == 2
+    assert _rows(spark, table.root) == [(1, 1.0)]
+
+
+def test_clone_shares_then_diverges(spark, table, tmp_path):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()
+    clone = table.clone(str(tmp_path / "clone"))
+    # clone point: identical reads, zero data copied
+    assert _rows(spark, clone.root) == [(1, 1.0)]
+    # diverge both sides
+    ts = table.begin()
+    _insert(spark, ts, (2, 2.0))
+    ts.commit()
+    tc = clone.begin()
+    _insert(spark, tc, (3, 3.0))
+    tc.commit()
+    assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0)]
+    assert _rows(spark, clone.root) == [(1, 1.0), (3, 3.0)]
+    # the clone's own vacuum never touches the source's files
+    assert clone.vacuum() == []
+    assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0)]
+
+
+def test_clone_refuses_existing_table(spark, table, tmp_path):
+    other = str(tmp_path / "other")
+    TransactionalTable.create(other, spark.range(0).schema)
+    with pytest.raises(FileExistsError):
+        table.clone(other)

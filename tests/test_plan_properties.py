@@ -246,6 +246,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # (batch << corpus); verification joins may shuffle, the probe must not
     "dedup_incremental_lsh": ["BroadcastHashJoin"],
     "flagship_join_agg": [],  # bespoke test above
+    # PII masking is a single codegen projection: no Python eval plane,
+    # no join, no shuffle before the presentation sort
+    "pii_redact": ["!ArrowEvalPython", "!MapInPandas", "!tree:Join"],
 }
 
 
