@@ -898,6 +898,76 @@ def q_txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return side("clone", clone_root).unionByName(side("source", root)).orderBy("side")
 
 
+def q_streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional table AS A STREAM (sources/manifest_stream.py —
+    the Delta/Iceberg streaming-source analog over the manifest commit
+    log): offsets are manifest versions, each micro-batch reads exactly
+    the files added by the versions it covers (one InputPartition per
+    file, Arrow RecordBatches executor-side), and an aborted transaction
+    never reaches the feed. Three insert-only commits of orders slices
+    (with an abort in between) are tailed into a memory sink; the
+    aggregate must equal the batch union of the committed slices — the
+    oracle recomputes it from the base table, value-checking offsets,
+    file diffing, executor reads, and abort invisibility end to end."""
+    import shutil
+    import uuid as _uuid
+
+    from ..sources.manifest import TransactionalTable
+    from ..sources.manifest_stream import register
+
+    root = _roundtrip_dir(sf_dir, "txn_tail", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    for mod in (4, 8):
+        t = table.begin()
+        t.insert(orders.filter(F.col("o_orderkey") % 10 == mod).repartition(2))
+        t.commit()
+    bad = table.begin()
+    bad.insert(orders.filter(F.col("o_orderkey") % 10 == 9))
+    bad.abort()
+    t3 = table.begin()
+    t3.insert(orders.filter(F.col("o_orderkey") % 100 == 55))
+    t3.commit()
+
+    register(spark)
+    name = f"tail_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("manifesttail")
+        .option("path", root)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_orderkey").alias("n_keys"),
+            dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_STREAMING_MANIFEST_TAIL = """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 IN (4, 8) OR o_orderkey % 100 = 55
+"""
+
+
 ORACLE_TXN_CLONE = """
     SELECT 'clone' AS side, COUNT(*) AS n_rows,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
@@ -1410,6 +1480,10 @@ def oracles() -> dict[str, tuple]:
         "txn_changes": (q_txn_changes, ORACLE_TXN_CHANGES),
         "txn_delete_where": (q_txn_delete_where, ORACLE_TXN_DELETE_WHERE),
         "txn_clone": (q_txn_clone, ORACLE_TXN_CLONE),
+        "streaming_manifest_tail": (
+            q_streaming_manifest_tail,
+            ORACLE_STREAMING_MANIFEST_TAIL,
+        ),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
         "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
         "txn_constraint_gate": (q_txn_constraint_gate, ORACLE_TXN_CONSTRAINT_GATE),
