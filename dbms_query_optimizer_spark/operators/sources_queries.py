@@ -849,6 +849,67 @@ ORACLE_TXN_DELETE_WHERE = """
 """
 
 
+def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic INSERT OVERWRITE by predicate (sources/manifest.py
+    ``replace_where`` — Delta's replaceWhere, the idempotent-backfill
+    primitive): four commits load orders clustered into key quartiles;
+    one transaction then replaces the upper half (``o_orderkey >= mid``)
+    with a RECOMPUTED slice (prices doubled) in a single commit — the
+    COW delete prunes to the two candidate files via zone maps, the
+    replacement rides the same staging, and an Observation on the
+    staging write validates every replacement row falls inside the
+    predicate (zero extra passes). The read is a fresh recovery-path
+    open; the oracle recomputes lower-half-unchanged +
+    upper-half-doubled, so both the delete scope and the insert content
+    are value-checked."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_replace", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    q = [(i * (mx + 1)) // 4 for i in range(5)]
+
+    table = TransactionalTable.create(root, orders.schema)
+    for lo, hi in zip(q, q[1:]):
+        t = table.begin()
+        t.insert(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).coalesce(1)
+        )
+        t.commit()
+
+    cut = q[2]
+    recomputed = orders.filter(F.col("o_orderkey") >= cut).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2.0
+    )
+    txn = table.begin()
+    txn.replace_where(spark, ("o_orderkey", ">=", cut), recomputed)
+    txn.commit()
+
+    return (
+        TransactionalTable(root).read(spark).orderBy("o_orderkey")
+    )
+
+
+ORACLE_TXN_REPLACE_WHERE = """
+    WITH cut AS (
+        SELECT (2 * (MAX(o_orderkey) + 1)) // 4 AS mid FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey >= mid THEN o_totalprice * 2.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders, cut
+    ORDER BY o_orderkey
+"""
+
+
 def q_txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE + divergence (sources/manifest.py ``clone``): the
     source table commits the o_orderkey%10==1 slice of orders, is cloned
@@ -1479,6 +1540,7 @@ def oracles() -> dict[str, tuple]:
         "txn_restore": (q_txn_restore, ORACLE_TXN_RESTORE),
         "txn_changes": (q_txn_changes, ORACLE_TXN_CHANGES),
         "txn_delete_where": (q_txn_delete_where, ORACLE_TXN_DELETE_WHERE),
+        "txn_replace_where": (q_txn_replace_where, ORACLE_TXN_REPLACE_WHERE),
         "txn_clone": (q_txn_clone, ORACLE_TXN_CLONE),
         "streaming_manifest_tail": (
             q_streaming_manifest_tail,

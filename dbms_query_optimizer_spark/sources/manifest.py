@@ -397,6 +397,49 @@ class Transaction:
         )
         self.insert(survivors)
 
+    def replace_where(self, spark: SparkSession, where, df: DataFrame) -> None:
+        """Atomic INSERT OVERWRITE by predicate (Delta's ``replaceWhere``):
+        rows matching ``where`` are deleted and ``df`` is inserted, in ONE
+        commit — the idempotent-backfill primitive (recompute a day/region
+        slice and swap it in; rerunning the same backfill converges).
+
+        Built on the COW delete, so file discovery is zone-map/bloom
+        pruned: on a layout clustered by the predicate column the
+        overwrite touches O(matching) files. Replacement rows are
+        validated to FALL INSIDE the predicate via an Observation riding
+        the staging write itself (zero extra passes, same mechanism as
+        CHECK constraints); a violation auto-aborts and raises
+        ValueError, because silently writing rows the predicate would
+        not have deleted makes the backfill non-idempotent."""
+        assert not self._done, "transaction already finished"
+        self.delete(spark, where)
+        ops = {
+            "=": lambda c, v: c == v, "!=": lambda c, v: c != v,
+            "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+        }
+        pred = None
+        for col, op, value in _as_conjuncts(where):
+            term = ops[op](F.col(col), value)
+            pred = term if pred is None else pred & term
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.sum(
+                F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+            ).alias("outside"),
+        )
+        self.insert(df)
+        outside = obs.get["outside"] or 0
+        if outside:
+            self.abort()
+            raise ValueError(
+                f"{outside} replacement row(s) fall outside the "
+                f"replace_where predicate {where!r}"
+            )
+
     def commit(self) -> int:
         """Publish staged files atomically; returns the committed version.
 

@@ -111,3 +111,59 @@ def test_clone_refuses_existing_table(spark, table, tmp_path):
     TransactionalTable.create(other, spark.range(0).schema)
     with pytest.raises(FileExistsError):
         table.clone(other)
+
+
+def test_replace_where_swaps_slice_atomically(spark, table):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0), (2, 2.0), (10, 10.0))
+    t1.commit()
+    txn = table.begin()
+    txn.replace_where(
+        spark,
+        ("id", ">=", 10),
+        spark.createDataFrame([(10, 100.0), (11, 110.0)], "id long, val double"),
+    )
+    txn.commit()
+    assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0), (10, 100.0), (11, 110.0)]
+    # idempotent backfill: rerunning the same overwrite converges
+    txn2 = table.begin()
+    txn2.replace_where(
+        spark,
+        ("id", ">=", 10),
+        spark.createDataFrame([(10, 100.0), (11, 110.0)], "id long, val double"),
+    )
+    txn2.commit()
+    assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0), (10, 100.0), (11, 110.0)]
+
+
+def test_replace_where_rejects_rows_outside_predicate(spark, table):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0), (10, 10.0))
+    t1.commit()
+    txn = table.begin()
+    with pytest.raises(ValueError, match="outside"):
+        txn.replace_where(
+            spark,
+            ("id", ">=", 10),
+            spark.createDataFrame([(5, 5.0)], "id long, val double"),
+        )
+    # auto-aborted: the table is untouched and stays writable
+    assert _rows(spark, table.root) == [(1, 1.0), (10, 10.0)]
+    t2 = table.begin()
+    _insert(spark, t2, (20, 20.0))
+    t2.commit()
+    assert _rows(spark, table.root) == [(1, 1.0), (10, 10.0), (20, 20.0)]
+
+
+def test_replace_where_crash_before_commit_invisible(spark, table):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0), (10, 10.0))
+    t1.commit()
+    txn = table.begin()
+    txn.replace_where(
+        spark,
+        ("id", ">=", 10),
+        spark.createDataFrame([(10, 100.0)], "id long, val double"),
+    )
+    # crash without commit: staged rewrite + replacement invisible
+    assert _rows(spark, table.root) == [(1, 1.0), (10, 10.0)]
