@@ -910,6 +910,49 @@ ORACLE_TXN_REPLACE_WHERE = """
 """
 
 
+def q_txn_erase_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure (sources/manifest.py ``delete_keys``):
+    the %10==2 slice of orders is committed across 8 files keyed by
+    ORDER, then every row belonging to a SET OF CUSTOMERS (o_custkey %
+    97 == 3) is erased in one COW commit — the GDPR flow: a customer's
+    rows straddle many files, a semi-join discovers exactly which, only
+    those are rewritten as anti-join survivors. The read is a fresh
+    recovery-path open; the oracle recomputes base-minus-those-customers,
+    value-checking both that every erased customer's row is gone and
+    that no bystander row was touched. Erase → vacuum physically drops
+    the bytes; pre-erasure versions stay time-travel-readable until
+    then (tested in tests/test_manifest_delete_clone.py)."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_erase", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 2).repartition(8))
+    t1.commit()
+
+    forget = orders.filter(F.col("o_custkey") % 97 == 3).select("o_custkey")
+    t2 = table.begin()
+    t2.delete_keys(spark, forget, "o_custkey")
+    t2.commit()
+
+    return TransactionalTable(root).read(spark).orderBy("o_orderkey")
+
+
+ORACLE_TXN_ERASE_KEYS = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 = 2 AND o_custkey % 97 <> 3
+    ORDER BY o_orderkey
+"""
+
+
 def q_txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE + divergence (sources/manifest.py ``clone``): the
     source table commits the o_orderkey%10==1 slice of orders, is cloned
@@ -1541,6 +1584,7 @@ def oracles() -> dict[str, tuple]:
         "txn_changes": (q_txn_changes, ORACLE_TXN_CHANGES),
         "txn_delete_where": (q_txn_delete_where, ORACLE_TXN_DELETE_WHERE),
         "txn_replace_where": (q_txn_replace_where, ORACLE_TXN_REPLACE_WHERE),
+        "txn_erase_keys": (q_txn_erase_keys, ORACLE_TXN_ERASE_KEYS),
         "txn_clone": (q_txn_clone, ORACLE_TXN_CLONE),
         "streaming_manifest_tail": (
             q_streaming_manifest_tail,

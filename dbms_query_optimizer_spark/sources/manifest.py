@@ -397,6 +397,51 @@ class Transaction:
         )
         self.insert(survivors)
 
+    def delete_keys(self, spark: SparkSession, keys: DataFrame, key) -> None:
+        """Stage a copy-on-write erasure of every row whose ``key`` appears
+        in ``keys`` — the right-to-be-forgotten primitive a training-data
+        store needs (erase ALL of a user's/document's rows, however many
+        files they straddle). The same two-phase shape as ``merge`` minus
+        the insert: a distributed semi-join against the (distinct) key set
+        discovers the affected FILES (only matched file paths are
+        collected, O(files) not O(rows)); those files are rewritten as
+        their anti-join survivors. Files holding none of the keys are
+        untouched and unread, so erasing k keys from a 100 TB table costs
+        O(files-containing-k + |keys|). Old versions remain readable until
+        ``vacuum`` — a compliance flow runs erase → vacuum to physically
+        drop the bytes."""
+        assert not self._done, "transaction already finished"
+        assert not self._replaced, "one merge/delete per transaction"
+        key_cols = [key] if isinstance(key, str) else list(key)
+        snap = self._table.snapshot()
+        self._base_version = snap["version"]
+        if not snap["files"]:
+            return
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        ks = keys.select(*key_cols).distinct()
+        target = (
+            spark.read.schema(schema)
+            .parquet(*snap["files"])
+            .withColumn("__file", F.input_file_name())
+        )
+        affected_uris = [
+            r["__file"]
+            for r in target.join(ks, key_cols, "semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        by_path = {urlparse(f).path or f: f for f in affected_uris}
+        self._replaced = [f for f in snap["files"] if f in by_path]
+        if not affected_uris:
+            return  # no file holds any key: commit is a no-op version
+        survivors = (
+            target.filter(F.col("__file").isin(affected_uris))
+            .join(ks, key_cols, "anti")
+            .drop("__file")
+        )
+        self.insert(survivors)
+
     def replace_where(self, spark: SparkSession, where, df: DataFrame) -> None:
         """Atomic INSERT OVERWRITE by predicate (Delta's ``replaceWhere``):
         rows matching ``where`` are deleted and ``df`` is inserted, in ONE

@@ -155,6 +155,58 @@ def test_replace_where_rejects_rows_outside_predicate(spark, table):
     assert _rows(spark, table.root) == [(1, 1.0), (10, 10.0), (20, 20.0)]
 
 
+def test_delete_keys_erases_all_rows_of_each_key(spark, table):
+    t1 = table.begin()
+    # "val" doubles as the erasure key here: id is unique, val repeats
+    _insert(spark, t1, (1, 7.0), (2, 8.0))
+    t1.commit()
+    t2 = table.begin()
+    _insert(spark, t2, (3, 7.0), (4, 9.0))
+    t2.commit()
+    te = table.begin()
+    te.delete_keys(spark, spark.createDataFrame([(7.0,)], "val double"), "val")
+    # the key straddles BOTH files: both are rewritten
+    assert len(te._replaced) == 2
+    te.commit()
+    assert _rows(spark, table.root) == [(2, 8.0), (4, 9.0)]
+    # pre-erasure versions stay readable until vacuum...
+    assert _rows(spark, table.root, version=2) == [
+        (1, 7.0), (2, 8.0), (3, 7.0), (4, 9.0)
+    ]
+    # ...and erase -> vacuum physically drops the old files (compliance)
+    removed = table.vacuum()
+    assert len(removed) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _rows(spark, table.root, version=2)
+
+
+def test_delete_keys_untouched_files_not_rewritten(spark, table):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()
+    t2 = table.begin()
+    _insert(spark, t2, (2, 2.0))
+    t2.commit()
+    te = table.begin()
+    te.delete_keys(spark, spark.createDataFrame([(2,)], "id long"), "id")
+    assert len(te._replaced) == 1  # only the file holding the key
+    te.commit()
+    assert _rows(spark, table.root) == [(1, 1.0)]
+
+
+def test_delete_keys_no_match_is_noop(spark, table):
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()
+    te = table.begin()
+    te.delete_keys(spark, spark.createDataFrame([(999,)], "id long"), "id")
+    assert te._replaced == []
+    te.commit()
+    assert _rows(spark, table.root) == [(1, 1.0)]
+
+
 def test_replace_where_crash_before_commit_invisible(spark, table):
     t1 = table.begin()
     _insert(spark, t1, (1, 1.0), (10, 10.0))
