@@ -315,6 +315,69 @@ ORDER BY stage
 """
 
 
+EVENT_PATTERN = "v[^e]*c[^e]*p"  # view → click → purchase, no error between
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event histories — the
+    MATCH_RECOGNIZE query class (neither Spark nor DuckDB has the SQL
+    clause): which users performed view → later click → later purchase
+    with NO error anywhere between the view and the purchase.
+
+    Each user's history is canonicalized to a string (first letter of
+    each event type — distinct across this corpus's five types — in
+    (ts, event_id) order, the tie-break making both engines' orderings
+    identical), then ONE codegen regexp evaluates the pattern: the
+    NFA-over-sequence semantics of MATCH_RECOGNIZE reduced to the
+    regex engine both systems already share. No joins, no windows — one
+    aggregate + one map-side expression.
+
+    Scale: the sequence aggregate is a map-side-combined collect per
+    user; state is bounded by events-per-user (the same per-key-history
+    bound every MATCH_RECOGNIZE engine carries), and the regex is a
+    linear scan of that history. A pathological hot user concentrates
+    in one task — the standard mitigation (split the history at
+    guaranteed non-match boundaries, e.g. 'e', and match piecewise)
+    composes on top without changing the aggregate shape."""
+    ev = load_tables(spark, sf_dir)["events"]
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        F.regexp_like("seq", F.lit(EVENT_PATTERN)).alias("matched"),
+    ).orderBy("user_id")
+
+
+ORACLE_EVENT_PATTERN_MATCH = f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(seq) AS n_events,
+           regexp_matches(seq, '{EVENT_PATTERN}') AS matched
+    FROM seq
+    ORDER BY user_id
+"""
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users active N days after their first activity
     day, per cohort day (classic DAU-retention triangle, offsets 0-7).
@@ -763,6 +826,7 @@ def oracles() -> dict[str, tuple]:
         "asof_join_salted": (q_asof_join_salted, ORACLE_ASOF_JOIN),
         "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_JOIN_FORWARD),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+        "event_pattern_match": (q_event_pattern_match, ORACLE_EVENT_PATTERN_MATCH),
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
         "events_anomaly_zscore": (q_events_anomaly_zscore, ORACLE_EVENTS_ANOMALY_ZSCORE),
         "events_gapfill_locf": (q_events_gapfill_locf, ORACLE_EVENTS_GAPFILL_LOCF),
