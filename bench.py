@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_incremental_lsh",
     # round 4: PII masking (map-only codegen regexp pass at scan bandwidth)
     "pii_redact",
+    # round 4: MATCH_RECOGNIZE-class sequence pattern (one agg + regexp)
+    "event_pattern_match",
 ]
 
 

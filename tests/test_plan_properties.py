@@ -251,6 +251,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # PII masking is a single codegen projection: no Python eval plane,
     # no join, no shuffle before the presentation sort
     "pii_redact": ["!ArrowEvalPython", "!MapInPandas", "!tree:Join"],
+    # sequence-pattern match: ONE aggregate + a codegen regexp — no join,
+    # no window, no Python eval plane
+    "event_pattern_match": ["!tree:Join", "!tree:Window", "!ArrowEvalPython", "!MapInPandas"],
 }
 
 
