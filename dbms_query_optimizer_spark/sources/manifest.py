@@ -238,6 +238,12 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+# delete_keys collects the distinct key set driver-side for bloom
+# pruning only below this bound; larger sets skip the pre-prune and use
+# the distributed semi-join discovery alone (still correct, just unpruned)
+_ERASE_BLOOM_MAX_KEYS = 100_000
+
+
 class Transaction:
     """One writer's staging scope. Visible only after ``commit()``."""
 
@@ -407,9 +413,12 @@ class Transaction:
         collected, O(files) not O(rows)); those files are rewritten as
         their anti-join survivors. Files holding none of the keys are
         untouched and unread, so erasing k keys from a 100 TB table costs
-        O(files-containing-k + |keys|). Old versions remain readable until
-        ``vacuum`` — a compliance flow runs erase → vacuum to physically
-        drop the bytes."""
+        O(files-containing-k + |keys|). On a bloom-indexed key column
+        (``bloom_columns`` at create) the discovery itself is pre-pruned
+        driver-side: only files whose bloom admits AT LEAST ONE key are
+        scanned at all (``discovery_files`` records the pruned count).
+        Old versions remain readable until ``vacuum`` — a compliance flow
+        runs erase → vacuum to physically drop the bytes."""
         assert not self._done, "transaction already finished"
         assert not self._replaced, "one merge/delete per transaction"
         key_cols = [key] if isinstance(key, str) else list(key)
@@ -419,9 +428,34 @@ class Transaction:
             return
         schema = StructType.fromJson(json.loads(snap["schema"]))
         ks = keys.select(*key_cols).distinct()
+        # Bloom pre-prune: if the (single) key column carries per-file
+        # blooms and the key set is driver-collectable, test every key
+        # against every file's bloom and feed ONLY admitted files into
+        # the semi-join discovery — the erase then never scans files
+        # that provably hold none of the keys (a bloom "no" has no false
+        # negatives; a false positive just scans one extra file). This
+        # is the step that turns the 100 TB GDPR flow from a full-table
+        # discovery scan into O(files-admitting-any-key).
+        files = snap["files"]
+        blooms = snap.get("blooms", {})
+        if len(key_cols) == 1 and blooms:
+            col = key_cols[0]
+            vals = [r[0] for r in ks.limit(_ERASE_BLOOM_MAX_KEYS + 1).collect()]
+            if len(vals) <= _ERASE_BLOOM_MAX_KEYS:
+                files = [
+                    f
+                    for f in files
+                    if any(
+                        _bloom_may_match(blooms.get(f, {}).get(col), "=", v)
+                        for v in vals
+                    )
+                ]
+        self.discovery_files = len(files)
+        if not files:
+            return  # every file bloom-proven key-free: no-op version
         target = (
             spark.read.schema(schema)
-            .parquet(*snap["files"])
+            .parquet(*files)
             .withColumn("__file", F.input_file_name())
         )
         affected_uris = [
@@ -432,7 +466,7 @@ class Transaction:
             .collect()
         ]
         by_path = {urlparse(f).path or f: f for f in affected_uris}
-        self._replaced = [f for f in snap["files"] if f in by_path]
+        self._replaced = [f for f in files if f in by_path]
         if not affected_uris:
             return  # no file holds any key: commit is a no-op version
         survivors = (

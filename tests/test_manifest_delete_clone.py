@@ -196,6 +196,52 @@ def test_delete_keys_untouched_files_not_rewritten(spark, table):
     assert _rows(spark, table.root) == [(1, 1.0)]
 
 
+def test_delete_keys_bloom_prunes_discovery(spark, tmp_path):
+    """On a bloom-indexed key column the erase discovery scans ONLY the
+    files whose bloom admits at least one key — the step that keeps the
+    GDPR flow from scanning a 100 TB table to find one user."""
+    root = str(tmp_path / "bloom_erase")
+    df = spark.range(0).selectExpr("id", "cast(id as double) as val")
+    table = TransactionalTable.create(root, df.schema, bloom_columns=["id"])
+    for lo in (0, 100, 200, 300):
+        t = table.begin()
+        t.insert(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i)) for i in range(5)], "id long, val double"
+            ).coalesce(1)
+        )
+        t.commit()
+    te = table.begin()
+    te.delete_keys(
+        spark, spark.createDataFrame([(201,), (203,)], "id long"), "id"
+    )
+    # blooms admit only the third file; without pruning discovery reads 4
+    assert te.discovery_files == 1
+    assert len(te._replaced) == 1
+    te.commit()
+    got = sorted(r.id for r in TransactionalTable(root).read(spark).collect())
+    assert got == [i for i in range(5)] + [100 + i for i in range(5)] + [
+        200, 202, 204
+    ] + [300 + i for i in range(5)]
+
+
+def test_delete_keys_bloom_all_absent_is_metadata_noop(spark, tmp_path):
+    root = str(tmp_path / "bloom_erase_none")
+    df = spark.range(0).selectExpr("id")
+    table = TransactionalTable.create(root, df.schema, bloom_columns=["id"])
+    t = table.begin()
+    t.insert(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+    t.commit()
+    te = table.begin()
+    te.delete_keys(spark, spark.createDataFrame([(999,)], "id long"), "id")
+    # bloom proves absence: zero files scanned, zero rewritten
+    assert te.discovery_files == 0
+    assert te._replaced == []
+    te.commit()
+    got = sorted(r.id for r in TransactionalTable(root).read(spark).collect())
+    assert got == [1, 2]
+
+
 def test_delete_keys_no_match_is_noop(spark, table):
     t1 = table.begin()
     _insert(spark, t1, (1, 1.0))
