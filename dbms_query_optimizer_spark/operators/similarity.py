@@ -501,6 +501,59 @@ ORACLE_EMBEDDING_NORMS = f"""
 """
 
 
+MATRYOSHKA_K = 16
+
+
+def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation: keep the first MATRYOSHKA_K dims of each
+    embedding, renormalize, and report how much of the vector survives —
+    the dimension-reduction serving trick for MRL-trained embeddings
+    (use a prefix at 1/4 the storage/compute; retrieval quality tracks
+    ``retained_cos``). ``retained_cos`` IS cos(full, zero-padded prefix)
+    = ||prefix|| / ||full|| — the exact quality metric, computed without
+    materializing the padded vector. Pure per-row JVM expressions, zero
+    shuffles before the presentation sort; at 100 TB this is the map-only
+    projection a serving pipeline runs while writing its reduced index."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+
+    def l2(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    prefix = F.slice(F.col("embedding"), 1, MATRYOSHKA_K)
+    nk = l2(prefix)
+    nfull = l2(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(nk, 6).alias("trunc_norm"),
+        F.round(nk / nfull, 6).alias("retained_cos"),
+        F.round(F.element_at(prefix, 1).cast("double") / nk, 6).alias("u0"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMBEDDING_TRUNCATE_RENORM = f"""
+    WITH t AS (
+        SELECT vec_id, label,
+               list_slice(CAST(embedding AS DOUBLE[]), 1, {MATRYOSHKA_K}) AS p,
+               CAST(embedding AS DOUBLE[]) AS full_v
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(p, p)), 6) AS trunc_norm,
+           ROUND(sqrt(list_dot_product(p, p))
+                 / sqrt(list_dot_product(full_v, full_v)), 6) AS retained_cos,
+           ROUND(p[1] / sqrt(list_dot_product(p, p)), 6) AS u0
+    FROM t
+    ORDER BY vec_id
+"""
+
+
 EMB_DIM = 64
 
 
@@ -679,6 +732,10 @@ def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
         "embedding_quantize_int8": (q_embedding_quantize_int8, ORACLE_EMBEDDING_QUANTIZE_INT8),
+        "embedding_truncate_renorm": (
+            q_embedding_truncate_renorm,
+            ORACLE_EMBEDDING_TRUNCATE_RENORM,
+        ),
         "embedding_centroids": (q_embedding_centroids, ORACLE_EMBEDDING_CENTROIDS),
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
         "knn_ivf": (q_knn_ivf, None),

@@ -803,6 +803,87 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mixed-language salting: the corpus is cleanly single-language, so to
+# EXERCISE the mixed flag (not just compute it vacuously-false) every
+# 7th doc gets a German-marker tail appended identically on both engines
+# — the detector must then flag exactly those docs whose own language
+# isn't German.
+MIXED_SALT = " der die und der die und der die und der die und"
+SQL_MIXED_SRC = (
+    f"(text || CASE WHEN doc_id % 7 = 0 THEN '{MIXED_SALT}' ELSE '' END)"
+)
+SQL_HALF_CUT = f"CAST(floor(length({SQL_MIXED_SRC}) / 2) AS INT)"
+
+
+def _sql_predicted_lang_over(expr: str, suffix: str) -> tuple[str, str]:
+    """(case_expr, inner_select_fragment) for the predicted-language
+    argmax computed over an arbitrary text expression; score columns are
+    suffixed so two instances can coexist in one subquery."""
+    langs = list(T.LANG_MARKERS)
+    norm = f"lower(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    padded = f"(' ' || {norm} || ' ')"
+    inner = ", ".join(
+        " + ".join(_sql_occ(m, padded) for m in T.LANG_MARKERS[lg])
+        + f" AS s_{lg}_{suffix}"
+        for lg in langs
+    )
+    case_expr = f"'{langs[0]}'"
+    best = f"s_{langs[0]}_{suffix}"
+    for lg in langs[1:]:
+        case_expr = (
+            f"CASE WHEN s_{lg}_{suffix} > {best} THEN '{lg}' ELSE {case_expr} END"
+        )
+        best = f"greatest(s_{lg}_{suffix}, {best})"
+    return case_expr, inner
+
+
+def q_text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection — the cleaning gate for documents whose
+    halves identify as DIFFERENT languages (concatenation artifacts,
+    boilerplate in a second language, template wrappers): run the same
+    marker-count language ID the corpus gate uses (text_lang_id) on each
+    half of the document independently and flag disagreement.
+
+    Every 7th doc is salted with a German tail (identical concat on both
+    engines) so the flag genuinely fires — the detector must flag exactly
+    the salted non-German docs. Split point is floor(len/2) computed
+    identically on both engines (explicit floor: DuckDB's CAST(double AS
+    INT) rounds, Spark's truncates — floor removes the divergence). Pure
+    codegen string expressions, map-only; same scale story as the whole
+    text family."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    h1 = F.expr(f"substring({SQL_MIXED_SRC}, 1, {SQL_HALF_CUT})")
+    h2 = F.expr(f"substring({SQL_MIXED_SRC}, {SQL_HALF_CUT} + 1)")
+    l1 = T.predicted_lang(h1)
+    l2 = T.predicted_lang(h2)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        l1.alias("lang_h1"),
+        l2.alias("lang_h2"),
+        (l1 != l2).alias("is_mixed"),
+    ).orderBy("doc_id")
+
+
+def _oracle_text_mixed_language() -> str:
+    case1, inner1 = _sql_predicted_lang_over(
+        f"substring({SQL_MIXED_SRC}, 1, {SQL_HALF_CUT})", "h1"
+    )
+    case2, inner2 = _sql_predicted_lang_over(
+        f"substring({SQL_MIXED_SRC}, {SQL_HALF_CUT} + 1)", "h2"
+    )
+    return f"""
+    SELECT doc_id, labeled_lang,
+           {case1} AS lang_h1, {case2} AS lang_h2,
+           ({case1}) <> ({case2}) AS is_mixed
+    FROM (
+        SELECT doc_id, lang AS labeled_lang, {inner1}, {inner2}
+        FROM documents
+    )
+    ORDER BY doc_id
+    """
+
+
 # PII redaction patterns — restricted to syntax Java regex (Spark) and
 # RE2 (DuckDB) interpret identically: literal classes, +/{m,}, \\b, \\d.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -893,6 +974,7 @@ ORACLE_PII_REDACT = f"""
 def oracles() -> dict[str, tuple]:
     return {
         "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+        "text_mixed_language": (q_text_mixed_language, _oracle_text_mixed_language()),
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
         "approx_topk_terms": (q_approx_topk_terms, None),
         "quality_classifier_score": (
