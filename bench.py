@@ -126,6 +126,11 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
     spark.range(100).selectExpr("md5(cast(id as string)) h").groupBy().count().collect()
+    # spawn the Arrow Python-worker pool once, so the first Pandas-plane
+    # query measures its plan, not 32 interpreter startups
+    spark.range(1024).repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     qs = catalog.queries()
     timings: dict[str, float] = {}
