@@ -708,8 +708,63 @@ ORDER BY from_type, to_type
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the replica-verification
+    primitive: one linear aggregate whose value is invariant to row
+    order, partitioning, and file layout, so a 100 TB copy (a clone, a
+    migrated table, a restored backup) is verified by comparing three
+    numbers instead of sorting and diffing two tables.
+
+    Each row is canonically encoded (pipe-joined columns, floats via
+    DECIMAL so both engines print identical digits), md5-hashed, the top
+    60 bits taken as a BIGINT, and reduced with BOTH an order-free SUM
+    (as DECIMAL(38,0): no overflow at any row count) and a BIT_XOR —
+    two independent reductions so a forged pair of compensating edits
+    must fool both. Map-side combined, shuffle of one partial per
+    partition, zero sorts. The checksum value ITSELF is the oracle
+    contract: both engines must derive the identical 60-bit integers
+    row for row."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    return checksum_frame(orders, row)
+
+
+def checksum_frame(df: DataFrame, row) -> DataFrame:
+    """Frame-level core of q_table_checksum: reduce any canonical
+    row-encoding Column to (n_rows, checksum_sum, checksum_xor)."""
+    h = F.conv(F.substring(F.md5(row.cast("binary")), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum_sum"),
+        F.bit_xor("h").alias("checksum_xor"),
+    )
+
+
+ORACLE_TABLE_CHECKSUM = """
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CONCAT_WS('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                   o_orderstatus)), 1, 15)) AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(h) AS DECIMAL(38,0)) AS checksum_sum,
+           BIT_XOR(h) AS checksum_xor
+    FROM h
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "table_checksum": (q_table_checksum, ORACLE_TABLE_CHECKSUM),
         "doc_length_histogram": (q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM),
         "zipf_token_rank": (q_zipf_token_rank, ORACLE_ZIPF_TOKEN_RANK),
         "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),

@@ -85,6 +85,34 @@ def test_delete_nothing_matches_is_noop_version(spark, table):
     assert _rows(spark, table.root) == [(1, 1.0)]
 
 
+def test_clone_verified_by_table_checksum(spark, table, tmp_path):
+    """The replica-verification flow: at the clone point the
+    order-independent checksum of source and clone must agree (they
+    share files); after divergence it must differ."""
+    from pyspark.sql import functions as F
+
+    from dbms_query_optimizer_spark.operators.governance import checksum_frame
+
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0), (2, 2.0))
+    t1.commit()
+    clone = table.clone(str(tmp_path / "ck_clone"))
+
+    def ck(root):
+        df = TransactionalTable(root).read(spark)
+        row = F.concat_ws(
+            "|", F.col("id").cast("string"),
+            F.col("val").cast("decimal(12,2)").cast("string"),
+        )
+        return checksum_frame(df, row).collect()[0]
+
+    assert ck(table.root) == ck(clone.root)
+    t2 = clone.begin()
+    _insert(spark, t2, (3, 3.0))
+    t2.commit()
+    assert ck(table.root) != ck(clone.root)
+
+
 def test_clone_shares_then_diverges(spark, table, tmp_path):
     t1 = table.begin()
     _insert(spark, t1, (1, 1.0))
