@@ -334,6 +334,145 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------- WAV decode plane
+
+WAV_RATE = 8000  # Hz, mono 16-bit PCM
+WAV_WINDOW = 256  # samples per analysis window
+
+
+def _pcm_samples(seed: int, n: int) -> list[int]:
+    """Deterministic signed 16-bit samples (same LCG family as the pixel
+    stream): the synthetic 'microphone'."""
+    s = (seed * _LCG_A + _LCG_C) & _U64
+    out = []
+    for _ in range(n):
+        s = (s * _LCG_A + _LCG_C) & _U64
+        out.append(((s >> 32) & 0xFFFF) - 32768)
+    return out
+
+
+def wav_n_samples(doc_id: int) -> int:
+    return 400 + (doc_id % 5) * 100
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Real RIFF/WAVE file for a doc_id: canonical 44-byte PCM header +
+    16-bit little-endian mono frames (+ a LIST chunk before data, so
+    decoders that assume data at offset 44 fail loudly — ours walks
+    chunks properly)."""
+    import struct
+
+    samples = _pcm_samples(doc_id, wav_n_samples(doc_id))
+    frames = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    info = b"INFOICMT" + struct.pack("<I", 4) + b"synt"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a RIFF/WAVE payload: returns (sample_rate, n_channels,
+    samples). A complete chunk-walking parser — validates the RIFF/WAVE
+    magic, walks chunks honoring sizes + word alignment (so LIST/fact
+    chunks between fmt and data are fine), and accepts only
+    16-bit-PCM. Raises ValueError loudly on anything else, exactly like
+    decode_image."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic {payload[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated chunk {cid!r}: want {size} bytes")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byterate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (fmt {audio_fmt}, {bits}-bit)")
+    n = len(data) // 2
+    return rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary) with REAL WAV payloads,
+    synthesized executor-side like image_table."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make_wav(int(d))),
+                }
+            )
+
+    return docs.mapInPandas(attach, schema="doc_id long, payload binary")
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode plane: Arrow-batched mapInPandas over REAL RIFF/WAV
+    payloads — ``decode_wav`` walks the chunk structure, and features
+    (duration, global RMS, peak, per-window RMS extremes) come from the
+    decoded PCM samples, the speech-pipeline segmentation/VAD
+    precursor. Same plumbing contract as the image plane: opaque binary
+    in, fixed-width features out, nothing else crosses the Arrow
+    boundary. No SQL oracle (decode is not SQL);
+    tests/test_multimodal.py checks the parser against an independent
+    numpy reconstruction and pins the feature math."""
+    import math
+
+    df = audio_table(spark, sf_dir)
+    cols = [
+        "doc_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "rms", "peak", "n_windows", "win_rms_min", "win_rms_max",
+    ]
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, xs = decode_wav(bytes(p))
+                n = len(xs)
+                rms = math.sqrt(sum(x * x for x in xs) / n) if n else 0.0
+                wins = [
+                    xs[i : i + WAV_WINDOW] for i in range(0, n, WAV_WINDOW)
+                ]
+                wrms = [
+                    math.sqrt(sum(x * x for x in w) / len(w)) for w in wins
+                ]
+                rows.append(
+                    (
+                        int(d), rate, ch, n, round(n * 1000.0 / rate, 3),
+                        round(rms, 4), max(abs(x) for x in xs),
+                        len(wins), round(min(wrms), 4), round(max(wrms), 4),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(
+        featurize,
+        schema=(
+            "doc_id long, sample_rate int, n_channels int, n_samples int, "
+            "duration_ms double, rms double, peak int, n_windows int, "
+            "win_rms_min double, win_rms_max double"
+        ),
+    ).orderBy("doc_id")
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
@@ -343,4 +482,5 @@ def oracles() -> dict[str, tuple]:
             ORACLE_MULTIMODAL_FRAME_SAMPLE,
         ),
         "multimodal_features": (q_multimodal_features, None),
+        "multimodal_audio_features": (q_multimodal_audio_features, None),
     }

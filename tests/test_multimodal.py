@@ -110,3 +110,73 @@ def test_resize_matches_python_oracle(spark, sf_dir):
             int(t[:, :, 1].sum()),
             int(t[:, :, 2].sum()),
         )
+
+
+# ------------------------------------------------------------- audio plane
+
+
+def test_wav_roundtrip_against_numpy():
+    """decode_wav must agree with an INDEPENDENT numpy reconstruction of
+    the PCM frames (struct-free path: frombuffer over the data chunk
+    located by the canonical layout we generated)."""
+    import numpy as np
+
+    from dbms_query_optimizer_spark.operators.multimodal import (
+        WAV_RATE,
+        decode_wav,
+        make_wav,
+        wav_n_samples,
+    )
+
+    for doc_id in (0, 1, 7, 42):
+        payload = make_wav(doc_id)
+        rate, ch, xs = decode_wav(payload)
+        assert (rate, ch) == (WAV_RATE, 1)
+        assert len(xs) == wav_n_samples(doc_id)
+        # independent parse: find the data chunk by scanning for the tag
+        i = payload.rindex(b"data")
+        n = int.from_bytes(payload[i + 4 : i + 8], "little")
+        ref = np.frombuffer(payload[i + 8 : i + 8 + n], dtype="<i2")
+        assert xs == ref.tolist()
+
+
+def test_wav_decoder_walks_extra_chunks_and_rejects_corrupt():
+    import pytest
+
+    from dbms_query_optimizer_spark.operators.multimodal import decode_wav, make_wav
+
+    payload = make_wav(3)
+    assert b"LIST" in payload  # the generator plants a non-data chunk
+    decode_wav(payload)  # chunk walker handles it
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + payload[4:])  # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav(payload[:-10])  # truncated data chunk
+
+
+def test_audio_features_match_python_oracle(spark, sf_dir):
+    import math
+
+    from dbms_query_optimizer_spark.operators.multimodal import (
+        WAV_WINDOW,
+        decode_wav,
+        make_wav,
+        q_multimodal_audio_features,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_multimodal_audio_features(spark, sf_dir).collect()
+    }
+    n_docs = multimodal_table(spark, sf_dir).count()
+    assert len(rows) == n_docs
+
+    for doc_id in list(rows)[:8]:
+        r = rows[doc_id]
+        rate, _, xs = decode_wav(make_wav(doc_id))
+        n = len(xs)
+        assert r["n_samples"] == n
+        assert r["duration_ms"] == round(n * 1000.0 / rate, 3)
+        assert r["rms"] == round(math.sqrt(sum(x * x for x in xs) / n), 4)
+        assert r["peak"] == max(abs(x) for x in xs)
+        assert r["n_windows"] == -(-n // WAV_WINDOW)
