@@ -117,6 +117,39 @@ def test_changes_across_restore_is_inverse_of_corruption(spark, table):
     assert feed == [(1, 1.0, "insert"), (1, 42.0, "delete")]
 
 
+def test_changes_across_schema_evolution_reads_under_target_schema(spark, table):
+    """Rows are compared under v_to's schema: files written before an
+    ADD COLUMN read the new column as NULL in the feed, matching
+    time-travel read semantics."""
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()  # v1
+    evolved = (
+        spark.range(0)
+        .selectExpr("id", "cast(id as double) as val", "cast(null as string) as tag")
+        .schema
+    )
+    table.alter_schema(evolved)  # v2: metadata only, no files
+    t3 = table.begin()
+    t3.insert(
+        spark.createDataFrame([(2, 2.0, "x")], "id long, val double, tag string")
+        .coalesce(1)
+    )
+    t3.commit()  # v3
+    feed = sorted(
+        (r.id, r.val, r.tag, r._change_type)
+        for r in table.changes(spark, 1, 3).collect()
+    )
+    assert feed == [(2, 2.0, "x", "insert")]
+    # and a feed STARTING before the old schema still reads old files
+    # under the evolved schema (tag NULL), not the v1 shape
+    feed0 = sorted(
+        (r.id, r.val, r.tag, r._change_type)
+        for r in table.changes(spark, 0, 3).collect()
+    )
+    assert feed0 == [(1, 1.0, None, "insert"), (2, 2.0, "x", "insert")]
+
+
 def test_changes_duplicate_rows_are_multiset_exact(spark, table):
     """exceptAll is a multiset difference: if the same (id, val) row is
     stored twice and one copy is deleted, the feed must show exactly one
