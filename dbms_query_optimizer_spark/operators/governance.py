@@ -708,6 +708,100 @@ ORDER BY from_type, to_type
 """
 
 
+MIX_OUT_FRAC = 0.4  # output budget as a fraction of the corpus
+
+
+def q_corpus_mix_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-mix construction: turn temperature weights
+    into an actual sampled corpus. Per language ℓ with n_ℓ docs, the
+    T=0.5 temperature target share is q_ℓ = √n_ℓ / Σ√n; with an output
+    budget of M = ⌊MIX_OUT_FRAC·N⌋ docs the per-doc keep probability is
+    f_ℓ = min(1, M·q_ℓ / n_ℓ); each doc draws a DETERMINISTIC uniform
+    (md5 bits → [0,1)) and survives iff u < f_ℓ. The report shows, per
+    language, the source count, keep fraction, kept count, and achieved
+    vs target share — the audit a mixing job ships with its output.
+
+    Cross-engine exactness: √, ×, ÷ are IEEE-correctly-rounded in both
+    engines and the expression order matches term for term, so f_ℓ is
+    bit-identical and the u < f_ℓ decision (u has 2⁻³² granularity)
+    cannot flip between engines. Scale: one corpus scan; the language
+    weight table is a broadcast; two grouped counts. The same plan at
+    100 TB — the budget M and temperature are the only knobs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = langs.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+    )
+    m = F.floor(F.lit(MIX_OUT_FRAC) * F.col("total")).cast("double")
+    f = F.least(
+        F.lit(1.0),
+        m * (F.sqrt(F.col("n_docs")) / F.col("z")) / F.col("n_docs"),
+    )
+    lw = (
+        langs.crossJoin(F.broadcast(tot))
+        .select("lang", "n_docs", f.alias("f_keep"), F.col("total"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    kept = (
+        docs.select("doc_id", "lang", u.alias("u"))
+        .join(F.broadcast(lw), "lang")
+        .filter(F.col("u") < F.col("f_keep"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        lw.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("f_keep", 6).alias("f_keep"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0))
+                / F.floor(F.lit(MIX_OUT_FRAC) * F.col("total")),
+                6,
+            ).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CORPUS_MIX_BUILD = f"""
+WITH g AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), t AS (
+    SELECT SUM(n_docs) AS total, SUM(sqrt(n_docs)) AS z FROM g
+), lw AS (
+    SELECT lang, n_docs, total,
+           LEAST(1.0,
+                 CAST(floor({MIX_OUT_FRAC} * total) AS DOUBLE)
+                 * (sqrt(n_docs) / z) / n_docs) AS f_keep
+    FROM g CROSS JOIN t
+), kept AS (
+    SELECT d.lang, COUNT(*) AS n_kept
+    FROM documents d JOIN lw ON d.lang = lw.lang
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8))
+               AS BIGINT) / 4294967296.0 < lw.f_keep
+    GROUP BY d.lang
+)
+SELECT lw.lang, lw.n_docs,
+       ROUND(lw.f_keep, 6) AS f_keep,
+       COALESCE(kept.n_kept, 0) AS n_kept,
+       ROUND(COALESCE(kept.n_kept, 0) / floor({MIX_OUT_FRAC} * lw.total), 6)
+           AS achieved_share
+FROM lw LEFT JOIN kept ON lw.lang = kept.lang
+ORDER BY lw.lang
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum — the replica-verification
     primitive: one linear aggregate whose value is invariant to row
@@ -765,6 +859,7 @@ ORACLE_TABLE_CHECKSUM = """
 def oracles() -> dict[str, tuple]:
     return {
         "table_checksum": (q_table_checksum, ORACLE_TABLE_CHECKSUM),
+        "corpus_mix_build": (q_corpus_mix_build, ORACLE_CORPUS_MIX_BUILD),
         "doc_length_histogram": (q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM),
         "zipf_token_rank": (q_zipf_token_rank, ORACLE_ZIPF_TOKEN_RANK),
         "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
