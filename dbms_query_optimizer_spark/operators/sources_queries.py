@@ -1002,6 +1002,101 @@ def q_txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return side("clone", clone_root).unionByName(side("source", root)).orderBy("side")
 
 
+def q_txn_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance DRIVEN BY the change
+    feed — what ``changes()`` exists for: a grouped aggregate MV over a
+    transactional table is refreshed from the row-level delta of one
+    commit instead of a full recompute.
+
+    v1 commits the o_orderkey%10==5 slice; the MV (per-orderstatus
+    count + decimal price sum) is materialized from v1. v2 MERGEs a
+    price update (%20==5, +1000) and inserts the %10==6 slice. The
+    refresh reads ONLY changes(1, 2) — inserts contribute +1/+price,
+    deletes −1/−price, so an update's delete+insert pair nets the price
+    delta exactly (decimal arithmetic, no float drift) — and full-outer
+    merges the signed deltas into the MV. The oracle recomputes the
+    post-v2 aggregate from scratch: the incrementally-maintained view
+    must equal the full recompute to the last digit. Cost scales with
+    the CHURN (the one commit's delta), never the table — the reason
+    CDF-driven refresh is how every lakehouse maintains MVs at 100 TB."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_mv", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = TransactionalTable.create(root, orders.schema)
+    t1 = table.begin()
+    t1.insert(orders.filter(F.col("o_orderkey") % 10 == 5).repartition(4))
+    t1.commit()
+
+    # materialize the MV from v1 (decimal sums: exact under +/-)
+    mv1 = (
+        table.read(spark, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("dsum"),
+        )
+    )
+
+    updates = orders.filter(F.col("o_orderkey") % 20 == 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 6)
+    t2 = table.begin()
+    t2.merge(spark, updates.unionByName(inserts), "o_orderkey")
+    t2.commit()
+
+    # refresh from the delta only: signed contributions per group
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        table.changes(spark, 1, 2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).alias("d_n"),
+            F.sum(sign.cast("decimal(12,2)") * dec("o_totalprice")).alias("d_sum"),
+        )
+    )
+    refreshed = (
+        mv1.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce(F.col("dsum"), F.lit(0).cast("decimal(12,2)"))
+                + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(12,2)"))
+            ).alias("dsum"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return refreshed.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.col("dsum").cast("double"), 2).alias("sum_price"),
+    ).orderBy("o_orderstatus")
+
+
+ORACLE_TXN_INCREMENTAL_MV = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(
+               CASE WHEN o_orderkey % 20 = 5 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 IN (5, 6)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
 def q_streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transactional table AS A STREAM (sources/manifest_stream.py —
     the Delta/Iceberg streaming-source analog over the manifest commit
@@ -1585,6 +1680,7 @@ def oracles() -> dict[str, tuple]:
         "txn_delete_where": (q_txn_delete_where, ORACLE_TXN_DELETE_WHERE),
         "txn_replace_where": (q_txn_replace_where, ORACLE_TXN_REPLACE_WHERE),
         "txn_erase_keys": (q_txn_erase_keys, ORACLE_TXN_ERASE_KEYS),
+        "txn_incremental_mv": (q_txn_incremental_mv, ORACLE_TXN_INCREMENTAL_MV),
         "txn_clone": (q_txn_clone, ORACLE_TXN_CLONE),
         "streaming_manifest_tail": (
             q_streaming_manifest_tail,
