@@ -133,9 +133,14 @@ def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Payload synthesis runs inside mapInPandas (executor-side, partition-
     parallel) — at 100 TB this stage is the ingest decode job's reader;
-    only doc_id crosses the Arrow boundary inbound.
+    only doc_id crosses the Arrow boundary inbound. The explicit
+    repartition matters at EVERY scale for the same reason as the LSH
+    verify: the inbound frame is one skinny column (a single file
+    split / a few coalesced bytes), but each row costs real Python
+    decode work — parallelism must follow CPU, not bytes.
     """
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id").repartition(par)
 
     def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -374,13 +379,15 @@ def make_wav(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a RIFF/WAVE payload: returns (sample_rate, n_channels,
-    samples). A complete chunk-walking parser — validates the RIFF/WAVE
+def decode_wav_raw(payload: bytes) -> tuple[int, int, bytes]:
+    """Chunk-walking RIFF/WAVE parse: returns (sample_rate, n_channels,
+    raw little-endian 16-bit PCM frame bytes). Validates the RIFF/WAVE
     magic, walks chunks honoring sizes + word alignment (so LIST/fact
-    chunks between fmt and data are fine), and accepts only
-    16-bit-PCM. Raises ValueError loudly on anything else, exactly like
-    decode_image."""
+    chunks between fmt and data are fine), and accepts only 16-bit PCM.
+    Raises ValueError loudly on anything else, exactly like
+    decode_image. Header logic lives HERE only; consumers pick their
+    sample representation (python ints via decode_wav, numpy via
+    frombuffer in the feature kernel)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -402,14 +409,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     audio_fmt, channels, rate, _byterate, _align, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (fmt {audio_fmt}, {bits}-bit)")
-    n = len(data) // 2
-    return rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return rate, channels, data[: (len(data) // 2) * 2]
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """decode_wav_raw + samples as Python ints (the test-oracle view)."""
+    import struct
+
+    rate, channels, data = decode_wav_raw(payload)
+    return rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))
 
 
 def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload binary) with REAL WAV payloads,
-    synthesized executor-side like image_table."""
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    synthesized executor-side like image_table (same explicit
+    repartition: CPU-bound rows, byte-tiny frame)."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id").repartition(par)
 
     def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -435,6 +451,8 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy reconstruction and pins the feature math."""
     import math
 
+    import numpy as np
+
     df = audio_table(spark, sf_dir)
     cols = [
         "doc_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
@@ -442,23 +460,30 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # header parsing is the pure-Python chunk walker; the sample math
+        # is numpy over the raw PCM buffer (frombuffer is zero-copy) —
+        # same split as the image plane's decode vs GEMM features
         for pdf in batches:
             rows = []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                rate, ch, xs = decode_wav(bytes(p))
+                rate, ch, data = decode_wav_raw(bytes(p))
+                xs = np.frombuffer(data, dtype="<i2").astype(np.float64)
                 n = len(xs)
-                rms = math.sqrt(sum(x * x for x in xs) / n) if n else 0.0
-                wins = [
-                    xs[i : i + WAV_WINDOW] for i in range(0, n, WAV_WINDOW)
-                ]
-                wrms = [
-                    math.sqrt(sum(x * x for x in w) / len(w)) for w in wins
-                ]
+                sq = xs * xs
+                rms = math.sqrt(sq.sum() / n) if n else 0.0
+                n_win = -(-n // WAV_WINDOW)
+                padded = np.zeros(n_win * WAV_WINDOW)
+                padded[:n] = sq
+                sums = padded.reshape(n_win, WAV_WINDOW).sum(axis=1)
+                lens = np.full(n_win, WAV_WINDOW)
+                lens[-1] = n - (n_win - 1) * WAV_WINDOW
+                wrms = np.sqrt(sums / lens)
                 rows.append(
                     (
                         int(d), rate, ch, n, round(n * 1000.0 / rate, 3),
-                        round(rms, 4), max(abs(x) for x in xs),
-                        len(wins), round(min(wrms), 4), round(max(wrms), 4),
+                        round(rms, 4), int(np.abs(xs).max()),
+                        n_win, round(float(wrms.min()), 4),
+                        round(float(wrms.max()), 4),
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)
