@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..engine import load_tables
+from ..engine import fan_out, load_tables
 
 FEATURE_BINS = 8
 
@@ -139,8 +139,7 @@ def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     split / a few coalesced bytes), but each row costs real Python
     decode work — parallelism must follow CPU, not bytes.
     """
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id").repartition(par)
+    docs = fan_out(load_tables(spark, sf_dir)["documents"].select("doc_id"))
 
     def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -424,8 +423,7 @@ def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload binary) with REAL WAV payloads,
     synthesized executor-side like image_table (same explicit
     repartition: CPU-bound rows, byte-tiny frame)."""
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id").repartition(par)
+    docs = fan_out(load_tables(spark, sf_dir)["documents"].select("doc_id"))
 
     def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
