@@ -1329,8 +1329,150 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_MASK = 64  # boundary when window-hash % CDC_MASK == 0 → ~64-char chunks
+CDC_BOILERPLATE = (
+    " subscribe to our newsletter for updates all rights reserved"
+    " terms of service and privacy policy apply to this content"
+    " copyright notice this material may not be reproduced without"
+    " permission contact the webmaster for licensing information"
+    " follow us on social media for the latest news and announcements"
+    " this page was generated automatically please do not reply"
+)
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking storage dedup (the FastCDC/rsync family):
+    documents are split at CONTENT-DEFINED boundaries — positions whose
+    Rabin-Karp window hash ≡ 0 (mod CDC_MASK) — so identical passages
+    chunk identically REGARDLESS of what precedes them, and shared
+    content dedups across documents even under insertions that would
+    shift every fixed-size block. This is the storage-layer dedup a
+    training-data lake runs underneath the semantic dedup family.
+
+    The corpus is synthetic with no shared passages, so every document
+    is salted with the same boilerplate tail (the real-web reason CDC
+    dedup pays: shared headers/footers) — identical concat on both
+    engines; the chunks inside the boilerplate align content-defined and
+    dedup corpus-wide. Report: chunk count, distinct chunks, logical vs
+    stored bytes, dedup ratio — all exact-oracled (the rolling hash is
+    exact BIGINT arithmetic in both engines).
+
+    Scale: per-doc chunking is the map-only rolling-hash pass; the dedup
+    is one groupBy on chunk hash (map-side combined). Same two-stage
+    shape at 100 TB."""
+    from ..functions.text import codepoints, rolling_hashes
+
+    docs = _fan_out(load_tables(spark, sf_dir)["documents"])
+    staged = (
+        docs.select(
+            "doc_id",
+            norm_text(
+                F.concat(F.col("text"), F.lit(CDC_BOILERPLATE))
+            ).alias("nrm"),
+        )
+        .select("doc_id", "nrm", codepoints("nrm").alias("cp"))
+        .select("doc_id", "nrm", rolling_hashes("cp").alias("hs"))
+    )
+    cuts = F.filter(
+        F.when(
+            F.size("hs") >= 1, F.sequence(F.lit(1), F.size("hs"))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: F.element_at(F.col("hs"), i) % CDC_MASK == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), cuts)
+    ends = F.concat(cuts, F.array(F.length("nrm") + 1))
+    chunks = F.transform(
+        F.when(
+            F.size(starts) >= 1, F.sequence(F.lit(1), F.size(starts))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda j: F.substring(
+            F.col("nrm"),
+            F.element_at(starts, j),
+            F.element_at(ends, j) - F.element_at(starts, j),
+        ),
+    )
+    per_chunk = (
+        staged.select(F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") > 0)
+        .groupBy(F.md5(F.col("chunk").cast("binary")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first(F.length("chunk")).alias("n_bytes"),
+        )
+    )
+    return per_chunk.agg(
+        F.sum("n_copies").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.col("n_copies") * F.col("n_bytes")).alias("logical_bytes"),
+        F.sum("n_bytes").alias("stored_bytes"),
+        F.round(
+            F.sum("n_bytes") / F.sum(F.col("n_copies") * F.col("n_bytes")), 6
+        ).alias("dedup_ratio"),
+    )
+
+
+def _oracle_dedup_cdc_chunks() -> str:
+    from ..functions.text import ROLL_BASE, ROLL_K, ROLL_PRIME
+
+    horner = "CAST(0 AS BIGINT)"
+    for j in range(ROLL_K):
+        ix = "i" if j == 0 else f"i+{j}"
+        horner = f"(({horner} * {ROLL_BASE} + cp[{ix}]) % {ROLL_PRIME})"
+    boiler = CDC_BOILERPLATE.replace("'", "''")
+    return f"""
+    WITH normd AS (
+        SELECT doc_id,
+               lower(regexp_replace(text || '{boiler}', '\\s+', ' ', 'g')) AS nrm
+        FROM documents
+    ),
+    cps AS (
+        SELECT doc_id, nrm,
+               list_transform(generate_series(1, length(nrm)),
+                              i -> ord(substr(nrm, i, 1))) AS cp
+        FROM normd
+    ),
+    hs AS (
+        SELECT doc_id, nrm,
+               list_transform(generate_series(1, greatest(len(cp) - {ROLL_K - 1}, 0)),
+                              i -> {horner}) AS h
+        FROM cps
+    ),
+    cut AS (
+        SELECT doc_id, nrm,
+               list_filter(generate_series(1, len(h)),
+                           i -> h[i] % {CDC_MASK} = 0) AS cuts
+        FROM hs
+    ),
+    bounds AS (
+        SELECT doc_id, nrm,
+               list_prepend(1, cuts) AS starts,
+               list_append(cuts, length(nrm) + 1) AS ends
+        FROM cut
+    ),
+    chunks AS (
+        SELECT UNNEST(list_transform(generate_series(1, len(starts)),
+                      j -> substr(nrm, starts[j], ends[j] - starts[j]))) AS chunk
+        FROM bounds
+    ),
+    per_chunk AS (
+        SELECT md5(chunk) AS h, COUNT(*) AS n_copies,
+               MIN(length(chunk)) AS n_bytes
+        FROM chunks WHERE length(chunk) > 0
+        GROUP BY md5(chunk)
+    )
+    SELECT CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_distinct_chunks,
+           CAST(SUM(n_copies * n_bytes) AS BIGINT) AS logical_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS stored_bytes,
+           ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_copies * n_bytes), 6)
+               AS dedup_ratio
+    FROM per_chunk
+    """
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "dedup_cdc_chunks": (q_dedup_cdc_chunks, _oracle_dedup_cdc_chunks()),
         "dedup_semantic": (q_dedup_semantic, None),
         "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
