@@ -104,6 +104,8 @@ HEADLINE = [
     "pii_redact",
     # round 4: MATCH_RECOGNIZE-class sequence pattern (one agg + regexp)
     "event_pattern_match",
+    # round 4: content-defined-chunking storage dedup (rolling-hash cuts)
+    "dedup_cdc_chunks",
 ]
 
 

@@ -254,6 +254,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # sequence-pattern match: ONE aggregate + a codegen regexp — no join,
     # no window, no Python eval plane
     "event_pattern_match": ["!tree:Join", "!tree:Window", "!ArrowEvalPython", "!MapInPandas"],
+    # CDC chunking: map-only JVM higher-order chunker + one hash agg —
+    # no join, no Python eval plane
+    "dedup_cdc_chunks": ["tree:HashAggregate", "!tree:Join", "!MapInPandas"],
 }
 
 
