@@ -647,7 +647,167 @@ def oracles() -> dict[str, tuple]:
         "percentile_exact": (q_percentile_exact, ORACLE_PERCENTILE_EXACT),
         "window_analytics": (q_window_analytics, ORACLE_WINDOW_ANALYTICS),
         "date_dim_generate": (q_date_dim_generate, ORACLE_DATE_DIM_GENERATE),
+        "quantile_sketch_mergeable": (
+            q_quantile_sketch_mergeable,
+            ORACLE_QUANTILE_SKETCH_MERGEABLE,
+        ),
     }
+
+
+QSKETCH_BINS = 64
+QSKETCH_SHARDS = 8
+QSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def q_quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch — the distributed
+    quantile pattern where exact sort is unaffordable: each shard builds
+    a fixed-size histogram (64 bins over the [min, max] range), shard
+    sketches MERGE by plain bin-count addition (the query materializes
+    the per-shard partials and the merge as two explicit groupBys, the
+    map-combine / reduce-merge split a 1000-executor run would use), and
+    the quantile estimate is the left edge of the first bin whose
+    cumulative count reaches rank ceil(q*n). Per (type, q) the estimate
+    is compared against the true rank-ceil(q*n) order statistic; the
+    ``within_bound`` column certifies the histogram-quantile error law
+    |est − exact| ≤ bin_width.
+
+    The companion of ``q_approx_hll_mergeable`` (mergeable distinct
+    sketch) and ``q_percentile_exact`` (the exact gate): unlike
+    percentile_approx this sketch's merge algebra is laid out in the
+    plan itself, and unlike KLL it is fully SQL-expressible — so the
+    WHOLE sketch path gets a value-level DuckDB oracle, no rows-only
+    weakening. The exact order statistic is the one per-type sort
+    (verification column — at 100 TB you drop it, keep the sketch).
+
+    Determinism: bin ids, cumulative ranks, and edges are integer or
+    same-operation-order double math on both engines; no decimal-scale
+    ROUND anywhere (the e4/scale-0 lesson from q_events_resample_interp).
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "event_id", "value"
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(QSKETCH_BINS))
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.least(
+            F.lit(QSKETCH_BINS - 1),
+            F.floor((F.col("value") - F.col("lo")) / width),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    # shard partials -> merged sketch: addition is the whole merge algebra
+    partials = binned.groupBy(
+        "event_type", F.pmod("event_id", F.lit(QSKETCH_SHARDS)).alias("shard"), "bin"
+    ).agg(F.count(F.lit(1)).alias("pn"))
+    merged = partials.groupBy("event_type", "bin").agg(F.sum("pn").alias("n"))
+    cums = merged.select(
+        "event_type",
+        "bin",
+        F.sum("n")
+        .over(W.partitionBy("event_type").orderBy("bin"))
+        .alias("cum"),
+    )
+    qrows = stats.select(
+        "event_type",
+        "lo",
+        "hi",
+        "n_rows",
+        F.explode(F.array(*[F.lit(q) for q in QSKETCH_QS])).alias("q"),
+    ).withColumn("p", F.ceil(F.col("q") * F.col("n_rows")))
+    sel = (
+        F.broadcast(qrows)
+        .join(cums, "event_type")
+        .filter(F.col("cum") >= F.col("p"))
+        .groupBy("event_type", "q", "lo", "hi", "n_rows", "p")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("event_type").orderBy("value", "event_id")),
+    )
+    exact = F.broadcast(qrows.select("event_type", "q", "p")).join(
+        ranked, ["event_type"]
+    ).filter(F.col("rn") == F.col("p")).select(
+        "event_type", "q", F.col("value").alias("exact_disc")
+    )
+    est = F.col("lo") + F.col("qbin").cast("double") * (
+        (F.col("hi") - F.col("lo")) / F.lit(float(QSKETCH_BINS))
+    )
+    bw = (F.col("hi") - F.col("lo")) / F.lit(float(QSKETCH_BINS))
+    return (
+        sel.join(exact, ["event_type", "q"])
+        .select(
+            "event_type",
+            "q",
+            "n_rows",
+            "p",
+            est.alias("est"),
+            "exact_disc",
+            (F.abs(est - F.col("exact_disc")) <= bw).alias("within_bound"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+ORACLE_QUANTILE_SKETCH_MERGEABLE = f"""
+WITH stats AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+), binned AS (
+    SELECT e.event_type, e.event_id, e.value,
+           CAST(LEAST({QSKETCH_BINS - 1},
+                FLOOR((e.value - s.lo) / ((s.hi - s.lo) / {QSKETCH_BINS}.0)))
+                AS INT) AS bin
+    FROM events e JOIN stats s USING (event_type)
+), partials AS (
+    SELECT event_type, event_id % {QSKETCH_SHARDS} AS shard, bin, COUNT(*) AS pn
+    FROM binned GROUP BY event_type, shard, bin
+), merged AS (
+    SELECT event_type, bin, SUM(pn) AS n FROM partials GROUP BY event_type, bin
+), cums AS (
+    SELECT event_type, bin,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+    FROM merged
+), qrows AS (
+    SELECT event_type, lo, hi, n_rows, q,
+           CAST(CEIL(q * n_rows) AS BIGINT) AS p
+    FROM stats, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                         (CAST(0.99 AS DOUBLE))) v(q)
+), sel AS (
+    SELECT qr.event_type, qr.q, qr.lo, qr.hi, qr.n_rows, qr.p,
+           MIN(c.bin) AS qbin
+    FROM qrows qr JOIN cums c USING (event_type)
+    WHERE c.cum >= qr.p
+    GROUP BY qr.event_type, qr.q, qr.lo, qr.hi, qr.n_rows, qr.p
+), ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS rn
+    FROM events
+), exact AS (
+    SELECT qr.event_type, qr.q, r.value AS exact_disc
+    FROM qrows qr JOIN ranked r
+      ON r.event_type = qr.event_type AND r.rn = qr.p
+)
+SELECT s.event_type, s.q, s.n_rows, s.p,
+       s.lo + CAST(s.qbin AS DOUBLE) * ((s.hi - s.lo) / {QSKETCH_BINS}.0) AS est,
+       x.exact_disc,
+       (ABS(s.lo + CAST(s.qbin AS DOUBLE) * ((s.hi - s.lo) / {QSKETCH_BINS}.0)
+            - x.exact_disc)
+        <= (s.hi - s.lo) / {QSKETCH_BINS}.0) AS within_bound
+FROM sel s JOIN exact x ON x.event_type = s.event_type AND x.q = s.q
+ORDER BY s.event_type, s.q
+"""
 
 
 def q_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:

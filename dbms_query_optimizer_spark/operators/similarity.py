@@ -728,6 +728,103 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+CONTRAST_STRIDE = 50  # anchors = every 50th vector — spread across labels
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: for each
+    anchor vector, the hardest POSITIVE (most-similar same-label
+    neighbor) and the hardest NEGATIVE (most-similar different-label
+    neighbor), plus the training margin between them. This is the data
+    prep behind triplet / InfoNCE fine-tuning — hard negatives are what
+    make contrastive batches informative.
+
+    Plan: the (tiny, strided) anchor set broadcasts against the
+    partitioned corpus — a map-side nested loop, no shuffle until the
+    per-(anchor, same-label) top-1 window; the two winners then collapse
+    to one row per anchor with conditional aggregates. At 100 TB the
+    anchor side is whatever fits a broadcast (or the corpus is LSH/IVF
+    bucketed first — `q_knn_lsh_bucketed` is the candidate generator to
+    compose with); the exact strided version here is the verification
+    harness, same contract split as knn_brute_force vs knn_lsh.
+
+    Determinism: cosine rounds to 6 dp before ranking on both engines
+    (cand_id ascending tie-break), and the margin is a difference of two
+    6-dp decimals — never within 1e-7 of a rounding midpoint.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding", "label")
+    a = e.filter(F.col("vec_id") % CONTRAST_STRIDE == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("vc"),
+        F.col("label").alias("cl"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(c, F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "label",
+            "cand_id",
+            (F.col("cl") == F.col("label")).alias("same_label"),
+            F.round(cosine_expr("va", "vc"), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "same_label").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    top = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    pos_cos = F.max(F.when(F.col("same_label"), F.col("cos")))
+    neg_cos = F.max(F.when(~F.col("same_label"), F.col("cos")))
+    return (
+        top.groupBy("anchor_id", "label")
+        .agg(
+            F.max(F.when(F.col("same_label"), F.col("cand_id"))).alias("pos_id"),
+            pos_cos.alias("pos_cos"),
+            F.max(F.when(~F.col("same_label"), F.col("cand_id"))).alias("neg_id"),
+            neg_cos.alias("neg_cos"),
+            F.round(pos_cos - neg_cos, 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+ORACLE_CONTRASTIVE_PAIRS = f"""
+WITH a AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE vec_id % {CONTRAST_STRIDE} = 0
+), pairs AS (
+    SELECT a.vec_id AS anchor_id, a.label AS label, c.vec_id AS cand_id,
+           (c.label = a.label) AS same_label,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cos
+    FROM a JOIN embeddings c ON c.vec_id <> a.vec_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id, same_label
+        ORDER BY cos DESC, cand_id ASC
+    ) AS rk
+    FROM pairs
+)
+SELECT anchor_id, label,
+       MAX(CASE WHEN same_label THEN cand_id END) AS pos_id,
+       MAX(CASE WHEN same_label THEN cos END) AS pos_cos,
+       MAX(CASE WHEN NOT same_label THEN cand_id END) AS neg_id,
+       MAX(CASE WHEN NOT same_label THEN cos END) AS neg_cos,
+       ROUND(MAX(CASE WHEN same_label THEN cos END)
+             - MAX(CASE WHEN NOT same_label THEN cos END), 6) AS margin
+FROM ranked
+WHERE rk = 1
+GROUP BY anchor_id, label
+ORDER BY anchor_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
@@ -742,4 +839,5 @@ def oracles() -> dict[str, tuple]:
         "embedding_pq_adc": (q_embedding_pq_adc, None),
         "embedding_pca_project": (q_embedding_pca_project, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
+        "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
     }

@@ -819,6 +819,218 @@ ORACLE_INTERVAL_OVERLAP_JOIN = """
 """
 
 
+EWMA_SPAN = 20  # trailing window length for the half-life EWMA
+
+
+def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LINEAR interpolation: the hypertable
+    ``time_bucket_gapfill`` + ``interpolate()`` pattern — the companion of
+    ``q_events_gapfill_locf`` (which carries the PREVIOUS value forward,
+    this one draws the line between the surrounding observations).
+
+    A dense user x day grid is generated (sequence + explode), sparse
+    per-user-day purchase averages are left-joined on, and each gap day
+    gets ``prev + (next - prev) * elapsed/spanned`` from two ignore-nulls
+    windows (LOCF forward for the previous observation, its mirror
+    backward for the next). Days before a user's first or after their
+    last observation stay NULL — interpolation only, no extrapolation.
+
+    Scale: identical shape to the LOCF gap-fill — the raw scan collapses
+    to (user x active-day) partials before anything wide; the grid is
+    users x calendar-days. One shuffle for the aggregate, one for the
+    grid join, one partitioned sort serving all four windows.
+
+    Cross-engine determinism: decimal-scale ROUND(x, 4) is UNSAFE on a
+    computed double (Spark's BigDecimal HALF_UP and DuckDB's scaled
+    nearbyint disagree when the binary value sits a few ulp from a
+    decimal midpoint — observed live at sf0.001). So the whole
+    interpolation runs in an exact integer domain: observations quantize
+    to e4 units (x10000), the interpolant is integer + integer * (day
+    ratio) with the identical operation order on both engines, and the
+    only ROUND is at scale 0 — where both engines round the exact binary
+    value and cannot disagree. The final /10000.0 is one deterministic
+    IEEE division.
+
+    Reference has no temporal operators (join spec only,
+    ``src/include/optimizer/join_optimizer.h:17-48``); completes SURVEY
+    §2.2 temporal family.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    partials = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value") * 10000).cast("long").alias("av"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("av").isNotNull(), F.col("day"))
+    j = grid.join(partials, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "av",
+        F.last("av", ignorenulls=True).over(wb).alias("prev_av"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("prev_day"),
+        F.first("av", ignorenulls=True).over(wf).alias("next_av"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    interp_e4 = F.when(F.col("av").isNotNull(), F.col("av")).when(
+        F.col("prev_av").isNotNull() & F.col("next_av").isNotNull(),
+        F.round(
+            F.col("prev_av")
+            + (F.col("next_av") - F.col("prev_av")).cast("double") * frac
+        ).cast("long"),
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("av").isNotNull().alias("is_observed"),
+        (interp_e4.cast("double") / F.lit(10000.0)).alias("interp_av"),
+    ).orderBy("user_id", "day")
+
+
+ORACLE_EVENTS_RESAMPLE_INTERP = """
+WITH p AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(ROUND(AVG(value) * 10000) AS BIGINT) AS av
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, day
+), bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+), days AS (
+    SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), grid AS (
+    SELECT u.user_id, d.day
+    FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d
+), filled AS (
+    SELECT g.user_id, g.day, p.av,
+           LAST_VALUE(p.av IGNORE NULLS) OVER wb AS prev_av,
+           LAST_VALUE(CASE WHEN p.av IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER wb AS prev_day,
+           FIRST_VALUE(p.av IGNORE NULLS) OVER wf AS next_av,
+           FIRST_VALUE(CASE WHEN p.av IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER wf AS next_day
+    FROM grid g LEFT JOIN p ON p.user_id = g.user_id AND p.day = g.day
+    WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY g.user_id ORDER BY g.day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       (av IS NOT NULL) AS is_observed,
+       CAST(CASE WHEN av IS NOT NULL THEN av
+            WHEN prev_av IS NOT NULL AND next_av IS NOT NULL THEN
+                CAST(ROUND(prev_av + CAST(next_av - prev_av AS DOUBLE)
+                      * (CAST(datediff('day', prev_day, day) AS DOUBLE)
+                         / CAST(datediff('day', prev_day, next_day) AS DOUBLE)))
+                     AS BIGINT)
+       END AS DOUBLE) / 10000.0 AS interp_av
+FROM filled
+ORDER BY user_id, day
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life decay, trailing
+    ``EWMA_SPAN`` events) of each user's purchase values — the standard
+    time-series smoother (pandas ``ewm(halflife=1)``) as a distributed
+    window operator.
+
+    Plan: one shuffle on user_id, one partitioned sort; each row folds
+    its trailing window with JVM higher-order functions (collect_list →
+    array_sort → transform → aggregate) — no self-join (the naive SQL
+    is an O(span) fan-out join, which is exactly what the oracle does on
+    DuckDB's side), no Python.
+
+    Cross-engine float determinism is engineered, not hoped for: values
+    quantize to integer cents and the decay is a power of TWO, so every
+    term ``cents * 2^-k`` (k ≤ span-1 = 19) is an integer multiple of
+    2^-19 — partial sums stay exactly representable in a double, making
+    the numerator EXACT under any summation order on any engine. The
+    denominator ``100 * (2 - 2^(1-n))`` is likewise exact, so est agrees
+    bit-for-bit before the final ROUND.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+        )
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(EWMA_SPAN - 1), W.currentRow)
+    )
+    # array_sort on (rn, cents) structs pins the fold order by contract —
+    # no reliance on collect_list's frame-order behavior
+    arr = F.array_sort(F.collect_list(F.struct("rn", "cents")).over(wf))
+    n = F.size(arr)
+    terms = F.transform(
+        arr,
+        lambda x, i: x["cents"].cast("double")
+        * F.pow(F.lit(2.0), (i - (n - F.lit(1))).cast("double")),
+    )
+    num = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.lit(100.0) * (
+        F.lit(2.0) - F.pow(F.lit(2.0), (F.lit(1) - n).cast("double"))
+    )
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            "rn",
+            n.alias("n_window"),
+            F.round(num / den, 4).alias("ewma"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+ORACLE_EWMA_SMOOTH = f"""
+WITH seq AS (
+    SELECT user_id, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.event_id, a.rn,
+       CAST(LEAST(a.rn, {EWMA_SPAN}) AS INT) AS n_window,
+       ROUND(SUM(CAST(b.cents AS DOUBLE) * POW(2.0, CAST(b.rn - a.rn AS DOUBLE)))
+             / (100.0 * (2.0 - POW(2.0,
+                    CAST(1 - LEAST(a.rn, {EWMA_SPAN}) AS DOUBLE)))), 4) AS ewma
+FROM seq a JOIN seq b
+  ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - {EWMA_SPAN - 1} AND a.rn
+GROUP BY a.user_id, a.event_id, a.rn
+ORDER BY a.user_id, a.rn
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
@@ -830,6 +1042,11 @@ def oracles() -> dict[str, tuple]:
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
         "events_anomaly_zscore": (q_events_anomaly_zscore, ORACLE_EVENTS_ANOMALY_ZSCORE),
         "events_gapfill_locf": (q_events_gapfill_locf, ORACLE_EVENTS_GAPFILL_LOCF),
+        "events_resample_interp": (
+            q_events_resample_interp,
+            ORACLE_EVENTS_RESAMPLE_INTERP,
+        ),
+        "ewma_smooth": (q_ewma_smooth, ORACLE_EWMA_SMOOTH),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
     }

