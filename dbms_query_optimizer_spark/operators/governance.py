@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..engine import load_tables
+from ..functions import text as T
 
 N_HIST_BUCKETS = 20
 CURRICULUM_BINS = 4
@@ -802,6 +803,94 @@ ORDER BY lw.lang
 """
 
 
+QUOTA_FRACTION = 0.8  # per-source cap = floor(0.8 * smallest source size)
+
+
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping — the domain-cap stage every web-corpus
+    pipeline runs so no single domain dominates the training mix: each
+    source keeps at most `cap` documents, chosen best-quality-first, and
+    the report shows what the cap cost each source (kept/dropped counts
+    and the quality cutoff — the score of the LAST document that made
+    the cut).
+
+    Plan: one scan scores docs with the pure-codegen quality column, one
+    groupBy sizes the sources, the 1-row cap broadcastss, and a per-source
+    top-`cap` window keeps the winners. At 100 TB the per-source sort is
+    the cost; for mega-sources the swap is a two-phase threshold (sample
+    an approximate per-source quality cutoff, pre-filter below it, rank
+    only the survivors) — same contract, bounded sort input. Tie-break
+    on doc_id makes the cut deterministic on both engines.
+
+    Reference has no text/governance surface (SURVEY §2.2); this extends
+    the training-mix family (`mix_rebalance`, `corpus_mix_build`).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id", "source", T.quality_score("text").alias("quality")
+    )
+    sizes = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    cap = sizes.agg(
+        F.floor(F.lit(QUOTA_FRACTION) * F.min("n_docs"))
+        .cast("long")
+        .alias("cap")
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+        ),
+    )
+    kept = ranked.crossJoin(F.broadcast(cap)).filter(F.col("rk") <= F.col("cap"))
+    return (
+        kept.groupBy("source", "cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("quality").alias("cutoff_quality"),
+            F.max_by("doc_id", "rk").alias("cutoff_doc"),
+        )
+        .join(sizes, "source")
+        .select(
+            "source",
+            "n_docs",
+            "cap",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "cutoff_quality",
+            "cutoff_doc",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_QUOTA_CAP = f"""
+WITH scored AS (
+    SELECT doc_id, source, {{sql_quality}} AS quality FROM documents
+), sizes AS (
+    SELECT source, COUNT(*) AS n_docs FROM scored GROUP BY source
+), cap AS (
+    SELECT CAST(FLOOR(CAST({QUOTA_FRACTION} AS DOUBLE) * MIN(n_docs)) AS BIGINT)
+           AS cap
+    FROM sizes
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY quality DESC, doc_id
+    ) AS rk
+    FROM scored
+), kept AS (
+    SELECT r.*, c.cap FROM ranked r CROSS JOIN cap c WHERE r.rk <= c.cap
+)
+SELECT s.source, s.n_docs, k.cap,
+       COUNT(*) AS n_kept,
+       s.n_docs - COUNT(*) AS n_dropped,
+       MIN(k.quality) AS cutoff_quality,
+       arg_max(k.doc_id, k.rk) AS cutoff_doc
+FROM kept k JOIN sizes s USING (source)
+GROUP BY s.source, s.n_docs, k.cap
+ORDER BY s.source
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum — the replica-verification
     primitive: one linear aggregate whose value is invariant to row
@@ -857,7 +946,13 @@ ORACLE_TABLE_CHECKSUM = """
 
 
 def oracles() -> dict[str, tuple]:
+    from .text import SQL_QUALITY  # local import: text also imports engine
+
     return {
+        "source_quota_cap": (
+            q_source_quota_cap,
+            ORACLE_SOURCE_QUOTA_CAP.replace("{sql_quality}", SQL_QUALITY),
+        ),
         "table_checksum": (q_table_checksum, ORACLE_TABLE_CHECKSUM),
         "corpus_mix_build": (q_corpus_mix_build, ORACLE_CORPUS_MIX_BUILD),
         "doc_length_histogram": (q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM),

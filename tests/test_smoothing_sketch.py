@@ -129,6 +129,33 @@ def test_contrastive_pairs_labels_and_margin(spark, sf_dir):
             )
 
 
+def test_source_quota_cap_semantics(spark, sf_dir):
+    """Kept counts respect the cap; every doc dropped from a source has
+    quality <= that source's cutoff (best-first selection)."""
+    from dbms_query_optimizer_spark.functions.text import quality_score
+    from dbms_query_optimizer_spark.operators.governance import (
+        q_source_quota_cap,
+    )
+
+    rows = q_source_quota_cap(spark, sf_dir).collect()
+    assert rows
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "source", quality_score("text").alias("quality"))
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for d in docs:
+        by_source.setdefault(d.source, []).append(d)
+    for r in rows:
+        assert r.n_kept == min(r.cap, r.n_docs)
+        assert r.n_kept + r.n_dropped == r.n_docs
+        ranked = sorted(by_source[r.source], key=lambda d: (-d.quality, d.doc_id))
+        dropped = ranked[r.n_kept :]
+        assert all(d.quality <= r.cutoff_quality for d in dropped)
+        assert ranked[r.n_kept - 1].doc_id == r.cutoff_doc
+
+
 def test_quantile_sketch_bins_bounded(spark, sf_dir):
     """Sketch state is fixed-size: at most QSKETCH_BINS bins survive per
     type — the property that makes the sketch mergeable at any scale."""
