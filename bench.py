@@ -106,6 +106,10 @@ HEADLINE = [
     "event_pattern_match",
     # round 4: content-defined-chunking storage dedup (rolling-hash cuts)
     "dedup_cdc_chunks",
+    # round 4: half-life EWMA (windowed JVM array fold, no self-join) and
+    # the mergeable histogram-quantile sketch (explicit shard->merge)
+    "ewma_smooth",
+    "quantile_sketch_mergeable",
 ]
 
 

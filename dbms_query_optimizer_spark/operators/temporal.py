@@ -74,11 +74,14 @@ def _asof_union(ev: DataFrame) -> DataFrame:
     return probes.unionByName(builds)
 
 
-def _asof_project(filled: DataFrame, match_col: str = "m") -> DataFrame:
+def _asof_project(
+    filled: DataFrame, match_col: str = "m", keep_unmatched: bool = False
+) -> DataFrame:
     """Project the filled union back to the as-of join result schema."""
     m = F.col(match_col)
+    probes = F.col("is_probe") == 1
     return (
-        filled.filter((F.col("is_probe") == 1) & m.isNotNull())
+        filled.filter(probes if keep_unmatched else (probes & m.isNotNull()))
         .select(
             "event_id",
             "user_id",
@@ -120,6 +123,47 @@ ORACLE_ASOF_JOIN = f"""
            r.purchase_id, r.purchase_ts,
            epoch_us(l.ts) - epoch_us(r.purchase_ts) AS gap_us
     FROM ev l ASOF JOIN p r
+      ON l.user_id = r.user_id AND r.purchase_ts <= l.ts
+    ORDER BY event_id
+"""
+
+
+def q_asof_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join: like ``q_asof_join`` but probes with NO purchase
+    at-or-before them survive with NULL match columns — the outer-join
+    member of the as-of family (a user's events before their first
+    purchase keep their row, which the inner form drops). Identical
+    one-shuffle union-sort-window plan; keeping unmatched probes is just
+    not filtering them, so the variant costs nothing extra. The oracle is
+    DuckDB's native ASOF LEFT JOIN — an independent engine's definition
+    of the same semantics.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = _asof_union(ev).withColumn(
+        "m", F.last("build", ignorenulls=True).over(w)
+    )
+    return _asof_project(filled, keep_unmatched=True)
+
+
+ORACLE_ASOF_JOIN_LEFT = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM ev WHERE event_type = '{ASOF_BUILD_TYPE}'
+    )
+    SELECT l.event_id, l.user_id, l.event_type,
+           r.purchase_id, r.purchase_ts,
+           epoch_us(l.ts) - epoch_us(r.purchase_ts) AS gap_us
+    FROM ev l ASOF LEFT JOIN p r
       ON l.user_id = r.user_id AND r.purchase_ts <= l.ts
     ORDER BY event_id
 """
@@ -1035,6 +1079,7 @@ def oracles() -> dict[str, tuple]:
     return {
         "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+        "asof_join_left": (q_asof_join_left, ORACLE_ASOF_JOIN_LEFT),
         "asof_join_salted": (q_asof_join_salted, ORACLE_ASOF_JOIN),
         "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_JOIN_FORWARD),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),

@@ -413,6 +413,23 @@ COMMENTARY = {
         "in a plain Project — no join, no Window, no Python plane. The "
         "NFA-over-sequence semantics live entirely in the regex engine."
     ),
+    "ewma_smooth": (
+        "Half-life EWMA over each user's purchase sequence. Expect: ONE "
+        "data Exchange on user_id serving both windows (row_number, then "
+        "the trailing collect_list), the decay fold as JVM higher-order "
+        "functions (transform/aggregate) in a codegen Project — no "
+        "self-join (the naive SQL is an O(span) fan-out join; that plan "
+        "is deliberately the DuckDB oracle, not ours), no Python plane."
+    ),
+    "quantile_sketch_mergeable": (
+        "Mergeable histogram-quantile sketch. Expect: bin counts "
+        "aggregated with map-side partials (partial_count), the shard → "
+        "merge split as two HashAggregates, the 1-row stats frame "
+        "broadcast to the binning scan, and every planned join broadcast "
+        "— after the first aggregate everything is (types × bins)-sized "
+        "regardless of input volume. The per-type rank window is the "
+        "droppable exact-verification column, not the sketch path."
+    ),
     "text_mixed_language": (
         "Per-half language ID with EXPLICIT exchange barriers. Expect: "
         "projection 1 materializes the two normalized+padded halves, a "

@@ -257,6 +257,14 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # CDC chunking: map-only JVM higher-order chunker + one hash agg —
     # no join, no Python eval plane
     "dedup_cdc_chunks": ["tree:HashAggregate", "!tree:Join", "!MapInPandas"],
+    # EWMA: ONE data shuffle (both windows share the user_id partitioning),
+    # no self-join (that's the oracle's naive plan), JVM array fold only
+    "ewma_smooth": ["tree:Window", "!tree:Join", "!MapInPandas", "!ArrowEvalPython"],
+    # histogram sketch: bin counts combine map-side (partial_) and every
+    # planned join is a broadcast (the tiny final sel==exact SMJ pair is
+    # AQE-converted at runtime; the pin is that nothing row-heavy shuffles
+    # as a join build)
+    "quantile_sketch_mergeable": ["tree:HashAggregate", "partial_", "BroadcastHashJoin"],
 }
 
 

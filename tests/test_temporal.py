@@ -28,6 +28,40 @@ def test_asof_purchase_matches_itself(spark, sf_dir):
     assert all(r.purchase_id == r.event_id and r.gap_us == 0 for r in rows)
 
 
+def test_asof_left_keeps_unmatched_probes(spark, sf_dir):
+    """LEFT variant: matched rows identical to the inner join; unmatched
+    rows are exactly the events strictly before their user's first
+    purchase (or of users with no purchases), with NULL match columns."""
+    from dbms_query_optimizer_spark.operators.temporal import q_asof_join_left
+
+    ev = load_tables(spark, sf_dir)["events"]
+    inner = {r.event_id: r for r in q_asof_join(spark, sf_dir).collect()}
+    left = q_asof_join_left(spark, sf_dir).collect()
+    assert len(left) == ev.count()
+    first_purchase = {
+        r.user_id: r.us
+        for r in ev.filter(F.col("event_type") == ASOF_BUILD_TYPE)
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("us"))
+        .collect()
+    }
+    ev_us = {
+        r.event_id: (r.user_id, r.us)
+        for r in ev.select(
+            "event_id", "user_id", F.unix_micros("ts").alias("us")
+        ).collect()
+    }
+    for r in left:
+        if r.purchase_id is None:
+            assert r.gap_us is None
+            user, us = ev_us[r.event_id]
+            assert user not in first_purchase or us < first_purchase[user]
+            assert r.event_id not in inner
+        else:
+            i = inner[r.event_id]
+            assert (r.purchase_id, r.gap_us) == (i.purchase_id, i.gap_us)
+
+
 def test_asof_match_is_latest_at_or_before(spark, sf_dir):
     """Every output row must name the brute-force argmax purchase."""
     ev = load_tables(spark, sf_dir)["events"]
