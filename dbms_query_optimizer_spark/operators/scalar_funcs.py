@@ -651,7 +651,114 @@ def oracles() -> dict[str, tuple]:
             q_quantile_sketch_mergeable,
             ORACLE_QUANTILE_SKETCH_MERGEABLE,
         ),
+        "correlation_matrix": (
+            q_correlation_matrix,
+            _oracle_correlation_matrix(),
+        ),
+        "chi_square_independence": (
+            q_chi_square_independence,
+            ORACLE_CHI_SQUARE_INDEPENDENCE,
+        ),
     }
+
+
+CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over the lineitem numeric
+    columns, in long form — the feature-profiling pass that precedes any
+    modeling work on tabular data.
+
+    All C(4,2)+4 = 10 correlations come out of ONE aggregate over ONE
+    scan: each F.corr is a single-pass mergeable moment aggregate
+    (Welford partials, map-side combined), so the shuffle carries 10
+    small states total — the cost is the scan, independent of how many
+    pairs are requested. The wide 1-row result is unpivoted to long form
+    with stack() (constant-size, driver-free). Extends `stats_moments`
+    (one pair per group) to the full matrix.
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i:]
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    wide = t["lineitem"].agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+            )
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _oracle_correlation_matrix() -> str:
+    pairs = [(a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i:]]
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY col_a, col_b"
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the (lang x source) corpus
+    contingency table: observed vs expected cell counts and each cell's
+    chi-square contribution — the data-quality check that a corpus's
+    language mix is (or isn't) uniform across sources, per cell so the
+    offending cells are visible, with the statistic = SUM(contrib).
+
+    One groupBy builds the contingency table; the row/column margins are
+    window sums over the (tiny) table itself — after the first aggregate
+    everything is (langs x sources)-sized no matter the corpus. Expected
+    counts are integer-product / integer division: deterministic double
+    math on both engines.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    margins = (
+        cells.withColumn("row_n", F.sum("o").over(W.partitionBy("lang")))
+        .withColumn("col_n", F.sum("o").over(W.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(W.partitionBy()))
+    )
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    return margins.select(
+        "lang",
+        "source",
+        "o",
+        F.round(e, 6).alias("e"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("contrib"),
+    ).orderBy("lang", "source")
+
+
+ORACLE_CHI_SQUARE_INDEPENDENCE = """
+WITH cells AS (
+    SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+), margins AS (
+    SELECT lang, source, o,
+           SUM(o) OVER (PARTITION BY lang) AS row_n,
+           SUM(o) OVER (PARTITION BY source) AS col_n,
+           SUM(o) OVER () AS n
+    FROM cells
+)
+SELECT lang, source, o,
+       ROUND(CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS e,
+       ROUND((o - CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE))
+             * (o - CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS contrib
+FROM margins
+ORDER BY lang, source
+"""
 
 
 QSKETCH_BINS = 64

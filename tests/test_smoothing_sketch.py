@@ -156,6 +156,63 @@ def test_source_quota_cap_semantics(spark, sf_dir):
         assert ranked[r.n_kept - 1].doc_id == r.cutoff_doc
 
 
+def test_correlation_matrix_vs_numpy(spark, sf_dir):
+    """The one-pass Spark matrix must match numpy.corrcoef."""
+    import numpy as np
+
+    from dbms_query_optimizer_spark.operators.scalar_funcs import (
+        CORR_COLS,
+        q_correlation_matrix,
+    )
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(*[F.col(c).cast("double") for c in CORR_COLS])
+        .collect()
+    )
+    m = np.array([[getattr(r, c) for c in CORR_COLS] for r in li]).T
+    ref = np.corrcoef(m)
+    idx = {c: i for i, c in enumerate(CORR_COLS)}
+    rows = q_correlation_matrix(spark, sf_dir).collect()
+    assert len(rows) == len(CORR_COLS) * (len(CORR_COLS) + 1) // 2
+    for r in rows:
+        assert math.isclose(
+            r.corr, ref[idx[r.col_a], idx[r.col_b]], abs_tol=5e-6
+        ), (r.col_a, r.col_b)
+
+
+def test_chi_square_cells_sum_to_statistic(spark, sf_dir):
+    """Per-cell contributions reproduce the classic chi-square statistic
+    computed locally from the contingency table."""
+    from dbms_query_optimizer_spark.operators.scalar_funcs import (
+        q_chi_square_independence,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].collect()
+    table: dict[tuple[str, str], int] = {}
+    for d in docs:
+        table[(d.lang, d.source)] = table.get((d.lang, d.source), 0) + 1
+    n = sum(table.values())
+    row_n: dict[str, int] = {}
+    col_n: dict[str, int] = {}
+    for (lg, src), o in table.items():
+        row_n[lg] = row_n.get(lg, 0) + o
+        col_n[src] = col_n.get(src, 0) + o
+    expected_stat = sum(
+        (o - row_n[lg] * col_n[src] / n) ** 2 / (row_n[lg] * col_n[src] / n)
+        for (lg, src), o in table.items()
+    )
+    rows = q_chi_square_independence(spark, sf_dir).collect()
+    assert len(rows) == len(table)
+    got_stat = sum(r.contrib for r in rows)
+    assert math.isclose(got_stat, expected_stat, rel_tol=1e-4)
+    for r in rows:
+        assert r.o == table[(r.lang, r.source)]
+        assert math.isclose(
+            r.e, row_n[r.lang] * col_n[r.source] / n, abs_tol=5e-6
+        )
+
+
 def test_quantile_sketch_bins_bounded(spark, sf_dir):
     """Sketch state is fixed-size: at most QSKETCH_BINS bins survive per
     type — the property that makes the sketch mergeable at any scale."""
