@@ -601,6 +601,144 @@ ORACLE_STREAMING_UPSERT_INGEST = """
 """
 
 
+DDSKETCH_GAMMA = 1.02  # relative-error alpha = (g-1)/(g+1) ~ 0.99%
+DDSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def ddsketch_partial(df: DataFrame) -> DataFrame:
+    """(event_type, bin) counts with DDSketch log-domain bins:
+    bin = ceil(ln(v)/ln(gamma)) — scale-free, no data pre-scan, so the
+    sketch works on an unbounded stream (unlike equi-width bins, whose
+    edges need min/max up front). All inputs here are > 0; a production
+    sketch adds a zero bucket + a mirrored negative ladder."""
+    import math
+
+    bin_col = F.ceil(F.log("value") / F.lit(math.log(DDSKETCH_GAMMA)))
+    return df.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("pn")
+    )
+
+
+def ddsketch_readout(partials: DataFrame) -> DataFrame:
+    """Merge bin-count partials (addition — the whole merge algebra) and
+    read quantile estimates off the merged sketch: per (type, q) the
+    first bin whose cumulative count reaches rank ceil(q*n), estimated at
+    the log-bucket midpoint 2*gamma^bin/(gamma+1)."""
+    merged = partials.groupBy("event_type", "bin").agg(F.sum("pn").alias("n"))
+    cums = merged.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(W.partitionBy("event_type").orderBy("bin")).alias("cum"),
+    )
+    totals = merged.groupBy("event_type").agg(F.sum("n").alias("n_rows"))
+    qrows = totals.select(
+        "event_type",
+        "n_rows",
+        F.explode(F.array(*[F.lit(q) for q in DDSKETCH_QS])).alias("q"),
+    ).withColumn("p", F.ceil(F.col("q") * F.col("n_rows")))
+    g = F.lit(DDSKETCH_GAMMA)
+    return (
+        F.broadcast(qrows)
+        .join(cums, "event_type")
+        .filter(F.col("cum") >= F.col("p"))
+        .groupBy("event_type", "q", "n_rows", "p")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "event_type",
+            "q",
+            "n_rows",
+            "qbin",
+            (F.lit(2.0) * F.pow(g, F.col("qbin").cast("double")) / (g + F.lit(1.0))).alias("est"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable quantile sketch, end to end: the events table
+    is split into multiple files, streamed one file per micro-batch, each
+    batch reduced to its (type, log-bin) DDSketch partial and landed
+    through the idempotent per-batch_id sink; the final readout merges
+    every batch's partial by plain addition and reads the quantiles off
+    the merged sketch.
+
+    This is the streaming companion of ``q_quantile_sketch_mergeable``
+    with the pre-scan removed: log-domain bins are scale-free, so the
+    sketch needs NO min/max pass — the property that lets it run on an
+    unbounded stream with bounded state (≤ types x occupied bins) and
+    merge across arbitrary batch splits, executors, or days. The oracle
+    recomputes the identical formula from the raw table in one pass: any
+    lost, doubled, or mis-merged batch breaks the value hash, so
+    exactly-once AND merge-correctness are both under the hash check.
+    Estimate error is relative, bounded by (gamma-1)/(gamma+1) < 1 %;
+    tests/test_smoothing_sketch.py pins batch-split invariance and the
+    error law against exact per-type order statistics.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="spark_graft_ddsketch_")
+    src_dir, sketch_dir, ckpt = f"{root}/src", f"{root}/sketch", f"{root}/ckpt"
+    try:
+        vals = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+        vals.repartition(4).write.parquet(src_dir)  # 4 files -> 4 micro-batches
+        stream = (
+            spark.readStream.schema(vals.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            ddsketch_partial(batch_df).write.mode("overwrite").parquet(
+                f"{sketch_dir}/batch={batch_id}"
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return ddsketch_readout(
+            spark.read.parquet(sketch_dir).select("event_type", "bin", "pn")
+        ).localCheckpoint()  # materialize before the dirs vanish
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_STREAMING_QUANTILE_SKETCH = f"""
+WITH binned AS (
+    SELECT event_type,
+           CAST(CEIL(LN(value) / LN(CAST({DDSKETCH_GAMMA} AS DOUBLE))) AS BIGINT)
+               AS bin
+    FROM events
+), merged AS (
+    SELECT event_type, bin, COUNT(*) AS n FROM binned GROUP BY event_type, bin
+), cums AS (
+    SELECT event_type, bin,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+    FROM merged
+), totals AS (
+    SELECT event_type, SUM(n) AS n_rows FROM merged GROUP BY event_type
+), qrows AS (
+    SELECT event_type, n_rows, q, CAST(CEIL(q * n_rows) AS BIGINT) AS p
+    FROM totals, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                         (CAST(0.99 AS DOUBLE))) v(q)
+)
+SELECT qr.event_type, qr.q, qr.n_rows, MIN(c.bin) AS qbin,
+       2.0 * POW(CAST({DDSKETCH_GAMMA} AS DOUBLE),
+                 CAST(MIN(c.bin) AS DOUBLE))
+           / (CAST({DDSKETCH_GAMMA} AS DOUBLE) + 1.0) AS est
+FROM qrows qr JOIN cums c USING (event_type)
+WHERE c.cum >= qr.p
+GROUP BY qr.event_type, qr.q, qr.n_rows
+ORDER BY qr.event_type, qr.q
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "events_tumbling": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
@@ -624,5 +762,9 @@ def oracles() -> dict[str, tuple]:
         "streaming_upsert_ingest": (
             q_streaming_upsert_ingest,
             ORACLE_STREAMING_UPSERT_INGEST,
+        ),
+        "streaming_quantile_sketch": (
+            q_streaming_quantile_sketch,
+            ORACLE_STREAMING_QUANTILE_SKETCH,
         ),
     }

@@ -213,6 +213,56 @@ def test_chi_square_cells_sum_to_statistic(spark, sf_dir):
         )
 
 
+def test_ddsketch_stream_equals_single_pass(spark, sf_dir):
+    """Merge invariance: the streamed multi-batch sketch readout must be
+    IDENTICAL to a single-pass sketch over the whole table — the property
+    that makes the sketch correct under any batch split."""
+    from dbms_query_optimizer_spark.streaming.windows import (
+        ddsketch_partial,
+        ddsketch_readout,
+        q_streaming_quantile_sketch,
+    )
+
+    vals = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    single = {
+        (r.event_type, r.q): (r.n_rows, r.qbin, r.est)
+        for r in ddsketch_readout(ddsketch_partial(vals)).collect()
+    }
+    streamed = q_streaming_quantile_sketch(spark, sf_dir).collect()
+    assert len(streamed) == len(single)
+    for r in streamed:
+        assert (r.n_rows, r.qbin, r.est) == single[(r.event_type, r.q)]
+
+
+def test_ddsketch_relative_error_law(spark, sf_dir):
+    """Every estimate within (gamma-1)/(gamma+1) relative error of the
+    exact rank-ceil(q*n) order statistic."""
+    import math as m
+
+    from dbms_query_optimizer_spark.streaming.windows import (
+        DDSKETCH_GAMMA,
+        ddsketch_partial,
+        ddsketch_readout,
+    )
+
+    vals = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    by_type: dict[str, list[float]] = {}
+    for r in vals.collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    alpha = (DDSKETCH_GAMMA - 1) / (DDSKETCH_GAMMA + 1)
+    rows = ddsketch_readout(ddsketch_partial(vals)).collect()
+    assert rows
+    for r in rows:
+        xs = sorted(by_type[r.event_type])
+        exact = xs[m.ceil(r.q * len(xs)) - 1]
+        assert abs(r.est - exact) / exact <= alpha * 1.001, (
+            r.event_type,
+            r.q,
+            r.est,
+            exact,
+        )
+
+
 def test_quantile_sketch_bins_bounded(spark, sf_dir):
     """Sketch state is fixed-size: at most QSKETCH_BINS bins survive per
     type — the property that makes the sketch mergeable at any scale."""
