@@ -1056,6 +1056,71 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLMED_SPAN = 15  # trailing window length for the rolling median
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median (trailing ``ROLLMED_SPAN`` events) of each
+    user's purchase values — the robust companion of ``q_ewma_smooth``
+    (a median shrugs off the outlier spike that drags a mean).
+
+    Spark has no percentile-over-window builtin; the operator collects
+    the trailing frame into an array and SELECTS the middle element
+    (array_sort + element_at — discrete median, rank ceil(n/2)), all JVM
+    higher-order functions. Selection is arithmetic-free: the answer is
+    an input VALUE, not a computed float, so cross-engine agreement is
+    exact with no rounding contract at all. Same one-shuffle plan as the
+    EWMA: partition by user, one sort, per-row O(span log span) work.
+
+    The oracle decorrelates via a fan-out self-join + per-group discrete
+    quantile — an independent formulation of the same selection.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+        )
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(ROLLMED_SPAN - 1), W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(wf))
+    n = F.size(arr)
+    # element_at is 1-based; discrete median = rank ceil(n/2)
+    med = F.element_at(arr, ((n + F.lit(1)) / F.lit(2)).cast("int"))
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            "rn",
+            n.alias("n_window"),
+            med.alias("rolling_median"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+ORACLE_ROLLING_MEDIAN = f"""
+WITH seq AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.event_id, a.rn,
+       CAST(COUNT(*) AS INT) AS n_window,
+       quantile_disc(b.value, 0.5) AS rolling_median
+FROM seq a JOIN seq b
+  ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - {ROLLMED_SPAN - 1} AND a.rn
+GROUP BY a.user_id, a.event_id, a.rn
+ORDER BY a.user_id, a.rn
+"""
+
+
 ORACLE_EWMA_SMOOTH = f"""
 WITH seq AS (
     SELECT user_id, event_id,
@@ -1092,6 +1157,7 @@ def oracles() -> dict[str, tuple]:
             ORACLE_EVENTS_RESAMPLE_INTERP,
         ),
         "ewma_smooth": (q_ewma_smooth, ORACLE_EWMA_SMOOTH),
+        "rolling_median": (q_rolling_median, ORACLE_ROLLING_MEDIAN),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
     }

@@ -52,6 +52,34 @@ def test_ewma_matches_scalar_recurrence(spark, sf_dir):
         ), (r.user_id, r.rn, r.ewma, expect[(r.user_id, r.rn)])
 
 
+def test_rolling_median_matches_local_selection(spark, sf_dir):
+    """The windowed-array median must equal the local trailing-window
+    middle-element selection, and be an actual input value."""
+    from dbms_query_optimizer_spark.operators.temporal import (
+        ROLLMED_SPAN,
+        q_rolling_median,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    raw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    seqs: dict[int, list[float]] = {}
+    expect: dict[tuple[int, int], float] = {}
+    for r in raw:
+        vals = seqs.setdefault(r.user_id, [])
+        vals.append(r.value)
+        tail = sorted(vals[-ROLLMED_SPAN:])
+        expect[(r.user_id, len(vals))] = tail[(len(tail) + 1) // 2 - 1]
+    out = q_rolling_median(spark, sf_dir).collect()
+    assert len(out) == len(raw)
+    for r in out:
+        assert r.rolling_median == expect[(r.user_id, r.rn)]
+
+
 def test_resample_interp_semantics(spark, sf_dir):
     """Observed days echo the observation; gap days lie strictly between
     the surrounding observations; outside the observed range is NULL."""
