@@ -803,6 +803,78 @@ ORDER BY lw.lang
 """
 
 
+VOCAB_TOP_V = 200  # vocabulary = top-V corpus tokens
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build a top-V corpus vocabulary and
+    report each document's out-of-vocabulary token count and OOV rate —
+    the coverage analysis run before committing to a tokenizer vocab
+    size (docs with high OOV under the candidate vocab are the ones a
+    byte-fallback tokenizer will fragment).
+
+    Plan: token counts aggregate map-side so the vocabulary shuffle
+    carries one row per DISTINCT token; the top-V cut is a
+    TakeOrderedAndProject; the (tiny) vocab then BROADCASTS back onto
+    the token stream, so the per-doc pass is one scan + one broadcast
+    left join + one groupBy — no corpus-sized shuffle except the final
+    per-doc aggregate. Count-desc/token-asc ordering makes the rank-V
+    boundary deterministic on both engines.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(VOCAB_TOP_V)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tk AS (
+    SELECT doc_id, token
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+), vocab AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS c FROM tk GROUP BY token
+        ORDER BY c DESC, token ASC LIMIT {VOCAB_TOP_V}
+    )
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM tk d LEFT JOIN vocab v USING (token)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUOTA_FRACTION = 0.8  # per-source cap = floor(0.8 * smallest source size)
 
 
@@ -953,6 +1025,7 @@ def oracles() -> dict[str, tuple]:
             q_source_quota_cap,
             ORACLE_SOURCE_QUOTA_CAP.replace("{sql_quality}", SQL_QUALITY),
         ),
+        "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
         "table_checksum": (q_table_checksum, ORACLE_TABLE_CHECKSUM),
         "corpus_mix_build": (q_corpus_mix_build, ORACLE_CORPUS_MIX_BUILD),
         "doc_length_histogram": (q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM),

@@ -728,6 +728,93 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+OUTLIER_FRAC = 0.05  # flag the farthest 5% per label
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: each vector's Euclidean distance to
+    its own label's centroid, ranked within the label, farthest 5 %
+    flagged — the mislabeled/garbage-embedding screen a pipeline runs
+    before training a classifier head or trusting labels for contrastive
+    sampling.
+
+    Plan: centroids come from the posexplode + grouped-avg partial
+    aggregation (labels x dims partials — constant in corpus size),
+    assembled into per-label arrays and BROADCAST back onto the corpus;
+    the distance is a JVM zip_with/aggregate fold (deterministic
+    index-order summation on both engines — no shuffle-order float
+    noise), and the flag is a per-label rank window. One corpus-sized
+    shuffle total (the rank); everything else is map-side or
+    labels-sized.
+
+    Determinism: centroids round to 6 dp (the `embedding_centroids`
+    precedent), the fold order is pinned by the array, and the rank
+    tie-breaks on vec_id — DuckDB's list_distance accumulates in the
+    same index order, so the rounded distances agree bitwise.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", "embedding"
+    )
+    cent_long = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    cent_arr = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    )
+    diff2 = F.zip_with(
+        "embedding",
+        "carr",
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist = F.round(
+        F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda a, v: a + v)), 6
+    )
+    w = W.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    wl = W.partitionBy("label")
+    return (
+        e.join(F.broadcast(cent_arr), "label")
+        .select("vec_id", "label", dist.alias("dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "is_outlier",
+            F.col("rnk")
+            <= F.ceil(F.lit(OUTLIER_FRAC) * F.count(F.lit(1)).over(wl)),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = f"""
+WITH cent AS (
+    SELECT label, list(c ORDER BY dim) AS carr FROM (
+        SELECT label, d.dim AS dim,
+               ROUND(AVG(CAST(embedding[d.dim + 1] AS DOUBLE)), 6) AS c
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(64)) AS dim) d
+        GROUP BY label, d.dim
+    ) GROUP BY label
+), dists AS (
+    SELECT e.vec_id, e.label,
+           ROUND(list_distance(CAST(e.embedding AS DOUBLE[]),
+                               CAST(c.carr AS DOUBLE[])), 6) AS dist
+    FROM embeddings e JOIN cent c USING (label)
+), ranked AS (
+    SELECT vec_id, label, dist,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rnk,
+           COUNT(*) OVER (PARTITION BY label) AS n_label
+    FROM dists
+)
+SELECT vec_id, label, dist, rnk,
+       (rnk <= CEIL(CAST({OUTLIER_FRAC} AS DOUBLE) * n_label)) AS is_outlier
+FROM ranked
+ORDER BY vec_id
+"""
+
+
 CONTRAST_STRIDE = 50  # anchors = every 50th vector — spread across labels
 
 
@@ -840,4 +927,5 @@ def oracles() -> dict[str, tuple]:
         "embedding_pca_project": (q_embedding_pca_project, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
         "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
+        "embedding_outliers": (q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
     }

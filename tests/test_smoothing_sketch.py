@@ -291,6 +291,58 @@ def test_ddsketch_relative_error_law(spark, sf_dir):
         )
 
 
+def test_vocab_coverage_local_recompute(spark, sf_dir):
+    """OOV counts must equal a local top-V vocabulary recomputation."""
+    from collections import Counter
+
+    from dbms_query_optimizer_spark.operators.governance import (
+        VOCAB_TOP_V,
+        q_vocab_coverage,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text").collect()
+    counts: Counter[str] = Counter()
+    toks = {}
+    for d in docs:
+        ts = [t for t in d.text.split(" ") if t]
+        toks[d.doc_id] = ts
+        counts.update(ts)
+    vocab = {
+        t
+        for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_TOP_V
+        ]
+    }
+    rows = q_vocab_coverage(spark, sf_dir).collect()
+    assert len(rows) == sum(1 for ts in toks.values() if ts)
+    for r in rows:
+        ts = toks[r.doc_id]
+        assert r.n_tokens == len(ts)
+        assert r.n_oov == sum(1 for t in ts if t not in vocab)
+
+
+def test_embedding_outliers_flag_exact_top_fraction(spark, sf_dir):
+    """Per label: flagged set is exactly the ceil(5% * n) farthest
+    vectors under the (dist desc, vec_id) order."""
+    from dbms_query_optimizer_spark.operators.similarity import (
+        OUTLIER_FRAC,
+        q_embedding_outliers,
+    )
+
+    rows = q_embedding_outliers(spark, sf_dir).collect()
+    assert rows
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r.dist >= 0
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        k = math.ceil(OUTLIER_FRAC * len(rs))
+        rs.sort(key=lambda r: (-r.dist, r.vec_id))
+        assert all(r.is_outlier for r in rs[:k])
+        assert not any(r.is_outlier for r in rs[k:])
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+
+
 def test_quantile_sketch_bins_bounded(spark, sf_dir):
     """Sketch state is fixed-size: at most QSKETCH_BINS bins survive per
     type — the property that makes the sketch mergeable at any scale."""
