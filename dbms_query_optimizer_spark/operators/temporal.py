@@ -1056,6 +1056,78 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-at-zero running balance (Lindley recurrence): each user's
+    credit meter — purchases grant +5, views consume −1, and the balance
+    never goes below zero: ``y_i = max(0, y_{i-1} + x_i)``. The
+    inventory / rate-limiter / queue-depth recurrence that LOOKS
+    iterative (each row depends on the clamped previous row) and is
+    usually shipped off to a per-key UDF loop.
+
+    It isn't iterative: by the Skorokhod reflection identity,
+    ``y_i = cumsum_i − min(0, running_min(cumsum_i))`` — so the whole
+    operator is TWO stacked window functions over one user-partitioned
+    sort: a running sum, then a running min of that sum. Pure JVM
+    codegen, one shuffle, no Python, no recursion — the 100 TB plan is
+    identical to the 100-row plan. Integer deltas make every value exact
+    on both engines with no rounding contract.
+
+    The oracle is DuckDB's RECURSIVE CTE stepping the textbook recurrence
+    row by row — a genuinely independent formulation, so a mistake in
+    the reflection identity cannot cancel out.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(F.col("event_type") == "purchase", F.lit(5))
+            .otherwise(F.lit(-1))
+            .alias("delta"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+        )
+    )
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_sum = base.withColumn("cs", F.sum("delta").over(wc))
+    return (
+        with_sum.withColumn(
+            "balance",
+            F.col("cs") - F.least(F.lit(0), F.min("cs").over(wc)),
+        )
+        .select("user_id", "event_id", "rn", "delta", "balance")
+        .orderBy("user_id", "rn")
+    )
+
+
+ORACLE_RUNNING_BALANCE_CLAMPED = """
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'purchase' THEN 5 ELSE -1 END AS delta,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type IN ('view', 'purchase')
+), bal AS (
+    SELECT user_id, event_id, rn, delta,
+           GREATEST(0, delta) AS balance
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, s.delta,
+           GREATEST(0, b.balance + s.delta)
+    FROM bal b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.rn + 1
+)
+SELECT user_id, event_id, rn, delta, balance FROM bal
+ORDER BY user_id, rn
+"""
+
+
 ROLLMED_SPAN = 15  # trailing window length for the rolling median
 
 
@@ -1158,6 +1230,10 @@ def oracles() -> dict[str, tuple]:
         ),
         "ewma_smooth": (q_ewma_smooth, ORACLE_EWMA_SMOOTH),
         "rolling_median": (q_rolling_median, ORACLE_ROLLING_MEDIAN),
+        "running_balance_clamped": (
+            q_running_balance_clamped,
+            ORACLE_RUNNING_BALANCE_CLAMPED,
+        ),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
     }

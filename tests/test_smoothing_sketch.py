@@ -291,6 +291,28 @@ def test_ddsketch_relative_error_law(spark, sf_dir):
         )
 
 
+def test_running_balance_matches_direct_recurrence(spark, sf_dir):
+    """The reflection-identity window plan must equal the literal
+    y_i = max(0, y_{i-1} + x_i) loop."""
+    from dbms_query_optimizer_spark.operators.temporal import (
+        q_running_balance_clamped,
+    )
+
+    rows = q_running_balance_clamped(spark, sf_dir).collect()
+    assert rows
+    state: dict[int, int] = {}
+    last_rn: dict[int, int] = {}
+    for r in rows:  # output is ordered (user_id, rn)
+        assert r.rn == last_rn.get(r.user_id, 0) + 1
+        last_rn[r.user_id] = r.rn
+        y = max(0, state.get(r.user_id, 0) + r.delta)
+        state[r.user_id] = y
+        assert r.balance == y, (r.user_id, r.rn, r.balance, y)
+    assert any(r.balance == 0 and r.delta < 0 for r in rows), (
+        "fixture never clamped — the interesting case is untested"
+    )
+
+
 def test_vocab_coverage_local_recompute(spark, sf_dir):
     """OOV counts must equal a local top-V vocabulary recomputation."""
     from collections import Counter
