@@ -659,7 +659,71 @@ def oracles() -> dict[str, tuple]:
             q_chi_square_independence,
             ORACLE_CHI_SQUARE_INDEPENDENCE,
         ),
+        "weighted_median": (q_weighted_median, ORACLE_WEIGHTED_MEDIAN),
+        "audience_overlap_bitmap": (
+            q_audience_overlap_bitmap,
+            ORACLE_AUDIENCE_OVERLAP_BITMAP,
+        ),
     }
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per return flag: the price below which half the
+    shipped QUANTITY (not half the rows) sits — the quantity-weighted
+    robust center every pricing/inventory analysis wants, and a window
+    composition Spark has no builtin for.
+
+    One partitioned sort serves both windows (running weight + total
+    weight); the answer is MIN(price) over rows whose cumulative weight
+    reaches half the total. Selection, not arithmetic: the result is an
+    input value, exact on both engines. Tie blocks are safe under ANY
+    intra-tie order: a block qualifies iff its END cumulative weight
+    (order-invariant) reaches the threshold, and MIN collapses whichever
+    block row crossed first. Integer-valued weights keep every running
+    sum exactly representable.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wc).alias("cumw"),
+        F.sum("l_quantity").over(wp).alias("totw"),
+        F.count(F.lit(1)).over(wp).alias("n_rows"),
+    )
+    return (
+        c.filter(F.col("cumw") >= F.lit(0.5) * F.col("totw"))
+        .groupBy("l_returnflag", "totw", "n_rows")
+        .agg(F.min("l_extendedprice").alias("wmedian"))
+        .select("l_returnflag", "n_rows", "totw", "wmedian")
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH c AS (
+    SELECT l_returnflag, l_extendedprice,
+           SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cumw,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n_rows
+    FROM lineitem
+)
+SELECT l_returnflag, n_rows, totw, MIN(l_extendedprice) AS wmedian
+FROM c
+WHERE cumw >= 0.5 * totw
+GROUP BY l_returnflag, totw, n_rows
+ORDER BY l_returnflag
+"""
 
 
 CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
@@ -758,6 +822,100 @@ SELECT lang, source, o,
              / (CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS contrib
 FROM margins
 ORDER BY lang, source
+"""
+
+
+def q_audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types via distributed
+    BITMAP indexes — the roaring-bitmap / BI "segment intersection"
+    pattern: user sets are packed 32 users per word
+    (word = user_id / 32, bit = user_id % 32 — bit 63 would overflow
+    DuckDB's checked << at the boundary, so the ladder stops at 31;
+    a production Spark-only bitmap uses all 64), OR-aggregated per type,
+    intersections are word-aligned AND + popcount, and Jaccard follows
+    from the three exact cardinalities.
+
+    Scale shape: the shuffle carries (types x words) words — a 32x+
+    compression of the distinct (type, user) pairs and INDEPENDENT of
+    event count; the pairwise stage joins bitmap-sized frames only. The
+    same layout extends to billions of users (words stay sparse: absent
+    word = no members). Everything is exact integer bit math — no
+    rounding contract needed except the final Jaccard ratio.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            # python shiftleft() wants a literal shift; the SQL form takes
+            # a column amount
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "word", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "word", F.col("bits").alias("bb")
+    )
+    pair_counts = (
+        a.join(b, "word")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb")))).alias("n_both"))
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP_BITMAP = """
+WITH words AS (
+    SELECT event_type, CAST(user_id // 32 AS BIGINT) AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+    FROM events GROUP BY event_type, word
+), sizes AS (
+    SELECT event_type, SUM(bit_count(bits)) AS n_users FROM words
+    GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           SUM(bit_count(a.bits & b.bits)) AS n_both
+    FROM words a JOIN words b USING (word)
+    WHERE a.event_type < b.event_type
+    GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, sa.n_users AS n_a, sb.n_users AS n_b, p.n_both,
+       ROUND(CAST(p.n_both AS DOUBLE)
+             / CAST(sa.n_users + sb.n_users - p.n_both AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
 """
 
 

@@ -365,6 +365,60 @@ def test_embedding_outliers_flag_exact_top_fraction(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
 
 
+def test_weighted_median_local_recompute(spark, sf_dir):
+    """Selection parity with a local sort + cumulative-weight walk, and
+    the defining property: >= half the weight sits at or below it."""
+    from dbms_query_optimizer_spark.operators.scalar_funcs import (
+        q_weighted_median,
+    )
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, r.l_quantity)
+        )
+    rows = q_weighted_median(spark, sf_dir).collect()
+    assert len(rows) == len(groups)
+    for r in rows:
+        g = sorted(groups[r.l_returnflag])
+        tot = sum(w for _, w in g)
+        cum, med = 0.0, None
+        for v, w in g:
+            cum += w
+            if cum >= 0.5 * tot:
+                med = v
+                break
+        assert r.wmedian == med
+        at_or_below = sum(w for v, w in g if v <= r.wmedian)
+        assert at_or_below >= 0.5 * tot
+
+
+def test_audience_overlap_matches_python_sets(spark, sf_dir):
+    """Bitmap AND/popcount intersection must equal exact set math."""
+    from dbms_query_optimizer_spark.operators.scalar_funcs import (
+        q_audience_overlap_bitmap,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "user_id").collect()
+    sets: dict[str, set[int]] = {}
+    for r in ev:
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    rows = q_audience_overlap_bitmap(spark, sf_dir).collect()
+    types = sorted(sets)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        a, b = sets[r.type_a], sets[r.type_b]
+        assert (r.n_a, r.n_b, r.n_both) == (len(a), len(b), len(a & b))
+        assert math.isclose(
+            r.jaccard, round(len(a & b) / len(a | b), 6), abs_tol=1e-9
+        )
+
+
 def test_quantile_sketch_bins_bounded(spark, sf_dir):
     """Sketch state is fixed-size: at most QSKETCH_BINS bins survive per
     type — the property that makes the sketch mergeable at any scale."""
