@@ -1131,6 +1131,172 @@ ORDER BY user_id, rn
 ROLLMED_SPAN = 15  # trailing window length for the rolling median
 
 
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per user, Recency (days since last
+    purchase, vs the corpus max day), Frequency (purchase count) and
+    Monetary (exact cents), each scored into quintiles, concatenated
+    into the classic 3-digit segment code — the standard marketing /
+    churn-risk segmentation.
+
+    Scale shape: the event scan collapses to one row per user before
+    anything wide; the quintile windows are global NTILEs over the USER
+    frame (users ≪ events — and at true scale the swap is ntile over
+    range-partitioned ranks, same contract). Ties break on user_id so
+    quintile boundaries are deterministic; monetary sums integer cents,
+    so no float noise reaches the ordering.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff("maxd", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_q = F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+    f_q = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("user_id")))
+    m_q = F.ntile(5).over(
+        W.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))
+    )
+    # quintile 1 = best on every axis (most recent / most frequent / biggest)
+    return (
+        per_user.withColumn("r_q", r_q)
+        .withColumn("f_q", f_q)
+        .withColumn("m_q", m_q)
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_q",
+            "f_q",
+            "m_q",
+            F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_RFM_SEGMENTATION = """
+WITH per_user AS (
+    SELECT user_id,
+           datediff('day', MAX(CAST(ts AS DATE)),
+                    (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS recency_days,
+           COUNT(*) AS frequency,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
+       NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+       NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q,
+       CONCAT(NTILE(5) OVER (ORDER BY recency_days ASC, user_id),
+              NTILE(5) OVER (ORDER BY frequency DESC, user_id),
+              NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id)) AS segment
+FROM per_user
+ORDER BY user_id
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users cohorted by first-seen day,
+    cumulative per-user purchase revenue by day offset — the
+    money-denominated companion of ``q_events_retention`` (which counts
+    active users). Revenue accumulates in integer cents so the running
+    sums are exact; the cumulative window runs over the (cohorts x
+    offsets) aggregate, never raw events.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .join(first_day, "user_id")
+        .filter(F.datediff("day", "cohort_day") <= 7)
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(
+            F.sum("cents").alias("day_cents"),
+            F.count_distinct("user_id").alias("n_buyers"),
+        )
+    )
+    wc = (
+        W.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cohort_size = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("day_cents").over(wc))
+        .join(F.broadcast(cohort_size), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_buyers",
+            "day_cents",
+            "cum_cents",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.lit(100.0)
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH firstd AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+    GROUP BY user_id
+), sizes AS (
+    SELECT cohort_day, COUNT(*) AS cohort_users FROM firstd GROUP BY cohort_day
+), rev AS (
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS day_cents,
+           COUNT(DISTINCT e.user_id) AS n_buyers
+    FROM events e JOIN firstd f USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND datediff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
+    GROUP BY f.cohort_day, day_offset
+)
+SELECT r.cohort_day, r.day_offset, r.n_buyers, r.day_cents,
+       SUM(r.day_cents) OVER (
+           PARTITION BY r.cohort_day ORDER BY r.day_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cum_cents,
+       ROUND(CAST(SUM(r.day_cents) OVER (
+                 PARTITION BY r.cohort_day ORDER BY r.day_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) / 100.0 / CAST(s.cohort_users AS DOUBLE), 6)
+           AS ltv_per_user
+FROM rev r JOIN sizes s USING (cohort_day)
+ORDER BY r.cohort_day, r.day_offset
+"""
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling exact median (trailing ``ROLLMED_SPAN`` events) of each
     user's purchase values — the robust companion of ``q_ewma_smooth``
@@ -1234,6 +1400,8 @@ def oracles() -> dict[str, tuple]:
             q_running_balance_clamped,
             ORACLE_RUNNING_BALANCE_CLAMPED,
         ),
+        "rfm_segmentation": (q_rfm_segmentation, ORACLE_RFM_SEGMENTATION),
+        "cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),
     }

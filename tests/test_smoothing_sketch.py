@@ -365,6 +365,46 @@ def test_embedding_outliers_flag_exact_top_fraction(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
 
 
+def test_rfm_quintiles_balanced_and_consistent(spark, sf_dir):
+    """Quintile sizes differ by at most one; better raw values never get
+    a worse quintile; the segment string echoes the three scores."""
+    from dbms_query_optimizer_spark.operators.temporal import q_rfm_segmentation
+
+    rows = q_rfm_segmentation(spark, sf_dir).collect()
+    assert rows
+    for axis, key, sign in [
+        ("r_q", "recency_days", 1),
+        ("f_q", "frequency", -1),
+        ("m_q", "monetary_cents", -1),
+    ]:
+        sizes: dict[int, int] = {}
+        for r in rows:
+            sizes[getattr(r, axis)] = sizes.get(getattr(r, axis), 0) + 1
+        assert sorted(sizes) == [1, 2, 3, 4, 5]
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # value desc/asc per axis, user_id ALWAYS asc (the query's tie-break)
+        ordered = sorted(rows, key=lambda r: (sign * getattr(r, key), r.user_id))
+        qs = [getattr(r, axis) for r in ordered]
+        assert qs == sorted(qs), f"{axis} not monotone in {key}"
+    for r in rows:
+        assert r.segment == f"{r.r_q}{r.f_q}{r.m_q}"
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    """cum_cents is non-decreasing within a cohort and equals the running
+    sum of day_cents."""
+    from dbms_query_optimizer_spark.operators.temporal import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    running: dict = {}
+    for r in rows:  # ordered (cohort_day, day_offset)
+        prev = running.get(r.cohort_day, 0)
+        assert r.cum_cents == prev + r.day_cents
+        running[r.cohort_day] = r.cum_cents
+        assert 0 <= r.day_offset <= 7
+
+
 def test_weighted_median_local_recompute(spark, sf_dir):
     """Selection parity with a local sort + cumulative-weight walk, and
     the defining property: >= half the weight sits at or below it."""
