@@ -601,6 +601,84 @@ ORACLE_STREAMING_UPSERT_INGEST = """
 """
 
 
+PATH_TOP_K = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize (same gap rule as
+    ``q_events_sessionized``), render each session as its ordered
+    event-type path string ("view>click>purchase"), and count the most
+    common paths — the product-analytics query behind every "user flow"
+    diagram.
+
+    The path is built with array_sort(collect_list(struct(ts, event_id,
+    type))) inside the per-session aggregate — order pinned by the
+    struct, not by shuffle luck — then joined to a string JVM-side. The
+    final top-k is a TakeOrdered over (path, count) partials: the
+    shuffle carries one row per DISTINCT path, not per session.
+    """
+    ev = _events(spark, sf_dir)
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_user) > gap_us,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_no", F.sum("new_session").over(w_user))
+    paths = sessioned.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                     > {SESSION_GAP_MIN * 60 * 1_000_000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM flagged
+), paths AS (
+    SELECT user_id, session_no,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM numbered GROUP BY user_id, session_no
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
 DDSKETCH_GAMMA = 1.02  # relative-error alpha = (g-1)/(g+1) ~ 0.99%
 DDSKETCH_QS = (0.5, 0.9, 0.99)
 
@@ -767,4 +845,5 @@ def oracles() -> dict[str, tuple]:
             q_streaming_quantile_sketch,
             ORACLE_STREAMING_QUANTILE_SKETCH,
         ),
+        "session_paths": (q_session_paths, ORACLE_SESSION_PATHS),
     }
