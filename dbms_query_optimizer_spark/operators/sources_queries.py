@@ -849,6 +849,85 @@ ORACLE_TXN_DELETE_WHERE = """
 """
 
 
+def q_txn_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete via deletion vectors (sources/manifest.py
+    ``Transaction.delete_mor`` — Delta's DV / Iceberg v2 position
+    deletes): same quartile-clustered fixture as ``txn_delete_where``,
+    same predicate — but the delete writes a small (file, row-position)
+    vector instead of rewriting files. Every leg of the MOR contract is
+    a value-checked column: ``files_rewritten`` = 0 (NO data file
+    changed — the delete cost is the vector, KBs on a 100 TB table),
+    ``dv_files`` = 2 (the vectors attach to exactly the two zone-map
+    candidate files; the lower quartiles are never scanned),
+    the surviving rows' aggregate (reads apply the vector via the
+    anti-join), and ``n_rows_after_materialize`` (``materialize_dvs``
+    folds the vectors through a COW rewrite and must not change a single
+    row — the compaction half of the bargain)."""
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_delete_mor", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    q = [(i * (mx + 1)) // 4 for i in range(5)]
+
+    table = TransactionalTable.create(root, orders.schema)
+    for lo, hi in zip(q, q[1:]):
+        t = table.begin()
+        t.insert(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).coalesce(1)
+        )
+        t.commit()
+
+    files_before = table.snapshot()["files"]
+    cut = q[2]
+    td = table.begin()
+    td.delete_mor(
+        spark, [("o_orderkey", ">=", cut), ("o_totalprice", "<", 100000.0)]
+    )
+    td.commit()
+    snap = table.snapshot()
+    files_rewritten = len(set(files_before) ^ set(snap["files"]))
+    dv_files = len(snap.get("dvs", {}))
+
+    reader = TransactionalTable(root)  # fresh open = recovery path
+    agg = reader.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    )
+    table.materialize_dvs(spark)
+    n_after = TransactionalTable(root).read(spark).count()
+    return agg.select(
+        "n_rows",
+        "sum_price",
+        F.lit(files_rewritten).alias("files_rewritten"),
+        F.lit(dv_files).alias("dv_files"),
+        F.lit(n_after).alias("n_rows_after_materialize"),
+    )
+
+
+ORACLE_TXN_DELETE_MOR = """
+    WITH cut AS (
+        SELECT (2 * (MAX(o_orderkey) + 1)) // 4 AS mid FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           0 AS files_rewritten,
+           2 AS dv_files,
+           COUNT(*) AS n_rows_after_materialize
+    FROM orders, cut
+    WHERE NOT (o_orderkey >= mid AND o_totalprice < 100000.0)
+"""
+
+
 def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic INSERT OVERWRITE by predicate (sources/manifest.py
     ``replace_where`` — Delta's replaceWhere, the idempotent-backfill
@@ -1678,6 +1757,7 @@ def oracles() -> dict[str, tuple]:
         "txn_restore": (q_txn_restore, ORACLE_TXN_RESTORE),
         "txn_changes": (q_txn_changes, ORACLE_TXN_CHANGES),
         "txn_delete_where": (q_txn_delete_where, ORACLE_TXN_DELETE_WHERE),
+        "txn_delete_mor": (q_txn_delete_mor, ORACLE_TXN_DELETE_MOR),
         "txn_replace_where": (q_txn_replace_where, ORACLE_TXN_REPLACE_WHERE),
         "txn_erase_keys": (q_txn_erase_keys, ORACLE_TXN_ERASE_KEYS),
         "txn_incremental_mv": (q_txn_incremental_mv, ORACLE_TXN_INCREMENTAL_MV),

@@ -89,6 +89,13 @@ class ConstraintViolation(RuntimeError):
 
 _ZONE_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
+# (column, op, value) -> Column predicate — the read/delete residual grammar
+_ZONE_PRED_OPS = {
+    "=": lambda c, v: c == v, "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+}
+
 
 def _json_scalar(v):
     """Footer min/max → JSON-storable scalar (None = not representable)."""
@@ -244,6 +251,62 @@ def _fsync_dir(path: str) -> None:
 _ERASE_BLOOM_MAX_KEYS = 100_000
 
 
+def _scan_with_dvs(
+    spark: SparkSession,
+    schema: StructType,
+    files: list[str],
+    dvs: dict,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Scan ``files`` under ``schema``, applying any deletion vectors:
+    files without a DV are read plain; files WITH one are read alongside
+    the scan-stable ``_metadata`` position columns and anti-joined
+    against the union of their (file, pos) vectors. The DV side is
+    O(deleted rows) and hash-joins against only the vectored files —
+    clean files never pay the tax.
+
+    ``keep_meta`` retains ``__file`` (file-path URI) / ``__pos``
+    (row index) columns, captured AT SCAN TIME — the write paths (merge,
+    delete_keys, delete_mor) need them, and capturing after a join/union
+    would be unreliable."""
+    if not files:
+        df = spark.createDataFrame([], schema)
+        if keep_meta:
+            df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
+                "__pos", F.lit(None).cast("long")
+            )
+        return df
+    vectored = [f for f in files if dvs.get(f)]
+    clean = [f for f in files if not dvs.get(f)]
+
+    def scan(paths: list[str]) -> DataFrame:
+        return (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .withColumn("__file", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+
+    parts = []
+    if clean:
+        parts.append(scan(clean))
+    if vectored:
+        dv_dirs = sorted({d for f in vectored for d in dvs[f]})
+        dv_df = spark.read.parquet(*dv_dirs)
+        s = scan(vectored)
+        parts.append(
+            s.join(
+                dv_df,
+                (s["__file"] == dv_df["file"]) & (s["__pos"] == dv_df["pos"]),
+                "anti",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out if keep_meta else out.drop("__file", "__pos")
+
+
 class Transaction:
     """One writer's staging scope. Visible only after ``commit()``."""
 
@@ -254,6 +317,7 @@ class Transaction:
         self._done = False
         self._replaced: list[str] = []
         self._base_version: int | None = None
+        self._dv_adds: dict[str, list[str]] = {}
 
     def insert(self, df: DataFrame) -> None:
         """Stage rows: a durable parquet write that no reader can see
@@ -338,11 +402,11 @@ class Transaction:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         if snap["files"]:
-            target = (
-                spark.read.schema(schema)
-                .parquet(*snap["files"])
-                .withColumn("__file", F.input_file_name())
-            )
+            # DV-aware target scan: rewriting a vectored file must fold
+            # its deletion vector in, not resurrect the deleted rows
+            target = _scan_with_dvs(
+                spark, schema, snap["files"], snap.get("dvs", {}), keep_meta=True
+            ).drop("__pos")
             src_keys = src.select(*keys).distinct()
             affected_uris = [
                 r["__file"]
@@ -387,21 +451,69 @@ class Transaction:
         if not candidates:
             return  # provably nothing to delete: commit is a no-op version
         schema = StructType.fromJson(json.loads(snap["schema"]))
-        ops = {
-            "=": lambda c, v: c == v, "!=": lambda c, v: c != v,
-            "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
-            ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
-        }
         pred = None
         for col, op, value in _as_conjuncts(where):
-            term = ops[op](F.col(col), value)
+            term = _ZONE_PRED_OPS[op](F.col(col), value)
             pred = term if pred is None else pred & term
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(*candidates)
-            .filter(~F.coalesce(pred, F.lit(False)))
-        )
+        survivors = _scan_with_dvs(
+            spark, schema, candidates, snap.get("dvs", {})
+        ).filter(~F.coalesce(pred, F.lit(False)))
         self.insert(survivors)
+
+    def delete_mor(self, spark: SparkSession, where) -> None:
+        """Stage a MERGE-ON-READ delete via a DELETION VECTOR: instead of
+        rewriting the files that hold matching rows (the COW ``delete``),
+        write only a small parquet of (file, row position) pairs; the
+        manifest attaches it to the affected data files and READS apply
+        it as an anti-join. This is Delta's deletion-vector / Iceberg v2
+        position-delete design, reduced to its minimum.
+
+        The trade every lakehouse makes, made explicit: COW pays the
+        rewrite at DELETE time and keeps reads pristine; MOR pays ~zero
+        at delete time (the DV is O(deleted rows), the data files are
+        untouched — deleting 100 rows from a 100 TB table writes KBs)
+        and a small anti-join tax on every read until
+        ``materialize_dvs`` folds the vectors in (typically piggybacked
+        on compaction). File discovery is zone-map pruned like the COW
+        path; positions come from the scan-stable ``_metadata.row_index``
+        column. Commit/crash semantics are unchanged: the DV is staged
+        invisible and becomes visible only at the manifest link.
+        """
+        assert not self._done, "transaction already finished"
+        assert not self._replaced and not self._dv_adds, (
+            "one merge/delete per transaction"
+        )
+        snap = self._table.snapshot()
+        self._base_version = snap["version"]
+        candidates, _ = prune_files(snap, where)
+        if not candidates:
+            return  # provably nothing to delete: commit is a no-op version
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        pred = None
+        for col, op, value in _as_conjuncts(where):
+            term = _ZONE_PRED_OPS[op](F.col(col), value)
+            pred = term if pred is None else pred & term
+        # scan applies EXISTING vectors so already-deleted positions are
+        # not re-recorded — vectors stay minimal as deletes stack
+        matches = (
+            _scan_with_dvs(
+                spark, schema, candidates, snap.get("dvs", {}), keep_meta=True
+            )
+            .filter(F.coalesce(pred, F.lit(False)))
+            .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+        )
+        dv_dir = os.path.join(self._staging, "dv")
+        matches.write.mode("overwrite").parquet(dv_dir)
+        touched_uris = [
+            r["file"] for r in matches.select("file").distinct().collect()
+        ]
+        if not touched_uris:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return  # candidates held no actual match: no-op version
+        by_path = {urlparse(u).path or u: u for u in touched_uris}
+        self._dv_adds = {
+            f: [dv_dir] for f in snap["files"] if f in by_path
+        }
 
     def delete_keys(self, spark: SparkSession, keys: DataFrame, key) -> None:
         """Stage a copy-on-write erasure of every row whose ``key`` appears
@@ -453,11 +565,9 @@ class Transaction:
         self.discovery_files = len(files)
         if not files:
             return  # every file bloom-proven key-free: no-op version
-        target = (
-            spark.read.schema(schema)
-            .parquet(*files)
-            .withColumn("__file", F.input_file_name())
-        )
+        target = _scan_with_dvs(
+            spark, schema, files, snap.get("dvs", {}), keep_meta=True
+        ).drop("__pos")
         affected_uris = [
             r["__file"]
             for r in target.join(ks, key_cols, "semi")
@@ -534,6 +644,7 @@ class Transaction:
             expected_base=self._base_version,
             stats=_harvest_stats(staged),
             blooms=harvest_blooms(staged, bloom_cols) if bloom_cols else None,
+            dvs=self._dv_adds or None,
         )
         self._done = True
         return version
@@ -612,6 +723,7 @@ class TransactionalTable:
         expected_base: int | None = None,
         stats: dict | None = None,
         blooms: dict | None = None,
+        dvs: dict | None = None,
     ) -> int:
         gone = set(replaced or [])
         while True:
@@ -630,12 +742,24 @@ class TransactionalTable:
                 f: b for f, b in base.get("blooms", {}).items() if f not in gone
             }
             merged_blooms.update(blooms or {})
+            # deletion vectors: entries for replaced files die with them
+            # (a COW rewrite folds the DV in); new DVs STACK on a file's
+            # existing list so repeated MOR deletes compose
+            merged_dvs = {
+                f: list(d)
+                for f, d in base.get("dvs", {}).items()
+                if f not in gone
+            }
+            for f, dirs in (dvs or {}).items():
+                merged_dvs[f] = merged_dvs.get(f, []) + list(dirs)
             manifest = {
                 "version": version,
                 "schema": base["schema"],
                 "files": [f for f in base["files"] if f not in gone] + new_files,
                 "stats": merged_stats,
             }
+            if merged_dvs:
+                manifest["dvs"] = merged_dvs
             if base.get("bloom_columns"):
                 manifest["bloom_columns"] = base["bloom_columns"]
             if merged_blooms:
@@ -677,10 +801,7 @@ class TransactionalTable:
                 term = ops[op](F.col(col), value)
                 residual = term if residual is None else residual & term
         self.last_scan = {"files_total": len(snap["files"]), "files_read": len(files)}
-        if not files:
-            df = spark.createDataFrame([], schema)
-        else:
-            df = spark.read.schema(schema).parquet(*files)
+        df = _scan_with_dvs(spark, schema, files, snap.get("dvs", {}))
         return df.filter(residual) if residual is not None else df
 
     # ------------------------------------------------------- schema change
@@ -773,7 +894,11 @@ class TransactionalTable:
             1, -(-sum(sizes[f] for f in small) // target_file_bytes)
         )
         schema = StructType.fromJson(json.loads(snap["schema"]))
-        df = spark.read.schema(schema).parquet(*small)
+        # apply any deletion vectors on the files being rewritten — a
+        # plain scan would resurrect MOR-deleted rows; replaced files
+        # shed their DV entries in _publish, so compaction doubles as
+        # materialization for the files it touches
+        df = _scan_with_dvs(spark, schema, small, snap.get("dvs", {}))
         if sort_by is not None:
             df = df.repartitionByRange(n_out, F.col(sort_by)).sortWithinPartitions(
                 sort_by
@@ -784,6 +909,31 @@ class TransactionalTable:
         txn._base_version = snap["version"]
         txn._replaced = small
         txn.insert(df)
+        return txn.commit()
+
+    # ------------------------------------------------- materialize DVs
+    def materialize_dvs(self, spark: SparkSession) -> int | None:
+        """Fold every deletion vector into its data files: the vectored
+        files are rewritten as their DV survivors through an ordinary
+        copy-on-write commit, which also drops their DV entries (replaced
+        files shed their vectors in ``_publish``). This is the compaction
+        half of the MOR bargain — reads go back to paying zero anti-join
+        tax, and the DV staging dirs become vacuumable once no live
+        version references them. Returns the committed version, or None
+        if the table carries no vectors. Production systems piggyback
+        this on OPTIMIZE; it is equally valid standalone.
+        """
+        snap = self.snapshot()
+        dvs = snap.get("dvs", {})
+        vectored = [f for f in snap["files"] if dvs.get(f)]
+        if not vectored:
+            return None
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        survivors = _scan_with_dvs(spark, schema, vectored, dvs)
+        txn = self.begin()
+        txn._base_version = snap["version"]
+        txn._replaced = vectored
+        txn.insert(survivors)
         return txn.commit()
 
     # -------------------------------------------------------------- clone
@@ -830,10 +980,11 @@ class TransactionalTable:
         lakehouse), so a restore can never publish a manifest that points
         at missing data."""
         target = self._read_manifest(to_version)
+        referenced = list(target["files"]) + [
+            d for dirs in target.get("dvs", {}).values() for d in dirs
+        ]
         missing = [
-            f
-            for f in target["files"]
-            if not os.path.exists(urlparse(f).path or f)
+            f for f in referenced if not os.path.exists(urlparse(f).path or f)
         ]
         if missing:
             raise FileNotFoundError(
@@ -888,14 +1039,17 @@ class TransactionalTable:
         b = self.snapshot(v_to)
         schema = StructType.fromJson(json.loads(b["schema"]))
         fa, fb = set(a["files"]), set(b["files"])
+        dva, dvb = a.get("dvs", {}), b.get("dvs", {})
+        # a file is UNCHANGED only if present in both versions with the
+        # same deletion-vector stack; a DV-delete changes rows without
+        # changing the file list, so DV-churned files re-enter the diff
+        same = {f for f in fa & fb if dva.get(f, []) == dvb.get(f, [])}
 
-        def scan(files: list[str]) -> DataFrame:
-            if not files:
-                return spark.createDataFrame([], schema)
-            return spark.read.schema(schema).parquet(*files)
+        def scan(files: list[str], dvs: dict) -> DataFrame:
+            return _scan_with_dvs(spark, schema, files, dvs)
 
-        added = scan(sorted(fb - fa))
-        removed = scan(sorted(fa - fb))
+        added = scan(sorted(fb - same), dvb)
+        removed = scan(sorted(fa - same), dva)
         inserts = added.exceptAll(removed).withColumn(
             "_change_type", F.lit("insert")
         )
@@ -912,7 +1066,12 @@ class TransactionalTable:
         trades away time travel to pre-merge versions, as in any
         lakehouse). Returns removed dirs. Referenced files are never
         touched."""
-        live = {os.path.dirname(f) for f in self.snapshot()["files"]}
+        snap = self.snapshot()
+        live = {os.path.dirname(f) for f in snap["files"]}
+        # deletion-vector dirs live under data/<txn>/dv — keep their txn
+        # dirs alive even when the txn published no data files
+        for dirs in snap.get("dvs", {}).values():
+            live.update(os.path.dirname(d) for d in dirs)
         removed = []
         data_dir = os.path.join(self.root, _DATA_DIR)
         for d in sorted(os.listdir(data_dir)):
