@@ -1131,6 +1131,140 @@ ORDER BY user_id, rn
 ROLLMED_SPAN = 15  # trailing window length for the rolling median
 
 
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — the TWAP/TVWAP
+    pattern for IRREGULARLY sampled series (finance bars, IoT sensor
+    states): each observation holds until the next one, so its weight is
+    its holding duration, not 1. A plain AVG over-weights bursts; the
+    time weighting is what makes state-style series (prices, sensor
+    readings) aggregate correctly.
+
+    One shuffle on user, lead() for the holding duration, map-side
+    grouped sums. Exactness engineered end to end: cents x whole-second
+    durations are integer products ≤ 2^53, so numerator and denominator
+    are EXACT on both engines and the final quotient is a bit-identical
+    double — emitted unrounded (no rounding contract needed at all; a
+    decimal ROUND here would reintroduce the midpoint-flip risk the e4
+    lesson documents). The last observation of a day has no successor
+    and carries zero weight on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("sec"),
+    ).withColumn("dur_s", F.lead("sec").over(w) - F.col("sec"))
+    return (
+        base.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("dur_s").alias("span_s"),
+            F.sum(F.col("cents") * F.col("dur_s")).alias("wsum"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_obs",
+            "span_s",
+            (
+                F.col("wsum").cast("double")
+                / (F.lit(100.0) * F.col("span_s").cast("double"))
+            ).alias("twap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_TWAP_DAILY = """
+WITH base AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS sec
+    FROM events
+), with_dur AS (
+    SELECT *, LEAD(sec) OVER (
+        PARTITION BY user_id, day ORDER BY ts, event_id
+    ) - sec AS dur_s
+    FROM base
+)
+SELECT user_id, day,
+       COUNT(*) AS n_obs,
+       SUM(dur_s) AS span_s,
+       CAST(SUM(cents * dur_s) AS DOUBLE)
+           / (100.0 * CAST(SUM(dur_s) AS DOUBLE)) AS twap
+FROM with_dur
+WHERE dur_s IS NOT NULL AND dur_s > 0
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
+NEYMAN_BUDGET = 1000  # total sample budget to allocate
+
+
+def q_stratified_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling: given a total
+    budget of NEYMAN_BUDGET samples over the event-type strata, allocate
+    n_h ∝ N_h·S_h (stratum size x stratum standard deviation) — the
+    variance-minimizing design, and the principled version of the flat
+    per-stratum quotas ad-hoc samplers use. Emits each stratum's share
+    and floor allocation; the companion of `sample_stratified` (which
+    executes a design) — this computes the design.
+
+    One pass: per-stratum (N_h, S_h) are mergeable moment aggregates;
+    the normalizer is a broadcast 1-row sum. S_h rounds to 6 dp before
+    the ratio so both engines normalize identical values.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.round(F.stddev_samp("value"), 6).alias("s_h"),
+    )
+    weighted = strata.withColumn(
+        "w_h", F.col("n_h").cast("double") * F.col("s_h")
+    )
+    total = weighted.agg(F.sum("w_h").alias("w_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_h",
+            "s_h",
+            F.round(F.col("w_h") / F.col("w_tot"), 6).alias("share"),
+            F.floor(
+                F.lit(float(NEYMAN_BUDGET)) * F.col("w_h") / F.col("w_tot")
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STRATIFIED_NEYMAN_ALLOC = f"""
+WITH strata AS (
+    SELECT event_type, COUNT(*) AS n_h,
+           ROUND(STDDEV_SAMP(value), 6) AS s_h
+    FROM events GROUP BY event_type
+), weighted AS (
+    SELECT *, CAST(n_h AS DOUBLE) * s_h AS w_h FROM strata
+), total AS (
+    SELECT SUM(w_h) AS w_tot FROM weighted
+)
+SELECT event_type, n_h, s_h,
+       ROUND(w_h / w_tot, 6) AS share,
+       CAST(FLOOR(CAST({NEYMAN_BUDGET} AS DOUBLE) * w_h / w_tot) AS BIGINT)
+           AS alloc
+FROM weighted, total
+ORDER BY event_type
+"""
+
+
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per user, Recency (days since last
     purchase, vs the corpus max day), Frequency (purchase count) and
@@ -1401,6 +1535,11 @@ def oracles() -> dict[str, tuple]:
             ORACLE_RUNNING_BALANCE_CLAMPED,
         ),
         "rfm_segmentation": (q_rfm_segmentation, ORACLE_RFM_SEGMENTATION),
+        "twap_daily": (q_twap_daily, ORACLE_TWAP_DAILY),
+        "stratified_neyman_alloc": (
+            q_stratified_neyman_alloc,
+            ORACLE_STRATIFIED_NEYMAN_ALLOC,
+        ),
         "cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
         "range_join_bucketed": (q_range_join_bucketed, ORACLE_RANGE_JOIN),
         "events_rollup_multires": (q_events_rollup_multires, ORACLE_ROLLUP_MULTIRES),

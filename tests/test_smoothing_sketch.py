@@ -365,6 +365,42 @@ def test_embedding_outliers_flag_exact_top_fraction(spark, sf_dir):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
 
 
+def test_twap_bounded_by_min_max_and_weighted(spark, sf_dir):
+    """TWAP lies within [min, max] of the day's observed values and
+    differs from the plain mean when durations are uneven."""
+    from dbms_query_optimizer_spark.operators.temporal import q_twap_daily
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value"
+    ).collect()
+    series: dict[tuple, list] = {}
+    for r in ev:
+        series.setdefault((r.user_id, r.day), []).append(r)
+    rows = q_twap_daily(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        obs = sorted(series[(r.user_id, r.day)], key=lambda x: (x.ts, x.event_id))
+        vals = [round(o.value * 100) / 100 for o in obs[:-1]]  # last has no dur
+        assert min(vals) - 1e-9 <= r.twap <= max(vals) + 1e-9
+
+
+def test_neyman_allocation_proportional_and_bounded(spark, sf_dir):
+    """Shares sum to ~1, allocations never exceed the budget, and a
+    stratum with larger N_h*S_h never gets a smaller share."""
+    from dbms_query_optimizer_spark.operators.temporal import (
+        NEYMAN_BUDGET,
+        q_stratified_neyman_alloc,
+    )
+
+    rows = q_stratified_neyman_alloc(spark, sf_dir).collect()
+    assert rows
+    assert math.isclose(sum(r.share for r in rows), 1.0, abs_tol=1e-4)
+    assert sum(r.alloc for r in rows) <= NEYMAN_BUDGET
+    by_weight = sorted(rows, key=lambda r: r.n_h * r.s_h)
+    shares = [r.share for r in by_weight]
+    assert shares == sorted(shares)
+
+
 def test_gini_bounds_and_local_recompute(spark, sf_dir):
     """Gini in [0, 1); matches the local sorted-rank formula."""
     from dbms_query_optimizer_spark.operators.governance import (
