@@ -928,6 +928,87 @@ ORACLE_TXN_DELETE_MOR = """
 """
 
 
+def q_txn_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL / retention delete with TIME-ZONE pruning: events land in four
+    commits clustered by calendar quartile, then DELETE ``ts < cutoff``
+    (the retention policy every event/training-data store runs) — the
+    manifest's TIMESTAMP zone maps (epoch-microsecond min/max harvested
+    from the parquet footers) must PROVE the two newer quartiles hold no
+    expired row, so only the two old files are rewritten and the recent
+    ones are never read. On a 100 TB time-partitioned table this is the
+    difference between a retention sweep costing O(expired files) and a
+    nightly full-table scan. files_rewritten/files_total are pinned at
+    2/4 by the oracle alongside the survivors' aggregate."""
+    import datetime as dt
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_retention", "events")
+    shutil.rmtree(root, ignore_errors=True)
+
+    # INT96 (the legacy parquet default) writes no timestamp min/max, which
+    # would blind the time zone maps — force stats-bearing micros under any
+    # host session (the driver's doesn't set it)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts", "value")
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).collect()[0]
+    span = (hi - lo).days + 1
+    bounds = [lo + dt.timedelta(days=(span * i) // 4) for i in range(5)]
+
+    table = TransactionalTable.create(root, ev.schema)
+    for i in range(4):
+        t = table.begin()
+        upper = (
+            F.to_date("ts") < F.lit(bounds[i + 1])
+            if i < 3
+            else F.lit(True)
+        )
+        t.insert(
+            ev.filter((F.to_date("ts") >= F.lit(bounds[i])) & upper).coalesce(1)
+        )
+        t.commit()
+
+    cutoff = dt.datetime.combine(bounds[2], dt.time.min)
+    td = table.begin()
+    td.delete(spark, ("ts", "<", cutoff))
+    n_rewritten = len(td._replaced)
+    td.commit()
+
+    reader = TransactionalTable(root)  # fresh open = recovery path
+    return reader.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("value"), 2).alias("sum_value"),
+    ).select(
+        "n_rows",
+        "sum_value",
+        F.lit(n_rewritten).alias("files_rewritten"),
+        F.lit(4).alias("files_total"),
+    )
+
+
+ORACLE_TXN_RETENTION_DELETE = """
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo,
+               datediff('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))) + 1 AS span
+        FROM events
+    ), cut AS (
+        SELECT CAST(lo + CAST((span * 2) // 4 AS INT) AS TIMESTAMP) AS cutoff
+        FROM bounds
+    )
+    SELECT COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_value,
+           2 AS files_rewritten,
+           4 AS files_total
+    FROM events, cut
+    WHERE NOT (CAST(date_trunc('microseconds', ts) AS TIMESTAMP) < cutoff)
+"""
+
+
 def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic INSERT OVERWRITE by predicate (sources/manifest.py
     ``replace_where`` — Delta's replaceWhere, the idempotent-backfill
@@ -1758,6 +1839,10 @@ def oracles() -> dict[str, tuple]:
         "txn_changes": (q_txn_changes, ORACLE_TXN_CHANGES),
         "txn_delete_where": (q_txn_delete_where, ORACLE_TXN_DELETE_WHERE),
         "txn_delete_mor": (q_txn_delete_mor, ORACLE_TXN_DELETE_MOR),
+        "txn_retention_delete": (
+            q_txn_retention_delete,
+            ORACLE_TXN_RETENTION_DELETE,
+        ),
         "txn_replace_where": (q_txn_replace_where, ORACLE_TXN_REPLACE_WHERE),
         "txn_erase_keys": (q_txn_erase_keys, ORACLE_TXN_ERASE_KEYS),
         "txn_incremental_mv": (q_txn_incremental_mv, ORACLE_TXN_INCREMENTAL_MV),

@@ -49,6 +49,10 @@ def get_spark(
         # testdata events.ts is TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert at load (engine.load_dir).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (the legacy default) writes NO footer min/max for
+        # timestamps, which blinds the manifest's time zone maps — the
+        # retention-delete pruning path needs TIMESTAMP_MICROS stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
         # local mode = one JVM for driver + all executor threads; Spark's

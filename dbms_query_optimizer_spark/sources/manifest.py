@@ -97,22 +97,58 @@ _ZONE_PRED_OPS = {
 }
 
 
+def _ts_micros(v) -> int:
+    """Naive datetime → epoch microseconds, exact integer arithmetic
+    (``.timestamp()`` would apply the LOCAL timezone to a naive value)."""
+    import datetime as _dt
+
+    # footer stats come back tz-aware (UTC); query-side values are naive
+    # in the UTC session — anchor the epoch to whichever kind v is
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+    td = v - epoch
+    return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+
 def _json_scalar(v):
-    """Footer min/max → JSON-storable scalar (None = not representable)."""
+    """Footer min/max → JSON-storable scalar (None = not representable).
+
+    Timestamps store as epoch microseconds and dates as ISO strings —
+    both order-preserving, so zone pruning works on event-time columns
+    (the retention/TTL delete case: ``ts < cutoff`` must prune a
+    time-clustered 100 TB table to the old files, not scan it)."""
+    import datetime as _dt
+
     if isinstance(v, bool) or v is None:
         return None  # booleans: zone pruning not worth the edge cases
+    if isinstance(v, _dt.datetime):
+        return _ts_micros(v)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
     if isinstance(v, (int, float, str)):
         return v
     return None
+
+
+def _zone_value(value):
+    """Normalize a query-side predicate value the same way stored zone
+    bounds are normalized, so comparisons are like-for-like."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return _ts_micros(value)
+    if isinstance(value, _dt.date):
+        return value.isoformat()
+    return value
 
 
 def _harvest_stats(files: list[str]) -> dict:
     """path -> {column -> {min, max, nulls, rows}} from parquet footers.
 
     Columns whose physical min/max are absent or non-scalar (nested,
-    binary, timestamp) get only null/row counts — pruning treats missing
-    bounds as "cannot exclude". Multi-row-group files fold to
-    min-of-mins / max-of-maxes.
+    binary) get only null/row counts — pruning treats missing bounds as
+    "cannot exclude". Timestamps/dates store in order-preserving scalar
+    forms (_json_scalar). Multi-row-group files fold to min-of-mins /
+    max-of-maxes.
     """
     import pyarrow.parquet as pq
 
@@ -173,6 +209,7 @@ def _zone_may_match(zone: dict | None, op: str, value) -> bool:
     mn, mx = zone.get("min"), zone.get("max")
     if mn is None or mx is None:
         return True
+    value = _zone_value(value)  # datetime/date → the stored representation
     try:
         if op == "=":
             return mn <= value <= mx

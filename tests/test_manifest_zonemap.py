@@ -253,3 +253,40 @@ def test_conjunct_pruning_intersects(clustered, spark):
     got = table.read(spark, where=[("k", ">=", 10), ("s", "<", "s20")]).collect()
     assert table.last_scan["files_read"] == 1
     assert sorted(r.k for r in got) == list(range(10, 20))
+
+
+def test_timestamp_zone_pruning(spark, tmp_path):
+    """TIMESTAMP zones (epoch-microsecond min/max) prune a retention
+    read/delete: files wholly newer than the cutoff are never opened.
+    Requires TIMESTAMP_MICROS output (INT96 writes no footer stats)."""
+    import datetime as dt
+
+    from dbms_query_optimizer_spark.sources.manifest import TransactionalTable
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    root = str(tmp_path / "ts_table")
+    df0 = spark.createDataFrame([], "id long, ts timestamp")
+    table = TransactionalTable.create(root, df0.schema)
+    for month in (1, 2, 3, 4):
+        t = table.begin()
+        rows = [
+            (month * 100 + i, dt.datetime(2024, month, 1 + i))
+            for i in range(5)
+        ]
+        t.insert(
+            spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1)
+        )
+        t.commit()
+    cutoff = dt.datetime(2024, 3, 1)
+    got = table.read(spark, where=("ts", "<", cutoff)).collect()
+    assert table.last_scan == {"files_total": 4, "files_read": 2}
+    assert sorted(r.id for r in got) == [100 + i for i in range(5)] + [
+        200 + i for i in range(5)
+    ]
+    td = table.begin()
+    td.delete(spark, ("ts", "<", cutoff))
+    assert len(td._replaced) == 2  # newer files proven clean, untouched
+    td.commit()
+    assert sorted(r.id // 100 for r in table.read(spark).collect()) == [3] * 5 + [4] * 5
