@@ -110,6 +110,11 @@ HEADLINE = [
     # the mergeable histogram-quantile sketch (explicit shard->merge)
     "ewma_smooth",
     "quantile_sketch_mergeable",
+    # round 4: merge-on-read deletion vectors (delete = O(deleted rows)
+    # of vector, read = anti-join on only the vectored files) and the
+    # timestamp-zone TTL retention sweep (recent files never read)
+    "txn_delete_mor",
+    "txn_retention_delete",
 ]
 
 

@@ -265,6 +265,10 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # AQE-converted at runtime; the pin is that nothing row-heavy shuffles
     # as a join build)
     "quantile_sketch_mergeable": ["tree:HashAggregate", "partial_", "BroadcastHashJoin"],
+    # lifecycle composites over the manifest fixture; default gates apply
+    # (the DV anti-join / pruned read live inside the returned agg's plan)
+    "txn_delete_mor": [],
+    "txn_retention_delete": [],
 }
 
 
