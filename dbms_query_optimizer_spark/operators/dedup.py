@@ -1217,6 +1217,114 @@ ORDER BY name_a, name_b
 """
 
 
+ER_MAX_ITERS = 10  # label-propagation rounds (≥ match-graph diameter)
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the classic data-integration
+    pipeline as ONE dag: block → match → cluster → canonicalize.
+
+    1. BLOCK/MATCH: distinct part names, head-noun blocking, exact
+       Levenshtein ≤ FUZZY_MAX_DIST inside each block (the
+       q_fuzzy_join_blocked stage — dedup-before-join, broadcast name
+       table, per-block pair bound).
+    2. CLUSTER: pairwise matches chain (a~b, b~c), so merge decisions
+       need CONNECTED COMPONENTS, not pairs — min-label propagation over
+       the match graph (the q_dedup_components shape; the name graph
+       after DISTINCT is tiny relative to the fact table, and variant
+       clusters have single-digit diameter, so the loop runs on a
+       names-sized frame for a handful of rounds).
+    3. CANONICALIZE: each cluster's lexicographic-min name is the
+       surviving record; every variant maps to it with its row count, so
+       the output IS the merge plan a catalog-cleaning job applies.
+
+    The oracle recomputes all three stages independently — the match SQL
+    plus a RECURSIVE-CTE transitive closure — so blocking, matching,
+    chaining, and survivorship are all value-checked. Exact integer edit
+    distance and string mins: no float contract anywhere.
+    """
+    part = load_tables(spark, sf_dir)["part"]
+    counts = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    names = counts.withColumn(
+        "blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), "blk")
+    pairs = (
+        a.join(F.broadcast(b), "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b")
+        .cache()
+    )
+    und = pairs.union(
+        pairs.select(F.col("name_b"), F.col("name_a"))
+    ).toDF("src", "dst").coalesce(4)
+    labels = (
+        pairs.select(F.col("name_a").alias("node"))
+        .union(pairs.select("name_b"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(ER_MAX_ITERS):
+        msg = (
+            und.join(labels.toDF("l_node", "l_label"), und.src == F.col("l_node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("l_label").alias("m"))
+        )
+        labels = (
+            labels.join(msg, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("m", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    w = W.partitionBy("canonical_name")
+    return (
+        labels.join(counts, labels.node == counts.p_name)
+        .select(
+            F.col("node").alias("name"),
+            F.col("label").alias("canonical_name"),
+            "n_rows",
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("name") == F.col("canonical_name"))
+        .orderBy("canonical_name", "name")
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE counts AS (
+    SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY p_name
+), names AS (
+    SELECT p_name, n_rows, split_part(p_name, ' ', 2) AS blk FROM counts
+), pairs AS (
+    SELECT a.p_name AS name_a, b.p_name AS name_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+), nodes AS (
+    SELECT name_a AS node FROM pairs UNION SELECT name_b FROM pairs
+), und AS (
+    SELECT name_a AS src, name_b AS dst FROM pairs
+    UNION ALL
+    SELECT name_b, name_a FROM pairs
+), reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node
+), comp AS (
+    SELECT node AS name, MIN(r) AS canonical_name FROM reach GROUP BY node
+)
+SELECT c.name, c.canonical_name, n.n_rows,
+       COUNT(*) OVER (PARTITION BY c.canonical_name) AS cluster_size,
+       (c.name = c.canonical_name) AS is_canonical
+FROM comp c JOIN counts n ON n.p_name = c.name
+ORDER BY canonical_name, name
+"""
+
+
 SEMDEDUP_K = 8  # semantic clusters (scales with corpus size in production)
 SEMDEDUP_ITERS = 5  # Lloyd's iterations
 SEMDEDUP_TAU = COSINE_T  # same near-dup threshold as the exact pair listing
@@ -1475,6 +1583,7 @@ def oracles() -> dict[str, tuple]:
         "dedup_cdc_chunks": (q_dedup_cdc_chunks, _oracle_dedup_cdc_chunks()),
         "dedup_semantic": (q_dedup_semantic, None),
         "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
+        "entity_resolution": (q_entity_resolution, ORACLE_ENTITY_RESOLUTION),
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
