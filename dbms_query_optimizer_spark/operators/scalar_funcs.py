@@ -664,6 +664,10 @@ def oracles() -> dict[str, tuple]:
             q_audience_overlap_bitmap,
             ORACLE_AUDIENCE_OVERLAP_BITMAP,
         ),
+        "audience_overlap_sketch": (
+            q_audience_overlap_sketch,
+            ORACLE_AUDIENCE_OVERLAP_SKETCH,
+        ),
     }
 
 
@@ -912,6 +916,98 @@ WITH words AS (
 SELECT p.type_a, p.type_b, sa.n_users AS n_a, sb.n_users AS n_b, p.n_both,
        ROUND(CAST(p.n_both AS DOUBLE)
              / CAST(sa.n_users + sb.n_users - p.n_both AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
+"""
+
+
+def q_audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience overlap — the approximate twin of
+    ``q_audience_overlap_bitmap`` for when exact bitmaps are too big:
+    one Datasketches HLL per event type (mergeable, KBs regardless of
+    audience size), pairwise union via ``hll_union``, intersection by
+    inclusion-exclusion |A|+|B|−|A∪B|. At 100 TB this is the shape that
+    survives: per-type sketches build in one pass and every pairwise
+    estimate is a driver-free sketch merge — no per-pair data scan.
+
+    Oracle-ability follows the ``approx_aggs`` recipe: the EXACT
+    cardinalities (DuckDB recomputes them) ride alongside the estimates,
+    and the hash-checked columns are exact values + booleans asserting
+    each estimate met its error bound (union within 5 %; the
+    inclusion-exclusion intersection inherits ~3 sketch errors, bounded
+    against the union size). The estimates themselves are
+    engine-specific sketch outputs and deliberately NOT hashed.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    exact = ev.select("event_type", "user_id").distinct()
+    exact_inter = (
+        exact.toDF("type_a", "user_id")
+        .join(exact.toDF("type_b", "u2"), F.col("user_id") == F.col("u2"))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            est_union.alias("est_union"),
+        )
+        .join(exact_inter, ["type_a", "type_b"])
+    )
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    est_inter = (F.col("n_a") + F.col("n_b") - F.col("est_union")).cast("double")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        (F.abs(F.col("est_union") - exact_union) <= 0.05 * exact_union).alias(
+            "union_in_bound"
+        ),
+        (F.abs(est_inter - F.col("n_both")) <= 0.10 * exact_union).alias(
+            "inter_in_bound"
+        ),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLE_AUDIENCE_OVERLAP_SKETCH = """
+WITH sets AS (
+    SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+    SELECT event_type, COUNT(*) AS n_users FROM sets GROUP BY event_type
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both
+    FROM sets a JOIN sets b USING (user_id)
+    WHERE a.event_type < b.event_type
+    GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, sa.n_users AS n_a, sb.n_users AS n_b, p.n_both,
+       TRUE AS union_in_bound,
+       TRUE AS inter_in_bound
 FROM pairs p
 JOIN sizes sa ON sa.event_type = p.type_a
 JOIN sizes sb ON sb.event_type = p.type_b
