@@ -668,6 +668,7 @@ def oracles() -> dict[str, tuple]:
             q_audience_overlap_sketch,
             ORACLE_AUDIENCE_OVERLAP_SKETCH,
         ),
+        "trend_per_group": (q_trend_per_group, ORACLE_TREND_PER_GROUP),
     }
 
 
@@ -920,6 +921,64 @@ FROM pairs p
 JOIN sizes sa ON sa.event_type = p.type_a
 JOIN sizes sb ON sb.event_type = p.type_b
 ORDER BY type_a, type_b
+"""
+
+
+def q_trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily event volume: OLS slope/intercept/R²
+    of count ~ day-index — the "is this segment growing?" regression every
+    metrics dashboard fits, as single-pass mergeable aggregates.
+
+    The raw scan collapses to (type, day) counts first; the regression
+    functions (regr_slope / regr_intercept / corr) are Welford-style
+    moment aggregates over that tiny frame — the same merge algebra as
+    AVG, so the plan scales like a count, not like a model fit. Day
+    index is an integer (days since the global min date) so the x side
+    is exact on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    lo = ev.agg(F.min(F.to_date("ts")).alias("lo"))
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            F.datediff("day", "lo").cast("double").alias("x"),
+            F.col("n").cast("double").alias("y"),
+        )
+    )
+    r2 = F.corr("y", "x") * F.corr("y", "x")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TREND_PER_GROUP = """
+WITH lo AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo FROM events
+), daily AS (
+    SELECT event_type,
+           CAST(datediff('day', lo.lo, CAST(ts AS DATE)) AS DOUBLE) AS x,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events, lo
+    GROUP BY event_type, CAST(ts AS DATE), lo.lo
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept,
+       ROUND(corr(y, x) * corr(y, x), 6) AS r2
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
 """
 
 
