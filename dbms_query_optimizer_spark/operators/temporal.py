@@ -660,6 +660,132 @@ ORACLE_ASOF_JOIN_FORWARD = f"""
 """
 
 
+def q_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each non-purchase event type,
+    the conversion rate (did a purchase follow at all?) and the EXACT
+    p50/p90 of the lag to the next purchase — the funnel-latency metric
+    behind every "how long until users convert" dashboard, composed on
+    the forward as-of join (one shuffle resolves every event's next
+    purchase; no per-event search).
+
+    Percentiles are rank order-statistic SELECTIONS over integer
+    microsecond gaps (rank = ceil(q·n), tie-broken on event_id), so the
+    whole result is exact integer/selection math — no float contract
+    beyond the conversion-rate ratio. The oracle decorrelates the same
+    forward lookup (DuckDB ASOF is backward-only) and selects the same
+    ranks independently.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    converted = asof_forward_frame(ev).filter(
+        F.col("event_type") != ASOF_BUILD_TYPE
+    )
+    counts = converted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    ranked = (
+        converted.join(F.broadcast(counts), "event_type")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("gap_us", "event_id")
+            ),
+        )
+    )
+    totals = (
+        ev.filter(F.col("event_type") != ASOF_BUILD_TYPE)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    p50r = F.ceil(F.lit(0.5) * F.col("n_converted"))
+    p90r = F.ceil(F.lit(0.9) * F.col("n_converted"))
+    return (
+        ranked.groupBy("event_type", "n_converted")
+        .agg(
+            F.max(F.when(F.col("rn") == p50r, F.col("gap_us"))).alias(
+                "p50_gap_us"
+            ),
+            F.max(F.when(F.col("rn") == p90r, F.col("gap_us"))).alias(
+                "p90_gap_us"
+            ),
+        )
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n_total",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("conv_rate"),
+            "p50_gap_us",
+            "p90_gap_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CONVERSION_LAG_PERCENTILES = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, ts, event_id, event_type, NULL::BIGINT AS purchase_id,
+               NULL::TIMESTAMP AS purchase_ts, 1 AS is_probe
+        FROM ev
+        UNION ALL
+        SELECT user_id, ts, NULL, NULL, event_id, ts, 0
+        FROM ev WHERE event_type = '{ASOF_BUILD_TYPE}'
+    ),
+    filled AS (
+        SELECT *,
+               FIRST_VALUE(purchase_id IGNORE NULLS) OVER w AS m_id,
+               FIRST_VALUE(purchase_ts IGNORE NULLS) OVER w AS m_ts
+        FROM pts
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts, is_probe DESC, COALESCE(purchase_id, -1)
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        )
+    ),
+    conv AS (
+        SELECT event_type, event_id,
+               epoch_us(m_ts) - epoch_us(ts) AS gap_us
+        FROM filled
+        WHERE is_probe = 1 AND m_id IS NOT NULL
+          AND event_type <> '{ASOF_BUILD_TYPE}'
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY gap_us, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_converted
+        FROM conv
+    ),
+    tot AS (
+        SELECT event_type, COUNT(*) AS n_total FROM events
+        WHERE event_type <> '{ASOF_BUILD_TYPE}'
+        GROUP BY event_type
+    )
+    SELECT r.event_type, t.n_total,
+           MAX(r.n_converted) AS n_converted,
+           ROUND(CAST(MAX(r.n_converted) AS DOUBLE)
+                 / CAST(t.n_total AS DOUBLE), 6) AS conv_rate,
+           MAX(CASE WHEN r.rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * r.n_converted)
+                                     AS BIGINT)
+                    THEN r.gap_us END) AS p50_gap_us,
+           MAX(CASE WHEN r.rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * r.n_converted)
+                                     AS BIGINT)
+                    THEN r.gap_us END) AS p90_gap_us
+    FROM ranked r JOIN tot t USING (event_type)
+    GROUP BY r.event_type, t.n_total
+    ORDER BY r.event_type
+"""
+
+
 ASOF_SALT_BUCKETS = 16
 
 
@@ -1519,6 +1645,10 @@ def oracles() -> dict[str, tuple]:
         "asof_join_left": (q_asof_join_left, ORACLE_ASOF_JOIN_LEFT),
         "asof_join_salted": (q_asof_join_salted, ORACLE_ASOF_JOIN),
         "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_JOIN_FORWARD),
+        "conversion_lag_percentiles": (
+            q_conversion_lag_percentiles,
+            ORACLE_CONVERSION_LAG_PERCENTILES,
+        ),
         "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
         "event_pattern_match": (q_event_pattern_match, ORACLE_EVENT_PATTERN_MATCH),
         "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
