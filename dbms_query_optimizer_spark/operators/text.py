@@ -1013,6 +1013,103 @@ ORACLE_PII_REDACT = f"""
 """
 
 
+SEG_WORDS = 10  # words per pseudo-line segment
+BOILER_MIN_DOCS = 3  # a segment in >= this many docs is boilerplate
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal — the CCNet / RefinedWeb
+    line-level dedup pass: segments that recur across many documents
+    (headers, footers, nav chrome, license blurbs) are stripped from
+    EVERY document, and the cleaned text is rebuilt in order. The
+    testdata has no newlines, so "lines" are deterministic
+    SEG_WORDS-word windows; on real web text the same plan runs on
+    newline splits.
+
+    Plan: one explode to (doc, seg_idx, segment), one map-side-combined
+    count of distinct docs per segment (shuffle = distinct segments,
+    not corpus), a broadcast-ish join back, and per-doc ordered
+    reassembly via array_sort(collect_list(struct)) — the same
+    struct-pinned ordering as session_paths, so the rebuilt text is
+    byte-deterministic (the output hashes its md5). Removal is
+    corpus-frequency-driven: a segment is judged by how many DISTINCT
+    docs carry it, so a doc repeating its own phrase is untouched.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split("text", " ")
+    n_segs = F.ceil(F.size(words) / F.lit(SEG_WORDS)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    seg_docs = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    kept = segs.join(seg_docs, "seg").filter(
+        F.col("n_docs") < BOILER_MIN_DOCS
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BOILERPLATE_STRIP = f"""
+WITH segs AS (
+    SELECT doc_id, i - 1 AS seg_idx,
+           array_to_string(
+               list_slice(string_split(text, ' '),
+                          (i - 1) * {SEG_WORDS} + 1, i * {SEG_WORDS}), ' '
+           ) AS seg
+    FROM documents,
+         UNNEST(range(1, CAST(CEIL(len(string_split(text, ' '))
+                                   / {SEG_WORDS}.0) AS BIGINT) + 1)) t(i)
+), seg_docs AS (
+    SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+), kept AS (
+    SELECT s.* FROM segs s JOIN seg_docs d USING (seg)
+    WHERE d.n_docs < {BOILER_MIN_DOCS}
+), rebuilt AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+    FROM kept GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segs,
+       t.n_segs - COALESCE(r.n_kept, 0) AS n_removed,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
@@ -1033,6 +1130,7 @@ def oracles() -> dict[str, tuple]:
         "text_lang_confusion": (q_text_lang_confusion, _oracle_lang_confusion()),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
         "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+        "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE_STRIP),
         "text_rolling_fingerprint": (q_text_rolling_fingerprint, _sql_rolling_fingerprint()),
         "text_lang_quality_summary": (
             q_text_lang_quality_summary,

@@ -313,6 +313,41 @@ def test_running_balance_matches_direct_recurrence(spark, sf_dir):
     )
 
 
+def test_boilerplate_strip_semantics(spark, sf_dir):
+    """Cross-doc common segments are removed (some docs shrink), bounds
+    hold, and a local recomputation agrees on the removal counts."""
+    from collections import Counter
+
+    from dbms_query_optimizer_spark.operators.text import (
+        BOILER_MIN_DOCS,
+        SEG_WORDS,
+        q_boilerplate_strip,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text").collect()
+    seg_docs: Counter[str] = Counter()
+    doc_segs: dict[int, list[str]] = {}
+    for d in docs:
+        ws = d.text.split(" ")
+        segs = [
+            " ".join(ws[i : i + SEG_WORDS]) for i in range(0, len(ws), SEG_WORDS)
+        ]
+        doc_segs[d.doc_id] = segs
+        seg_docs.update(set(segs))
+    rows = q_boilerplate_strip(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    total_removed = 0
+    for r in rows:
+        segs = doc_segs[r.doc_id]
+        expect_removed = sum(
+            1 for s in segs if seg_docs[s] >= BOILER_MIN_DOCS
+        )
+        assert r.n_segs == len(segs)
+        assert r.n_removed == expect_removed
+        total_removed += r.n_removed
+    assert total_removed > 0, "fixture produced no boilerplate — test is vacuous"
+
+
 def test_vocab_coverage_local_recompute(spark, sf_dir):
     """OOV counts must equal a local top-V vocabulary recomputation."""
     from collections import Counter
