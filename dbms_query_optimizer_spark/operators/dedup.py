@@ -765,6 +765,78 @@ def _oracle_dedup_components() -> str:
     )
 
 
+CONTAINMENT_T = 0.5  # report pairs where either doc is half-contained
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT similarity — |A∩B| / |A| — the
+    excerpt/quote/subset detector Jaccard misses: a short doc fully
+    lifted from a long one has tiny Jaccard (the union is huge) but
+    containment ≈ 1. This is the dedup signal for "doc A is a fragment
+    of doc B", which a training pipeline treats differently from true
+    near-duplicates (drop the fragment, keep the superset).
+
+    Same inverted-index candidate generation as the Jaccard baseline
+    (pairs sharing ≥ 1 shingle; Σ posting-list² bounded, never doc×doc);
+    each surviving pair reports BOTH directions plus which one crossed
+    the threshold. Integer shingle counts → exact ratios, no rounding
+    contract.
+    """
+    t = load_tables(spark, sf_dir)
+    sh = _doc_shingles(t["documents"]).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cab = F.col("n_inter") / F.col("za.n_sh")
+    cba = F.col("n_inter") / F.col("zb.n_sh")
+    return (
+        inter.join(sizes.alias("za"), F.col("za.doc_id") == F.col("id_a"))
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            cab.alias("cont_a_in_b"),
+            cba.alias("cont_b_in_a"),
+            (cab >= CONTAINMENT_T).alias("a_is_fragment"),
+            (cba >= CONTAINMENT_T).alias("b_is_fragment"),
+        )
+        .filter(F.col("a_is_fragment") | F.col("b_is_fragment"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_containment() -> str:
+    return f"""
+    WITH sh AS ({_sql_shingles()}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           n_inter / za.n_sh AS cont_a_in_b,
+           n_inter / zb.n_sh AS cont_b_in_a,
+           (n_inter / za.n_sh >= {CONTAINMENT_T}) AS a_is_fragment,
+           (n_inter / zb.n_sh >= {CONTAINMENT_T}) AS b_is_fragment
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE n_inter / za.n_sh >= {CONTAINMENT_T}
+       OR n_inter / zb.n_sh >= {CONTAINMENT_T}
+    ORDER BY id_a, id_b
+    """
+
+
 # ---------------------------------------------------------------------------
 # 4. n-gram Jaccard (shingle-blocked, no signatures)
 # ---------------------------------------------------------------------------
@@ -1584,6 +1656,7 @@ def oracles() -> dict[str, tuple]:
         "dedup_semantic": (q_dedup_semantic, None),
         "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
         "entity_resolution": (q_entity_resolution, ORACLE_ENTITY_RESOLUTION),
+        "dedup_containment": (q_dedup_containment, _oracle_containment()),
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
