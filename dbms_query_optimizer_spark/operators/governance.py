@@ -907,6 +907,110 @@ ORDER BY event_type, bin
 """
 
 
+def q_drift_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of mean value between the first and
+    second half of the event timeline, per event type — the
+    continuous-mean companion of the PSI bucket drift (PSI sees shape
+    shifts; Welch asks "did the MEAN move more than sampling noise
+    explains?", unequal variances assumed, the safe default).
+
+    One grouped pass computes each half's (n, mean, variance) —
+    mergeable moment aggregates — then t = (m1−m2)/√(s1²/n1 + s2²/n2)
+    and the Welch–Satterthwaite dof on the types-sized frame. Rounded
+    at 4 dp on identical double pipelines; |t| > 1.96 flags ~95 %
+    significance (the dashboard threshold, exact dof-aware cutoffs
+    belong to the consumer).
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    mid = ev.agg(
+        F.date_add(
+            F.min(F.to_date("ts")),
+            (
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            ).cast("int"),
+        ).alias("mid_day")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "event_type",
+            F.when(F.to_date("ts") <= F.col("mid_day"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("half"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = halves.filter(F.col("half") == "a").select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("m").alias("m1"),
+        F.col("v").alias("v1"),
+    )
+    b = halves.filter(F.col("half") == "b").select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("m").alias("m2"),
+        F.col("v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2"))
+        / (F.col("n2") - 1)
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.round(t, 4).alias("t_stat"),
+            F.round(dof, 2).alias("dof"),
+            (F.abs(F.round(t, 4)) > 1.96).alias("significant_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DRIFT_WELCH_T = """
+WITH mid AS (
+    SELECT MIN(CAST(ts AS DATE))
+           + CAST(CAST(datediff('day', MIN(CAST(ts AS DATE)),
+                                MAX(CAST(ts AS DATE))) AS DOUBLE) / 2 AS INT)
+           AS mid_day
+    FROM events
+), halves AS (
+    SELECT event_type,
+           CASE WHEN CAST(e.ts AS DATE) <= m.mid_day THEN 'a' ELSE 'b' END
+               AS half,
+           COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+    FROM events e CROSS JOIN mid m
+    GROUP BY event_type, half
+), j AS (
+    SELECT a.event_type,
+           a.n AS n1, a.m AS m1, a.v AS v1,
+           b.n AS n2, b.m AS m2, b.v AS v2
+    FROM halves a JOIN halves b USING (event_type)
+    WHERE a.half = 'a' AND b.half = 'b'
+)
+SELECT event_type, n1, n2,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+       ROUND(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS dof,
+       (ABS(ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4)) > 1.96)
+           AS significant_95
+FROM j
+ORDER BY event_type
+"""
+
+
 def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user spend, per event type — the
     concentration/inequality metric (is revenue spread across users or
@@ -1198,6 +1302,7 @@ def oracles() -> dict[str, tuple]:
         ),
         "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
         "drift_psi": (q_drift_psi, ORACLE_DRIFT_PSI),
+        "drift_welch_t": (q_drift_welch_t, ORACLE_DRIFT_WELCH_T),
         "gini_concentration": (
             q_gini_concentration,
             ORACLE_GINI_CONCENTRATION,
