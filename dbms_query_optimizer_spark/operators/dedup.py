@@ -837,6 +837,110 @@ def _oracle_containment() -> str:
     """
 
 
+def q_dedup_keep_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment survivorship: every document that is ≥ CONTAINMENT_T
+    contained in a LARGER document (more shingles; ties break to the
+    smaller doc_id) is dropped in favor of that superset — the policy
+    layer over ``q_dedup_containment``: fragments/excerpts add no
+    information a training run doesn't already get from the superset.
+
+    Each dropped doc names its best witness (argmax containment, then
+    largest, then smallest-id superset — a deterministic lexicographic
+    struct-max, no rank window needed). Size-ordering makes the drop
+    relation acyclic by construction: a doc can only be dropped by a
+    strictly "larger" one under the (n_sh, -doc_id) order, so no
+    drop-each-other pair and no chase-the-chain pass is needed —
+    contrast with ``dup_of`` chains in q_dedup_semantic.
+    """
+    t = load_tables(spark, sf_dir)
+    sh = _doc_shingles(t["documents"]).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("frag_id"), F.col("b.doc_id").alias("sup_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cand = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("frag_id"), F.col("n_sh").alias("n_frag")),
+            "frag_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("sup_id"), F.col("n_sh").alias("n_sup")),
+            "sup_id",
+        )
+        .filter(
+            (F.col("n_inter") / F.col("n_frag") >= CONTAINMENT_T)
+            & (
+                (F.col("n_sup") > F.col("n_frag"))
+                | (
+                    (F.col("n_sup") == F.col("n_frag"))
+                    & (F.col("sup_id") < F.col("frag_id"))
+                )
+            )
+        )
+    )
+    best = F.max(
+        F.struct(
+            (F.col("n_inter") / F.col("n_frag")).alias("c"),
+            F.col("n_sup").alias("ns"),
+            (-F.col("sup_id")).alias("neg_id"),
+        )
+    )
+    return (
+        cand.groupBy("frag_id", "n_frag")
+        .agg(best.alias("w"))
+        .select(
+            "frag_id",
+            "n_frag",
+            (-F.col("w.neg_id")).alias("kept_superset"),
+            F.col("w.c").alias("containment"),
+            F.col("w.ns").alias("n_sup"),
+        )
+        .orderBy("frag_id")
+    )
+
+
+def _oracle_keep_superset() -> str:
+    return f"""
+    WITH sh AS ({_sql_shingles()}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS frag_id, b.doc_id AS sup_id, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT i.frag_id, i.sup_id, i.n_inter,
+               zf.n_sh AS n_frag, zs.n_sh AS n_sup,
+               i.n_inter / zf.n_sh AS containment
+        FROM inter i
+        JOIN sizes zf ON zf.doc_id = i.frag_id
+        JOIN sizes zs ON zs.doc_id = i.sup_id
+        WHERE i.n_inter / zf.n_sh >= {CONTAINMENT_T}
+          AND (zs.n_sh > zf.n_sh
+               OR (zs.n_sh = zf.n_sh AND i.sup_id < i.frag_id))
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY frag_id
+            ORDER BY containment DESC, n_sup DESC, sup_id ASC
+        ) AS rk
+        FROM cand
+    )
+    SELECT frag_id, n_frag, sup_id AS kept_superset, containment, n_sup
+    FROM ranked WHERE rk = 1
+    ORDER BY frag_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # 4. n-gram Jaccard (shingle-blocked, no signatures)
 # ---------------------------------------------------------------------------
@@ -1657,6 +1761,7 @@ def oracles() -> dict[str, tuple]:
         "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
         "entity_resolution": (q_entity_resolution, ORACLE_ENTITY_RESOLUTION),
         "dedup_containment": (q_dedup_containment, _oracle_containment()),
+        "dedup_keep_superset": (q_dedup_keep_superset, _oracle_keep_superset()),
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
