@@ -1257,6 +1257,63 @@ ORDER BY user_id, rn
 ROLLMED_SPAN = 15  # trailing window length for the rolling median
 
 
+def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint: the day-of-week × hour activity grid per
+    event type, each cell with its share of the type's total and a flag
+    on the type's single busiest cell — the load-shape profile behind
+    capacity planning and anomaly baselines ("is Tuesday 9am ALWAYS the
+    peak?").
+
+    One grouped count (map-side combined; the grid is ≤ 7×24×types rows
+    after the first aggregate regardless of volume), shares against a
+    window total, peak via a count-desc rank with (dow, hour)
+    tie-break. Spark's dayofweek is Sunday=1; the oracle shifts DuckDB's
+    Sunday=0 to match (the q_functions_datetime convention).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("event_type")
+    wr = W.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("dow"), F.col("hour")
+    )
+    return (
+        cells.withColumn(
+            "share",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wt).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("is_peak", F.row_number().over(wr) == 1)
+        .orderBy("event_type", "dow", "hour")
+    )
+
+
+ORACLE_EVENTS_DOW_HOUR_PROFILE = """
+WITH cells AS (
+    SELECT event_type,
+           CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, dow, hour
+)
+SELECT event_type, dow, hour, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+           AS share,
+       (ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY n DESC, dow, hour
+        ) = 1) AS is_peak
+FROM cells
+ORDER BY event_type, dow, hour
+"""
+
+
 def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per (user, day) — the TWAP/TVWAP
     pattern for IRREGULARLY sampled series (finance bars, IoT sensor
@@ -1666,6 +1723,10 @@ def oracles() -> dict[str, tuple]:
         ),
         "rfm_segmentation": (q_rfm_segmentation, ORACLE_RFM_SEGMENTATION),
         "twap_daily": (q_twap_daily, ORACLE_TWAP_DAILY),
+        "events_dow_hour_profile": (
+            q_events_dow_hour_profile,
+            ORACLE_EVENTS_DOW_HOUR_PROFILE,
+        ),
         "stratified_neyman_alloc": (
             q_stratified_neyman_alloc,
             ORACLE_STRATIFIED_NEYMAN_ALLOC,
