@@ -115,6 +115,10 @@ HEADLINE = [
     # timestamp-zone TTL retention sweep (recent files never read)
     "txn_delete_mor",
     "txn_retention_delete",
+    # round 4: corpus boilerplate strip (line-level dedup with ordered
+    # text rebuild) and the block/match/cluster/canonicalize ER composite
+    "boilerplate_strip",
+    "entity_resolution",
 ]
 
 

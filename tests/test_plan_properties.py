@@ -269,6 +269,12 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # (the DV anti-join / pruned read live inside the returned agg's plan)
     "txn_delete_mor": [],
     "txn_retention_delete": [],
+    # boilerplate strip: segment counts shuffle distinct segments with
+    # map-side partials; no Python plane anywhere in the rebuild
+    "boilerplate_strip": ["tree:HashAggregate", "partial_", "!MapInPandas"],
+    # ER: the blocked fuzzy self-join must stay broadcast (distinct-name
+    # frame ≪ fact), never a cartesian
+    "entity_resolution": ["BroadcastHashJoin", "!tree:CartesianProduct"],
 }
 
 
