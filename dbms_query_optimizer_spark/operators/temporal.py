@@ -1257,6 +1257,75 @@ ORDER BY user_id, rn
 ROLLMED_SPAN = 15  # trailing window length for the rolling median
 
 
+HEARTBEAT_TOP_K = 5  # largest silences reported per event type
+
+
+def q_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage / silence detection: the TOP-K largest inter-arrival gaps
+    per event type across the whole timeline — the "was the pipeline
+    down?" query every ingestion SLO monitor runs (a gap an order of
+    magnitude above the median inter-arrival IS the incident report).
+
+    One shuffle on type, lag() for the previous arrival, rank-limit for
+    the top-k — WindowGroupLimit keeps the per-type sort from
+    materializing beyond k rows. Gaps are integer microseconds
+    (exact); each row carries the silence's start/end so the report is
+    directly actionable.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = W.partitionBy("event_type").orderBy(
+        F.col("gap_us").desc(), F.col("event_id")
+    )
+    return (
+        gaps.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= HEARTBEAT_TOP_K)
+        .select(
+            "event_type",
+            "rk",
+            F.col("prev_ts").alias("silence_start"),
+            F.col("ts").alias("silence_end"),
+            "gap_us",
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
+ORACLE_HEARTBEAT_GAPS = f"""
+WITH ev AS (
+    SELECT event_type, event_id,
+           CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+    FROM events
+), gaps AS (
+    SELECT event_type, ts, event_id,
+           LAG(ts) OVER w AS prev_ts,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+    FROM ev
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY gap_us DESC, event_id
+       ) AS rk,
+       prev_ts AS silence_start,
+       ts AS silence_end,
+       gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+QUALIFY rk <= {HEARTBEAT_TOP_K}
+ORDER BY event_type, rk
+"""
+
+
 def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality fingerprint: the day-of-week × hour activity grid per
     event type, each cell with its share of the type's total and a flag
@@ -1727,6 +1796,7 @@ def oracles() -> dict[str, tuple]:
             q_events_dow_hour_profile,
             ORACLE_EVENTS_DOW_HOUR_PROFILE,
         ),
+        "heartbeat_gaps": (q_heartbeat_gaps, ORACLE_HEARTBEAT_GAPS),
         "stratified_neyman_alloc": (
             q_stratified_neyman_alloc,
             ORACLE_STRATIFIED_NEYMAN_ALLOC,
