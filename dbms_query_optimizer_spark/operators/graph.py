@@ -210,8 +210,70 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
 """
 
 
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph + a log-log power-law
+    fit: P(degree) frequencies with regr_slope over (ln degree,
+    ln count) — the first diagnostic of any graph's shape (a heavy tail
+    means hub documents that chain whole clusters together, which is
+    exactly what decides between pair-dropping and component-based
+    dedup). Degrees from one groupBy over the undirected edge list;
+    the distribution is ≤ max-degree rows, so the regression and the
+    broadcast of its 1-row result are metadata-sized at any corpus
+    scale.
+    """
+    from .dedup import q_dedup_simhash_pairs
+
+    edges = q_dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .union(edges.select("id_b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    dist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    fit = dist.agg(
+        F.round(
+            F.regr_slope(F.log("n_nodes"), F.log("degree")), 4
+        ).alias("loglog_slope")
+    )
+    return (
+        dist.crossJoin(F.broadcast(fit))
+        .select("degree", "n_nodes", "loglog_slope")
+        .orderBy("degree")
+    )
+
+
+def _oracle_degree_distribution() -> str:
+    from .dedup import _sql_simhash_pair_ctes
+
+    return (
+        _sql_simhash_pair_ctes()
+        + """,
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT id_a AS node FROM spairs
+            UNION ALL
+            SELECT id_b FROM spairs
+        ) GROUP BY node
+    ),
+    dist AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree),
+    fit AS (
+        SELECT ROUND(regr_slope(LN(n_nodes), LN(degree)), 4) AS loglog_slope
+        FROM dist
+    )
+    SELECT d.degree, d.n_nodes, f.loglog_slope
+    FROM dist d CROSS JOIN fit f
+    ORDER BY d.degree
+    """
+    )
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
         "graph_triangle_count": (q_graph_triangle_count, ORACLE_GRAPH_TRIANGLE_COUNT),
+        "graph_degree_distribution": (
+            q_graph_degree_distribution,
+            _oracle_degree_distribution(),
+        ),
     }
