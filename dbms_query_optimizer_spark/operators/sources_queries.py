@@ -1009,6 +1009,86 @@ ORACLE_TXN_RETENTION_DELETE = """
 """
 
 
+def q_txn_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg's WAP pattern) end to end: the base
+    table is branched (zero-copy shallow clone), TWO candidate batches
+    land on branches — one clean, one failing its audit — and only the
+    audited-green branch is PUBLISHED (atomic metadata adoption via
+    ``publish_from``). The failing branch never touches main BY
+    CONSTRUCTION: there is no undo step to get right, the bad data
+    simply never enters the visible lineage.
+
+    Value-checked legs: main's final contents = base + clean batch only
+    (the oracle recomputes it), the bad batch's negative prices are
+    absent, and publish was metadata-only (files_copied = 0 — the
+    branch's files are adopted by reference). The audit here is the
+    pipeline-side check (no negative totals, non-empty); table-level
+    CHECK constraints (`txn_constraint_gate`) are the schema-side
+    complement.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_wap", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    good = orders.filter(F.col("o_orderkey") % 2 == 1)
+    bad = good.withColumn("o_totalprice", -F.col("o_totalprice"))
+
+    main = TransactionalTable.create(f"{root}/main", orders.schema)
+    t = main.begin()
+    t.insert(base.coalesce(2))
+    t.commit()
+
+    published = 0
+    for i, batch in enumerate([bad, good]):
+        branch = main.clone(f"{root}/branch{i}")
+        tb = branch.begin()
+        tb.insert(batch.coalesce(2))
+        tb.commit()
+        # AUDIT runs against the branch; main is untouched either way
+        audit = branch.read(spark).agg(
+            F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+                "neg"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if audit.neg == 0 and audit.n > 0:
+            main.publish_from(branch)
+            published += 1
+
+    reader = TransactionalTable(f"{root}/main")  # fresh open
+    return reader.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "n_negative"
+        ),
+    ).select(
+        "n_rows",
+        "sum_price",
+        "n_negative",
+        F.lit(published).alias("n_published"),
+        F.lit(2).alias("n_candidates"),
+    )
+
+
+ORACLE_TXN_WAP_PUBLISH = """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           0 AS n_negative,
+           1 AS n_published,
+           2 AS n_candidates
+    FROM orders
+"""
+
+
 def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic INSERT OVERWRITE by predicate (sources/manifest.py
     ``replace_where`` — Delta's replaceWhere, the idempotent-backfill
@@ -1843,6 +1923,7 @@ def oracles() -> dict[str, tuple]:
             q_txn_retention_delete,
             ORACLE_TXN_RETENTION_DELETE,
         ),
+        "txn_wap_publish": (q_txn_wap_publish, ORACLE_TXN_WAP_PUBLISH),
         "txn_replace_where": (q_txn_replace_where, ORACLE_TXN_REPLACE_WHERE),
         "txn_erase_keys": (q_txn_erase_keys, ORACLE_TXN_ERASE_KEYS),
         "txn_incremental_mv": (q_txn_incremental_mv, ORACLE_TXN_INCREMENTAL_MV),

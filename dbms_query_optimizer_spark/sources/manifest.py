@@ -993,11 +993,63 @@ class TransactionalTable:
         os.makedirs(os.path.join(new_root, _MANIFEST_DIR))
         os.makedirs(os.path.join(new_root, _DATA_DIR), exist_ok=True)
         manifest = dict(self.snapshot())
+        # fork point recorded so a WAP publish_from can be fast-forward
+        # -only: publishing a branch forked from a stale main would
+        # silently discard every commit since the fork
+        manifest["forked_from"] = {
+            "root": self.root,
+            "version": manifest["version"],
+        }
         manifest["version"] = 0
         _write_manifest_atomic(
             os.path.join(new_root, _MANIFEST_DIR), 0, manifest
         )
         return TransactionalTable(new_root)
+
+    # ------------------------------------------------- publish-from (WAP)
+    def publish_from(self, branch: "TransactionalTable") -> int:
+        """Adopt a BRANCH table's current state as this table's next
+        version — the PUBLISH step of write-audit-publish: ingest lands
+        on an isolated branch (a shallow ``clone``), audits run against
+        the branch where a bad batch can't hurt anyone, and a passing
+        branch is promoted in ONE atomic metadata commit. A failing
+        audit simply never publishes — main is untouched by
+        construction, which is the entire point of WAP.
+
+        Metadata-only (the branch's immutable files are adopted by
+        reference, like a clone in reverse); FAST-FORWARD-ONLY: raises
+        ConflictError if main has committed past the branch's recorded
+        fork point, because adopting the branch's stale view would
+        silently discard those commits (Iceberg's WAP cherry-picks for
+        the same reason). Inherits the clone caveat: adopted files live
+        under the BRANCH's root, so vacuum the branch only after main no
+        longer references its files (or compact main first)."""
+        src = branch.snapshot()
+        fork = branch.snapshot(0).get("forked_from")
+        while True:
+            base = self.snapshot()
+            if fork is not None and base["version"] != fork["version"]:
+                raise ConflictError(
+                    f"main advanced to v{base['version']} past the branch's "
+                    f"fork point v{fork['version']}; rebase the branch "
+                    f"(re-clone and replay) before publishing"
+                )
+            manifest = dict(src)
+            manifest.pop("forked_from", None)  # branch bookkeeping, not state
+            manifest["version"] = base["version"] + 1
+            # table policies stay MAIN's: the branch is a data vehicle
+            for policy in ("bloom_columns", "constraints"):
+                if base.get(policy):
+                    manifest[policy] = base[policy]
+                else:
+                    manifest.pop(policy, None)
+            try:
+                _write_manifest_atomic(
+                    self._manifest_dir, manifest["version"], manifest
+                )
+                return manifest["version"]
+            except FileExistsError:
+                continue
 
     # ------------------------------------------------------------ restore
     def restore(self, to_version: int) -> int:

@@ -293,3 +293,35 @@ def test_replace_where_crash_before_commit_invisible(spark, table):
     )
     # crash without commit: staged rewrite + replacement invisible
     assert _rows(spark, table.root) == [(1, 1.0), (10, 10.0)]
+
+
+def test_wap_publish_fast_forward_only(spark, table):
+    """publish_from adopts a branch atomically, and REFUSES when main
+    has advanced past the branch's fork point (adopting the stale view
+    would silently discard the interleaved commit)."""
+    import pytest as _pytest
+
+    from dbms_query_optimizer_spark.sources.manifest import ConflictError
+
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()
+
+    branch = table.clone(table.root + "_wap_branch")
+    tb = branch.begin()
+    _insert(spark, tb, (2, 2.0))
+    tb.commit()
+    table.publish_from(branch)
+    assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0)]
+
+    # second branch forks at v2; main then advances -> publish must refuse
+    stale = table.clone(table.root + "_wap_stale")
+    ts = stale.begin()
+    _insert(spark, ts, (3, 3.0))
+    ts.commit()
+    tm = table.begin()
+    _insert(spark, tm, (9, 9.0))
+    tm.commit()
+    with _pytest.raises(ConflictError):
+        table.publish_from(stale)
+    assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0), (9, 9.0)]
