@@ -1,8 +1,8 @@
 """Model-based property test of the manifest table's DML surface.
 
 Hypothesis drives random sequences of the table's write operations
-(insert / COW merge / predicate DELETE / replaceWhere / key erasure /
-RESTORE) against both the real TransactionalTable and a trivial
+(insert / COW merge / predicate DELETE / merge-on-read DV delete /
+DV materialization / replaceWhere / key erasure / RESTORE) against both the real TransactionalTable and a trivial
 in-memory multiset model; after every commit the table's read must
 equal the model, and time travel must reproduce every historical model
 state. This is the test shape that catches OPERATION INTERACTIONS no
@@ -57,13 +57,21 @@ def _op_erase():
     return st.tuples(st.just("erase"), st.sets(KEYS, min_size=1, max_size=3))
 
 
+def _op_delete_mor():
+    return st.tuples(st.just("delete_mor"), KEYS)
+
+
+def _op_materialize():
+    return st.tuples(st.just("materialize"))
+
+
 def _op_restore():
     # target version picked as a fraction of history at execution time
     return st.tuples(st.just("restore"), st.floats(min_value=0.0, max_value=1.0))
 
 
 OPS = st.lists(
-    st.one_of(_op_insert(), _op_merge(), _op_delete(), _op_replace(), _op_erase(), _op_restore()),
+    st.one_of(_op_insert(), _op_merge(), _op_delete(), _op_replace(), _op_erase(), _op_restore(), _op_delete_mor(), _op_materialize()),
     min_size=1,
     max_size=6,
 )
@@ -128,6 +136,22 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             model = Counter(
                 {(k, v): n for (k, v), n in model.items() if k not in keys}
             )
+        elif kind == "delete_mor":
+            # merge-on-read: same visible semantics as the COW delete,
+            # entirely different mechanism (deletion vector + read-side
+            # anti-join) — the model cannot tell them apart, which is
+            # the contract
+            cut = op[1]
+            txn.delete_mor(spark, ("k", ">=", cut))
+            model = Counter(
+                {(k, v): n for (k, v), n in model.items() if not k >= cut}
+            )
+        elif kind == "materialize":
+            txn.abort()  # table-level, not a staged txn
+            if table.materialize_dvs(spark) is not None:
+                history.append(Counter(model))  # content unchanged
+            assert _read_multiset(spark, root) == model
+            continue
         elif kind == "restore":
             txn.abort()  # restore is table-level, not a staged txn
             target = int(op[1] * (len(history) - 1))
