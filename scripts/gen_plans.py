@@ -430,6 +430,27 @@ COMMENTARY = {
         "regardless of input volume. The per-type rank window is the "
         "droppable exact-verification column, not the sketch path."
     ),
+    "boilerplate_strip": (
+        "Corpus line-level dedup with text rebuild. Expect: the segment "
+        "explode feeding a map-side partial-aggregated distinct-doc count "
+        "(shuffle = distinct segments), the frequency join back, and the "
+        "ordered reassembly via array_sort(collect_list(struct)) — no "
+        "Python plane anywhere, no cartesian."
+    ),
+    "entity_resolution": (
+        "Block → match → cluster → canonicalize in one DAG. Expect: the "
+        "distinct-name frame broadcast into the blocked Levenshtein "
+        "self-join (never a cartesian), then the bounded label-propagation "
+        "loop's localCheckpointed frames — the iterative tail reads as "
+        "scans of checkpointed RDDs, keeping plan depth constant."
+    ),
+    "running_balance_clamped": (
+        "Lindley recurrence as TWO stacked windows (running sum, running "
+        "min of it) sharing ONE user_id Exchange — the reflection identity "
+        "turns a 'sequential' per-key loop into pure codegen. Expect: a "
+        "single data shuffle, two Window operators back to back, no join, "
+        "no Python."
+    ),
     "text_mixed_language": (
         "Per-half language ID with EXPLICIT exchange barriers. Expect: "
         "projection 1 materializes the two normalized+padded halves, a "
