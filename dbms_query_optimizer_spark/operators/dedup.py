@@ -259,6 +259,125 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit as a first-class QUERY: the exact ≥-threshold
+    pair set (complete by construction — any pair with Jaccard > 0
+    shares a shingle, so the inverted index enumerates every true pair),
+    the LSH band-bucket candidate set, and their overlap, reduced to the
+    two numbers an operator tunes bands/rows against: RECALL (what
+    fraction of true near-dup pairs did the bands surface?) and
+    CANDIDATE PRECISION (what fraction of surfaced candidates survive
+    exact verification — the wasted-verification budget).
+
+    This promotes the pytest-only recall gate to an oracle-checked
+    catalog surface: the DuckDB side recomputes signatures, bands,
+    candidates, AND the exact pair set independently, so the report's
+    every cell is value-verified. Verified pairs are a subset of exact
+    pairs by construction (same threshold, same exact re-check), so
+    recall = n_verified / n_exact.
+    """
+    t = load_tables(spark, sf_dir)
+    sh = _doc_shingles(t["documents"]).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def jaccard_pairs(cand: DataFrame) -> DataFrame:
+        inter = (
+            cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+            .join(
+                sh.alias("sb"),
+                (F.col("sb.doc_id") == F.col("id_b"))
+                & (F.col("sb.shingle") == F.col("sa.shingle")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        return (
+            inter.join(sizes.alias("za"), F.col("za.doc_id") == F.col("id_a"))
+            .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("id_b"))
+            .filter(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+                >= MINHASH_JACCARD_T
+            )
+            .select("id_a", "id_b")
+        )
+
+    all_cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(all_cand)
+    lsh_cand = (
+        _bucket_pairs(_sig_bands(_minhash_sig(sh)), ["doc_id"])
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(lsh_cand)
+    n_exact = exact.count()
+    n_cand = lsh_cand.count()
+    n_verified = verified.count()
+    return spark.createDataFrame(
+        [(n_exact, n_cand, n_verified)],
+        "n_exact_pairs long, n_candidates long, n_verified long",
+    ).select(
+        "n_exact_pairs",
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified").cast("double")
+            / F.col("n_exact_pairs").cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_verified").cast("double")
+            / F.col("n_candidates").cast("double"),
+            6,
+        ).alias("candidate_precision"),
+    )
+
+
+def _oracle_lsh_recall_report() -> str:
+    return f"""
+    WITH {_sql_minhash_pair_ctes()},
+    all_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    exact_inter AS (
+        SELECT id_a, id_b, COUNT(*) AS n_inter
+        FROM all_cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+        GROUP BY id_a, id_b
+    ),
+    exact_pairs AS (
+        SELECT id_a, id_b
+        FROM exact_inter
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE n_inter / (za.n_sh + zb.n_sh - n_inter) >= {MINHASH_JACCARD_T}
+    ),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact_pairs,
+               (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM pairs) AS n_verified
+    )
+    SELECT n_exact_pairs, n_candidates, n_verified,
+           ROUND(CAST(n_verified AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE), 6)
+               AS recall,
+           ROUND(CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+               AS candidate_precision
+    FROM counts
+    """
+
+
 def _sql_band_rows() -> str:
     """LATERAL VALUES rows mapping a signature row to its LSH band keys —
     shared by every oracle that mirrors _sig_bands."""
@@ -1762,6 +1881,7 @@ def oracles() -> dict[str, tuple]:
         "entity_resolution": (q_entity_resolution, ORACLE_ENTITY_RESOLUTION),
         "dedup_containment": (q_dedup_containment, _oracle_containment()),
         "dedup_keep_superset": (q_dedup_keep_superset, _oracle_keep_superset()),
+        "lsh_recall_report": (q_lsh_recall_report, _oracle_lsh_recall_report()),
         "dedup_span_duplication": (q_dedup_span_duplication, _sql_span_duplication()),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash_lsh()),
