@@ -1013,6 +1013,84 @@ ORACLE_PII_REDACT = f"""
 """
 
 
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature move (Wenzek et al. 2020): rank each language's
+    documents by LM score and cut into head / middle / tail terciles —
+    head (most fluent under the LM) feeds training, tail gets dropped,
+    middle is judgement-call. Here the LM is the corpus's own unigram
+    model (q_text_unigram_logprob's score; CCNet uses 5-gram KenLM — the
+    distributed plumbing is identical).
+
+    Per-language NTILE(3) over (rounded mean NLL, doc_id) — the rounding
+    happens BEFORE ranking on both engines so tercile boundaries can't
+    be flipped by last-ulp NLL noise. One token-level join against the
+    broadcast-size frequency table, then a per-language windowed rank
+    over the doc-level aggregate.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+        .filter(F.length("token") >= 1)
+    )
+    freq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    scored = (
+        tokens.join(freq, "token")
+        .join(F.broadcast(total))
+        .withColumn(
+            "nll", -F.log(F.col("n_tok").cast("double") / F.col("n_total"))
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 6).alias("mean_nll"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    tercile = F.ntile(3).over(
+        W.partitionBy("lang").orderBy("mean_nll", "doc_id")
+    )
+    return (
+        scored.withColumn("tercile", tercile)
+        .select(
+            "doc_id",
+            "lang",
+            "mean_nll",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CCNET_PPL_BUCKETS = """
+WITH tok AS (
+    SELECT doc_id, t.token
+    FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(token)
+    WHERE length(t.token) >= 1
+), freq AS (
+    SELECT token, COUNT(*) AS n_tok FROM tok GROUP BY token
+), total AS (
+    SELECT SUM(n_tok) AS n_total FROM freq
+), scored AS (
+    SELECT tok.doc_id, ROUND(AVG(-ln(CAST(n_tok AS DOUBLE) / n_total)), 6)
+               AS mean_nll
+    FROM tok JOIN freq USING (token) CROSS JOIN total
+    GROUP BY tok.doc_id
+), ranked AS (
+    SELECT s.doc_id, d.lang, s.mean_nll,
+           NTILE(3) OVER (
+               PARTITION BY d.lang ORDER BY s.mean_nll, s.doc_id
+           ) AS tercile
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, mean_nll,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 SEG_WORDS = 10  # words per pseudo-line segment
 BOILER_MIN_DOCS = 3  # a segment in >= this many docs is boilerplate
 
@@ -1131,6 +1209,7 @@ def oracles() -> dict[str, tuple]:
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
         "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
         "boilerplate_strip": (q_boilerplate_strip, ORACLE_BOILERPLATE_STRIP),
+        "ccnet_ppl_buckets": (q_ccnet_ppl_buckets, ORACLE_CCNET_PPL_BUCKETS),
         "text_rolling_fingerprint": (q_text_rolling_fingerprint, _sql_rolling_fingerprint()),
         "text_lang_quality_summary": (
             q_text_lang_quality_summary,
