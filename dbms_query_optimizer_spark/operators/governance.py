@@ -803,6 +803,95 @@ ORDER BY lw.lang
 """
 
 
+def q_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASHEET: one (metric, value) table summarizing the corpus —
+    the numbers a dataset card / data-governance review asks for first,
+    produced by ONE job instead of ten ad-hoc notebook cells. Size and
+    composition (docs, languages, sources, whitespace tokens, mean
+    length), quality (mean composite score), and exact-duplicate burden
+    (docs whose normalized fingerprint has an earlier copy).
+
+    Every metric is a scan-collapsing aggregate; the unpivot to long
+    form is a constant-size stack(). Values are rounded to 6 where
+    computed; counts are exact. At 100 TB each metric family is one
+    map-side-combined pass — the report costs a few scans of the
+    corpus, not a notebook of them.
+    """
+    from .text import SQL_QUALITY  # noqa: F401  (oracle twin below)
+    from ..functions import text as TX
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = docs.select("doc_id", TX.fingerprint_md5("text").alias("fp"))
+    dup_docs = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") - 1).alias("n_dup"))
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(F.size(F.split("text", " "))).alias("n_ws_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.avg(TX.quality_score("text")), 6).alias("mean_quality"),
+    )
+    wide = base.crossJoin(F.broadcast(dup_docs)).select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        F.col("n_langs").cast("double").alias("n_langs"),
+        F.col("n_sources").cast("double").alias("n_sources"),
+        F.col("n_ws_tokens").cast("double").alias("n_ws_tokens"),
+        "mean_chars",
+        "mean_quality",
+        F.col("n_dup").cast("double").alias("n_exact_dup_docs"),
+        F.round(F.col("n_dup").cast("double") / F.col("n_docs"), 6).alias(
+            "exact_dup_rate"
+        ),
+    )
+    cols = [
+        "n_docs", "n_langs", "n_sources", "n_ws_tokens",
+        "mean_chars", "mean_quality", "n_exact_dup_docs", "exact_dup_rate",
+    ]
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (metric, value)")
+    ).orderBy("metric")
+
+
+def _oracle_dataset_card() -> str:
+    from .text import SQL_NORM, SQL_QUALITY
+
+    return f"""
+WITH fp AS (
+    SELECT md5({SQL_NORM}) AS f FROM documents
+), dup AS (
+    SELECT SUM(n - 1) AS n_dup FROM (
+        SELECT COUNT(*) AS n FROM fp GROUP BY f
+    )
+), base AS (
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(len(string_split(text, ' '))) AS n_ws_tokens,
+           ROUND(AVG(n_chars), 6) AS mean_chars,
+           ROUND(AVG({SQL_QUALITY}), 6) AS mean_quality
+    FROM documents
+)
+SELECT metric, value FROM (
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+    UNION ALL SELECT 'n_ws_tokens', CAST(n_ws_tokens AS DOUBLE) FROM base
+    UNION ALL SELECT 'mean_chars', mean_chars FROM base
+    UNION ALL SELECT 'mean_quality', mean_quality FROM base
+    UNION ALL SELECT 'n_exact_dup_docs', CAST(n_dup AS DOUBLE) FROM dup
+    UNION ALL SELECT 'exact_dup_rate',
+        ROUND(CAST(d.n_dup AS DOUBLE) / b.n_docs, 6)
+        FROM dup d CROSS JOIN base b
+)
+ORDER BY metric
+"""
+
+
 PSI_BINS = 10  # population-stability-index bucket count
 
 
@@ -1303,6 +1392,7 @@ def oracles() -> dict[str, tuple]:
         "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
         "drift_psi": (q_drift_psi, ORACLE_DRIFT_PSI),
         "drift_welch_t": (q_drift_welch_t, ORACLE_DRIFT_WELCH_T),
+        "dataset_card_report": (q_dataset_card_report, _oracle_dataset_card()),
         "gini_concentration": (
             q_gini_concentration,
             ORACLE_GINI_CONCENTRATION,
