@@ -815,6 +815,84 @@ ORDER BY vec_id
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the Euclidean distance
+    between the centroid of one half of the corpus and the other (halves
+    by deterministic vec_id parity — in production, by time window).
+    A re-embedded or re-trained encoder shifts centroids; this is the
+    cheap canary that catches it before a downstream ANN index quietly
+    degrades — the vector-space analog of `drift_psi`/`drift_welch_t`.
+
+    Both half-centroids come from the posexplode grouped-avg partials
+    (labels × dims × 2 rows after aggregation, constant in corpus
+    size), are rounded to 6 dp (the `embedding_centroids` determinism
+    precedent), assembled into arrays, and differenced with a
+    deterministic zip_with fold. The relative shift normalizes by the
+    half-A centroid norm so labels with different scales compare.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", "embedding"
+    )
+    cent = (
+        e.withColumn("half", F.pmod("vec_id", F.lit(2)).cast("int"))
+        .select("label", "half", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "half", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("carr")
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select("label", F.col("carr").alias("ca"))
+    b = cent.filter(F.col("half") == 1).select("label", F.col("carr").alias("cb"))
+    diff2 = F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y))
+    sq = F.transform("ca", lambda x: x * x)
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
+    norm_a = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            F.round(dist, 6).alias("centroid_shift"),
+            F.round(norm_a, 6).alias("norm_a"),
+            F.round(dist / norm_a, 6).alias("relative_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH cent AS (
+    SELECT label, CAST(vec_id % 2 AS INT) AS half, d.dim AS dim,
+           ROUND(AVG(CAST(embedding[d.dim + 1] AS DOUBLE)), 6) AS c
+    FROM embeddings
+    CROSS JOIN (SELECT UNNEST(range(64)) AS dim) d
+    GROUP BY label, half, d.dim
+), arrs AS (
+    SELECT label, half, list(c ORDER BY dim) AS carr
+    FROM cent GROUP BY label, half
+), j AS (
+    SELECT a.label, a.carr AS ca, b.carr AS cb
+    FROM arrs a JOIN arrs b ON a.label = b.label
+    WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+       ROUND(list_distance(CAST(ca AS DOUBLE[]), CAST(cb AS DOUBLE[])), 6)
+           AS centroid_shift,
+       ROUND(sqrt(list_dot_product(CAST(ca AS DOUBLE[]),
+                                   CAST(ca AS DOUBLE[]))), 6) AS norm_a,
+       ROUND(list_distance(CAST(ca AS DOUBLE[]), CAST(cb AS DOUBLE[]))
+             / sqrt(list_dot_product(CAST(ca AS DOUBLE[]),
+                                     CAST(ca AS DOUBLE[]))), 6)
+           AS relative_shift
+FROM j
+ORDER BY label
+"""
+
+
 CONTRAST_STRIDE = 50  # anchors = every 50th vector — spread across labels
 
 
@@ -928,4 +1006,5 @@ def oracles() -> dict[str, tuple]:
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
         "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
         "embedding_outliers": (q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
+        "embedding_drift": (q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
     }
