@@ -1257,6 +1257,140 @@ ORDER BY user_id, rn
 ROLLMED_SPAN = 15  # trailing window length for the rolling median
 
 
+def q_feature_assembly_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store-style POINT-IN-TIME feature assembly: for every
+    training label (a purchase), the feature vector AS OF the label's
+    own timestamp — trailing 7-day view count, trailing 24-hour click
+    count, and the last event type strictly before the label. Computing
+    features at label time (never after) is what prevents the
+    train/serve leakage every feature store exists to rule out.
+
+    Three different temporal primitives, each in its scale-correct
+    plan: the trailing-window counts are BUCKETED range joins (the
+    label explodes over its window's day buckets, candidates come from
+    an equi-join — bounded fan-out, no theta join); the
+    last-event-before lookup is the one-shuffle union-sort-window as-of
+    carry with labels sorted before same-instant events so "strictly
+    earlier ts" holds exactly. The oracle decorrelates all three as
+    per-label subqueries — an independent formulation of each.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    labels = ev.filter(F.col("event_type") == ASOF_BUILD_TYPE).select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("l_ts"),
+        F.unix_micros("ts").alias("l_us"),
+    )
+    feats = ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("e_ts"),
+        F.unix_micros("ts").alias("e_us"),
+        F.to_date("ts").alias("e_day"),
+    )
+
+    def trailing_count(days: int, etype: str, alias: str) -> DataFrame:
+        span_us = days * 86_400 * 1_000_000
+        probes = labels.select(
+            "label_id",
+            "user_id",
+            "l_us",
+            F.explode(
+                F.sequence(
+                    F.date_sub(F.to_date("l_ts"), days), F.to_date("l_ts")
+                )
+            ).alias("e_day"),
+        )
+        return (
+            probes.join(
+                feats.filter(F.col("event_type") == etype),
+                ["user_id", "e_day"],
+            )
+            .filter(
+                (F.col("e_us") >= F.col("l_us") - span_us)
+                & (F.col("e_us") < F.col("l_us"))
+            )
+            .groupBy("label_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    views7 = trailing_count(7, "view", "n_views_7d")
+    clicks1 = trailing_count(1, "click", "n_clicks_24h")
+
+    # last event strictly before the label: probes sort BEFORE feeds at
+    # equal ts so same-instant events are excluded; feed tie-break is
+    # (ts, event_id) so the carried value is the lexicographic latest
+    feed = ev.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("label_id"),
+        F.struct(F.col("ts").alias("fts"), "event_id", "event_type").alias("f"),
+    )
+    probes = labels.select(
+        "user_id",
+        F.col("l_ts").alias("ts"),
+        F.lit(1).alias("is_probe"),
+        "label_id",
+        F.lit(None)
+        .cast("struct<fts:timestamp,event_id:long,event_type:string>")
+        .alias("f"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("is_probe").desc(), F.col("f.event_id").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_ev = (
+        feed.unionByName(probes)
+        .withColumn("m", F.last("f", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("label_id", F.col("m.event_type").alias("last_event_type"))
+    )
+
+    return (
+        labels.select("label_id", "user_id", "l_ts")
+        .join(views7, "label_id", "left")
+        .join(clicks1, "label_id", "left")
+        .join(last_ev, "label_id", "left")
+        .select(
+            "label_id",
+            "user_id",
+            F.coalesce("n_views_7d", F.lit(0)).alias("n_views_7d"),
+            F.coalesce("n_clicks_24h", F.lit(0)).alias("n_clicks_24h"),
+            "last_event_type",
+        )
+        .orderBy("label_id")
+    )
+
+
+ORACLE_FEATURE_ASSEMBLY_PIT = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+    FROM events
+), labels AS (
+    SELECT event_id AS label_id, user_id, ts AS l_ts
+    FROM ev WHERE event_type = '{ASOF_BUILD_TYPE}'
+)
+SELECT l.label_id, l.user_id,
+       (SELECT COUNT(*) FROM ev e
+        WHERE e.user_id = l.user_id AND e.event_type = 'view'
+          AND e.ts >= l.l_ts - INTERVAL 7 DAY AND e.ts < l.l_ts)
+           AS n_views_7d,
+       (SELECT COUNT(*) FROM ev e
+        WHERE e.user_id = l.user_id AND e.event_type = 'click'
+          AND e.ts >= l.l_ts - INTERVAL 1 DAY AND e.ts < l.l_ts)
+           AS n_clicks_24h,
+       (SELECT e.event_type FROM ev e
+        WHERE e.user_id = l.user_id AND e.ts < l.l_ts
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1)
+           AS last_event_type
+FROM labels l
+ORDER BY l.label_id
+"""
+
+
 HEARTBEAT_TOP_K = 5  # largest silences reported per event type
 
 
@@ -1797,6 +1931,10 @@ def oracles() -> dict[str, tuple]:
             ORACLE_EVENTS_DOW_HOUR_PROFILE,
         ),
         "heartbeat_gaps": (q_heartbeat_gaps, ORACLE_HEARTBEAT_GAPS),
+        "feature_assembly_pit": (
+            q_feature_assembly_pit,
+            ORACLE_FEATURE_ASSEMBLY_PIT,
+        ),
         "stratified_neyman_alloc": (
             q_stratified_neyman_alloc,
             ORACLE_STRATIFIED_NEYMAN_ALLOC,
