@@ -119,6 +119,9 @@ HEADLINE = [
     # text rebuild) and the block/match/cluster/canonicalize ER composite
     "boilerplate_strip",
     "entity_resolution",
+    # round 4: feature-store point-in-time assembly (bucketed range
+    # joins + as-of carry; the leakage-free training-feature prep)
+    "feature_assembly_pit",
 ]
 
 

@@ -275,6 +275,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # ER: the blocked fuzzy self-join must stay broadcast (distinct-name
     # frame ≪ fact), never a cartesian
     "entity_resolution": ["BroadcastHashJoin", "!tree:CartesianProduct"],
+    # PIT assembly: trailing counts are bucketed EQUI-joins and the
+    # as-of carry is a window — no nested-loop theta join anywhere
+    "feature_assembly_pit": ["tree:Window", "!tree:BroadcastNestedLoopJoin"],
 }
 
 
