@@ -601,6 +601,113 @@ ORACLE_STREAMING_UPSERT_INGEST = """
 """
 
 
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every session's revenue credited to the
+    channel that STARTED it — the marketing-mix counterpart of the
+    last-touch/as-of lookup (`q_asof_join` answers "what preceded this
+    purchase"; this answers "what do entry channels earn"). Sessions by
+    the shared gap rule; the entry event is the session's (ts, event_id)
+    minimum via one deterministic struct-min aggregate — no second
+    window pass; revenue accumulates in exact integer cents.
+
+    Per entry channel: sessions started, converting sessions, exact
+    conversion rate, credited revenue. All integer/selection math — the
+    only double is the final rate ratio.
+    """
+    ev = _events(spark, sf_dir)
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_user) > gap_us,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_no", F.sum("new_session").over(w_user))
+    per_session = sessioned.groupBy("user_id", "session_no").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("entry"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    return (
+        per_session.groupBy(F.col("entry.event_type").alias("entry_channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("rev_cents") > 0, 1).otherwise(0)).alias(
+                "n_converting"
+            ),
+            F.sum("rev_cents").alias("credited_cents"),
+        )
+        .select(
+            "entry_channel",
+            "n_sessions",
+            "n_converting",
+            F.round(
+                F.col("n_converting").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("conv_rate"),
+            "credited_cents",
+        )
+        .orderBy("entry_channel")
+    )
+
+
+ORACLE_FIRST_TOUCH_ATTRIBUTION = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(ROUND(CASE WHEN event_type = 'purchase' THEN value
+                           ELSE 0.0 END * 100) AS BIGINT) AS cents,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                     > {SESSION_GAP_MIN * 60 * 1_000_000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+    FROM flagged
+), entries AS (
+    SELECT user_id, session_no, event_type AS entry_channel
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, session_no ORDER BY ts, event_id
+        ) AS rn
+        FROM numbered
+    ) WHERE rn = 1
+), revs AS (
+    SELECT user_id, session_no, SUM(cents) AS rev_cents
+    FROM numbered GROUP BY user_id, session_no
+), per_session AS (
+    SELECT e.entry_channel, r.rev_cents
+    FROM entries e JOIN revs r USING (user_id, session_no)
+)
+SELECT entry_channel,
+       COUNT(*) AS n_sessions,
+       SUM(CASE WHEN rev_cents > 0 THEN 1 ELSE 0 END) AS n_converting,
+       ROUND(CAST(SUM(CASE WHEN rev_cents > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate,
+       SUM(rev_cents) AS credited_cents
+FROM per_session
+GROUP BY entry_channel
+ORDER BY entry_channel
+"""
+
+
 PATH_TOP_K = 20
 
 
@@ -846,4 +953,8 @@ def oracles() -> dict[str, tuple]:
             ORACLE_STREAMING_QUANTILE_SKETCH,
         ),
         "session_paths": (q_session_paths, ORACLE_SESSION_PATHS),
+        "first_touch_attribution": (
+            q_first_touch_attribution,
+            ORACLE_FIRST_TOUCH_ATTRIBUTION,
+        ),
     }
