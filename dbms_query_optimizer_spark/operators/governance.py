@@ -892,6 +892,85 @@ ORDER BY metric
 """
 
 
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the null-rate / cardinality / mode report every
+    data-profiling tool (dbt tests, pandas-profiling, Deequ) ships, as
+    one job over the orders table: per column, null count and rate,
+    exact distinct cardinality, the modal value and its share
+    (mode tie-break = lexicographically smallest, so the report is
+    deterministic).
+
+    Plan shape: nulls/distincts are ONE multi-aggregate pass; each
+    column's mode is its own map-side-combined value count topped with a
+    TakeOrdered — per profiled column one distinct-values-sized shuffle,
+    never a row-sized one. The long-form output unions per-column rows
+    (columns are a constant, not data).
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    n_rows = orders.count()
+    parts = []
+    for c in PROFILE_COLS:
+        sc = F.col(c).cast("string")
+        mode_row = (
+            orders.groupBy(sc.alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(1)
+            .select(
+                F.lit(c).alias("column"),
+                F.col("v").alias("top_value"),
+                F.col("n").alias("top_count"),
+            )
+        )
+        stats = orders.agg(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.count_distinct(c).alias("n_distinct"),
+        ).select(F.lit(c).alias("column"), "n_nulls", "n_distinct")
+        parts.append(stats.join(mode_row, "column"))
+    prof = parts[0]
+    for p in parts[1:]:
+        prof = prof.unionByName(p)
+    return prof.select(
+        "column",
+        F.lit(n_rows).alias("n_rows"),
+        "n_nulls",
+        F.round(F.col("n_nulls").cast("double") / F.lit(float(n_rows)), 6).alias(
+            "null_rate"
+        ),
+        "n_distinct",
+        "top_value",
+        F.round(
+            F.col("top_count").cast("double") / F.lit(float(n_rows)), 6
+        ).alias("top_share"),
+    ).orderBy("column")
+
+
+def _oracle_column_profile() -> str:
+    selects = []
+    for c in PROFILE_COLS:
+        selects.append(f"""
+    SELECT '{c}' AS "column",
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
+               AS null_rate,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           (SELECT CAST({c} AS VARCHAR) FROM orders GROUP BY {c}
+            ORDER BY COUNT(*) DESC, CAST({c} AS VARCHAR) ASC LIMIT 1)
+               AS top_value,
+           ROUND(CAST((SELECT COUNT(*) FROM orders GROUP BY {c}
+                       ORDER BY COUNT(*) DESC, CAST({c} AS VARCHAR) ASC
+                       LIMIT 1) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
+               AS top_share
+    FROM orders""")
+    return " UNION ALL ".join(selects) + ' ORDER BY "column"'
+
+
 PSI_BINS = 10  # population-stability-index bucket count
 
 
@@ -1393,6 +1472,7 @@ def oracles() -> dict[str, tuple]:
         "drift_psi": (q_drift_psi, ORACLE_DRIFT_PSI),
         "drift_welch_t": (q_drift_welch_t, ORACLE_DRIFT_WELCH_T),
         "dataset_card_report": (q_dataset_card_report, _oracle_dataset_card()),
+        "column_profile": (q_column_profile, _oracle_column_profile()),
         "gini_concentration": (
             q_gini_concentration,
             ORACLE_GINI_CONCENTRATION,
