@@ -1009,6 +1009,91 @@ ORACLE_TXN_RETENTION_DELETE = """
 """
 
 
+def q_txn_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMITTED slowly-changing-dimension maintenance: the SCD2 pattern
+    (`scd2_build` computes the history SHAPE as a query; this APPLIES a
+    change batch to a dimension table transactionally). Every customer
+    loads as version 1 / current; a change batch re-segments every 7th
+    customer; ONE copy-on-write merge replaces each changed key's rows
+    with its CLOSED v1 row + its new CURRENT v2 row — the merge source
+    carrying two rows per key is exactly what makes the existing
+    key-replace merge semantics implement SCD2 without a special
+    operator. Atomic: a reader sees the whole batch's history or none
+    of it, and the pre-change dimension stays time-travel-readable.
+
+    The oracle recomputes the expected post-state from the raw table
+    (unchanged keys: one current v1 row; changed keys: one closed v1 +
+    one current v2), aggregated with per-bucket key checksums so both
+    the row multiplicity AND the membership of each bucket are
+    value-checked. Versions are integers — no date nondeterminism.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_scd2", "customer")
+    shutil.rmtree(root, ignore_errors=True)
+
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim0 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    table = TransactionalTable.create(f"{root}/dim", dim0.schema)
+    t = table.begin()
+    t.insert(dim0.coalesce(2))
+    t.commit()
+
+    changed = cust.filter(F.col("c_custkey") % 7 == 0)
+    closed_v1 = changed.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    new_v2 = changed.select(
+        "c_custkey",
+        F.lit("MOVED").alias("segment"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    tm = table.begin()
+    tm.merge(spark, closed_v1.unionByName(new_v2), "c_custkey")
+    tm.commit()
+
+    reader = TransactionalTable(f"{root}/dim")  # fresh open
+    dim = reader.read(spark)
+    return dim.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_current"),
+        F.sum(F.when(~F.col("is_current"), 1).otherwise(0)).alias("n_closed"),
+        F.sum(F.when(F.col("version") == 2, F.col("c_custkey"))).alias(
+            "v2_key_sum"
+        ),
+        F.sum(
+            F.when(F.col("is_current") & (F.col("version") == 1), F.col("c_custkey"))
+        ).alias("v1_current_key_sum"),
+    )
+
+
+ORACLE_TXN_SCD2_APPLY = """
+    SELECT (SELECT COUNT(*) FROM customer)
+           + (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)
+               AS n_rows,
+           (SELECT COUNT(*) FROM customer) AS n_current,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)
+               AS n_closed,
+           (SELECT SUM(c_custkey) FROM customer WHERE c_custkey % 7 = 0)
+               AS v2_key_sum,
+           (SELECT SUM(c_custkey) FROM customer WHERE c_custkey % 7 <> 0)
+               AS v1_current_key_sum
+"""
+
+
 def q_txn_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (Iceberg's WAP pattern) end to end: the base
     table is branched (zero-copy shallow clone), TWO candidate batches
@@ -1924,6 +2009,7 @@ def oracles() -> dict[str, tuple]:
             ORACLE_TXN_RETENTION_DELETE,
         ),
         "txn_wap_publish": (q_txn_wap_publish, ORACLE_TXN_WAP_PUBLISH),
+        "txn_scd2_apply": (q_txn_scd2_apply, ORACLE_TXN_SCD2_APPLY),
         "txn_replace_where": (q_txn_replace_where, ORACLE_TXN_REPLACE_WHERE),
         "txn_erase_keys": (q_txn_erase_keys, ORACLE_TXN_ERASE_KEYS),
         "txn_incremental_mv": (q_txn_incremental_mv, ORACLE_TXN_INCREMENTAL_MV),
