@@ -669,6 +669,7 @@ def oracles() -> dict[str, tuple]:
             ORACLE_AUDIENCE_OVERLAP_SKETCH,
         ),
         "trend_per_group": (q_trend_per_group, ORACLE_TREND_PER_GROUP),
+        "quantile_normalize": (q_quantile_normalize, ORACLE_QUANTILE_NORMALIZE),
     }
 
 
@@ -921,6 +922,65 @@ FROM pairs p
 JOIN sizes sa ON sa.event_type = p.type_a
 JOIN sizes sb ON sb.event_type = p.type_b
 ORDER BY type_a, type_b
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (quantile matching): every 'view' value is
+    mapped onto the 'purchase' value distribution at the same quantile
+    rank — the calibration transform behind score alignment across
+    models, batch-effect correction, and making two sources' features
+    comparable before a join on thresholds.
+
+    All-integer rank math: rank_b over the source distribution,
+    target position = ceil(rank_b · nA / nB) computed as
+    (rank·nA + nB − 1) div nB — exact, no float quantile anywhere — and
+    the normalized value is A's order statistic AT that position, an
+    input value selected, not computed. The global row_number windows
+    here are single-partition BY CHOICE at catalog scale; the 100 TB
+    swap is the range-partitioned rank of `q_global_row_number`
+    (distributed sort + broadcast partition offsets), identical
+    semantics. One equi-join on position finishes the mapping.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    a = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("value", "event_id")
+        .withColumn("pos", F.row_number().over(W.orderBy("value", "event_id")))
+    )
+    n_a = a.count()
+    b = (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", "value")
+        .withColumn("rank_b", F.row_number().over(W.orderBy("value", "event_id")))
+    )
+    n_b = b.count()
+    target = ((F.col("rank_b") * n_a + n_b - 1) / n_b).cast("long")
+    return (
+        b.withColumn("pos", target)
+        .join(
+            a.select("pos", F.col("value").alias("normalized_value")), "pos"
+        )
+        .select("event_id", "value", "rank_b", "normalized_value")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH a AS (
+    SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS pos
+    FROM events WHERE event_type = 'purchase'
+), b AS (
+    SELECT event_id, value,
+           ROW_NUMBER() OVER (ORDER BY value, event_id) AS rank_b
+    FROM events WHERE event_type = 'view'
+), sizes AS (
+    SELECT (SELECT COUNT(*) FROM a) AS n_a, (SELECT COUNT(*) FROM b) AS n_b
+)
+SELECT b.event_id, b.value, b.rank_b, a.value AS normalized_value
+FROM b CROSS JOIN sizes s
+JOIN a ON a.pos = (b.rank_b * s.n_a + s.n_b - 1) // s.n_b
+ORDER BY b.event_id
 """
 
 
