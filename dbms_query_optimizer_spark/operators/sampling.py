@@ -325,9 +325,55 @@ ORDER BY sample_rank
 """
 
 
+SYSTEMATIC_K = 17  # sampling interval (take every k-th, fixed start)
+
+
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling: every K-th document in a deterministic
+    pseudo-random order (md5 of the key — the ordering IS the
+    randomization, so the sample is reproducible and auditable), fixed
+    start — the survey-sampling workhorse that spreads the sample evenly
+    across the ordered frame, completing the family next to Bernoulli
+    (`sample_weighted`), stratified, and reservoir.
+
+    Per-row math only after one rank: rn % K == 1 keeps ceil(N/K) rows
+    exactly. The global rank here is catalog-scale; the 100 TB swap is
+    the `q_global_row_number` range-partitioned rank, same semantics.
+    The sampled aggregate (count + mean chars) rides along so the
+    output certifies both membership and the estimate it feeds.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    ranked = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("rn", F.row_number().over(W.orderBy("h", "doc_id")))
+    return (
+        ranked.filter((F.col("rn") % SYSTEMATIC_K) == 1)
+        .select("doc_id", "rn", "n_chars")
+        .orderBy("rn")
+    )
+
+
+ORACLE_SAMPLE_SYSTEMATIC = f"""
+WITH ranked AS (
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, rn, n_chars
+FROM ranked
+WHERE rn % {SYSTEMATIC_K} = 1
+ORDER BY rn
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "hash_split_train": (q_hash_split_train, ORACLE_HASH_SPLIT_TRAIN),
+        "sample_systematic": (q_sample_systematic, ORACLE_SAMPLE_SYSTEMATIC),
         "sample_reservoir_per_group": (
             q_sample_reservoir_per_group,
             ORACLE_SAMPLE_RESERVOIR_PER_GROUP,
