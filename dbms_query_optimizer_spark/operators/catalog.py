@@ -608,9 +608,26 @@ for _name, (_fn, _sql) in TPCH.oracles().items():
 # full-catalog gate (tests/test_queries_oracle.py — the identical DuckDB
 # hash check over every oracled entry).
 
-# Names with a hash-checked driver row in rounds 1-3 (union of
-# CORRECTNESS_r0{1,2,3}.json minus the no_oracle rows-only entries).
+# Names with a hash-checked driver row in rounds 1-4 (union of
+# CORRECTNESS_r0{1,2,3,4}.json minus the no_oracle rows-only entries and
+# minus tpch_q12, whose r4 row was red — an oracle-side HUGEINT cast bug,
+# fixed this round and rotated back in to prove it).
 DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
+    # round-4 greens
+    "approx_aggs", "asof_join_forward", "asof_join_salted",
+    "bucketed_colocated_join", "curriculum_bins",
+    "dedup_embedding_cosine_lsh", "doc_length_histogram", "events_sliding",
+    "events_tumbling", "length_winsorize", "mix_rebalance",
+    "mix_temperature_weights", "scd2_point_in_time", "source_binaryfile_scan",
+    "source_csv_scan", "source_json_scan", "source_orc_scan",
+    "source_partitioned_scan", "source_python_stream",
+    "source_schema_evolution", "source_zorder_scan", "tpch_q2", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q22", "txn_merge_upsert",
+    "txn_point_lookup", "txn_time_travel", "txn_zonemap_scan",
+    "zipf_token_rank",
+    # rounds 1-3
     "agg_array_ordered", "agg_filtered", "agg_global", "agg_grouped",
     "asof_join", "band_join_lookup", "bm25_score", "cbo_ordered_join",
     "conform_union", "corpus_prep", "correlated_scalar_subquery", "cube",
@@ -643,71 +660,74 @@ DRIVER_SENTINELS = [
     "tpch_q1",            # pure scan + partial-agg baseline
 ]
 
-# Round-4 window: sentinels + queries with no prior driver hash row —
-# all remaining TPC-H, the full source/sink connector suite, the
-# governance family, SCD2 point-in-time, SemDeDup + PQ-ADC (rows-only by
-# design: k-means isn't SQL), the remaining streaming windows, and this
-# round's new/changed entries (approx_aggs now hash-checkable, the COW
-# MERGE, the salted + forward as-of joins, the sub-quadratic LSH
-# embedding dedup).
+# Round-5 window: sentinels + tpch_q12 (red in r4 on an oracle-side
+# HUGEINT cast; the query was always right — re-checked to prove the
+# fix) + the 12 other queries whose oracles carried the same HUGEINT
+# defect (all cast this round) + the round-4 session additions that have
+# never produced a driver row (txn family, temporal/attribution,
+# dedup variants, governance) + the functions_* scalar families (zero
+# driver rows after 4 rounds) + streaming_stream_stream_join (the last
+# §2.2 streaming member without driver evidence) + the three reworked
+# distributed-window queries (sample_systematic, quantile_normalize,
+# rfm_segmentation) + the newly hash-checkable stats_selectivity_report.
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
-    # new or newly-oracled this round
-    "approx_aggs",
-    "txn_merge_upsert",
-    "asof_join_salted",
-    "asof_join_forward",
-    "dedup_embedding_cosine_lsh",
-    # TPC-H: every query without a prior driver row
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
+    # red in r4 — oracle cast fixed, re-prove
     "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    # source/sink connector suite
-    "source_csv_scan",
-    "source_json_scan",
-    "source_orc_scan",
-    "source_partitioned_scan",
-    "source_binaryfile_scan",
-    "source_schema_evolution",
-    "source_python_stream",
-    "source_zorder_scan",
-    "bucketed_colocated_join",
-    "txn_time_travel",
-    # governance / corpus-mix family
-    "doc_length_histogram",
-    "zipf_token_rank",
-    "mix_rebalance",
-    "mix_temperature_weights",
-    "length_winsorize",
-    "curriculum_bins",
-    # SCD2 temporal lookup
-    "scd2_point_in_time",
-    # semantic dedup (rows-only by design: k-means not in SQL)
-    "dedup_semantic",
-    # zone-map file skipping + bloom point lookup through the manifest —
-    # both oracles pin the pruned file count itself (files_read /
-    # files_total columns), so the PRUNING is what's hash-checked
-    "txn_zonemap_scan",
-    "txn_point_lookup",
-    # streaming event-time windows not yet driver-checked
-    # (streaming_stream_stream_join rotates into the next round's window)
-    "events_tumbling",
-    "events_sliding",
+    # the 12 other HUGEINT-defect oracles, all cast this round
+    "audience_overlap_bitmap",
+    "cogroup_reconcile",
+    "arrow_map_stats",
+    "rfm_segmentation",
+    "cohort_ltv",
+    "txn_scd2_apply",
+    "streaming_quantile_sketch",
+    "first_touch_attribution",
+    "vocab_coverage",
+    "drift_psi",
+    "column_profile",
+    "gini_concentration",
+    # transactional manifest family (round-4 additions, never checked)
+    "txn_delete_mor",
+    "txn_wap_publish",
+    "txn_restore",
+    "txn_changes",
+    # temporal / attribution / smoothing
+    "ewma_smooth",
+    "rolling_median",
+    "running_balance_clamped",
+    "twap_daily",
+    "session_paths",
+    "asof_join_left",
+    # dedup / entity variants
+    "entity_resolution",
+    "dedup_containment",
+    "dedup_keep_superset",
+    "boilerplate_strip",
+    # governance / stats
+    "correlation_matrix",
+    "chi_square_independence",
+    "weighted_median",
+    "drift_welch_t",
+    "table_checksum",
+    "corpus_mix_build",
+    "pii_redact",
+    "event_pattern_match",
+    "feature_assembly_pit",
+    # scalar function families (zero driver rows after 4 rounds)
+    "functions_datetime",
+    "functions_string",
+    "functions_array_json",
+    "functions_map",
+    "functions_bitwise",
+    # last §2.2 streaming member without driver evidence
+    "streaming_stream_stream_join",
+    # reworked this round: distributed global windows (same semantics)
+    "sample_systematic",
+    "quantile_normalize",
+    # TableStats estimation surface, newly hash-checkable (§2.1 unit 6)
+    "stats_selectivity_report",
+    # ingest/quota
+    "source_quota_cap",
 ]
 
 

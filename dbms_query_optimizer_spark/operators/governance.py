@@ -954,7 +954,7 @@ def _oracle_column_profile() -> str:
         selects.append(f"""
     SELECT '{c}' AS "column",
            (SELECT COUNT(*) FROM orders) AS n_rows,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
                AS null_rate,
@@ -1059,8 +1059,8 @@ WITH mid AS (
     FROM events e CROSS JOIN mid m JOIN stats s USING (event_type)
 ), counts AS (
     SELECT event_type, bin,
-           SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
-           SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+           CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
     FROM binned GROUP BY event_type, bin
 )
 SELECT event_type, bin, na, nb,
@@ -1235,7 +1235,7 @@ WITH per_user AS (
 )
 SELECT event_type,
        COUNT(*) AS n_users,
-       SUM(cents) AS total_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
        ROUND(2.0 * CAST(SUM(i * cents) AS DOUBLE)
              / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
              - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
@@ -1309,7 +1309,7 @@ WITH tk AS (
 )
 SELECT d.doc_id,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
 FROM tk d LEFT JOIN vocab v USING (token)

@@ -906,11 +906,11 @@ WITH words AS (
            bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
     FROM events GROUP BY event_type, word
 ), sizes AS (
-    SELECT event_type, SUM(bit_count(bits)) AS n_users FROM words
+    SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users FROM words
     GROUP BY event_type
 ), pairs AS (
     SELECT a.event_type AS type_a, b.event_type AS type_b,
-           SUM(bit_count(a.bits & b.bits)) AS n_both
+           CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
     FROM words a JOIN words b USING (word)
     WHERE a.event_type < b.event_type
     GROUP BY type_a, type_b

@@ -1087,10 +1087,10 @@ ORACLE_TXN_SCD2_APPLY = """
            (SELECT COUNT(*) FROM customer) AS n_current,
            (SELECT COUNT(*) FROM customer WHERE c_custkey % 7 = 0)
                AS n_closed,
-           (SELECT SUM(c_custkey) FROM customer WHERE c_custkey % 7 = 0)
-               AS v2_key_sum,
-           (SELECT SUM(c_custkey) FROM customer WHERE c_custkey % 7 <> 0)
-               AS v1_current_key_sum
+           CAST((SELECT SUM(c_custkey) FROM customer WHERE c_custkey % 7 = 0)
+               AS BIGINT) AS v2_key_sum,
+           CAST((SELECT SUM(c_custkey) FROM customer WHERE c_custkey % 7 <> 0)
+               AS BIGINT) AS v1_current_key_sum
 """
 
 

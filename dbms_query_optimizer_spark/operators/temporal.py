@@ -1715,7 +1715,7 @@ WITH per_user AS (
            datediff('day', MAX(CAST(ts AS DATE)),
                     (SELECT MAX(CAST(ts AS DATE)) FROM events)) AS recency_days,
            COUNT(*) AS frequency,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id
 )
@@ -1795,7 +1795,7 @@ WITH firstd AS (
 ), rev AS (
     SELECT f.cohort_day,
            datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
-           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS day_cents,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS day_cents,
            COUNT(DISTINCT e.user_id) AS n_buyers
     FROM events e JOIN firstd f USING (user_id)
     WHERE e.event_type = 'purchase'
@@ -1803,10 +1803,10 @@ WITH firstd AS (
     GROUP BY f.cohort_day, day_offset
 )
 SELECT r.cohort_day, r.day_offset, r.n_buyers, r.day_cents,
-       SUM(r.day_cents) OVER (
+       CAST(SUM(r.day_cents) OVER (
            PARTITION BY r.cohort_day ORDER BY r.day_offset
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS cum_cents,
+       ) AS BIGINT) AS cum_cents,
        ROUND(CAST(SUM(r.day_cents) OVER (
                  PARTITION BY r.cohort_day ORDER BY r.day_offset
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW

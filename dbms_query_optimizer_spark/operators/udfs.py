@@ -224,8 +224,8 @@ def q_arrow_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ARROW_MAP_STATS = """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
-           SUM(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -305,16 +305,16 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_COGROUP_RECONCILE = f"""
     WITH o AS (
         SELECT o_custkey, COUNT(*) AS n_orders,
-               SUM(CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT))
-                   AS sum_total_cents
+               CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT))
+                   AS BIGINT) AS sum_total_cents
         FROM orders WHERE o_custkey < {COGROUP_CUST_LIMIT}
         GROUP BY o_custkey
     ),
     i AS (
         SELECT o_custkey, COUNT(*) AS n_items,
-               SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
                      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000) AS BIGINT))
-                   AS sum_rev_tenthmills
+                   AS BIGINT) AS sum_rev_tenthmills
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_custkey < {COGROUP_CUST_LIMIT}
         GROUP BY o_custkey

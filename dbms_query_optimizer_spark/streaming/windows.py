@@ -698,10 +698,10 @@ WITH flagged AS (
 )
 SELECT entry_channel,
        COUNT(*) AS n_sessions,
-       SUM(CASE WHEN rev_cents > 0 THEN 1 ELSE 0 END) AS n_converting,
+       CAST(SUM(CASE WHEN rev_cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converting,
        ROUND(CAST(SUM(CASE WHEN rev_cents > 0 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate,
-       SUM(rev_cents) AS credited_cents
+       CAST(SUM(rev_cents) AS BIGINT) AS credited_cents
 FROM per_session
 GROUP BY entry_channel
 ORDER BY entry_channel
@@ -907,7 +907,7 @@ WITH binned AS (
            SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
     FROM merged
 ), totals AS (
-    SELECT event_type, SUM(n) AS n_rows FROM merged GROUP BY event_type
+    SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_rows FROM merged GROUP BY event_type
 ), qrows AS (
     SELECT event_type, n_rows, q, CAST(CEIL(q * n_rows) AS BIGINT) AS p
     FROM totals, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),

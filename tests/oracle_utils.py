@@ -63,7 +63,27 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...
     return out
 
 
+def hugeint_columns(conn: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Output columns DuckDB types as HUGEINT/INT128 (plan-only, no execution).
+
+    The grading driver canonicalizes oracle results through pandas
+    (``.df()``), where HUGEINT renders as float64 and the value hash flips
+    against Spark's int64 — the exact class that failed tpch_q12 in round 4.
+    ``fetchall()`` (used below) converts HUGEINT to Python int, so without
+    this check the local gate is structurally blind to the defect.
+    """
+    desc = conn.execute(f"DESCRIBE ({sql})").fetchall()
+    return [c for c, t, *_ in desc if "HUGEINT" in t.upper() or "INT128" in t.upper()]
+
+
 def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    huge = hugeint_columns(conn, sql)
+    if huge:
+        return False, (
+            f"oracle emits HUGEINT columns {huge}: the driver's pandas "
+            "canonicalization renders these float64 and the hash flips — "
+            "CAST(... AS BIGINT) in the oracle SQL"
+        )
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = conn.execute(sql)

@@ -1,0 +1,46 @@
+"""DESCRIBE-only type gate over every catalog oracle: no HUGEINT output.
+
+DuckDB widens SUM over INTEGER/BIGINT to HUGEINT. The grading driver
+canonicalizes oracle results through pandas (``.df()``), where HUGEINT
+renders as float64 and the value hash flips against Spark's int64 output —
+the class that failed ``tpch_q12`` in round 4 while the local
+``fetchall()``-based gate stayed green. This sweep is plan-only (no query
+execution, no Spark), so it runs in milliseconds and catches the defect at
+authoring time.
+
+Oracles that read table state a Spark query must materialize first (the
+txn/manifest family writes under a temp dir) can't be planned standalone;
+those are skipped here and covered by the in-test DESCRIBE check inside
+``oracle_utils.compare``, which runs after the Spark side has written.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbms_query_optimizer_spark.operators import catalog
+
+from .oracle_utils import duckdb_conn, hugeint_columns
+
+ORACLED = sorted(n for n, (_, sql) in catalog.CATALOG.items() if sql)
+
+
+@pytest.fixture(scope="module")
+def conn(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_has_no_hugeint_columns(name, conn):
+    sql = catalog.CATALOG[name][1]
+    try:
+        huge = hugeint_columns(conn, sql)
+    except Exception as exc:  # state-dependent oracle (txn family) — covered
+        pytest.skip(f"oracle not plannable standalone: {str(exc)[:120]}")
+    assert not huge, (
+        f"{name}: oracle emits HUGEINT columns {huge} — the driver's pandas "
+        "canonicalization renders these float64 and the hash flips; "
+        "CAST(... AS BIGINT) in the oracle SQL"
+    )
