@@ -763,32 +763,29 @@ ORDER BY l_returnflag
 GLOBAL_ROWNUM_PARTS = 16
 
 
-def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Globally-ordered row numbers WITHOUT a single-partition window.
+def distributed_row_number(
+    df: DataFrame,
+    order_cols,
+    pid,
+    n_parts: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)`` WITHOUT the
+    single-partition window (WindowExec's "No Partition Defined" trap).
 
-    ``row_number() OVER (ORDER BY k)`` collapses to one partition — the
-    classic scale trap. The distributed form: range-partition on the key
-    (so partitions hold disjoint, ordered key ranges), number rows within
-    each partition in parallel, then add each partition's cumulative
-    offset (a per-partition count — GLOBAL_ROWNUM_PARTS rows — broadcast
-    back). Same result as the global window, but the only full-data
-    operations are one range shuffle and a partition-local sort; the
-    cross-partition coordination handles N_partitions rows, not N.
+    ``pid`` must be an integer Column in ``[0, n_parts)`` that is a pure
+    function of the LEADING sort key and monotone non-decreasing in the
+    sort order — i.e. explicit, deterministic range buckets. (Computing it
+    from ``spark_partition_id()`` after ``repartitionByRange`` is NOT safe:
+    the offsets branch and the numbering branch would each sample their own
+    partitioner, and disagreeing boundaries silently corrupt every offset.)
+
+    Shape: one hash shuffle on ``_pid`` (disjoint ordered key ranges), a
+    partition-local sort + row_number in parallel, and a broadcast join of
+    the n_parts-row cumulative-offset table. Cross-partition coordination
+    touches n_parts rows, not N — the plan survives 100 TB.
     """
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
-    # Explicit, deterministic range buckets: driver-computed quantile cuts
-    # make _pid a pure function of the key. (spark_partition_id() after
-    # repartitionByRange is NOT safe here — the offsets branch and the
-    # numbering branch would each sample their own partitioner, and
-    # disagreeing boundaries silently corrupt every offset.)
-    qs = [i / GLOBAL_ROWNUM_PARTS for i in range(1, GLOBAL_ROWNUM_PARTS)]
-    cuts = docs.stat.approxQuantile("doc_id", qs, 0.001)
-    pid = sum(
-        ((F.col("doc_id") > F.lit(c)).cast("int") for c in cuts), F.lit(0)
-    )
-    parts = docs.withColumn("_pid", pid).repartition(
-        GLOBAL_ROWNUM_PARTS, "_pid"
-    )
+    parts = df.withColumn("_pid", pid).repartition(n_parts, "_pid")
     offsets = (
         parts.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -803,14 +800,66 @@ def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_n")
     )
-    w_local = W.partitionBy("_pid").orderBy("doc_id")
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
     return (
         parts.join(F.broadcast(offsets), "_pid")
-        .select(
-            "doc_id",
-            "lang",
-            (F.row_number().over(w_local) + F.col("_offset")).alias("rn"),
+        .withColumn(rn_col, F.row_number().over(w_local) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+
+
+def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = False):
+    """Monotone range-bucket expression for a NUMERIC sort key, for use as
+    ``distributed_row_number``'s ``pid``: driver-computed approx-quantile
+    cuts (n_parts-1 scalars) make the bucket a pure function of the key.
+    Equal keys always land in the same bucket, so any tie-break column may
+    follow in ``order_cols``. ``descending=True`` buckets for a DESC sort.
+    """
+    qs = [i / n_parts for i in range(1, n_parts)]
+    cuts = df.stat.approxQuantile(col_name, qs, 0.001)
+    c = F.col(col_name)
+    if descending:
+        return sum(((c < F.lit(x)).cast("int") for x in reversed(cuts)), F.lit(0))
+    return sum(((c > F.lit(x)).cast("int") for x in cuts), F.lit(0))
+
+
+def exact_ntile(rn_col: str, n: int, k: int):
+    """Exact ``NTILE(k)`` from a global 1-based rank and the frame size
+    ``n`` (one count scalar): the first ``n % k`` buckets hold
+    ``n DIV k + 1`` rows, the rest ``n DIV k`` — pure integer arithmetic,
+    identical to the window function on every engine, no window needed.
+    """
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    if q == 0:
+        return F.col(rn_col).cast("int")
+    return (
+        F.when(
+            F.col(rn_col) <= F.lit(big),
+            F.expr(f"CAST(({rn_col} + {q}) DIV {q + 1} AS INT)"),
+        ).otherwise(
+            F.expr(f"CAST({r} + ({rn_col} - {big} + {q} - 1) DIV {q} AS INT)")
         )
+    )
+
+
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-ordered row numbers WITHOUT a single-partition window.
+
+    ``row_number() OVER (ORDER BY k)`` collapses to one partition — the
+    classic scale trap. The distributed form: range-partition on the key
+    (so partitions hold disjoint, ordered key ranges), number rows within
+    each partition in parallel, then add each partition's cumulative
+    offset (a per-partition count — GLOBAL_ROWNUM_PARTS rows — broadcast
+    back). Same result as the global window, but the only full-data
+    operations are one range shuffle and a partition-local sort; the
+    cross-partition coordination handles N_partitions rows, not N.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    pid = range_bucket(docs, "doc_id", GLOBAL_ROWNUM_PARTS)
+    return (
+        distributed_row_number(docs, ["doc_id"], pid, GLOBAL_ROWNUM_PARTS)
+        .select("doc_id", "lang", "rn")
         .orderBy("doc_id")
     )
 

@@ -337,17 +337,29 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sample_weighted`), stratified, and reservoir.
 
     Per-row math only after one rank: rn % K == 1 keeps ceil(N/K) rows
-    exactly. The global rank here is catalog-scale; the 100 TB swap is
-    the `q_global_row_number` range-partitioned rank, same semantics.
-    The sampled aggregate (count + mean chars) rides along so the
-    output certifies both membership and the estimate it feeds.
+    exactly. The rank is the DISTRIBUTED range-partitioned row_number
+    (``relational.distributed_row_number``): md5 is uniform, so the first
+    two hex chars are an exact pre-computed range bucket (lowercase hex
+    sorts lexicographically == numerically — bucket order IS sort order),
+    rows are numbered within buckets in parallel, and only the
+    n_parts-row offset table crosses partitions. No single-partition
+    window anywhere — the plan survives the full corpus.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    from pyspark.sql import Window as W
+    from .relational import distributed_row_number
 
-    ranked = docs.select(
+    hashed = docs.select(
         "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("h")
-    ).withColumn("rn", F.row_number().over(W.orderBy("h", "doc_id")))
+    )
+    n_parts = 16
+    # first hex byte (256 uniform values) folded onto n_parts contiguous
+    # ranges; monotone in h because md5() emits lowercase hex
+    pid = (
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+        * n_parts
+        / 256
+    ).cast("int")
+    ranked = distributed_row_number(hashed, ["h", "doc_id"], pid, n_parts)
     return (
         ranked.filter((F.col("rn") % SYSTEMATIC_K) == 1)
         .select("doc_id", "rn", "n_chars")

@@ -936,23 +936,28 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     target position = ceil(rank_b · nA / nB) computed as
     (rank·nA + nB − 1) div nB — exact, no float quantile anywhere — and
     the normalized value is A's order statistic AT that position, an
-    input value selected, not computed. The global row_number windows
-    here are single-partition BY CHOICE at catalog scale; the 100 TB
-    swap is the range-partitioned rank of `q_global_row_number`
-    (distributed sort + broadcast partition offsets), identical
-    semantics. One equi-join on position finishes the mapping.
+    input value selected, not computed. Both global ranks are the
+    DISTRIBUTED range-partitioned row_number (driver-computed quantile
+    cuts on ``value`` → parallel partition-local numbering + an
+    n_parts-row broadcast offset table; ``relational.
+    distributed_row_number``) — no single-partition window, so the rank
+    survives the full event log. One equi-join on position finishes the
+    mapping.
     """
+    from .relational import distributed_row_number, range_bucket
+
     ev = load_tables(spark, sf_dir)["events"]
-    a = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("value", "event_id")
-        .withColumn("pos", F.row_number().over(W.orderBy("value", "event_id")))
+    n_parts = 16
+    a_in = ev.filter(F.col("event_type") == "purchase").select("value", "event_id")
+    a = distributed_row_number(
+        a_in, ["value", "event_id"], range_bucket(a_in, "value", n_parts),
+        n_parts, rn_col="pos",
     )
     n_a = a.count()
-    b = (
-        ev.filter(F.col("event_type") == "view")
-        .select("event_id", "value")
-        .withColumn("rank_b", F.row_number().over(W.orderBy("value", "event_id")))
+    b_in = ev.filter(F.col("event_type") == "view").select("event_id", "value")
+    b = distributed_row_number(
+        b_in, ["value", "event_id"], range_bucket(b_in, "value", n_parts),
+        n_parts, rn_col="rank_b",
     )
     n_b = b.count()
     target = ((F.col("rank_b") * n_a + n_b - 1) / n_b).cast("long")

@@ -1659,12 +1659,18 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn-risk segmentation.
 
     Scale shape: the event scan collapses to one row per user before
-    anything wide; the quintile windows are global NTILEs over the USER
-    frame (users ≪ events — and at true scale the swap is ntile over
-    range-partitioned ranks, same contract). Ties break on user_id so
-    quintile boundaries are deterministic; monetary sums integer cents,
-    so no float noise reaches the ordering.
+    anything wide; each quintile is an EXACT NTILE(5) computed WITHOUT a
+    single-partition window — a distributed range-partitioned row_number
+    per axis (``relational.distributed_row_number``: driver quantile
+    cuts → parallel partition-local numbering + an n_parts-row broadcast
+    offset table) followed by ``exact_ntile``'s closed-form integer
+    bucket arithmetic on (rank, N). Users is unbounded at 100 TB, so the
+    per-user frame never funnels through one task. Ties break on user_id
+    so quintile boundaries are deterministic; monetary sums integer
+    cents, so no float noise reaches the ordering.
     """
+    from .relational import distributed_row_number, exact_ntile, range_bucket
+
     ev = load_tables(spark, sf_dir)["events"]
     maxd = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
     per_user = (
@@ -1684,18 +1690,32 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
+        .persist()
     )
-    r_q = F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("user_id")))
-    f_q = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("user_id")))
-    m_q = F.ntile(5).over(
-        W.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))
-    )
+    n = per_user.count()
+    n_parts = 8
     # quintile 1 = best on every axis (most recent / most frequent / biggest)
+    axes = [
+        ("r_q", "recency_days", False),
+        ("f_q", "frequency", True),
+        ("m_q", "monetary_cents", True),
+    ]
+    out = per_user
+    for q_col, key, desc in axes:
+        order = [F.col(key).desc() if desc else F.col(key).asc(), F.col("user_id")]
+        ranked = distributed_row_number(
+            per_user.select("user_id", key),
+            order,
+            range_bucket(per_user, key, n_parts, descending=desc),
+            n_parts,
+            rn_col="_rn",
+        )
+        quint = ranked.select(
+            "user_id", exact_ntile("_rn", n, 5).alias(q_col)
+        )
+        out = out.join(quint, "user_id")
     return (
-        per_user.withColumn("r_q", r_q)
-        .withColumn("f_q", f_q)
-        .withColumn("m_q", m_q)
-        .select(
+        out.select(
             "user_id",
             "recency_days",
             "frequency",

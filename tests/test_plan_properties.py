@@ -155,6 +155,43 @@ def test_shuffle_hash_join_strategy_pinned(explain):
     assert "CartesianProduct" not in tree
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["global_row_number", "sample_systematic", "quantile_normalize",
+     "rfm_segmentation"],
+)
+def test_global_ranks_never_single_partition(explain, name):
+    # These queries need GLOBAL row numbers / NTILEs. The naive form —
+    # row_number() OVER (ORDER BY k) with no PARTITION BY — plans an
+    # Exchange SinglePartition and funnels the whole frame through one
+    # task (WindowExec's "No Partition Defined for Window" warning).
+    # The shipped form is the distributed range-partitioned rank
+    # (relational.distributed_row_number): every corpus Window is
+    # partitioned by _pid. The ONLY SinglePartition exchange allowed is
+    # the one carrying the n_parts-row offset table (the cumulative-sum
+    # window over groupBy(_pid) counts) — so every SinglePartition
+    # exchange must sit DIRECTLY above a HashAggregate. Formatted-explain
+    # numbering is bottom-up, so a unary Exchange node (N) has child
+    # (N-1); an unaggregated corpus frame beneath a SinglePartition
+    # exchange breaks that adjacency and fails here.
+    import re
+
+    plan = explain(name)
+    assert "Window" in plan  # the pin isn't vacuous
+    single_part_nodes = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\n(?:[^\n]*\n)?Arguments: SinglePartition", plan
+        )
+    ]
+    assert len(single_part_nodes) == plan.count("SinglePartition")
+    for n in single_part_nodes:
+        assert f"({n - 1}) HashAggregate" in plan, (
+            f"{name}: SinglePartition exchange ({n}) carries an "
+            "unaggregated frame — a global rank collapsed to one task"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Per-headline structural pins. Every query benched in bench.py HEADLINE
 # carries at least the default gate (no cartesian product, no
