@@ -561,7 +561,11 @@ register(
     R.ORACLE_SCD2_POINT_IN_TIME,
 )
 
-register("stats_selectivity_report", R.q_stats_selectivity_report, None)
+register(
+    "stats_selectivity_report",
+    R.q_stats_selectivity_report,
+    R.ORACLE_STATS_SELECTIVITY_REPORT,
+)
 
 register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, None)
 

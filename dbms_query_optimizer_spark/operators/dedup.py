@@ -1512,7 +1512,7 @@ ORDER BY name_a, name_b
 """
 
 
-ER_MAX_ITERS = 10  # label-propagation rounds (≥ match-graph diameter)
+ER_MAX_ITERS = 50  # safety bound only; the loop exits at the fixed point
 
 
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,19 +1562,35 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    # propagate to a FIXED POINT, not a blind round count: a match-graph
+    # component with diameter > any fixed constant would otherwise leave
+    # labels unconverged and clusters diverging from the transitive
+    # closure. Each round is one names-sized join; the changed-count is a
+    # cheap action over the just-checkpointed frame, and real variant
+    # clusters converge in single-digit rounds.
     for _ in range(ER_MAX_ITERS):
         msg = (
             und.join(labels.toDF("l_node", "l_label"), und.src == F.col("l_node"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("l_label").alias("m"))
         )
-        labels = (
+        stepped = (
             labels.join(msg, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least("label", F.coalesce("m", "label")).alias("label"),
             )
             .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"entity_resolution: labels not converged after {ER_MAX_ITERS} "
+            "rounds — match-graph diameter exceeds the safety bound"
         )
     w = W.partitionBy("canonical_name")
     return (

@@ -1340,10 +1340,14 @@ def q_stats_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     then report estimated vs ACTUAL selectivity for a predicate grid,
     all six comparison ops × interior probe points per column. Actuals
     come from ONE conditional-aggregation pass (no per-predicate scans).
-    The abs_err column is the optimizer-quality metric the reference
-    never measured on real data; tests/test_estimation_accuracy.py
-    bounds it at 0.06 for interior probes. Estimates are a product of
-    our Python estimator, not SQL => rows-only for the driver.
+    Hash-checkable driver form: the ACTUAL match counts are exact
+    integers (one conditional-aggregation pass, no per-predicate scans)
+    the oracle reproduces in SQL, and the estimator's quality is pinned
+    as the boolean ``est_within_005`` (|est − actual| ≤ 0.05) that the
+    oracle asserts TRUE — so a regression in the §4.1 estimation
+    formulas flips the hash. tests/test_estimation_accuracy.py bounds
+    the error tighter (0.06 on interior probes); at sf0.001/sf0.01 the
+    measured 6-dp error on this grid is exactly 0.
     """
     from ..plans.stats import PredicateType, TableStats
 
@@ -1361,23 +1365,64 @@ def q_stats_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         PredicateType.GT: ">", PredicateType.GE: ">=",
     }
     aggs = [
-        F.avg(
-            F.when(F.expr(f"{c} {sym[op]} {v}"), F.lit(1.0)).otherwise(F.lit(0.0))
-        ).alias(f"a{i}")
+        F.sum(
+            F.when(F.expr(f"{c} {sym[op]} {v}"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(f"a{i}")
         for i, (c, op, v) in enumerate(probes)
-    ]
+    ] + [F.count(F.lit(1)).alias("n")]
     actual = part.agg(*aggs).collect()[0]
+    n_rows = int(actual["n"])
 
     rows = []
     for i, (c, op, v) in enumerate(probes):
         est = stats.estimate_selectivity(c, op, v)
-        act = float(actual[f"a{i}"])
-        rows.append((c, op.name, v, round(est, 6), round(act, 6), round(abs(est - act), 6)))
+        n_match = int(actual[f"a{i}"])
+        rows.append(
+            (c, op.name, v, n_match, n_rows,
+             abs(est - n_match / n_rows) <= 0.05)
+        )
     return spark.createDataFrame(
         rows,
-        "column string, op string, constant int, est_selectivity double, "
-        "actual_selectivity double, abs_err double",
-    ).orderBy("column", "op", "constant")
+        "col_name string, op string, constant int, n_match long, "
+        "n_rows long, est_within_005 boolean",
+    ).orderBy("col_name", "op", "constant")
+
+
+def _stats_probe_values_sql() -> str:
+    from ..plans.stats import PredicateType
+
+    return ", ".join(
+        f"('{c}', '{op.name}', {v})"
+        for c in STATS_PROBE_GRID
+        for op in PredicateType
+        for v in STATS_PROBE_GRID[c]
+    )
+
+
+ORACLE_STATS_SELECTIVITY_REPORT = f"""
+WITH probes(col_name, op, constant) AS (
+    VALUES {_stats_probe_values_sql()}
+), vals AS (
+    SELECT col_name, op, constant,
+           CASE col_name WHEN 'p_size' THEN p.p_size
+                         ELSE p.p_partkey END AS v
+    FROM part p CROSS JOIN probes
+)
+SELECT col_name, op, constant,
+       CAST(SUM(CASE op
+           WHEN 'EQ' THEN CASE WHEN v =  constant THEN 1 ELSE 0 END
+           WHEN 'NE' THEN CASE WHEN v <> constant THEN 1 ELSE 0 END
+           WHEN 'LT' THEN CASE WHEN v <  constant THEN 1 ELSE 0 END
+           WHEN 'LE' THEN CASE WHEN v <= constant THEN 1 ELSE 0 END
+           WHEN 'GT' THEN CASE WHEN v >  constant THEN 1 ELSE 0 END
+           ELSE           CASE WHEN v >= constant THEN 1 ELSE 0 END
+       END) AS BIGINT) AS n_match,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS est_within_005
+FROM vals
+GROUP BY col_name, op, constant
+ORDER BY col_name, op, constant
+"""
 
 
 def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:

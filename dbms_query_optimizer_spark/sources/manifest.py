@@ -1026,9 +1026,24 @@ class TransactionalTable:
         longer references its files (or compact main first)."""
         src = branch.snapshot()
         fork = branch.snapshot(0).get("forked_from")
+        if fork is None:
+            # a table that never recorded a fork point is NOT a branch of
+            # anything — adopting it would replace main's whole file list
+            # with unrelated state, silently
+            raise ConflictError(
+                f"{branch.root} records no fork point (not a clone); "
+                "publish_from only promotes branches created by clone()"
+            )
+        if os.path.realpath(fork["root"]) != os.path.realpath(self.root):
+            # forked from a DIFFERENT table: version numbers coinciding
+            # is meaningless, and publishing would adopt foreign files
+            raise ConflictError(
+                f"branch forked from {fork['root']}, not {self.root}; "
+                "refusing to publish a foreign branch"
+            )
         while True:
             base = self.snapshot()
-            if fork is not None and base["version"] != fork["version"]:
+            if base["version"] != fork["version"]:
                 raise ConflictError(
                     f"main advanced to v{base['version']} past the branch's "
                     f"fork point v{fork['version']}; rebase the branch "

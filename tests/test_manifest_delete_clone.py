@@ -325,3 +325,56 @@ def test_wap_publish_fast_forward_only(spark, table):
     with _pytest.raises(ConflictError):
         table.publish_from(stale)
     assert _rows(spark, table.root) == [(1, 1.0), (2, 2.0), (9, 9.0)]
+
+
+def test_wap_publish_refuses_non_branch(spark, table, tmp_path):
+    """A table with NO recorded fork point is not a branch of anything:
+    publishing it would replace main's entire file list with unrelated
+    state. publish_from must refuse rather than silently adopt."""
+    import pytest as _pytest
+
+    from dbms_query_optimizer_spark.sources.manifest import (
+        ConflictError,
+        TransactionalTable,
+    )
+
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()
+
+    schema = spark.range(0).selectExpr("id", "cast(id as double) as val").schema
+    stranger = TransactionalTable.create(str(tmp_path / "stranger"), schema)
+    ts = stranger.begin()
+    _insert(spark, ts, (7, 7.0))
+    ts.commit()
+    with _pytest.raises(ConflictError, match="fork point"):
+        table.publish_from(stranger)
+    assert _rows(spark, table.root) == [(1, 1.0)]
+
+
+def test_wap_publish_refuses_foreign_branch(spark, table, tmp_path):
+    """A branch forked from a DIFFERENT table must not publish into this
+    one even when the version numbers coincide — version equality is
+    meaningless across tables, and adopting the branch would bring
+    foreign files while discarding main's state."""
+    import pytest as _pytest
+
+    from dbms_query_optimizer_spark.sources.manifest import (
+        ConflictError,
+        TransactionalTable,
+    )
+
+    t1 = table.begin()
+    _insert(spark, t1, (1, 1.0))
+    t1.commit()
+
+    schema = spark.range(0).selectExpr("id", "cast(id as double) as val").schema
+    other = TransactionalTable.create(str(tmp_path / "other"), schema)
+    to = other.begin()
+    _insert(spark, to, (7, 7.0))
+    to.commit()  # other is now at the same version as table (v1)
+    foreign = other.clone(str(tmp_path / "other_branch"))
+    assert other.snapshot()["version"] == table.snapshot()["version"]
+    with _pytest.raises(ConflictError, match="foreign"):
+        table.publish_from(foreign)
+    assert _rows(spark, table.root) == [(1, 1.0)]
