@@ -122,6 +122,21 @@ HEADLINE = [
     # round 4: feature-store point-in-time assembly (bucketed range
     # joins + as-of carry; the leakage-free training-feature prep)
     "feature_assembly_pit",
+    # round 5: write-audit-publish promotion (branch clone -> audited
+    # ingest -> one atomic metadata commit) and SCD2 MERGE through the
+    # manifest (close-current + insert-new in one transaction)
+    "txn_wap_publish",
+    "txn_scd2_apply",
+    # round 5: windowed order statistics — trailing exact median
+    # (array-select, no self-join) and the clamped Lindley balance
+    # (two stacked windows via the reflection identity, no recursion)
+    "rolling_median",
+    "running_balance_clamped",
+    # round 5: full correlation matrix from ONE moment-aggregate pass
+    "correlation_matrix",
+    # round 5: hard-negative mining through the LSH candidate generator
+    # (the 100 TB composition executing, not just documented)
+    "contrastive_pairs_lsh",
 ]
 
 

@@ -990,6 +990,119 @@ ORDER BY anchor_id
 """
 
 
+def q_contrastive_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_contrastive_pairs`` composed with the multi-probe sign-LSH
+    candidate generator — the documented 100 TB form, executing: the
+    anchor never meets the whole corpus. Anchors explode into their
+    probe buckets (own bucket + the LSH_SIGN_DIMS Hamming-1 neighbors)
+    and candidate generation is a hash EQUI-join on bucket against the
+    PARTITIONED corpus — (1+dims)/2^dims of the brute-force work,
+    sharded by bucket; only the tiny exploded anchor table broadcasts.
+    Within the candidate set the selection is exact: hardest positive /
+    hardest negative by 6-dp cosine with cand_id tie-break, then the
+    training margin — identical contract to the exact twin, restricted
+    to LSH candidates (the knn_brute_force vs knn_lsh_bucketed split).
+
+    The oracle rebuilds the same buckets, probe lists, and selection in
+    SQL, so the LSH composition itself is value-checked — not just
+    asserted in a docstring.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        "embedding",
+        "label",
+        _sign_bucket_spark("embedding").alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(LSH_SIGN_DIMS)],
+    )
+    a = (
+        e.filter(F.col("vec_id") % CONTRAST_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("va"),
+            "label",
+            F.explode(probes).alias("qb"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("vc"),
+        F.col("label").alias("cl"),
+        F.col("bucket").alias("cb"),
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(
+            c,
+            (F.col("qb") == F.col("cb"))
+            & (F.col("anchor_id") != F.col("cand_id")),
+        )
+        .select(
+            "anchor_id",
+            "label",
+            "cand_id",
+            (F.col("cl") == F.col("label")).alias("same_label"),
+            F.round(cosine_expr("va", "vc"), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "same_label").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    top = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    pos_cos = F.max(F.when(F.col("same_label"), F.col("cos")))
+    neg_cos = F.max(F.when(~F.col("same_label"), F.col("cos")))
+    return (
+        top.groupBy("anchor_id", "label")
+        .agg(
+            F.max(F.when(F.col("same_label"), F.col("cand_id"))).alias("pos_id"),
+            pos_cos.alias("pos_cos"),
+            F.max(F.when(~F.col("same_label"), F.col("cand_id"))).alias("neg_id"),
+            neg_cos.alias("neg_cos"),
+            F.round(pos_cos - neg_cos, 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+ORACLE_CONTRASTIVE_PAIRS_LSH = f"""
+WITH e AS (
+    SELECT vec_id, embedding, label,
+           ({_sign_bucket_sql('embedding')}) AS bucket
+    FROM embeddings
+), a AS (
+    SELECT vec_id AS anchor_id, embedding, label,
+           UNNEST([bucket, {', '.join(f'xor(bucket, {2**i})' for i in range(LSH_SIGN_DIMS))}]) AS qb
+    FROM e WHERE vec_id % {CONTRAST_STRIDE} = 0
+), pairs AS (
+    SELECT a.anchor_id, a.label, c.vec_id AS cand_id,
+           (c.label = a.label) AS same_label,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cos
+    FROM a JOIN e c ON c.bucket = a.qb AND c.vec_id <> a.anchor_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id, same_label
+        ORDER BY cos DESC, cand_id ASC
+    ) AS rk
+    FROM pairs
+)
+SELECT anchor_id, label,
+       MAX(CASE WHEN same_label THEN cand_id END) AS pos_id,
+       MAX(CASE WHEN same_label THEN cos END) AS pos_cos,
+       MAX(CASE WHEN NOT same_label THEN cand_id END) AS neg_id,
+       MAX(CASE WHEN NOT same_label THEN cos END) AS neg_cos,
+       ROUND(MAX(CASE WHEN same_label THEN cos END)
+             - MAX(CASE WHEN NOT same_label THEN cos END), 6) AS margin
+FROM ranked
+WHERE rk = 1
+GROUP BY anchor_id, label
+ORDER BY anchor_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
@@ -1005,6 +1118,10 @@ def oracles() -> dict[str, tuple]:
         "embedding_pca_project": (q_embedding_pca_project, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
         "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
+        "contrastive_pairs_lsh": (
+            q_contrastive_pairs_lsh,
+            ORACLE_CONTRASTIVE_PAIRS_LSH,
+        ),
         "embedding_outliers": (q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
         "embedding_drift": (q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
     }

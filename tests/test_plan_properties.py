@@ -315,6 +315,23 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # PIT assembly: trailing counts are bucketed EQUI-joins and the
     # as-of carry is a window — no nested-loop theta join anywhere
     "feature_assembly_pit": ["tree:Window", "!tree:BroadcastNestedLoopJoin"],
+    # lifecycle composites over the manifest fixture; default gates
+    "txn_wap_publish": [],
+    "txn_scd2_apply": [],
+    # rolling median: ONE user-partitioned window (array select), never
+    # the oracle's fan-out self-join; JVM higher-order funcs only
+    "rolling_median": ["tree:Window", "!tree:Join", "!MapInPandas", "!ArrowEvalPython"],
+    # Lindley balance: two stacked windows on one shuffle — no recursion,
+    # no join, no Python plane
+    "running_balance_clamped": ["tree:Window", "!tree:Join", "!MapInPandas", "!ArrowEvalPython"],
+    # all 10 correlations from ONE map-side-combining aggregate pass
+    "correlation_matrix": ["tree:HashAggregate", "partial_", "!tree:Join"],
+    # LSH-composed contrastive mining: candidate generation is a bucket
+    # EQUI-join — only the exploded anchor table broadcasts, the corpus
+    # is never fed through a nested loop
+    "contrastive_pairs_lsh": [
+        "BroadcastHashJoin", "!tree:BroadcastNestedLoopJoin",
+    ],
 }
 
 
