@@ -1460,10 +1460,76 @@ ORACLE_TABLE_CHECKSUM = """
 """
 
 
+K_ANON = 5  # the k in k-anonymity
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: group by the
+    quasi-identifier tuple (nation, market segment, account-balance
+    band) and report the equivalence-class SIZE HISTOGRAM — how many
+    classes have each size, how many rows they hold, and whether that
+    size violates k=5. A release is k-anonymous iff no row is flagged:
+    every individual hides among ≥ k-1 others sharing their QI tuple.
+    This is the privacy gate a training-data export runs before PII-free
+    publication (the structural complement of ``q_pii_redact``'s value
+    masking).
+
+    Scale shape: two stacked aggregates — the corpus collapses to
+    |QI classes| rows in one map-side-combining groupBy, then to
+    |distinct sizes| rows. No window, no join, nothing row-scale after
+    the first shuffle. The balance band is floor(acctbal/1000): one
+    IEEE division + floor, identical in any engine; everything else is
+    exact integers.
+    """
+    cust = load_tables(spark, sf_dir)["customer"]
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            (F.count(F.lit(1)) * F.col("class_size")).alias("n_rows"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < K_ANON).alias("violates_k"),
+        )
+        .orderBy("class_size")
+    )
+
+
+ORACLE_K_ANONYMITY_AUDIT = f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS INT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) * class_size AS BIGINT) AS n_rows,
+       class_size < {K_ANON} AS violates_k
+FROM classes
+GROUP BY class_size
+ORDER BY class_size
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "k_anonymity_audit": (q_k_anonymity_audit, ORACLE_K_ANONYMITY_AUDIT),
         "source_quota_cap": (
             q_source_quota_cap,
             ORACLE_SOURCE_QUOTA_CAP.replace("{sql_quality}", SQL_QUALITY),

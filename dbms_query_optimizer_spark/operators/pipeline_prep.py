@@ -258,10 +258,267 @@ ORACLE_SKYLINE_PARETO = """
     """
 
 
+# --------------------------------------------------- target encoding (k-fold)
+
+TE_FOLDS = 5  # folds for out-of-fold encoding (fold = doc_id % TE_FOLDS)
+TE_SMOOTH = 20  # prior pseudo-count (m in the m-estimate smoother)
+
+
+def q_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold target encoding — the categorical-feature prep
+    every tabular training pipeline needs: encode each (category, fold)
+    cell with the target mean computed over the OTHER folds only, so a
+    row never sees its own label through its encoding (the leak that
+    silently inflates validation scores). Category = document source,
+    target = is-English, fold = doc_id % TE_FOLDS; the m-estimate
+    smoother shrinks thin categories toward the global prior.
+
+    Scale shape: one groupBy collapses the corpus to |sources|×|folds|
+    cells before anything wide; per-source totals are a window over that
+    tiny frame, the global prior is a broadcast 1-row aggregate, and the
+    out-of-fold arithmetic is total-minus-own — pure column math, no
+    second scan, no per-fold job. Encodings are single IEEE divisions of
+    exact integer sums (bit-identical across engines), never rounded.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(TE_FOLDS)).cast("int").alias("fold"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    per = base.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).alias("n_fold"), F.sum("y").alias("pos_fold")
+    )
+    w = W.partitionBy("source")
+    per = per.withColumn("n_src", F.sum("n_fold").over(w)).withColumn(
+        "pos_src", F.sum("pos_fold").over(w)
+    )
+    glob = base.agg(F.sum("y").alias("g_pos"), F.count(F.lit(1)).alias("g_n"))
+    n_out = F.col("n_src") - F.col("n_fold")
+    pos_out = F.col("pos_src") - F.col("pos_fold")
+    prior = F.col("g_pos").cast("double") / F.col("g_n")
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "fold",
+            F.col("n_fold").cast("long").alias("n_fold"),
+            F.col("pos_fold").cast("long").alias("pos_fold"),
+            n_out.cast("long").alias("n_out"),
+            pos_out.cast("long").alias("pos_out"),
+            F.when(n_out > 0, pos_out.cast("double") / n_out.cast("double"))
+            .otherwise(prior)
+            .alias("enc_oof"),
+            (
+                (pos_out.cast("double") + F.lit(TE_SMOOTH) * prior)
+                / (n_out.cast("double") + F.lit(TE_SMOOTH))
+            ).alias("enc_smooth"),
+        )
+        .orderBy("source", "fold")
+    )
+
+
+ORACLE_TARGET_ENCODE_KFOLD = f"""
+WITH base AS (
+    SELECT source, CAST(doc_id % {TE_FOLDS} AS INT) AS fold,
+           CAST(lang = 'en' AS BIGINT) AS y
+    FROM documents
+), per AS (
+    SELECT source, fold,
+           CAST(COUNT(*) AS BIGINT) AS n_fold,
+           CAST(SUM(y) AS BIGINT) AS pos_fold
+    FROM base GROUP BY source, fold
+), tot AS (
+    SELECT source, fold, n_fold, pos_fold,
+           CAST(SUM(n_fold) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+           CAST(SUM(pos_fold) OVER (PARTITION BY source) AS BIGINT) AS pos_src
+    FROM per
+), g AS (
+    SELECT CAST(SUM(y) AS BIGINT) AS g_pos, CAST(COUNT(*) AS BIGINT) AS g_n
+    FROM base
+)
+SELECT source, fold, n_fold, pos_fold,
+       CAST(n_src - n_fold AS BIGINT) AS n_out,
+       CAST(pos_src - pos_fold AS BIGINT) AS pos_out,
+       CASE WHEN n_src - n_fold > 0
+            THEN CAST(pos_src - pos_fold AS DOUBLE)
+                 / CAST(n_src - n_fold AS DOUBLE)
+            ELSE CAST(g_pos AS DOUBLE) / g_n END AS enc_oof,
+       (CAST(pos_src - pos_fold AS DOUBLE)
+        + {TE_SMOOTH} * (CAST(g_pos AS DOUBLE) / g_n))
+       / (CAST(n_src - n_fold AS DOUBLE) + {TE_SMOOTH}) AS enc_smooth
+FROM tot, g
+ORDER BY source, fold
+"""
+
+
+# ------------------------------------------------- balanced shard assignment
+
+N_OUTPUT_SHARDS = 8
+SHARD_RANK_PARTS = 8  # range buckets for the distributed size rank
+
+
+def q_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding: assign documents to N_OUTPUT_SHARDS
+    writer shards so total content per shard is near-equal — the step
+    that decides whether 1000 writers finish together or one straggler
+    holds the job. Greedy LPT approximation, deterministically: rank
+    docs by size descending (the DISTRIBUTED range-partitioned
+    row_number — no single-partition window) and deal round-robin by
+    rank, so the k largest docs land on k different shards.
+
+    Output is the per-shard manifest an orchestrator audits: exact doc
+    and char totals plus each shard's extremes. One ranked projection,
+    one aggregate — at 100 TB the only full-data moves are the range
+    shuffle and the final |shards|-row agg.
+    """
+    from .relational import distributed_row_number, range_bucket
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    pid = range_bucket(docs, "n_chars", SHARD_RANK_PARTS, descending=True)
+    ranked = distributed_row_number(
+        docs,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        pid,
+        SHARD_RANK_PARTS,
+    )
+    return (
+        ranked.withColumn(
+            "shard", ((F.col("rn") - 1) % N_OUTPUT_SHARDS).cast("int")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_ASSIGNMENT_BALANCED = f"""
+WITH ranked AS (
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM documents
+)
+SELECT CAST((rn - 1) % {N_OUTPUT_SHARDS} AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars
+FROM ranked
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+# --------------------------------------------------- span-corruption masking
+
+MASK_HEX = ("0", "1", "2")  # md5 first hex digit -> 3/16 token mask rate
+
+
+def q_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption statistics: deterministically mask ~19%
+    of each document's tokens (md5 of doc_id:position — reproducible
+    across runs AND engines, no RNG state to ship) and report, per doc,
+    the token count, masked count, and number of CONTIGUOUS masked spans
+    (adjacent masked tokens merge into one sentinel span — the quantity
+    that sets the denoising objective's sentinel budget).
+
+    Span merging is the gaps-and-islands trick: among masked positions,
+    ``pos − row_number`` is constant exactly within a run, so spans =
+    COUNT(DISTINCT pos − rn) — one doc-partitioned window over masked
+    tokens only (bounded by document length, never corpus-global). All
+    JVM codegen: split, posexplode, md5, two aggregates; exact integers
+    end to end.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.md5(F.concat_ws(":", "doc_id", "pos")), 1, 1
+            ).isin(*MASK_HEX).alias("m"),
+        )
+    )
+    counts = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("m").cast("long")).alias("n_masked"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        toks.filter("m")
+        .withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("isl").alias("n_spans"))
+    )
+    return (
+        counts.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPAN_CORRUPTION_MASK = f"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS arr
+    FROM documents
+), idx AS (
+    SELECT doc_id, arr, UNNEST(range(len(arr))) AS pos FROM base
+), flags AS (
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 1)
+               IN ({', '.join(repr(h) for h in MASK_HEX)}) AS m
+    FROM idx WHERE length(arr[CAST(pos AS INT) + 1]) > 0
+), spans AS (
+    SELECT doc_id, CAST(COUNT(DISTINCT pos - rn) AS BIGINT) AS n_spans
+    FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM flags WHERE m
+    ) GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(COALESCE(MAX(s.n_spans), 0) AS BIGINT) AS n_spans
+FROM flags f LEFT JOIN spans s ON s.doc_id = f.doc_id
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+"""
+
+
 def oracles():
     return {
         "decontaminate_ngram": (q_decontaminate_ngram, _sql_decontaminate()),
         "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "skyline_pareto": (q_skyline_pareto, ORACLE_SKYLINE_PARETO),
+        "target_encode_kfold": (
+            q_target_encode_kfold,
+            ORACLE_TARGET_ENCODE_KFOLD,
+        ),
+        "shard_assignment_balanced": (
+            q_shard_assignment_balanced,
+            ORACLE_SHARD_ASSIGNMENT_BALANCED,
+        ),
+        "span_corruption_mask": (
+            q_span_corruption_mask,
+            ORACLE_SPAN_CORRUPTION_MASK,
+        ),
     }
