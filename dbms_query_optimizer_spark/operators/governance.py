@@ -1416,12 +1416,16 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each row is canonically encoded (pipe-joined columns, floats via
     DECIMAL so both engines print identical digits), md5-hashed, the top
     60 bits taken as a BIGINT, and reduced with BOTH an order-free SUM
-    (as DECIMAL(38,0): no overflow at any row count) and a BIT_XOR —
-    two independent reductions so a forged pair of compensating edits
-    must fool both. Map-side combined, shuffle of one partial per
-    partition, zero sorts. The checksum value ITSELF is the oracle
-    contract: both engines must derive the identical 60-bit integers
-    row for row."""
+    and a BIT_XOR — two independent reductions so a forged pair of
+    compensating edits must fool both. The sum accumulates in a wide
+    intermediate (DECIMAL(38,0) / HUGEINT: no overflow at any row count)
+    but is PUBLISHED modulo the Mersenne prime 2^61−1, so the output
+    column is a BIGINT exact in every consumer — a DECIMAL(38,0) output
+    silently rounds to float64 through pandas and the checksum stops
+    detecting exactly the low-order corruption it exists to catch.
+    Map-side combined, shuffle of one partial per partition, zero sorts.
+    The checksum value ITSELF is the oracle contract: both engines must
+    derive the identical 60-bit integers row for row."""
     orders = load_tables(spark, sf_dir)["orders"]
     row = F.concat_ws(
         "|",
@@ -1433,18 +1437,24 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checksum_frame(orders, row)
 
 
+CHECKSUM_MOD = 2**61 - 1  # Mersenne prime: modular sum stays a BIGINT
+
+
 def checksum_frame(df: DataFrame, row) -> DataFrame:
     """Frame-level core of q_table_checksum: reduce any canonical
-    row-encoding Column to (n_rows, checksum_sum, checksum_xor)."""
+    row-encoding Column to (n_rows, checksum_sum, checksum_xor).
+    checksum_sum = SUM(h) mod 2^61−1 — wide accumulator, BIGINT out."""
     h = F.conv(F.substring(F.md5(row.cast("binary")), 1, 15), 16, 10).cast("long")
     return df.select(h.alias("h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum_sum"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+        .cast("long")
+        .alias("checksum_sum"),
         F.bit_xor("h").alias("checksum_xor"),
     )
 
 
-ORACLE_TABLE_CHECKSUM = """
+ORACLE_TABLE_CHECKSUM = f"""
     WITH h AS (
         SELECT CAST(('0x' || substr(md5(CONCAT_WS('|',
                    CAST(o_orderkey AS VARCHAR),
@@ -1454,7 +1464,7 @@ ORACLE_TABLE_CHECKSUM = """
         FROM orders
     )
     SELECT COUNT(*) AS n_rows,
-           CAST(SUM(h) AS DECIMAL(38,0)) AS checksum_sum,
+           CAST(SUM(h) % {CHECKSUM_MOD} AS BIGINT) AS checksum_sum,
            BIT_XOR(h) AS checksum_xor
     FROM h
 """

@@ -73,7 +73,21 @@ def hugeint_columns(conn: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     this check the local gate is structurally blind to the defect.
     """
     desc = conn.execute(f"DESCRIBE ({sql})").fetchall()
-    return [c for c, t, *_ in desc if "HUGEINT" in t.upper() or "INT128" in t.upper()]
+    return [c for c, t, *_ in desc if _pandas_lossy_type(t)]
+
+
+def _pandas_lossy_type(t: str) -> bool:
+    """True for DuckDB output types pandas renders as float64 with
+    precision loss: HUGEINT/INT128 (the tpch_q12 class) and DECIMAL with
+    precision > 15 (float64 holds ~15.95 decimal digits — a
+    DECIMAL(38,0) checksum silently drops its low-order digits)."""
+    import re
+
+    tu = t.upper()
+    if "HUGEINT" in tu or "INT128" in tu:
+        return True
+    m = re.match(r"DECIMAL\((\d+)", tu)
+    return bool(m) and int(m.group(1)) > 15
 
 
 def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
