@@ -617,21 +617,25 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
+    # q8 is EMITTED serialized (comma-joined): the grading driver
+    # canonicalizes via pandas row sort, which cannot order list-valued
+    # cells (the exact r1 agg_array_ordered failure) — the array itself
+    # stays a JVM array through the whole transform.
     return with_max.select(
         "vec_id",
         F.round(F.col("_max_abs_raw").cast("double"), 6).alias("max_abs"),
-        quant.alias("q8"),
+        F.array_join(quant.cast("array<string>"), ",").alias("q8"),
     ).orderBy("vec_id")
 
 
 ORACLE_EMBEDDING_QUANTIZE_INT8 = """
     SELECT vec_id,
            ROUND(CAST(max_abs AS DOUBLE), 6) AS max_abs,
-           CASE WHEN max_abs = 0
+           array_to_string(CASE WHEN max_abs = 0
                 THEN list_transform(embedding, x -> 0)
                 ELSE list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT))
-           END AS q8
+           END, ',') AS q8
     FROM (
         SELECT vec_id, embedding,
                list_max(list_transform(embedding, x -> abs(x))) AS max_abs

@@ -77,14 +77,18 @@ def hugeint_columns(conn: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
 
 
 def _pandas_lossy_type(t: str) -> bool:
-    """True for DuckDB output types pandas renders as float64 with
-    precision loss: HUGEINT/INT128 (the tpch_q12 class) and DECIMAL with
-    precision > 15 (float64 holds ~15.95 decimal digits — a
-    DECIMAL(38,0) checksum silently drops its low-order digits)."""
+    """True for DuckDB output types the grading driver's pandas
+    canonicalization mangles: HUGEINT/INT128 and DECIMAL(p>15) render as
+    float64 with precision loss (the tpch_q12 / table_checksum classes),
+    and LIST/STRUCT/MAP cells are unhashable in the pandas row sort (the
+    r1 agg_array_ordered traceback) — serialize arrays to joined strings
+    instead."""
     import re
 
     tu = t.upper()
     if "HUGEINT" in tu or "INT128" in tu:
+        return True
+    if "[]" in tu or tu.startswith(("STRUCT", "MAP", "LIST", "UNION")):
         return True
     m = re.match(r"DECIMAL\((\d+)", tu)
     return bool(m) and int(m.group(1)) > 15
