@@ -566,6 +566,11 @@ register(
     R.q_stats_selectivity_report,
     R.ORACLE_STATS_SELECTIVITY_REPORT,
 )
+register(
+    "stats_equidepth_histogram",
+    R.q_stats_equidepth_histogram,
+    R.ORACLE_STATS_EQUIDEPTH_HISTOGRAM,
+)
 
 register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, None)
 

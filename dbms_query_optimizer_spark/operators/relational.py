@@ -1388,6 +1388,69 @@ def q_stats_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name", "op", "constant")
 
 
+EQUIDEPTH_BUCKETS = 16
+
+
+def q_stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram over o_totalprice — the
+    statistics structure real optimizers prefer to the reference's
+    equi-width IntHistogram (table_stats.cc builds width-uniform bins;
+    depth-uniform bins bound per-bucket selectivity error by 1/B
+    regardless of skew). Bucket boundaries are EXACT order statistics:
+    the global rank comes from the distributed range-partitioned
+    row_number (no single-partition window), the bucket from
+    ``exact_ntile``'s closed-form integer arithmetic, and lo/hi are
+    input VALUES selected, never computed — so the histogram is
+    bit-identical on any engine and the oracle can pin it by hash.
+
+    Scale shape: one range shuffle + partition-local sort for the rank,
+    one map-side-combining aggregate to B rows. This is how you build
+    the stats table FOR the planner at 100 TB without funneling the
+    column through one task.
+    """
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = orders.count()
+    pid = range_bucket(orders, "o_totalprice", EQUIDEPTH_BUCKETS)
+    ranked = distributed_row_number(
+        orders,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        pid,
+        EQUIDEPTH_BUCKETS,
+    )
+    return (
+        ranked.withColumn(
+            "bucket", exact_ntile("rn", n, EQUIDEPTH_BUCKETS)
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_STATS_EQUIDEPTH_HISTOGRAM = f"""
+WITH ranked AS (
+    SELECT o_totalprice,
+           NTILE({EQUIDEPTH_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey
+           ) AS bucket
+    FROM orders
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ranked
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def _stats_probe_values_sql() -> str:
     from ..plans.stats import PredicateType
 
