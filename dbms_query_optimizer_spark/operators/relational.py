@@ -780,31 +780,46 @@ def distributed_row_number(
     the offsets branch and the numbering branch would each sample their own
     partitioner, and disagreeing boundaries silently corrupt every offset.)
 
-    Shape: one hash shuffle on ``_pid`` (disjoint ordered key ranges), a
-    partition-local sort + row_number in parallel, and a broadcast join of
-    the n_parts-row cumulative-offset table. Cross-partition coordination
-    touches n_parts rows, not N — the plan survives 100 TB.
+    Shape: one hash shuffle on ``_pid`` (disjoint ordered key ranges) and
+    a partition-local sort + row_number in parallel. The cumulative
+    offsets are n_parts scalars — like ``range_bucket``'s quantile cuts
+    they are computed by one driver-side metadata action (a groupBy-count
+    of n_parts rows) and injected as a literal map lookup, so the plan
+    carries NO global window, no SinglePartition exchange, and no join.
+    Cross-partition coordination touches n_parts rows, not N — the plan
+    survives 100 TB.
     """
     parts = df.withColumn("_pid", pid).repartition(n_parts, "_pid")
-    offsets = (
-        parts.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_n").over(
-                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("_n")
+    counts = dict(
+        parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if not offsets:  # empty input: keep the expression well-formed
+        offsets = {0: 0}
+    # keys/values cast explicitly: a literal offset past 2^31 would
+    # otherwise flip that entry to LongType and make create_map's value
+    # types inconsistent
+    offset_map = F.create_map(
+        *[
+            c
+            for p, off in offsets.items()
+            for c in (
+                F.lit(p).cast("int"),
+                F.lit(off).cast("long"),
+            )
+        ]
     )
     w_local = W.partitionBy("_pid").orderBy(*order_cols)
     return (
-        parts.join(F.broadcast(offsets), "_pid")
-        .withColumn(rn_col, F.row_number().over(w_local) + F.col("_offset"))
-        .drop("_pid", "_offset")
+        parts.withColumn(
+            rn_col,
+            F.row_number().over(w_local) + F.element_at(offset_map, F.col("_pid")),
+        )
+        .drop("_pid")
     )
 
 
