@@ -1001,7 +1001,11 @@ def q_contrastive_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe buckets (own bucket + the LSH_SIGN_DIMS Hamming-1 neighbors)
     and candidate generation is a hash EQUI-join on bucket against the
     PARTITIONED corpus — (1+dims)/2^dims of the brute-force work,
-    sharded by bucket; only the tiny exploded anchor table broadcasts.
+    sharded by bucket. No broadcast is FORCED: anchors are corpus/stride
+    (a constant fraction, too big to broadcast at 100 TB), so the join
+    is left an equi-join for Catalyst — broadcast at small SF,
+    shuffle-hash co-partitioned on bucket at scale; the plan SHAPE
+    (never a nested loop over the corpus) is what the pin asserts.
     Within the candidate set the selection is exact: hardest positive /
     hardest negative by 6-dp cosine with cand_id tie-break, then the
     training margin — identical contract to the exact twin, restricted
@@ -1037,20 +1041,16 @@ def q_contrastive_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cl"),
         F.col("bucket").alias("cb"),
     )
-    pairs = (
-        F.broadcast(a)
-        .join(
-            c,
-            (F.col("qb") == F.col("cb"))
-            & (F.col("anchor_id") != F.col("cand_id")),
-        )
-        .select(
-            "anchor_id",
-            "label",
-            "cand_id",
-            (F.col("cl") == F.col("label")).alias("same_label"),
-            F.round(cosine_expr("va", "vc"), 6).alias("cos"),
-        )
+    pairs = a.join(
+        c,
+        (F.col("qb") == F.col("cb"))
+        & (F.col("anchor_id") != F.col("cand_id")),
+    ).select(
+        "anchor_id",
+        "label",
+        "cand_id",
+        (F.col("cl") == F.col("label")).alias("same_label"),
+        F.round(cosine_expr("va", "vc"), 6).alias("cos"),
     )
     w = W.partitionBy("anchor_id", "same_label").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()
