@@ -1918,8 +1918,94 @@ ORDER BY a.user_id, a.rn
 """
 
 
+COVERAGE_SPAN_US = 300 * 1_000_000  # each event covers [ts, ts+5min)
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user: every event covers a 5-minute
+    window; overlapping windows MERGE, and the answer is each user's
+    total covered time and number of disjoint activity islands — the
+    billing/uptime/exposure quantity (machine-on time, ad exposure,
+    on-call coverage) that naive SUM(span) double-counts whenever
+    activity bursts overlap. Complements ``q_interval_overlap_join``
+    (who overlaps whom) with how-much-is-covered.
+
+    Gaps-and-islands, all JVM: a new island starts where the event's
+    start exceeds the running max of prior ends (one user-partitioned
+    window — bounded by a user's history, never corpus-global); the
+    island id is the running sum of those flags; two aggregates collapse
+    islands to (start, max end) and users to totals. Arithmetic is
+    exact integer microseconds end to end (unix_micros ↔ epoch_us), so
+    the hashes cannot drift.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(COVERAGE_SPAN_US)).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "new_isl",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn(
+        "isl", F.sum("new_isl").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    islands = flagged.groupBy("user_id", "isl").agg(
+        F.min("s").alias("st"),
+        F.max("e").alias("en"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_ev").alias("n_events"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("en") - F.col("st")).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = f"""
+WITH base AS (
+    SELECT user_id, event_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {COVERAGE_SPAN_US} AS e
+    FROM events
+), flagged AS (
+    SELECT user_id, event_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), -1) THEN 1 ELSE 0 END AS new_isl
+    FROM base
+), islanded AS (
+    SELECT user_id, s, e,
+           SUM(new_isl) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM flagged
+), islands AS (
+    SELECT user_id, isl, MIN(s) AS st, MAX(e) AS en,
+           CAST(COUNT(*) AS BIGINT) AS n_ev
+    FROM islanded GROUP BY user_id, isl
+)
+SELECT user_id,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS covered_us
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "interval_coverage": (q_interval_coverage, ORACLE_INTERVAL_COVERAGE),
         "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
         "asof_join_left": (q_asof_join_left, ORACLE_ASOF_JOIN_LEFT),
