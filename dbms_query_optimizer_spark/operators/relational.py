@@ -830,6 +830,8 @@ def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = 
     Equal keys always land in the same bucket, so any tie-break column may
     follow in ``order_cols``. ``descending=True`` buckets for a DESC sort.
     """
+    if n_parts <= 1:
+        return F.lit(0)
     qs = [i / n_parts for i in range(1, n_parts)]
     cuts = df.stat.approxQuantile(col_name, qs, 0.001)
     c = F.col(col_name)
