@@ -293,7 +293,11 @@ def q_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per.withColumn("n_src", F.sum("n_fold").over(w)).withColumn(
         "pos_src", F.sum("pos_fold").over(w)
     )
-    glob = base.agg(F.sum("y").alias("g_pos"), F.count(F.lit(1)).alias("g_n"))
+    # global prior from the per-cell aggregate — the corpus is scanned
+    # exactly once; glob is a 1-row reduction of |sources|x|folds| cells
+    glob = per.agg(
+        F.sum("pos_fold").alias("g_pos"), F.sum("n_fold").alias("g_n")
+    )
     n_out = F.col("n_src") - F.col("n_fold")
     pos_out = F.col("pos_src") - F.col("pos_fold")
     prior = F.col("g_pos").cast("double") / F.col("g_n")
@@ -427,12 +431,12 @@ def q_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     (adjacent masked tokens merge into one sentinel span — the quantity
     that sets the denoising objective's sentinel budget).
 
-    Span merging is the gaps-and-islands trick: among masked positions,
-    ``pos − row_number`` is constant exactly within a run, so spans =
-    COUNT(DISTINCT pos − rn) — one doc-partitioned window over masked
-    tokens only (bounded by document length, never corpus-global). All
-    JVM codegen: split, posexplode, md5, two aggregates; exact integers
-    end to end.
+    Span counting is a lag flag, not a second pass: a span STARTS at a
+    masked token whose predecessor (in the per-doc token order) is
+    unmasked or absent, so n_spans = SUM(span_start) — one
+    doc-partitioned lag window (bounded by document length, never
+    corpus-global) and ONE aggregate over one scan+explode. All JVM
+    codegen: split, posexplode, md5; exact integers end to end.
     """
     docs = load_tables(spark, sf_dir)["documents"]
     toks = (
@@ -451,24 +455,19 @@ def q_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).isin(*MASK_HEX).alias("m"),
         )
     )
-    counts = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.col("m").cast("long")).alias("n_masked"),
-    )
     w = W.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        toks.filter("m")
-        .withColumn("isl", F.col("pos") - F.row_number().over(w))
-        .groupBy("doc_id")
-        .agg(F.count_distinct("isl").alias("n_spans"))
+    flagged = toks.withColumn(
+        "span_start",
+        (F.col("m") & ~F.coalesce(F.lag("m").over(w), F.lit(False))).cast(
+            "long"
+        ),
     )
     return (
-        counts.join(spans, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_masked",
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("m").cast("long")).alias("n_masked"),
+            F.sum("span_start").alias("n_spans"),
         )
         .orderBy("doc_id")
     )
