@@ -2003,8 +2003,115 @@ ORDER BY user_id
 """
 
 
+CUSUM_BASELINE_DAYS = 14  # reference window the shift is measured against
+CUSUM_H_NUM = 2  # alarm threshold = H_NUM x baseline-day sum (scaled units)
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM mean-shift detector over each event type's daily
+    volume — the sequential monitoring statistic (Page's test) behind
+    data-drift pagers: s_i = max(0, s_{i-1} + (x_i − target − slack)),
+    alarm when s crosses h. The per-series report gives the max
+    statistic, alarm-day count, and FIRST alarm day (the detection
+    latency a monitoring SLA cares about).
+
+    Exact integer arithmetic throughout: work in day-count × BASELINE
+    units (x'_i = B·count_i − base_sum − slack), so the clamped
+    recurrence needs no floats. The recurrence itself is NOT iterated:
+    by the same Skorokhod reflection identity as
+    ``q_running_balance_clamped``, s_i = cum_i − min(0, runmin(cum_i))
+    — two stacked windows over the per-(type, day) aggregate, which is
+    |types|×|days| rows, never raw events. The oracle steps the textbook
+    recurrence row by row in a RECURSIVE CTE — an independent
+    formulation, so a mistake in the reflection identity cannot cancel.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    rn = F.row_number().over(w_ord)
+    daily = daily.withColumn("rn", rn)
+    base = (
+        daily.filter(F.col("rn") <= CUSUM_BASELINE_DAYS)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("base_sum"))
+    )
+    d = daily.join(base, "event_type").withColumn(
+        "delta",
+        F.lit(CUSUM_BASELINE_DAYS) * F.col("n")
+        - F.col("base_sum")
+        - F.expr("base_sum DIV 28"),  # integer floor div, never a double
+    )
+    cum = F.sum("delta").over(
+        w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runmin = F.min("cum").over(
+        w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scored = (
+        d.withColumn("cum", cum)
+        .withColumn("s", F.col("cum") - F.least(F.lit(0), runmin))
+        .withColumn(
+            "alarm", F.col("s") > F.lit(CUSUM_H_NUM) * F.col("base_sum")
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("s").alias("max_stat"),
+            F.sum(F.col("alarm").cast("long")).alias("n_alarm_days"),
+            F.min(F.when(F.col("alarm"), F.col("day"))).alias(
+                "first_alarm_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+           ) AS rn
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), base AS (
+    SELECT event_type, CAST(SUM(n) AS BIGINT) AS base_sum
+    FROM daily WHERE rn <= {CUSUM_BASELINE_DAYS} GROUP BY event_type
+), d AS (
+    SELECT daily.event_type, day, rn,
+           {CUSUM_BASELINE_DAYS} * n - base_sum
+               - CAST(base_sum // 28 AS BIGINT) AS delta,
+           base_sum
+    FROM daily JOIN base ON daily.event_type = base.event_type
+), walk(event_type, rn, day, s, base_sum) AS (
+    SELECT event_type, rn, day, GREATEST(0, delta), base_sum
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.event_type, d.rn, d.day, GREATEST(0, w.s + d.delta), d.base_sum
+    FROM walk w JOIN d
+      ON d.event_type = w.event_type AND d.rn = w.rn + 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(s) AS BIGINT) AS max_stat,
+       CAST(SUM(CASE WHEN s > {CUSUM_H_NUM} * base_sum THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarm_days,
+       MIN(CASE WHEN s > {CUSUM_H_NUM} * base_sum THEN day END)
+           AS first_alarm_day
+FROM walk
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "cusum_changepoint": (q_cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT),
         "interval_coverage": (q_interval_coverage, ORACLE_INTERVAL_COVERAGE),
         "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
