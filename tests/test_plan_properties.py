@@ -167,13 +167,14 @@ def test_global_ranks_never_single_partition(explain, name):
     # task (WindowExec's "No Partition Defined for Window" warning).
     # The shipped form is the distributed range-partitioned rank
     # (relational.distributed_row_number): every corpus Window is
-    # partitioned by _pid. The ONLY SinglePartition exchange allowed is
-    # the one carrying the n_parts-row offset table (the cumulative-sum
-    # window over groupBy(_pid) counts) — so every SinglePartition
-    # exchange must sit DIRECTLY above a HashAggregate. Formatted-explain
-    # numbering is bottom-up, so a unary Exchange node (N) has child
-    # (N-1); an unaggregated corpus frame beneath a SinglePartition
-    # exchange breaks that adjacency and fails here.
+    # partitioned by _pid, and the cumulative offsets are a driver-side
+    # literal map (no window, no exchange at all). The only
+    # SinglePartition exchanges that may remain are global 1-row
+    # aggregates (e.g. rfm's broadcast max-date) — so every
+    # SinglePartition exchange must sit DIRECTLY above a HashAggregate.
+    # Formatted-explain numbering is bottom-up, so a unary Exchange node
+    # (N) has child (N-1); an unaggregated corpus frame beneath a
+    # SinglePartition exchange breaks that adjacency and fails here.
     import re
 
     plan = explain(name)
