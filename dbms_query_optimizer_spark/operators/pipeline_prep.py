@@ -502,8 +502,112 @@ ORDER BY f.doc_id
 """
 
 
+# ------------------------------------------------- WOE / IV feature binning
+
+WOE_BINS = 10
+
+
+def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature binning — the credit-scoring /
+    risk-model companion of ``q_target_encode_kfold``: bin a numeric
+    feature (doc length) into exact deciles, then score each bin by
+    WOE = ln(P(bin|positive) / P(bin|negative)) with Laplace smoothing,
+    plus its information-value contribution. Deciles come from the
+    distributed range-partitioned rank + ``exact_ntile`` (no
+    single-partition window), so the binning itself is the same exact
+    order-statistic machinery as ``stats_equidepth_histogram``.
+
+    Cross-engine determinism: counts are exact integers; the smoothed
+    odds ratio is assembled as ONE division of exact integer products
+    (2·pos+1 scaling keeps Laplace's +0.5 in the integer domain), so
+    both engines take ln of the bit-identical double; ROUND(...,6)
+    absorbs any last-ulp libm difference (the text_entropy precedent).
+    Per-bin IV contributions are emitted individually — no cross-bin
+    float summation whose order could differ between engines.
+    """
+    from .relational import distributed_row_number, exact_ntile, range_bucket
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "n_chars", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    n = docs.count()
+    n_parts = 8
+    ranked = distributed_row_number(
+        docs,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        range_bucket(docs, "n_chars", n_parts),
+        n_parts,
+    )
+    bins = (
+        ranked.withColumn("bin", exact_ntile("rn", n, WOE_BINS))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    # Laplace +0.5 in the integer domain: p2 = 2*pos+1, scaled totals
+    p2 = 2 * F.col("n_pos") + 1
+    n2 = 2 * F.col("n_neg") + 1
+    tp2 = 2 * F.col("t_pos") + WOE_BINS
+    tn2 = 2 * F.col("t_neg") + WOE_BINS
+    odds = (p2 * tn2).cast("double") / (n2 * tp2).cast("double")
+    woe = F.log(odds)
+    iv = (
+        p2.cast("double") / tp2.cast("double")
+        - n2.cast("double") / tn2.cast("double")
+    ) * woe
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            "n_neg",
+            F.round(woe, 6).alias("woe"),
+            F.round(iv, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_WOE_BINNING = f"""
+WITH ranked AS (
+    SELECT doc_id, n_chars, CAST(lang = 'en' AS BIGINT) AS y,
+           NTILE({WOE_BINS}) OVER (ORDER BY n_chars, doc_id) AS bin
+    FROM documents
+), bins AS (
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+    FROM ranked GROUP BY bin
+), tot AS (
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS t_neg
+    FROM bins
+)
+SELECT bin, n_rows, n_pos, n_neg,
+       ROUND(ln(CAST((2 * n_pos + 1) * (2 * t_neg + {WOE_BINS}) AS DOUBLE)
+                / CAST((2 * n_neg + 1) * (2 * t_pos + {WOE_BINS}) AS DOUBLE)),
+             6) AS woe,
+       ROUND((CAST(2 * n_pos + 1 AS DOUBLE) / CAST(2 * t_pos + {WOE_BINS} AS DOUBLE)
+              - CAST(2 * n_neg + 1 AS DOUBLE) / CAST(2 * t_neg + {WOE_BINS} AS DOUBLE))
+             * ln(CAST((2 * n_pos + 1) * (2 * t_neg + {WOE_BINS}) AS DOUBLE)
+                  / CAST((2 * n_neg + 1) * (2 * t_pos + {WOE_BINS}) AS DOUBLE)),
+             6) AS iv_contrib
+FROM bins, tot
+ORDER BY bin
+"""
+
+
 def oracles():
     return {
+        "woe_binning": (q_woe_binning, ORACLE_WOE_BINNING),
         "decontaminate_ngram": (q_decontaminate_ngram, _sql_decontaminate()),
         "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
