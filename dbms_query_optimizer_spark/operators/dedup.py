@@ -1889,8 +1889,75 @@ def _oracle_dedup_cdc_chunks() -> str:
     """
 
 
+def q_dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort dedup (the rapidfuzz ``token_sort_ratio`` idea at exact
+    threshold): fingerprint = md5 of the document's SORTED token
+    multiset, so word-reordered copies ("red big ball" vs "big red
+    ball") collapse into one group — the duplicate class exact dedup
+    misses and MinHash only catches probabilistically. The aggregated
+    report (group count, duplicate count, largest group) rides along
+    with the reordered-duplicate delta vs plain exact dedup, so the
+    operator certifies how many duplicates ONLY the order-invariant
+    fingerprint finds.
+
+    Same linear scale shape as ``q_dedup_exact``: map-side fingerprint
+    (split → array_sort → join → md5, all codegen), ONE hash shuffle on
+    the fingerprint. Both engines sort the same token lists with plain
+    byte-wise string order, so the fingerprints are bit-identical.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.split(F.lower("text"), "[^a-z]+")), " "
+            ).cast("binary")
+        ).alias("fp_sorted"),
+        fingerprint_md5("text").alias("fp_exact"),
+    )
+    groups = docs.groupBy("fp_sorted").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("fp_exact").alias("n_exact_forms"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("n") - 1).alias("n_duplicates"),
+        F.max("n").alias("largest_group"),
+        F.sum(
+            F.when(F.col("n_exact_forms") > 1, F.col("n") - 1).otherwise(0)
+        ).alias("n_reorder_only_dups"),
+    ).select(
+        "n_groups",
+        F.col("n_duplicates").cast("long").alias("n_duplicates"),
+        "largest_group",
+        F.col("n_reorder_only_dups").cast("long").alias("n_reorder_only_dups"),
+    )
+
+
+ORACLE_DEDUP_TOKEN_SORT = """
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(
+               string_split_regex(lower(text), '[^a-z]+')), ' ')) AS fp_sorted,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_exact
+    FROM documents
+), groups AS (
+    SELECT fp_sorted, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT fp_exact) AS BIGINT) AS n_exact_forms
+    FROM fp GROUP BY fp_sorted
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n - 1) AS BIGINT) AS n_duplicates,
+       CAST(MAX(n) AS BIGINT) AS largest_group,
+       CAST(SUM(CASE WHEN n_exact_forms > 1 THEN n - 1 ELSE 0 END)
+            AS BIGINT) AS n_reorder_only_dups
+FROM groups
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "dedup_token_sort": (q_dedup_token_sort, ORACLE_DEDUP_TOKEN_SORT),
         "dedup_cdc_chunks": (q_dedup_cdc_chunks, _oracle_dedup_cdc_chunks()),
         "dedup_semantic": (q_dedup_semantic, None),
         "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
