@@ -1923,9 +1923,10 @@ def q_dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum(F.col("n") - 1).alias("n_duplicates"),
         F.max("n").alias("largest_group"),
-        F.sum(
-            F.when(F.col("n_exact_forms") > 1, F.col("n") - 1).otherwise(0)
-        ).alias("n_reorder_only_dups"),
+        # duplicates ONLY the order-invariant fingerprint finds: each
+        # group's (n-1) total dups minus the (n - n_exact_forms) dups
+        # exact dedup already catches = n_exact_forms - 1
+        F.sum(F.col("n_exact_forms") - 1).alias("n_reorder_only_dups"),
     ).select(
         "n_groups",
         F.col("n_duplicates").cast("long").alias("n_duplicates"),
@@ -1949,8 +1950,7 @@ WITH fp AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
        CAST(SUM(n - 1) AS BIGINT) AS n_duplicates,
        CAST(MAX(n) AS BIGINT) AS largest_group,
-       CAST(SUM(CASE WHEN n_exact_forms > 1 THEN n - 1 ELSE 0 END)
-            AS BIGINT) AS n_reorder_only_dups
+       CAST(SUM(n_exact_forms - 1) AS BIGINT) AS n_reorder_only_dups
 FROM groups
 """
 

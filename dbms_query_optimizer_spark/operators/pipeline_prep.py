@@ -530,13 +530,13 @@ def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].select(
         "doc_id", "n_chars", (F.col("lang") == "en").cast("long").alias("y")
     )
-    n = docs.count()
     n_parts = 8
-    ranked = distributed_row_number(
+    ranked, n = distributed_row_number(
         docs,
         [F.col("n_chars").asc(), F.col("doc_id").asc()],
         range_bucket(docs, "n_chars", n_parts),
         n_parts,
+        return_total=True,
     )
     bins = (
         ranked.withColumn("bin", exact_ntile("rn", n, WOE_BINS))

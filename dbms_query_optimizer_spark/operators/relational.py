@@ -769,7 +769,8 @@ def distributed_row_number(
     pid,
     n_parts: int,
     rn_col: str = "rn",
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Global ``row_number() OVER (ORDER BY order_cols)`` WITHOUT the
     single-partition window (WindowExec's "No Partition Defined" trap).
 
@@ -788,10 +789,18 @@ def distributed_row_number(
     carries NO global window, no SinglePartition exchange, and no join.
     Cross-partition coordination touches n_parts rows, not N — the plan
     survives 100 TB.
+
+    ``return_total=True`` returns ``(df, total_rows)`` — the total is a
+    free by-product of the offsets action, saving ``exact_ntile``
+    callers a separate full count() job over the same frame.
     """
     parts = df.withColumn("_pid", pid).repartition(n_parts, "_pid")
     counts = dict(
         parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    assert all(p is not None for p in counts), (
+        "distributed_row_number: pid must never be NULL — NULL sort keys "
+        "need an explicit bucket (see range_bucket's NULL mapping)"
     )
     offsets: dict[int, int] = {}
     acc = 0
@@ -814,13 +823,16 @@ def distributed_row_number(
         ]
     )
     w_local = W.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         parts.withColumn(
             rn_col,
             F.row_number().over(w_local) + F.element_at(offset_map, F.col("_pid")),
         )
         .drop("_pid")
     )
+    if return_total:
+        return out, acc
+    return out
 
 
 def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = False):
@@ -829,6 +841,13 @@ def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = 
     cuts (n_parts-1 scalars) make the bucket a pure function of the key.
     Equal keys always land in the same bucket, so any tie-break column may
     follow in ``order_cols``. ``descending=True`` buckets for a DESC sort.
+
+    NULL keys map to the bucket matching Spark's DEFAULT null placement
+    for each direction — ``asc`` puts nulls first (bucket 0), ``desc``
+    puts nulls last (bucket n_parts-1) — so ``order_cols`` built with
+    plain ``.asc()``/``.desc()`` stay consistent; a caller using
+    ``asc_nulls_last``/``desc_nulls_first`` must supply its own pid.
+    approxQuantile ignores NULLs, so the cuts are unaffected.
     """
     if n_parts <= 1:
         return F.lit(0)
@@ -836,8 +855,12 @@ def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = 
     cuts = df.stat.approxQuantile(col_name, qs, 0.001)
     c = F.col(col_name)
     if descending:
-        return sum(((c < F.lit(x)).cast("int") for x in reversed(cuts)), F.lit(0))
-    return sum(((c > F.lit(x)).cast("int") for x in cuts), F.lit(0))
+        expr = sum(((c < F.lit(x)).cast("int") for x in reversed(cuts)), F.lit(0))
+        null_bucket = n_parts - 1
+    else:
+        expr = sum(((c > F.lit(x)).cast("int") for x in cuts), F.lit(0))
+        null_bucket = 0
+    return F.when(c.isNull(), F.lit(null_bucket)).otherwise(expr)
 
 
 def exact_ntile(rn_col: str, n: int, k: int):
@@ -1428,13 +1451,13 @@ def q_stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_totalprice"
     )
-    n = orders.count()
     pid = range_bucket(orders, "o_totalprice", EQUIDEPTH_BUCKETS)
-    ranked = distributed_row_number(
+    ranked, n = distributed_row_number(
         orders,
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
         pid,
         EQUIDEPTH_BUCKETS,
+        return_total=True,
     )
     return (
         ranked.withColumn(

@@ -949,18 +949,19 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     n_parts = 16
     a_in = ev.filter(F.col("event_type") == "purchase").select("value", "event_id")
-    a = distributed_row_number(
+    a, n_a = distributed_row_number(
         a_in, ["value", "event_id"], range_bucket(a_in, "value", n_parts),
-        n_parts, rn_col="pos",
+        n_parts, rn_col="pos", return_total=True,
     )
-    n_a = a.count()
     b_in = ev.filter(F.col("event_type") == "view").select("event_id", "value")
-    b = distributed_row_number(
+    b, n_b = distributed_row_number(
         b_in, ["value", "event_id"], range_bucket(b_in, "value", n_parts),
-        n_parts, rn_col="rank_b",
+        n_parts, rn_col="rank_b", return_total=True,
     )
-    n_b = b.count()
-    target = ((F.col("rank_b") * n_a + n_b - 1) / n_b).cast("long")
+    # integer floor division like the oracle's `//` — a double quotient
+    # cast to long can round across an integer boundary once
+    # rank_b * n_a exceeds 2^53
+    target = F.expr(f"(rank_b * {n_a}L + {n_b - 1}L) DIV {n_b}L")
     return (
         b.withColumn("pos", target)
         .join(

@@ -1690,9 +1690,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-        .persist()
+        # localCheckpoint, not persist: eagerly materialized once for the
+        # three rank branches, and reclaimed by the ContextCleaner when
+        # the frame goes out of scope (persist would pin executor storage
+        # for the rest of the session)
+        .localCheckpoint()
     )
-    n = per_user.count()
     n_parts = 8
     # quintile 1 = best on every axis (most recent / most frequent / biggest)
     axes = [
@@ -1703,12 +1706,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_user
     for q_col, key, desc in axes:
         order = [F.col(key).desc() if desc else F.col(key).asc(), F.col("user_id")]
-        ranked = distributed_row_number(
+        ranked, n = distributed_row_number(
             per_user.select("user_id", key),
             order,
             range_bucket(per_user, key, n_parts, descending=desc),
             n_parts,
             rn_col="_rn",
+            return_total=True,
         )
         quint = ranked.select(
             "user_id", exact_ntile("_rn", n, 5).alias(q_col)

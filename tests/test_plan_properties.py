@@ -158,7 +158,8 @@ def test_shuffle_hash_join_strategy_pinned(explain):
 @pytest.mark.parametrize(
     "name",
     ["global_row_number", "sample_systematic", "quantile_normalize",
-     "rfm_segmentation"],
+     "rfm_segmentation", "shard_assignment_balanced", "woe_binning",
+     "stats_equidepth_histogram"],
 )
 def test_global_ranks_never_single_partition(explain, name):
     # These queries need GLOBAL row numbers / NTILEs. The naive form —
