@@ -1188,8 +1188,97 @@ ORDER BY t.doc_id
 """
 
 
+CALIB_BINS = 10
+
+
+def q_model_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the frozen quality classifier — the
+    model-EVALUATION step a scoring gate needs before its threshold is
+    trusted: bin predictions into fixed-width score bins and compare
+    each bin's mean predicted probability against the observed positive
+    rate (label: is-English). A well-calibrated gate has gap ≈ 0 in
+    every populated bin; a miscalibrated one silently over- or
+    under-filters.
+
+    Determinism contract: the 6-dp-rounded score is recovered as an
+    EXACT integer in micro-units (ROUND(p,6)·1e6 — the rounding already
+    absorbed any last-ulp exp() variance, so both engines hold the same
+    double and recover the same integer). Bin id, counts, and the
+    summed micro-score are all exact integers; the calibration gap is a
+    difference of two single IEEE divisions of those integers —
+    bit-identical, emitted unrounded. One scan, one
+    map-side-combining aggregate; scale shape is a histogram, not a
+    model job.
+    """
+    t = load_tables(spark, sf_dir)
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * T.stopword_ratio("text")
+        + F.lit(QC_W_MLEN) * T.mean_token_len("text")
+        + F.lit(QC_W_LTOK) * F.log(F.lit(1.0) + T.token_count_ws("text"))
+    )
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    p_micro = F.round(p6 * F.lit(1000000.0)).cast("long")
+    bin_id = F.least(
+        (p_micro * CALIB_BINS / F.lit(1000000)).cast("long"),
+        F.lit(CALIB_BINS - 1),
+    ).cast("int")
+    scored = t["documents"].select(
+        bin_id.alias("bin"),
+        p_micro.alias("p_micro"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    n_pos = F.sum("y")
+    sum_p = F.sum("p_micro")
+    mean_pred = sum_p.cast("double") / (n * F.lit(1000000)).cast("double")
+    actual = n_pos.cast("double") / n.cast("double")
+    return (
+        scored.groupBy("bin")
+        .agg(
+            n.alias("n_docs"),
+            n_pos.alias("n_pos"),
+            sum_p.cast("long").alias("sum_p_micro"),
+            F.abs(mean_pred - actual).alias("calib_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _oracle_model_calibration_report() -> str:
+    p6 = (
+        f"ROUND(1.0 / (1.0 + exp(-({QC_BIAS} + {QC_W_STOP} * {SQL_STOP_RATIO}"
+        f" + {QC_W_MLEN} * {SQL_MEAN_TOKEN_LEN}"
+        f" + {QC_W_LTOK} * ln(1.0 + {SQL_TOKENS_WS})))), 6)"
+    )
+    return f"""
+WITH scored AS (
+    SELECT LEAST(CAST(CAST(ROUND({p6} * 1000000.0) AS BIGINT)
+                      * {CALIB_BINS} // 1000000 AS BIGINT),
+                 {CALIB_BINS - 1}) AS bin,
+           CAST(ROUND({p6} * 1000000.0) AS BIGINT) AS p_micro,
+           CAST(lang = 'en' AS BIGINT) AS y
+    FROM documents
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro,
+       ABS(CAST(SUM(p_micro) AS DOUBLE)
+               / CAST(COUNT(*) * 1000000 AS DOUBLE)
+           - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS calib_gap
+FROM scored
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "model_calibration_report": (
+            q_model_calibration_report,
+            _oracle_model_calibration_report(),
+        ),
         "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
         "text_mixed_language": (q_text_mixed_language, _oracle_text_mixed_language()),
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
