@@ -2113,8 +2113,97 @@ ORDER BY event_type
 """
 
 
+SNAIVE_SEASON = 7  # seasonal-naive lag (weekly)
+
+
+def q_forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (ŷ_t = y_{t−7}) over each event type's daily volume — the baseline
+    every forecasting pipeline must beat, and the evaluation harness
+    that proves it: per series, MAE and bias in exact event counts and
+    sMAPE as the scale-free score. Companion of ``q_trend_per_group``
+    (fit) and ``q_cusum_changepoint`` (drift): fit / monitor / backtest
+    is the full forecasting loop.
+
+    Scale shape: the event scan collapses to (type, day) counts first;
+    the lag-7 forecast is one window over that tiny frame (partitioned
+    by type — bounded by series length); errors aggregate map-side.
+    |y−ŷ| sums are exact integers; sMAPE terms are single IEEE
+    divisions of exact ints summed per series then divided by the
+    horizon count — deterministic to the last bit given identical
+    addition order, so the oracle mirrors the same per-day term list
+    and both engines sum in day order via list aggregation… avoided
+    entirely: sMAPE is emitted as the SUM of 6-dp-ROUNDED per-day terms
+    scaled to integer micro-units, so the cross-engine sum is an exact
+    integer no matter the order.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily.withColumn("yhat", F.lag("y", SNAIVE_SEASON).over(w))
+        .filter(F.col("yhat").isNotNull())
+        .withColumn("abs_err", F.abs(F.col("y") - F.col("yhat")))
+        .withColumn(
+            # 2|y-ŷ|/(y+ŷ) rounded to 6dp then scaled to exact micro-units
+            "smape_micro",
+            F.round(
+                F.round(
+                    F.lit(2.0) * F.col("abs_err").cast("double")
+                    / (F.col("y") + F.col("yhat")).cast("double"),
+                    6,
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_forecasts"),
+            F.sum("abs_err").alias("sum_abs_err"),
+            F.sum(F.col("y") - F.col("yhat")).alias("sum_bias"),
+            F.sum("smape_micro").alias("sum_smape_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FORECAST_BACKTEST_SNAIVE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), scored AS (
+    SELECT event_type, y,
+           LAG(y, {SNAIVE_SEASON}) OVER (
+               PARTITION BY event_type ORDER BY day
+           ) AS yhat
+    FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+       CAST(SUM(ABS(y - yhat)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(y - yhat) AS BIGINT) AS sum_bias,
+       CAST(SUM(CAST(ROUND(ROUND(2.0 * CAST(ABS(y - yhat) AS DOUBLE)
+                                 / CAST(y + yhat AS DOUBLE), 6)
+                           * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_smape_micro
+FROM scored
+WHERE yhat IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "forecast_backtest_snaive": (
+            q_forecast_backtest_snaive,
+            ORACLE_FORECAST_BACKTEST_SNAIVE,
+        ),
         "cusum_changepoint": (q_cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT),
         "interval_coverage": (q_interval_coverage, ORACLE_INTERVAL_COVERAGE),
         "interval_overlap_join": (q_interval_overlap_join, ORACLE_INTERVAL_OVERLAP_JOIN),
