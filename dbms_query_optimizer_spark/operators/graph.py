@@ -210,6 +210,104 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
 """
 
 
+LINK_PRED_TOP_K = 50
+
+
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the part co-purchase graph:
+    for every NON-edge pair sharing at least one neighbor, the Jaccard
+    score |N(a)∩N(b)| / |N(a)∪N(b)| — the classic "customers also
+    bought" / recommender-candidate generator, and the feature-prep
+    step of graph-ML pipelines. Top LINK_PRED_TOP_K pairs by score.
+
+    Shape: the same wedge join as triangle counting (candidate pairs =
+    paths of length 2, per-join fan-out bounded by node degree; at web
+    scale re-orient edges low-degree→high-degree first), one anti-join
+    removes existing edges, degree lookups are |nodes|-sized joins, and
+    the top-k is TakeOrdered — distributed, no global window. The score
+    is one IEEE division of exact integers (cn / (deg_a+deg_b−cn)),
+    bit-identical on both engines; ties at the cut break on (a, b).
+    """
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ia = li.toDF("okey", "pa")
+    ib = li.toDF("okey", "pb")
+    edges = (
+        ia.join(ib, "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .cache()
+    )
+    und = edges.union(edges.select(F.col("v"), F.col("u"))).toDF("node", "nbr")
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    cand = (
+        und.toDF("a", "n")
+        .join(und.toDF("b", "n2"), F.col("n") == F.col("n2"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(edges, (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+              "left_anti")
+    )
+    scored = (
+        cand.join(deg.toDF("a", "deg_a"), "a")
+        .join(deg.toDF("b", "deg_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("cn").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double"),
+        )
+    )
+    return (
+        scored.select("a", "b", "cn", "deg_a", "deg_b", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(LINK_PRED_TOP_K)
+    )
+
+
+ORACLE_GRAPH_LINK_PREDICTION = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a JOIN items b ON a.okey = b.okey AND a.l_partkey < b.l_partkey
+    GROUP BY u, v
+    HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+),
+und AS (
+    SELECT u AS node, v AS nbr FROM edges
+    UNION ALL
+    SELECT v, u FROM edges
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY node),
+cand AS (
+    SELECT x.node AS a, y.node AS b, CAST(COUNT(*) AS BIGINT) AS cn
+    FROM und x JOIN und y ON x.nbr = y.nbr AND x.node < y.node
+    GROUP BY x.node, y.node
+),
+nonedge AS (
+    SELECT c.* FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = c.a AND e.v = c.b
+    )
+)
+SELECT a, b, cn, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
+FROM nonedge n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+ORDER BY jaccard DESC, a, b
+LIMIT {LINK_PRED_TOP_K}
+"""
+
+
 def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the near-dup graph + a log-log power-law
     fit: P(degree) frequencies with regr_slope over (ln degree,
@@ -272,6 +370,10 @@ def oracles() -> dict[str, tuple]:
     return {
         "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
         "graph_triangle_count": (q_graph_triangle_count, ORACLE_GRAPH_TRIANGLE_COUNT),
+        "graph_link_prediction": (
+            q_graph_link_prediction,
+            ORACLE_GRAPH_LINK_PREDICTION,
+        ),
         "graph_degree_distribution": (
             q_graph_degree_distribution,
             _oracle_degree_distribution(),
