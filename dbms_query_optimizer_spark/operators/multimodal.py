@@ -496,8 +496,98 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ----------------------------------------------- perceptual-hash image dedup
+
+DHASH_W, DHASH_H = 9, 8  # 9x8 grayscale -> 64 horizontal-gradient bits
+NEARDUP_MOD = 7  # every doc_id % 7 == 3 re-shoots doc_id - 3's image
+NEARDUP_SHIFT = 2  # uniform brightness lift on the re-shoot
+
+
+def make_ppm_neardup(doc_id: int) -> bytes:
+    """Image payload with PLANTED near-duplicates: every doc with
+    ``doc_id % NEARDUP_MOD == 3`` is a re-shoot of ``doc_id - 3``'s
+    image with a uniform +NEARDUP_SHIFT brightness lift (clamped) —
+    byte-different, perceptually identical. The deterministic planting
+    mirrors the text plane's salting (mixed-language, CDC boilerplate):
+    the dedup signal is real, reproducible, and auditable."""
+    if doc_id % NEARDUP_MOD == 3 and doc_id >= 3:
+        src = make_ppm(doc_id - 3)
+        w, h, px = decode_image(src)
+        lifted = bytes(min(255, b + NEARDUP_SHIFT) for b in px)
+        return b"P6\n%d %d\n255\n" % (w, h) + lifted
+    return make_ppm(doc_id)
+
+
+def dhash64(payload: bytes) -> int:
+    """Difference hash: decode, grayscale, nearest-resample to
+    DHASH_W x DHASH_H, emit one bit per horizontal gradient
+    (left < right). Gradient comparisons are invariant under any
+    uniform brightness shift, so a re-shot/re-encoded image hashes
+    identically while unrelated images collide with probability
+    ~2^-64."""
+    import numpy as np
+
+    w, h, px = decode_image(payload)
+    rgb = resize_nearest(w, h, px, DHASH_W, DHASH_H).astype(np.int32)
+    gray = rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
+    bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 63)  # signed 64-bit for a Spark LongType column
+
+
+def q_multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal twin of the text
+    near-dup family: decode every image executor-side, compute the
+    64-bit difference hash (brightness-invariant gradient signature),
+    then dedup EXACTLY on the hash with plain JVM aggregates. Planted
+    near-duplicates (uniform brightness lift, byte-different payloads)
+    must collapse; unrelated LCG-noise images must not collide.
+
+    Scale shape: the Python plane is a pure map (decode + 64-bit hash
+    per image — only doc_id in, 8 bytes out); grouping, counting, and
+    the planted-pair audit are one hash-shuffle of (hash, doc_id) —
+    identical to ``dedup_exact``'s plan with the fingerprint swapped
+    for a perceptual one. Rows-only for the driver (the LCG decode is
+    not SQL); tests/test_multimodal.py recomputes the hashes with an
+    independent single-threaded oracle and checks both planted-pair
+    completeness and noise-pair separation.
+    """
+    docs = fan_out(load_tables(spark, sf_dir)["documents"].select("doc_id"))
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "h": [
+                        dhash64(make_ppm_neardup(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    hashed = docs.mapInPandas(hash_images, schema="doc_id long, h long")
+    groups = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    planted = hashed.filter(
+        (F.col("doc_id") % NEARDUP_MOD == 3) & (F.col("doc_id") >= 3)
+    ).count()
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_images"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_duplicates"),
+        F.max("n").alias("largest_group"),
+        F.lit(planted).cast("long").alias("n_planted"),
+    )
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "multimodal_image_dhash_dedup": (q_multimodal_image_dhash_dedup, None),
         "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
         "multimodal_resize": (q_multimodal_resize, None),
         "multimodal_frame_sample": (

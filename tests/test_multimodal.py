@@ -180,3 +180,43 @@ def test_audio_features_match_python_oracle(spark, sf_dir):
         assert r["rms"] == round(math.sqrt(sum(x * x for x in xs) / n), 4)
         assert r["peak"] == max(abs(x) for x in xs)
         assert r["n_windows"] == -(-n // WAV_WINDOW)
+
+
+def test_image_dhash_dedup_matches_python_oracle(spark, sf_dir):
+    """Independent single-threaded recompute of the perceptual-hash
+    dedup summary, plus the two semantic guarantees: every planted
+    near-duplicate (brightness-lifted re-shoot) collides with its
+    source, and unrelated LCG-noise images do not collide."""
+    from collections import Counter
+
+    from dbms_query_optimizer_spark.operators.multimodal import (
+        NEARDUP_MOD,
+        dhash64,
+        make_ppm_neardup,
+        q_multimodal_image_dhash_dedup,
+    )
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    hashes = {d: dhash64(make_ppm_neardup(d)) for d in doc_ids}
+    counts = Counter(hashes.values())
+    planted = [d for d in doc_ids if d % NEARDUP_MOD == 3 and d >= 3]
+
+    # planted pairs collide (gradient hash is brightness-invariant)...
+    for d in planted:
+        assert hashes[d] == hashes[d - 3], d
+    # ...and nothing else does: every group is exactly {src, re-shoot}
+    expected_groups = len(doc_ids) - len(planted)
+    assert len(counts) == expected_groups
+    assert max(counts.values()) == 2
+
+    row = q_multimodal_image_dhash_dedup(spark, sf_dir).collect()[0]
+    assert row.n_images == len(doc_ids)
+    assert row.n_groups == expected_groups
+    assert row.n_duplicates == len(planted)
+    assert row.largest_group == 2
+    assert row.n_planted == len(planted)
