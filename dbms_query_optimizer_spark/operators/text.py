@@ -1188,6 +1188,131 @@ ORDER BY t.doc_id
 """
 
 
+RAKE_TOP_K = 25
+RAKE_SCALE = 1000  # word scores quantized to deg*SCALE DIV freq (exact ints)
+
+
+def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.) over the corpus: candidate
+    phrases are maximal stopword-free token runs, each word is scored
+    deg(w)/freq(w) (degree = summed length of phrases it appears in —
+    rewarding words that travel in long collocations), and a phrase
+    scores the sum of its words. Top RAKE_TOP_K distinct phrases.
+
+    Cross-engine determinism: word scores are QUANTIZED to integers
+    (deg·RAKE_SCALE DIV freq), so phrase scores are integer sums —
+    order-free, no float accumulation anywhere. Phrase assembly sorts
+    collected (pos, token) structs before joining, so the string is
+    deterministic under any shuffle.
+
+    Scale shape: one explode, phrase islands via the per-doc
+    gaps-and-islands window (bounded by document length), then three
+    hash aggregates (phrases, word stats, phrase scores) and a
+    distributed TakeOrdered top-k — no corpus-global window, no Python.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+        .withColumn("is_stop", F.col("token").isin(*T.STOPWORDS))
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cand = (
+        toks.filter(~F.col("is_stop"))
+        .withColumn("isl", F.col("pos") - F.row_number().over(w))
+    )
+    phrases = cand.groupBy("doc_id", "isl").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x.token,
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("phrase_len"),
+    )
+    occur = cand.join(phrases, ["doc_id", "isl"]).select(
+        "doc_id", "isl", "token", "phrase", "phrase_len"
+    )
+    word_stats = occur.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("deg"),
+    )
+    word_score = word_stats.withColumn(
+        "w_score", F.expr(f"(deg * {RAKE_SCALE}) DIV freq")
+    ).select("token", "w_score")
+    occ_scores = (
+        occur.join(word_score, "token")
+        .groupBy("doc_id", "isl", "phrase")
+        .agg(
+            F.sum("w_score").alias("score"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return (
+        occ_scores.groupBy("phrase")
+        .agg(
+            F.max("score").alias("score"),  # identical per occurrence
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(RAKE_TOP_K)
+    )
+
+
+ORACLE_TEXT_KEYPHRASE_RAKE = f"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS arr
+    FROM documents
+), idx AS (
+    SELECT doc_id, arr, UNNEST(range(len(arr))) AS pos FROM base
+), toks AS (
+    SELECT doc_id, CAST(pos AS INT) AS pos, arr[CAST(pos AS INT) + 1] AS token
+    FROM idx WHERE length(arr[CAST(pos AS INT) + 1]) > 0
+), cand AS (
+    SELECT doc_id, pos, token,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM toks
+    WHERE token NOT IN ({", ".join(repr(s) for s in T.STOPWORDS)})
+), phrases AS (
+    SELECT doc_id, isl,
+           string_agg(token, ' ' ORDER BY pos) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS phrase_len
+    FROM cand GROUP BY doc_id, isl
+), occur AS (
+    SELECT c.doc_id, c.isl, c.token, p.phrase, p.phrase_len
+    FROM cand c JOIN phrases p
+      ON p.doc_id = c.doc_id AND p.isl = c.isl
+), word_score AS (
+    SELECT token,
+           CAST((SUM(phrase_len) * {RAKE_SCALE}) // COUNT(*) AS BIGINT)
+               AS w_score
+    FROM occur GROUP BY token
+), occ_scores AS (
+    SELECT o.doc_id, o.isl, o.phrase,
+           CAST(SUM(w.w_score) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM occur o JOIN word_score w ON w.token = o.token
+    GROUP BY o.doc_id, o.isl, o.phrase
+)
+SELECT phrase,
+       CAST(MAX(score) AS BIGINT) AS score,
+       CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM occ_scores
+GROUP BY phrase
+ORDER BY score DESC, phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
 CALIB_BINS = 10
 
 
@@ -1275,6 +1400,10 @@ ORDER BY bin
 
 def oracles() -> dict[str, tuple]:
     return {
+        "text_keyphrase_rake": (
+            q_text_keyphrase_rake,
+            ORACLE_TEXT_KEYPHRASE_RAKE,
+        ),
         "model_calibration_report": (
             q_model_calibration_report,
             _oracle_model_calibration_report(),
