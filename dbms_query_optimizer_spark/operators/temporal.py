@@ -2198,8 +2198,395 @@ ORDER BY event_type
 """
 
 
+DECOMP_PERIOD = 7  # weekly seasonality for the additive decomposition
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + seasonal +
+    residual) of each event type's daily spend series — the moving-
+    average method of Kendall/Stuart that STL generalizes. Trend is the
+    centered 7-day moving average (emitted only where the full window
+    exists), seasonal is the day-of-week mean deviation from trend, and
+    the residual is what's left. Companion of
+    ``q_forecast_backtest_snaive`` (which assumes the weekly season this
+    query extracts) and ``q_events_dow_hour_profile`` (the finer grid).
+
+    Cross-engine determinism with NO rounding: the daily series is
+    exact integer cents (DECIMAL sum of ``value``); the trend numerator
+    is an exact 7-day integer sum; deviations are computed ×7 so they
+    stay integers (dev7 = 7·cents − sum7); the day-of-week seasonal
+    numerator/denominator are exact integer sums. Every emitted double
+    is a single IEEE division (or subtraction of two such divisions) of
+    exact integers — bit-identical on both engines.
+
+    Scale shape: the raw scan collapses to (type, day) partial-agg
+    cells first, so every window below is partitioned by event_type and
+    bounded by the series length (calendar days), never by table rows;
+    the 7×types seasonal-index frame joins back via broadcast.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(dec("value")).cast("decimal(18,2)").alias("amt")
+    ).withColumn("cents", (F.col("amt") * 100).cast("long")).drop("amt")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(DECOMP_PERIOD // 2), DECOMP_PERIOD // 2)
+    )
+    trended = (
+        daily.withColumn("sum7", F.sum("cents").over(w))
+        .withColumn("n7", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "sum7",
+            F.when(F.col("n7") == DECOMP_PERIOD, F.col("sum7")),
+        )
+        .withColumn(
+            "dev7", F.lit(DECOMP_PERIOD) * F.col("cents") - F.col("sum7")
+        )
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    seasonal = (
+        trended.filter(F.col("dev7").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("dev7").alias("sdev7"),
+            F.count(F.lit(1)).alias("ndev"),
+        )
+    )
+    out = trended.join(
+        F.broadcast(seasonal), ["event_type", "dow"], "left"
+    )
+    seas = F.col("sdev7").cast("double") / (
+        F.lit(float(DECOMP_PERIOD)) * F.col("ndev").cast("double")
+    )
+    trend = F.col("sum7").cast("double") / F.lit(float(DECOMP_PERIOD))
+    resid = F.col("dev7").cast("double") / F.lit(float(DECOMP_PERIOD)) - seas
+    return out.select(
+        "event_type",
+        "day",
+        "cents",
+        trend.alias("trend"),
+        seas.alias("seasonal"),
+        resid.alias("residual"),
+    ).orderBy("event_type", "day")
+
+
+ORACLE_SEASONAL_DECOMPOSE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), trended AS (
+    SELECT event_type, day, cents,
+           CASE WHEN COUNT(*) OVER w = {DECOMP_PERIOD}
+                THEN CAST(SUM(cents) OVER w AS BIGINT) END AS sum7,
+           CAST(dayofweek(day) + 1 AS INT) AS dow
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {DECOMP_PERIOD // 2} PRECEDING
+                          AND {DECOMP_PERIOD // 2} FOLLOWING)
+), devs AS (
+    SELECT *, {DECOMP_PERIOD} * cents - sum7 AS dev7 FROM trended
+), seasonal AS (
+    SELECT event_type, dow,
+           CAST(SUM(dev7) AS BIGINT) AS sdev7,
+           CAST(COUNT(*) AS BIGINT) AS ndev
+    FROM devs WHERE dev7 IS NOT NULL
+    GROUP BY event_type, dow
+)
+SELECT d.event_type, d.day, d.cents,
+       CAST(d.sum7 AS DOUBLE) / {float(DECOMP_PERIOD)} AS trend,
+       CAST(s.sdev7 AS DOUBLE)
+           / ({float(DECOMP_PERIOD)} * CAST(s.ndev AS DOUBLE)) AS seasonal,
+       CAST(d.dev7 AS DOUBLE) / {float(DECOMP_PERIOD)}
+           - CAST(s.sdev7 AS DOUBLE)
+             / ({float(DECOMP_PERIOD)} * CAST(s.ndev AS DOUBLE)) AS residual
+FROM devs d LEFT JOIN seasonal s
+  ON d.event_type = s.event_type AND d.dow = s.dow
+ORDER BY d.event_type, d.day
+"""
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier repeat-purchase survival curve per market segment:
+    for each customer, the duration from first to second order (event)
+    or to the dataset's last order date (right-censored); the KM
+    estimator S(t) = Π_{{t'≤t}} (1 − d_t'/n_t') over event times, with
+    the at-risk count n and event count d emitted exactly. The workhorse
+    of churn/time-to-conversion analysis, absent from both engines as a
+    built-in.
+
+    Determinism: n_risk and n_event are exact integers (at-risk via
+    total − cumulative-exits window, no self-join). The survival value
+    is exp(Σ ln((n−d)/n)) — transcendental, so it is ROUNDed to 6dp on
+    both sides; the exact-integer columns carry the hash-strength
+    evidence while the rounded curve is the human-facing output.
+
+    Scale shape: orders collapse to one row per customer (first/second
+    order dates) in one grouped agg, then to one row per (segment,
+    duration) — the window frames below are bounded by the calendar
+    span in days per segment, not by customer count; the curve is
+    partitioned per segment (no global single-partition window).
+    """
+    t = load_tables(spark, sf_dir)
+    # Second-order date WITHOUT a per-customer collect_list (unbounded
+    # at scale): min order date per customer, broadcast back, then the
+    # conditional min of dates strictly after it.
+    second = (
+        t["orders"]
+        .alias("o")
+        .join(
+            F.broadcast(
+                t["orders"].groupBy("o_custkey").agg(F.min("o_orderdate").alias("t0"))
+            ).alias("f"),
+            "o_custkey",
+        )
+        .groupBy("o_custkey", "t0")
+        .agg(
+            F.min(
+                F.when(F.col("o_orderdate") > F.col("t0"), F.col("o_orderdate"))
+            ).alias("t1")
+        )
+    )
+    tmax = t["orders"].agg(F.max("o_orderdate").alias("tmax"))
+    subjects = (
+        second.crossJoin(F.broadcast(tmax))
+        .join(
+            F.broadcast(
+                t["customer"].select("c_custkey", "c_mktsegment")
+            ),
+            second.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.when(
+                F.col("t1").isNotNull(), F.datediff("t1", "t0")
+            ).otherwise(F.datediff("tmax", "t0")).alias("dur"),
+            F.col("t1").isNotNull().cast("long").alias("event"),
+        )
+    )
+    by_t = subjects.groupBy("c_mktsegment", "dur").agg(
+        F.count(F.lit(1)).alias("n_exit"),
+        F.sum("event").alias("n_event"),
+    )
+    wseg = W.partitionBy("c_mktsegment").orderBy("dur")
+    curve = (
+        by_t.withColumn(
+            "n_risk",
+            F.sum("n_exit").over(
+                W.partitionBy("c_mktsegment")
+            )
+            - F.coalesce(
+                F.sum("n_exit").over(wseg.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "lnterm",
+            F.when(
+                (F.col("n_event") > 0) & (F.col("n_event") < F.col("n_risk")),
+                F.log(
+                    (F.col("n_risk") - F.col("n_event")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        # once n_event == n_risk the curve is exactly 0 from that t on;
+        # carried as a cumulative flag so no engine takes ln(0).
+        .withColumn(
+            "hit_zero",
+            F.max((F.col("n_event") == F.col("n_risk")).cast("int")).over(
+                wseg.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(
+                        F.sum("lnterm").over(
+                            wseg.rowsBetween(W.unboundedPreceding, 0)
+                        )
+                    ),
+                    6,
+                )
+            ),
+        )
+    )
+    return (
+        curve.filter(F.col("n_event") > 0)
+        .select(
+            "c_mktsegment",
+            F.col("dur").cast("int").alias("dur_days"),
+            "n_risk",
+            "n_event",
+            "survival",
+        )
+        .orderBy("c_mktsegment", "dur_days")
+    )
+
+
+ORACLE_SURVIVAL_KM = """
+WITH firsts AS (
+    SELECT o_custkey, MIN(o_orderdate) AS t0 FROM orders GROUP BY o_custkey
+), seconds AS (
+    SELECT o.o_custkey, f.t0,
+           MIN(CASE WHEN o.o_orderdate > f.t0 THEN o.o_orderdate END) AS t1
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY o.o_custkey, f.t0
+), subjects AS (
+    SELECT c.c_mktsegment,
+           CASE WHEN s.t1 IS NOT NULL
+                THEN date_diff('day', s.t0, s.t1)
+                ELSE date_diff('day', s.t0, (SELECT MAX(o_orderdate) FROM orders))
+           END AS dur,
+           CAST(s.t1 IS NOT NULL AS BIGINT) AS event
+    FROM seconds s JOIN customer c ON s.o_custkey = c.c_custkey
+), by_t AS (
+    SELECT c_mktsegment, dur,
+           CAST(COUNT(*) AS BIGINT) AS n_exit,
+           CAST(SUM(event) AS BIGINT) AS n_event
+    FROM subjects GROUP BY c_mktsegment, dur
+), curve AS (
+    SELECT c_mktsegment, dur, n_event,
+           CAST(SUM(n_exit) OVER (PARTITION BY c_mktsegment)
+                - COALESCE(SUM(n_exit) OVER (
+                      PARTITION BY c_mktsegment ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+    FROM by_t
+), lnterms AS (
+    SELECT *,
+           CASE WHEN n_event > 0 AND n_event < n_risk
+                THEN ln(CAST(n_risk - n_event AS DOUBLE)
+                        / CAST(n_risk AS DOUBLE))
+                ELSE 0.0 END AS lnterm,
+           MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+               PARTITION BY c_mktsegment ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+    FROM curve
+)
+SELECT c_mktsegment, CAST(dur AS INT) AS dur_days, n_risk, n_event,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE ROUND(exp(SUM(lnterm) OVER (
+                PARTITION BY c_mktsegment ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       END AS survival
+FROM lnterms
+QUALIFY n_event > 0
+ORDER BY c_mktsegment, dur_days
+"""
+
+
+ROLLCORR_WIN = 7  # trailing days in the rolling-correlation window
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation of each event type's daily
+    volume against TOTAL daily traffic — the co-movement monitor that
+    flags when one stream decouples from the site-wide load (a
+    deploy-broke-one-funnel signal). Correlation over a trailing count
+    window, computed closed-form from exact integer window sums:
+    r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)).
+
+    Determinism with NO rounding: x and y are exact daily counts, all
+    five window sums are exact BIGINTs, the numerator and the two
+    variance terms are exact BIGINT expressions, and r is one IEEE
+    division by one IEEE sqrt of a product of two exactly-representable
+    integers — bit-identical across engines. (At 100 TB daily counts,
+    the Σxy terms approach 2^63; the one-token swap is DECIMAL(38,0)
+    sums, noted here rather than silently applied.)
+
+    Scale shape: raw events collapse to a (type, day) count grid first;
+    the total-traffic series is a second tiny agg broadcast back; the
+    rolling window is partitioned by event_type and bounded by calendar
+    days. No global window, no Python.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    per_type = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    totals = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    grid = per_type.join(F.broadcast(totals), "day")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ROLLCORR_WIN - 1), 0)
+    )
+    n = F.lit(ROLLCORR_WIN)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    return (
+        grid.withColumn("nwin", F.count(F.lit(1)).over(w))
+        .withColumn("cov_num", num)
+        .withColumn("d1", d1)
+        .withColumn("d2", d2)
+        .filter(F.col("nwin") == ROLLCORR_WIN)
+        .select(
+            "event_type",
+            "day",
+            "x",
+            "y",
+            F.col("cov_num").cast("long").alias("cov_num"),
+            F.when(
+                (F.col("d1") > 0) & (F.col("d2") > 0),
+                F.col("cov_num").cast("double")
+                / F.sqrt(
+                    F.col("d1").cast("double") * F.col("d2").cast("double")
+                ),
+            ).alias("r"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_ROLLING_CORR = f"""
+WITH per_type AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), totals AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY CAST(ts AS DATE)
+), grid AS (
+    SELECT p.event_type, p.day, p.x, t.y FROM per_type p
+    JOIN totals t ON p.day = t.day
+), sums AS (
+    SELECT event_type, day, x, y,
+           COUNT(*) OVER w AS nwin,
+           CAST({ROLLCORR_WIN} * SUM(x * y) OVER w
+                - SUM(x) OVER w * SUM(y) OVER w AS BIGINT) AS cov_num,
+           CAST({ROLLCORR_WIN} * SUM(x * x) OVER w
+                - SUM(x) OVER w * SUM(x) OVER w AS BIGINT) AS d1,
+           CAST({ROLLCORR_WIN} * SUM(y * y) OVER w
+                - SUM(y) OVER w * SUM(y) OVER w AS BIGINT) AS d2
+    FROM grid
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {ROLLCORR_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, x, y, cov_num,
+       CASE WHEN d1 > 0 AND d2 > 0
+            THEN CAST(cov_num AS DOUBLE)
+                 / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) END AS r
+FROM sums
+WHERE nwin = {ROLLCORR_WIN}
+ORDER BY event_type, day
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "seasonal_decompose": (q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE),
+        "survival_km": (q_survival_km, ORACLE_SURVIVAL_KM),
+        "rolling_corr": (q_rolling_corr, ORACLE_ROLLING_CORR),
         "forecast_backtest_snaive": (
             q_forecast_backtest_snaive,
             ORACLE_FORECAST_BACKTEST_SNAIVE,
