@@ -1535,10 +1535,168 @@ ORDER BY class_size
 """
 
 
+import math as _math
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed once in Python so
+# BOTH engines compare against the same integer literals (no ln at query
+# time anywhere).
+BENFORD_EXPECTED_MICRO = {
+    d: int(round(_math.log10(1.0 + 1.0 / d) * 1_000_000)) for d in range(1, 10)
+}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the distribution of first
+    significant digits vs the log-law expectation — the classic fraud /
+    data-fabrication screen for financial columns, a one-scan governance
+    gate alongside ``q_data_quality_report``.
+
+    Determinism: digit counts are exact integers; the observed share is
+    one IEEE division of exact ints; the expected shares are integer
+    micro-unit LITERALS precomputed in Python (both engines compare the
+    same constants — no transcendental at query time). dev_micro, the
+    |observed − expected| gap, is derived from the exact count rounded
+    once to micro-units.
+
+    Scale shape: a map-only first-digit projection collapsing into a
+    9-row hash aggregate; the total joins back as a 1-row broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    # First significant digit from exact integer CENTS (prices are 2-dec):
+    # leading char of the BIGINT's decimal rendering — no float format
+    # function (engines disagree on separators/half-rounding), no log10.
+    digits = t["orders"].select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    expected = F.create_map(
+        *[
+            F.lit(x)
+            for d, m in sorted(BENFORD_EXPECTED_MICRO.items())
+            for x in (d, m)
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("n_total"))
+        .withColumn("expected_micro", expected[F.col("digit")].cast("long"))
+        .withColumn(
+            "dev_micro",
+            F.abs(
+                F.round(
+                    F.lit(1_000_000.0) * F.col("n") / F.col("n_total")
+                ).cast("long")
+                - F.col("expected_micro")
+            ),
+        )
+        .select("digit", "n", "share", "expected_micro", "dev_micro")
+        .orderBy("digit")
+    )
+
+
+def _oracle_benford_audit() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {m}" for d, m in sorted(BENFORD_EXPECTED_MICRO.items())
+    )
+    return f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders
+), counts AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       CAST(CASE digit {cases} END AS BIGINT) AS expected_micro,
+       ABS(CAST(ROUND(1000000.0 * n / n_total) AS BIGINT)
+           - CAST(CASE digit {cases} END AS BIGINT)) AS dev_micro
+FROM counts, total
+ORDER BY digit
+"""
+
+
+EB_PSEUDO_N = 20  # empirical-Bayes pseudo-count (shrinkage strength)
+
+
+def q_rate_smoothing_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (m-estimate) rate smoothing: each customer's
+    urgent-order rate shrunk toward the global rate with pseudo-count
+    m — the standard fix for small-n rate estimates (CTR smoothing,
+    target encoding's big sibling; companion of ``target_encode_kfold``
+    which shrinks means the same way).
+
+    Exactness trick: the smoothed rate (k + m·K/N) / (n + m) is
+    algebraically (k·N + m·K) / (N·(n + m)) — an exact BIGINT numerator
+    and denominator, so the emitted double is ONE IEEE division with no
+    rounding on either engine. k, n are per-customer exact counts;
+    K, N are the global pair, broadcast as one row.
+
+    Scale shape: one grouped count per customer (map-side combined),
+    one 1-row global agg broadcast back — no window, no skew exposure.
+    """
+    t = load_tables(spark, sf_dir)
+    per = t["orders"].groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_orderpriority") == "1-URGENT").cast("long")
+        ).alias("k"),
+    )
+    glob = per.agg(
+        F.sum("n").alias("n_glob"), F.sum("k").alias("k_glob")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "o_custkey",
+            "n",
+            "k",
+            (
+                (
+                    F.col("k") * F.col("n_glob")
+                    + F.lit(EB_PSEUDO_N) * F.col("k_glob")
+                ).cast("double")
+                / (
+                    F.col("n_glob") * (F.col("n") + F.lit(EB_PSEUDO_N))
+                ).cast("double")
+            ).alias("rate_eb"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_RATE_SMOOTHING_EB = f"""
+WITH per AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM orders GROUP BY o_custkey
+), gstats AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_glob,
+           CAST(SUM(k) AS BIGINT) AS k_glob
+    FROM per
+)
+SELECT o_custkey, n, k,
+       CAST(k * n_glob + {EB_PSEUDO_N} * k_glob AS DOUBLE)
+           / CAST(n_glob * (n + {EB_PSEUDO_N}) AS DOUBLE) AS rate_eb
+FROM per, gstats
+ORDER BY o_custkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "benford_audit": (q_benford_audit, _oracle_benford_audit()),
+        "rate_smoothing_eb": (q_rate_smoothing_eb, ORACLE_RATE_SMOOTHING_EB),
         "k_anonymity_audit": (q_k_anonymity_audit, ORACLE_K_ANONYMITY_AUDIT),
         "source_quota_cap": (
             q_source_quota_cap,

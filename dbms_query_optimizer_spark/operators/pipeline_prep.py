@@ -605,8 +605,124 @@ ORDER BY bin
 """
 
 
+FH_BUCKETS = 64  # hashed feature-vector width
+FH_BASE = 257
+FH_PRIME = 2_147_483_647  # Horner steps stay < 2^63 (functions.text.ROLL_*)
+
+
+def q_feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al.): project each document's
+    bag-of-words into a fixed FH_BUCKETS-wide count vector via a
+    portable polynomial hash — the vocabulary-free featurizer that
+    needs no fitted dictionary, so it streams over any corpus size with
+    zero training state. Emitted per document as the sparse-vector
+    summary (nnz, exact L2² mass, heaviest bucket) rather than 64 dense
+    columns.
+
+    The hash is Horner's rule over codepoints mod 2^31−1 — the same
+    exact-BIGINT construction as ``functions.text.rolling_hashes``, so
+    both engines compute identical buckets (murmur built-ins differ
+    between Spark and DuckDB and are unusable cross-engine; DuckDB's
+    ``list_reduce`` seeds with the first element, which equals Horner
+    from 0 since 0·B + c₀ = c₀).
+
+    Scale shape: map-only per-document work (explode → hash → two
+    grouped counts re-keyed by doc_id) — the shuffle carries one row
+    per (doc, nonempty bucket), bounded by nnz ≤ 64 per doc; no global
+    state, no Python.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w"),
+    )
+    cps = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.ascii(F.col("w").substr(i, F.lit(1))),
+        ).alias("cp"),
+    )
+    hashed = cps.select(
+        "doc_id",
+        F.pmod(
+            F.aggregate(
+                "cp",
+                F.lit(0).cast("long"),
+                lambda h, c: F.pmod(
+                    h * F.lit(FH_BASE) + c, F.lit(FH_PRIME)
+                ),
+            ),
+            F.lit(FH_BUCKETS),
+        ).alias("bucket"),
+    )
+    per_bucket = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_top = W.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("bucket")
+    )
+    return (
+        per_bucket.withColumn("rk", F.row_number().over(w_top))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("c")).alias("l2sq"),
+            F.max(F.when(F.col("rk") == 1, F.col("bucket"))).alias(
+                "top_bucket"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("top_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FEATURE_HASH_VECTORIZE = f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> length(x) > 0)) AS w
+    FROM documents
+), hashed AS (
+    SELECT doc_id,
+           list_reduce(list_transform(generate_series(1, length(w)),
+                                      i -> CAST(ord(substr(w, CAST(i AS INT), 1))
+                                                AS BIGINT)),
+                       (h, c) -> (h * {FH_BASE} + c) % {FH_PRIME})
+               % {FH_BUCKETS} AS bucket
+    FROM toks
+), per_bucket AS (
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM hashed GROUP BY doc_id, bucket
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY c DESC, bucket) AS rk
+    FROM per_bucket
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * c) AS BIGINT) AS l2sq,
+       CAST(MAX(CASE WHEN rk = 1 THEN bucket END) AS BIGINT) AS top_bucket,
+       CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def oracles():
     return {
+        "feature_hash_vectorize": (
+            q_feature_hash_vectorize,
+            ORACLE_FEATURE_HASH_VECTORIZE,
+        ),
         "woe_binning": (q_woe_binning, ORACLE_WOE_BINNING),
         "decontaminate_ngram": (q_decontaminate_ngram, _sql_decontaminate()),
         "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),

@@ -1398,8 +1398,172 @@ ORDER BY bin
 """
 
 
+BPE_TOP_K = 40  # merge candidates surfaced per training round
+
+
+def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of byte-pair-encoding tokenizer training (Sennrich et
+    al.): count adjacent character pairs across the corpus, weighted by
+    word frequency — the top pair is the next BPE merge. The reference
+    engine has no tokenizer surface; this is the training-data-pipeline
+    step that turns the corpus into a vocabulary.
+
+    Scale shape — the reason BPE training is feasible at 100 TB: the
+    raw corpus collapses to the (word, freq) VOCABULARY in one hash
+    aggregate (bounded by distinct-word count, not corpus size); the
+    character-pair explode then runs over the vocab only, so the
+    expensive per-character work is O(vocab·word_len) regardless of
+    corpus volume. Exact integer counts end to end; top-k via a
+    distributed TakeOrdered with a lexicographic tiebreak.
+    """
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "w",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("total_count"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.col("total_count").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE_BPE_PAIR_MERGE = f"""
+WITH words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w
+          FROM documents)
+    WHERE length(w) >= 2
+    GROUP BY w
+), pairs AS (
+    SELECT w, freq,
+           UNNEST(list_transform(generate_series(1, length(w) - 1),
+                                 i -> substr(w, CAST(i AS INT), 2))) AS pair
+    FROM words
+)
+SELECT pair,
+       CAST(SUM(freq) AS BIGINT) AS total_count,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM pairs
+GROUP BY pair
+ORDER BY total_count DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
+COLLOC_MIN_COUNT = 5  # bigram support floor
+COLLOC_TOP_K = 50
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent word bigrams ranked by LIFT,
+    N·c(x,y) / (c(x)·c(y)) — the exact-ratio monotone twin of PMI
+    (PMI = ln lift), chosen because it needs no transcendental: every
+    term is an exact integer count, so the emitted score is one IEEE
+    division — bit-identical across engines with no rounding.
+
+    Scale shape: one corpus scan explodes bigrams and unigrams into two
+    hash aggregates (vocab- and bigram-bounded, map-side combined); the
+    unigram table joins the bigram table twice by word (shuffle bounded
+    by distinct bigrams, broadcast-eligible when the vocab is small);
+    the corpus token total is a 1-row broadcast. Top-k is a distributed
+    TakeOrdered on (lift DESC, bigram).
+    """
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) > 0
+        ).alias("toks")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        base.select(F.explode(T.word_ngrams("toks", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_MIN_COUNT)
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+    )
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    scored = (
+        big.join(uni.withColumnRenamed("c", "c_x"), big.w1 == uni.w)
+        .drop("w")
+        .join(
+            uni.withColumnRenamed("c", "c_y").withColumnRenamed("w", "w_"),
+            big.w2 == F.col("w_"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                F.col("n_tokens").cast("double")
+                * F.col("c_xy").cast("double")
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "bigram").limit(COLLOC_TOP_K)
+
+
+ORACLE_TEXT_COLLOCATIONS = f"""
+WITH base AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> length(x) > 0) AS toks
+    FROM documents
+), uni AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT UNNEST(toks) AS w FROM base) GROUP BY w
+), big AS (
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy,
+           string_split(bigram, ' ')[1] AS w1,
+           string_split(bigram, ' ')[2] AS w2
+    FROM (SELECT UNNEST(list_transform(
+              generate_series(1, len(toks) - 1),
+              i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))
+              AS bigram
+          FROM base)
+    GROUP BY bigram
+    HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+)
+SELECT b.bigram, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+       CAST((SELECT SUM(c) FROM uni) AS DOUBLE) * CAST(b.c_xy AS DOUBLE)
+           / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS lift
+FROM big b
+JOIN uni ux ON b.w1 = ux.w
+JOIN uni uy ON b.w2 = uy.w
+ORDER BY lift DESC, b.bigram
+LIMIT {COLLOC_TOP_K}
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "bpe_pair_merge": (q_bpe_pair_merge, ORACLE_BPE_PAIR_MERGE),
+        "text_collocations": (q_text_collocations, ORACLE_TEXT_COLLOCATIONS),
         "text_keyphrase_rake": (
             q_text_keyphrase_rake,
             ORACLE_TEXT_KEYPHRASE_RAKE,
