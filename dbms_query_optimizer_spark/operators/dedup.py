@@ -1955,8 +1955,149 @@ FROM groups
 """
 
 
+PREFIX_TAU_NUM = 1  # Jaccard threshold τ = 1/2 as an exact rational so the
+PREFIX_TAU_DEN = 2  # prefix length L = n − ⌈τn⌉ + 1 stays integer math
+
+
+def q_dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with PREFIX FILTERING (Chaudhuri et al.
+    ICDE'06 / Xiao et al. PPJoin): all document pairs with shingle-set
+    Jaccard ≥ τ, found WITHOUT scanning full posting lists. Each doc
+    orders its shingles by ascending global document frequency (rarest
+    first) and indexes only its first L = n − ⌈τn⌉ + 1 shingles: two
+    sets with Jaccard ≥ τ provably share a prefix shingle, so recall is
+    100% while the inverted index shrinks to the rare end of the
+    vocabulary — the stop-shingle posting lists that dominate
+    ``q_dedup_ngram_jaccard``'s candidate count never enter the join.
+    A symmetric length filter (τ·max(n) ≤ min(n)) prunes further before
+    the exact intersection count verifies survivors.
+
+    The ORACLE is the plain exact all-pairs SQL at the same τ — prefix
+    filtering is a pure candidate-pruning rewrite, so equality against
+    the unpruned form IS the losslessness proof, hash-checked.
+
+    Scale: shuffle is bounded by Σ|prefix posting list|² over RARE
+    shingles (df-ascending prefixes make heavy lists unreachable);
+    verification joins touch only candidate pairs × their set sizes.
+    The per-doc prefix sort is array_sort over one doc's shingles —
+    bounded by doc length, no global rank.
+    """
+    t = load_tables(spark, sf_dir)
+    sh = _doc_shingles(t["documents"]).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # L smallest shingles under (df, shingle) per doc, L = n - ceil(τn) + 1
+    prefix = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "arr"
+            )
+        )
+        .withColumn("n", F.size("arr"))
+        # L = n - ceil(τn) + 1, all integer: ceil(τn) = (n·NUM + DEN-1) DIV DEN
+        .withColumn(
+            "L",
+            F.col("n")
+            - F.expr(
+                f"(n * {PREFIX_TAU_NUM} + {PREFIX_TAU_DEN - 1})"
+                f" DIV {PREFIX_TAU_DEN}"
+            ).cast("int")
+            + F.lit(1),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice("arr", F.lit(1), F.col("L")),
+                    lambda s: s.shingle,
+                )
+            ).alias("shingle"),
+        )
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .join(sizes.alias("za"), F.col("za.doc_id") == F.col("id_a"))
+        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("za.n").alias("na"),
+            F.col("zb.n").alias("nb"),
+        )
+        # length filter: τ·max ≤ min, in exact integer cross-multiplication
+        .filter(
+            F.greatest("na", "nb") * PREFIX_TAU_NUM
+            <= F.least("na", "nb") * PREFIX_TAU_DEN
+        )
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.filter(
+            F.col("n_inter") * PREFIX_TAU_DEN
+            >= (F.col("na") + F.col("nb") - F.col("n_inter")) * PREFIX_TAU_NUM
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_set_similarity_prefix() -> str:
+    # The UNPRUNED exact join: matching it hash-for-hash proves the prefix
+    # filter lost nothing.
+    return f"""
+    WITH sh AS ({_sql_shingles()}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(n_inter AS DOUBLE) / CAST(za.n + zb.n - n_inter AS DOUBLE)
+               AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = id_a
+    JOIN sizes zb ON zb.doc_id = id_b
+    WHERE n_inter * {PREFIX_TAU_DEN} >= (za.n + zb.n - n_inter) * {PREFIX_TAU_NUM}
+    ORDER BY id_a, id_b
+    """
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "dedup_set_similarity_prefix": (
+            q_dedup_set_similarity_prefix,
+            _oracle_set_similarity_prefix(),
+        ),
         "dedup_token_sort": (q_dedup_token_sort, ORACLE_DEDUP_TOKEN_SORT),
         "dedup_cdc_chunks": (q_dedup_cdc_chunks, _oracle_dedup_cdc_chunks()),
         "dedup_semantic": (q_dedup_semantic, None),
