@@ -1691,10 +1691,73 @@ ORDER BY o_custkey
 """
 
 
+SKEW_TOP_K = 20
+
+
+def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the top heavy-hitter keys of
+    ``lineitem.l_partkey`` with each key's share of all rows and its
+    ratio to the mean key load — the report a planner (or an engineer
+    deciding between ``join_salted_skew`` and a plain shuffle join)
+    reads before picking a distribution strategy. The operational twin
+    of the optimizer's ``TableStats`` estimates: measured, not modeled.
+
+    Determinism: counts are exact; share and skew_ratio are single IEEE
+    divisions/multiplications of exact integers (no rounding). Scale:
+    one map-side-combined count per key, a 1-row global agg broadcast
+    back, and a distributed top-k — the report never materializes the
+    full key histogram on one node.
+    """
+    t = load_tables(spark, sf_dir)
+    per_key = t["lineitem"].groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    glob = per_key.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(glob))
+        .select(
+            "l_partkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(SKEW_TOP_K)
+    )
+
+
+ORACLE_SKEW_KEY_REPORT = f"""
+WITH per_key AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_partkey
+), gstats AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM per_key
+)
+SELECT l_partkey, cnt,
+       CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+           / CAST(n_rows AS DOUBLE) AS skew_ratio
+FROM per_key, gstats
+ORDER BY cnt DESC, l_partkey
+LIMIT {SKEW_TOP_K}
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "skew_key_report": (q_skew_key_report, ORACLE_SKEW_KEY_REPORT),
         "benford_audit": (q_benford_audit, _oracle_benford_audit()),
         "rate_smoothing_eb": (q_rate_smoothing_eb, ORACLE_RATE_SMOOTHING_EB),
         "k_anonymity_audit": (q_k_anonymity_audit, ORACLE_K_ANONYMITY_AUDIT),

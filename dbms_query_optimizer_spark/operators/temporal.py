@@ -2582,8 +2582,133 @@ ORDER BY event_type, day
 """
 
 
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — returns matched against shipments per part in
+    ship-date order — via the interval-intersection trick: each side's
+    running-quantity prefix sums turn every row into a half-open unit
+    interval [cum−qty, cum), and a FIFO match between supply row s and
+    demand row d is exactly a nonempty overlap of their intervals, with
+    matched units = the overlap length. The classic imperative
+    match-loop becomes two partitioned windows and one bounded range
+    join — no iteration, no UDF. (Inventory costing, broker lot
+    assignment, and queue attribution are all this operator.)
+
+    Determinism: quantities are whole units cast to BIGINT; prefix
+    sums, overlaps, and all emitted columns are exact integers.
+
+    Scale shape: both windows partition by l_partkey (per-part series,
+    parallel across parts); the overlap join is an equi-join on
+    l_partkey with the range predicate applied inside the partition —
+    per-part candidate fan-out is bounded because FIFO intervals are
+    non-overlapping within a side (each supply interval meets O(1 +
+    its-span/avg-demand-size) demand intervals, so the join output is
+    linear in rows, not quadratic). A time-bucketed variant
+    (``q_range_join_bucketed``) applies unchanged if one part's history
+    is itself huge.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_partkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    def side(df):
+        return df.withColumn("hi", F.sum("qty").over(w)).withColumn(
+            "lo", F.col("hi") - F.col("qty")
+        )
+
+    supply = side(li.filter(F.col("l_returnflag") != "R")).select(
+        "l_partkey", F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")
+    )
+    demand = side(li.filter(F.col("l_returnflag") == "R")).select(
+        "l_partkey", F.col("lo").alias("d_lo"), F.col("hi").alias("d_hi")
+    )
+    pairs = supply.join(demand, "l_partkey").filter(
+        (F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi"))
+    )
+    totals = li.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("l_returnflag") != "R", F.col("qty")).otherwise(0)).alias(
+            "supply_units"
+        ),
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("qty")).otherwise(0)).alias(
+            "demand_units"
+        ),
+    )
+    matched = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")
+        ).alias("matched_units"),
+    )
+    return (
+        totals.join(matched, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            "supply_units",
+            "demand_units",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("matched_units", F.lit(0)).alias("matched_units"),
+            F.greatest(
+                F.col("demand_units") - F.col("supply_units"), F.lit(0)
+            ).alias("unmatched_demand"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_FIFO_ALLOCATION = """
+WITH li AS (
+    SELECT l_partkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+           l_shipdate, l_orderkey, l_linenumber
+    FROM lineitem
+), supply AS (
+    SELECT l_partkey,
+           CAST(SUM(qty) OVER w - qty AS BIGINT) AS s_lo,
+           CAST(SUM(qty) OVER w AS BIGINT) AS s_hi
+    FROM li WHERE l_returnflag <> 'R'
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+), demand AS (
+    SELECT l_partkey,
+           CAST(SUM(qty) OVER w - qty AS BIGINT) AS d_lo,
+           CAST(SUM(qty) OVER w AS BIGINT) AS d_hi
+    FROM li WHERE l_returnflag = 'R'
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+), totals AS (
+    SELECT l_partkey,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN qty ELSE 0 END)
+                AS BIGINT) AS supply_units,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN qty ELSE 0 END)
+                AS BIGINT) AS demand_units
+    FROM li GROUP BY l_partkey
+), matched AS (
+    SELECT s.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(LEAST(s.s_hi, d.d_hi) - GREATEST(s.s_lo, d.d_lo))
+                AS BIGINT) AS matched_units
+    FROM supply s JOIN demand d
+      ON s.l_partkey = d.l_partkey
+     AND s.s_lo < d.d_hi AND d.d_lo < s.s_hi
+    GROUP BY s.l_partkey
+)
+SELECT t.l_partkey, t.supply_units, t.demand_units,
+       COALESCE(m.n_pairs, 0) AS n_pairs,
+       COALESCE(m.matched_units, 0) AS matched_units,
+       GREATEST(t.demand_units - t.supply_units, 0) AS unmatched_demand
+FROM totals t LEFT JOIN matched m ON t.l_partkey = m.l_partkey
+ORDER BY t.l_partkey
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "fifo_allocation": (q_fifo_allocation, ORACLE_FIFO_ALLOCATION),
         "seasonal_decompose": (q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE),
         "survival_km": (q_survival_km, ORACLE_SURVIVAL_KM),
         "rolling_corr": (q_rolling_corr, ORACLE_ROLLING_CORR),
