@@ -137,6 +137,20 @@ HEADLINE = [
     # round 5: hard-negative mining through the LSH candidate generator
     # (the 100 TB composition executing, not just documented)
     "contrastive_pairs_lsh",
+    # round 5b: exact set-similarity join via PPJoin prefix filtering
+    # (hash-matches the unpruned oracle — losslessness proven, not claimed)
+    "dedup_set_similarity_prefix",
+    # round 5b: FIFO lot matching as interval-intersection of prefix sums
+    # (the imperative match-loop as two windows + one bounded range join)
+    "fifo_allocation",
+    # round 5b: classical additive seasonal decomposition, all windows
+    # partitioned by series; per-segment Kaplan-Meier survival curves
+    "seasonal_decompose",
+    "survival_km",
+    # round 5b: tokenizer-training pair counting (corpus collapses to the
+    # vocab before any per-character work) and the hashing-trick featurizer
+    "bpe_pair_merge",
+    "feature_hash_vectorize",
 ]
 
 

@@ -1976,18 +1976,26 @@ def q_dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
     filtering is a pure candidate-pruning rewrite, so equality against
     the unpruned form IS the losslessness proof, hash-checked.
 
-    Scale: shuffle is bounded by Σ|prefix posting list|² over RARE
-    shingles (df-ascending prefixes make heavy lists unreachable);
-    verification joins touch only candidate pairs × their set sizes.
-    The per-doc prefix sort is array_sort over one doc's shingles —
-    bounded by doc length, no global rank.
+    Scale: exactly TWO corpus-wide shuffles (the df count and one
+    per-doc reduction that emits the full set and the prefix as compact
+    arrays); candidates come from the prefix inverted index via the
+    no-self-join bucket-pair explode, bounded by Σ|prefix posting
+    list|² over RARE shingles (df-ascending prefixes make heavy lists
+    unreachable); verification is JVM ``array_intersect`` on the two
+    per-doc arrays for candidate pairs only — no row explosion. The
+    per-doc prefix sort is array_sort over one doc's shingles — bounded
+    by doc length, no global rank.
     """
     t = load_tables(spark, sf_dir)
+    # cached: the tokenizing explode feeds both the df count and the
+    # per-doc reduction; without the cache it runs twice.
     sh = _doc_shingles(t["documents"]).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # L smallest shingles under (df, shingle) per doc, L = n - ceil(τn) + 1
-    prefix = (
+    # ONE per-doc reduction yields both the df-ascending prefix and the
+    # full set as a compact array — the only corpus-wide shuffles are the
+    # df count and this groupBy; everything after runs on the 1-row-per-doc
+    # frame (cached: it is touched by the index build and both verify sides).
+    docs = (
         sh.join(df, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -2008,48 +2016,49 @@ def q_dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.slice("arr", F.lit(1), F.col("L")),
-                    lambda s: s.shingle,
-                )
-            ).alias("shingle"),
+            "n",
+            F.transform("arr", lambda s: s.shingle).alias("full"),
+            F.transform(
+                F.slice("arr", F.lit(1), F.col("L")), lambda s: s.shingle
+            ).alias("pre"),
         )
+        .cache()
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # candidate pairs straight from the prefix inverted index, generated
+    # with the no-self-join bucket-pair explode (signature plan runs once)
+    bands = docs.select(
+        F.lit(0).alias("band"),
+        F.explode("pre").alias("key"),
+        "doc_id",
+        "n",
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(bands, ["doc_id", "n"])
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.n").alias("na"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
-        .join(sizes.alias("za"), F.col("za.doc_id") == F.col("id_a"))
-        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("za.n").alias("na"),
-            F.col("zb.n").alias("nb"),
-        )
         # length filter: τ·max ≤ min, in exact integer cross-multiplication
         .filter(
             F.greatest("na", "nb") * PREFIX_TAU_NUM
             <= F.least("na", "nb") * PREFIX_TAU_DEN
         )
     )
+    # exact verification: candidates only, JVM array_intersect of the two
+    # compact per-doc arrays — no row explosion, no third corpus shuffle
     inter = (
-        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("id_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        cand.join(
+            docs.select(F.col("doc_id").alias("id_a"), F.col("full").alias("fa")),
+            "id_a",
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b"), F.col("full").alias("fb")),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("fa", "fb")))
     )
     return (
         inter.filter(

@@ -334,6 +334,30 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "contrastive_pairs_lsh": [
         "BroadcastHashJoin", "!tree:BroadcastNestedLoopJoin",
     ],
+    # prefix-filtered set-similarity join: candidates come from the bucket
+    # explode (no self-join of the signature plan), verification is JVM
+    # array_intersect — no nested-loop join, no Python plane
+    "dedup_set_similarity_prefix": [
+        "array_intersect", "!tree:BroadcastNestedLoopJoin", "!MapInPandas",
+    ],
+    # FIFO matching: prefix sums are per-part windows; the overlap join is
+    # an EQUI-join on l_partkey (range predicate inside the partition),
+    # never a nested loop over unbounded pairs
+    "fifo_allocation": ["tree:Window", "!tree:BroadcastNestedLoopJoin"],
+    # decomposition: daily cells aggregate map-side before any window; all
+    # windows partition by event_type (never a global single partition)
+    "seasonal_decompose": ["tree:Window", "partial_", "!SinglePartition"],
+    # KM curve: every window partitions by segment (the one
+    # SinglePartition exchange in the plan is the legitimate 1-row
+    # max-date scalar aggregate, not a window)
+    "survival_km": ["tree:Window", "windowspecdefinition(c_mktsegment"],
+    # BPE pair counting: corpus collapses to the vocab first (two hash
+    # aggregates), top-k is a distributed TakeOrdered, no window at all
+    "bpe_pair_merge": [
+        "tree:TakeOrderedAndProject", "tree:HashAggregate", "!tree:Window",
+    ],
+    # hashing trick: per-doc windows only; Horner hash runs JVM-side
+    "feature_hash_vectorize": ["!MapInPandas", "!ArrowEvalPython", "!SinglePartition"],
 }
 
 
