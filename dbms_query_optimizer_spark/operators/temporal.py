@@ -2706,8 +2706,98 @@ ORDER BY t.l_partkey
 """
 
 
+ATTR_WINDOW_DAYS = 3  # lookback from conversion to creditable touches
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (even-split) multi-touch attribution: every purchase's
+    value is split equally across the user's click/view touches in the
+    trailing 3-day window, then credited per channel — the standard
+    middle ground between ``q_first_touch_attribution`` (all credit to
+    one touch) and data-driven models. Emits per channel the touch
+    count, distinct credited conversions, and total credit.
+
+    Determinism: conversion value becomes exact integer cents; each
+    touch's credit is integer micro-cents via integer DIV (cents·10⁶
+    DIV n_touch) so the per-channel sums are exact integers in any
+    order — the remainder of the division is dropped identically on
+    both engines, never re-distributed by float arithmetic.
+
+    Scale shape: the touch↔conversion pairing is an EQUI-join on
+    user_id with the time predicate applied inside (per-user event
+    history is bounded; an unbounded per-user stream would use
+    ``q_range_join_bucketed``'s day-bucket explode unchanged); the
+    touch count per conversion is a window partitioned by conversion
+    id. One final per-channel aggregate, map-side combined.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    w_conv = W.partitionBy("conv_id")
+    credited = pairs.withColumn("n_touch", F.count(F.lit(1)).over(w_conv)).withColumn(
+        "credit_micro",
+        F.expr("(cents * 1000000) DIV n_touch"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.sum("credit_micro").alias("credited_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_LINEAR_ATTRIBUTION = f"""
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), touch AS (
+    SELECT user_id, ts AS touch_ts, event_type AS channel
+    FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+    SELECT c.conv_id, c.cents, t.channel
+    FROM conv c JOIN touch t
+      ON c.user_id = t.user_id
+     AND t.touch_ts < c.conv_ts
+     AND t.touch_ts >= c.conv_ts - INTERVAL {ATTR_WINDOW_DAYS} DAYS
+), credited AS (
+    SELECT channel, conv_id,
+           (cents * 1000000) // COUNT(*) OVER (PARTITION BY conv_id)
+               AS credit_micro
+    FROM pairs
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(SUM(credit_micro) AS BIGINT) AS credited_micro
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "linear_attribution": (q_linear_attribution, ORACLE_LINEAR_ATTRIBUTION),
         "fifo_allocation": (q_fifo_allocation, ORACLE_FIFO_ALLOCATION),
         "seasonal_decompose": (q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE),
         "survival_km": (q_survival_km, ORACLE_SURVIVAL_KM),

@@ -1560,8 +1560,130 @@ LIMIT {COLLOC_TOP_K}
 """
 
 
+GAINS_K = 10  # deciles
+
+
+def q_model_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for the frozen quality classifier: documents
+    ranked by predicted score, cut into exact deciles, each reporting
+    positive counts, cumulative capture rate, and lift — the
+    model-evaluation companion of ``q_model_calibration_report``
+    (calibration says "are the probabilities honest"; gains says "does
+    the ranking concentrate positives").
+
+    The global rank is the DISTRIBUTED range-partitioned row_number
+    (``relational.distributed_row_number`` + ``exact_ntile``'s
+    closed-form integer NTILE) — no single-partition window anywhere on
+    the per-document frame; the only ordered window runs over the
+    10-row decile aggregate, bounded by the constant k, independent of
+    corpus size.
+
+    Determinism: scores are 6-dp-rounded then held as exact micro-unit
+    integers (the calibration query's trick); ranks, decile ids, and
+    counts are exact; capture and lift are single IEEE divisions of
+    exact integers, emitted unrounded.
+    """
+    from .relational import distributed_row_number, exact_ntile, range_bucket
+
+    t = load_tables(spark, sf_dir)
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * T.stopword_ratio("text")
+        + F.lit(QC_W_MLEN) * T.mean_token_len("text")
+        + F.lit(QC_W_LTOK) * F.log(F.lit(1.0) + T.token_count_ws("text"))
+    )
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    p_micro = F.round(p6 * F.lit(1000000.0)).cast("long")
+    scored = (
+        t["documents"]
+        .select(
+            "doc_id",
+            p_micro.alias("p_micro"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .localCheckpoint()  # rank needs two passes (quantile cuts + number)
+    )
+    ranked, n = distributed_row_number(
+        scored,
+        [F.col("p_micro").desc(), F.col("doc_id")],
+        range_bucket(scored, "p_micro", 8, descending=True),
+        8,
+        rn_col="_rn",
+        return_total=True,
+    )
+    dec = (
+        ranked.select(exact_ntile("_rn", n, GAINS_K).alias("decile"), "y")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("y").alias("n_pos"))
+    )
+    totals = dec.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("n_pos").alias("p_tot")
+    )
+    # the ordered window below runs over the GAINS_K-row decile frame —
+    # bounded by the constant k, never by the corpus
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dec.withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("p_tot").cast("double")).alias(
+                "capture"
+            ),
+            (
+                F.col("n_pos").cast("double")
+                * F.col("n_tot").cast("double")
+                / (F.col("n_docs").cast("double") * F.col("p_tot").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _oracle_model_gains_table() -> str:
+    p6 = (
+        f"ROUND(1.0 / (1.0 + exp(-({QC_BIAS} + {QC_W_STOP} * {SQL_STOP_RATIO}"
+        f" + {QC_W_MLEN} * {SQL_MEAN_TOKEN_LEN}"
+        f" + {QC_W_LTOK} * ln(1.0 + {SQL_TOKENS_WS})))), 6)"
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(ROUND({p6} * 1000000.0) AS BIGINT) AS p_micro,
+           CAST(lang = 'en' AS BIGINT) AS y
+    FROM documents
+), ranked AS (
+    SELECT y, NTILE({GAINS_K}) OVER (ORDER BY p_micro DESC, doc_id) AS decile
+    FROM scored
+), dec AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM ranked GROUP BY decile
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+           CAST(SUM(n_pos) AS BIGINT) AS p_tot
+    FROM dec
+)
+SELECT CAST(decile AS INT) AS decile, n_docs, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(p_tot AS DOUBLE) AS capture,
+       CAST(n_pos AS DOUBLE) * CAST(n_tot AS DOUBLE)
+           / (CAST(n_docs AS DOUBLE) * CAST(p_tot AS DOUBLE)) AS lift
+FROM dec, tot
+ORDER BY decile
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "model_gains_table": (q_model_gains_table, _oracle_model_gains_table()),
         "bpe_pair_merge": (q_bpe_pair_merge, ORACLE_BPE_PAIR_MERGE),
         "text_collocations": (q_text_collocations, ORACLE_TEXT_COLLOCATIONS),
         "text_keyphrase_rake": (
