@@ -571,6 +571,11 @@ register(
     R.q_stats_equidepth_histogram,
     R.ORACLE_STATS_EQUIDEPTH_HISTOGRAM,
 )
+register(
+    "join_cardinality_audit",
+    R.q_join_cardinality_audit,
+    R.ORACLE_JOIN_CARDINALITY_AUDIT,
+)
 
 register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, None)
 

@@ -1753,10 +1753,140 @@ LIMIT {SKEW_TOP_K}
 """
 
 
+BLOOM_M = 4096  # bits
+BLOOM_P = 2_147_483_647
+# three pairwise-independent integer hashes h_i(k) = (a·k + b) mod P mod M;
+# literal constants so both engines build the identical filter
+BLOOM_HASHES = [(131, 7), (2654435761, 104729), (40503, 65537)]
+
+
+def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built, probed, and AUDITED as a query: the member
+    set (customers with an urgent order) hashes into a BLOOM_M-bit
+    filter via k portable integer hashes; every customer key then
+    probes it, and the report pins bits set, hits, true members, and —
+    the number everyone quotes but rarely measures — the exact
+    false-positive count and rate. The observable twin of the manifest
+    layer's file-pruning blooms (``sources/bloom.py``): same structure,
+    but here the filter itself is data and the FP rate is hash-checked
+    against DuckDB computing the identical filter.
+
+    Determinism: hash params are shared literals and all arithmetic is
+    exact BIGINT (a·k + b < 2^62), so the bitset, hits, and FP count
+    are exactly reproducible; fp_rate is one IEEE division.
+
+    Scale shape: the bitset is ≤ M rows after a distinct (map-side
+    combined); probes join the bitset on bit position — broadcast-sized
+    by construction (M bits, not member count); one final 1-row
+    aggregate. No collect of the member set.
+    """
+    t = load_tables(spark, sf_dir)
+    members = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+
+    def bits(col):
+        return F.array(
+            *[
+                ((F.lit(a) * col + F.lit(b)) % F.lit(BLOOM_P)) % F.lit(BLOOM_M)
+                for a, b in BLOOM_HASHES
+            ]
+        )
+
+    bitset = (
+        members.select(F.explode(bits(F.col("key"))).alias("bit")).distinct()
+    )
+    probes = t["customer"].select(F.col("c_custkey").alias("key"))
+    probe_bits = probes.select(
+        "key", F.explode(bits(F.col("key"))).alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bitset), "bit")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") == len(BLOOM_HASHES))
+        .select("key")
+    )
+    flagged = (
+        probes.join(hits.withColumn("hit", F.lit(1)), "key", "left")
+        .join(members.withColumn("member", F.lit(1)), "key", "left")
+        .select(
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+            F.coalesce("member", F.lit(0)).alias("member"),
+        )
+    )
+    n_bits = bitset.agg(F.count(F.lit(1)).alias("bits_set"))
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("member").alias("n_members"),
+            F.sum("hit").alias("n_hits"),
+            F.sum(
+                ((F.col("hit") == 1) & (F.col("member") == 0)).cast("long")
+            ).alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_probes",
+            "n_members",
+            "bits_set",
+            "n_hits",
+            "n_false_pos",
+            (
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probes") - F.col("n_members")).cast("double")
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _oracle_bloom_membership_audit() -> str:
+    k = len(BLOOM_HASHES)
+    bit_list = ", ".join(
+        f"(({a} * key + {b}) % {BLOOM_P}) % {BLOOM_M}" for a, b in BLOOM_HASHES
+    )
+    return f"""
+WITH members AS (
+    SELECT DISTINCT o_custkey AS key FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+), bitset AS (
+    SELECT DISTINCT UNNEST([{bit_list}]) AS bit FROM members
+), probes AS (SELECT c_custkey AS key FROM customer),
+probe_bits AS (
+    SELECT key, UNNEST([{bit_list}]) AS bit FROM probes
+), hits AS (
+    SELECT pb.key FROM probe_bits pb JOIN bitset s ON pb.bit = s.bit
+    GROUP BY pb.key HAVING COUNT(*) = {k}
+), flagged AS (
+    SELECT CASE WHEN h.key IS NULL THEN 0 ELSE 1 END AS hit,
+           CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS member
+    FROM probes p
+    LEFT JOIN hits h ON p.key = h.key
+    LEFT JOIN members m ON p.key = m.key
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(member) AS BIGINT) AS n_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bitset) AS bits_set,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN hit = 1 AND member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN hit = 1 AND member = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) - SUM(member) AS DOUBLE) AS fp_rate
+FROM flagged
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "bloom_membership_audit": (
+            q_bloom_membership_audit,
+            _oracle_bloom_membership_audit(),
+        ),
         "skew_key_report": (q_skew_key_report, ORACLE_SKEW_KEY_REPORT),
         "benford_audit": (q_benford_audit, _oracle_benford_audit()),
         "rate_smoothing_eb": (q_rate_smoothing_eb, ORACLE_RATE_SMOOTHING_EB),

@@ -1367,6 +1367,125 @@ def q_cbo_vs_dp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("optimizer")
 
 
+CARD_BUCKETS = 64  # histogram resolution for the bucketized join estimate
+
+
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-cardinality model audited against ground truth in one
+    report: |customer ⋈ supplier on nationkey| estimated (a) by the reference's
+    uniform formula n_a·n_b / max(V(a),V(b))
+    (join_optimizer.cc:157-169 semantics) and (b) by a 64-bucket
+    key-histogram product Σ_b cnt_a[b]·cnt_b[b] — the refinement every
+    real optimizer layers on — both compared to the EXACT join count.
+    The estimation surface as a hash-checked query, complementing
+    ``q_stats_selectivity_report`` (predicate selectivity) with the
+    join side of §4.1.
+
+    The exact count is computed WITHOUT materializing the join:
+    Σ_key cnt_a·cnt_b over the key-grouped counts (the algebraic
+    identity of equi-join cardinality); the ORACLE computes it as an
+    actual JOIN COUNT(*), so the hash check also certifies the
+    identity. All counts, NDVs, and estimates are exact BIGINTs; the
+    two error ratios are single IEEE divisions.
+
+    Scale shape: two grouped counts (map-side combined) + a join of the
+    two per-key count frames (bounded by NDV) + a 64-row bucket join —
+    never the raw×raw join.
+    """
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].groupBy(F.col("c_nationkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = t["supplier"].groupBy(F.col("s_nationkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    tot_a = a.agg(
+        F.sum("ca").alias("n_a"), F.count(F.lit(1)).alias("ndv_a")
+    )
+    tot_b = b.agg(
+        F.sum("cb").alias("n_b"), F.count(F.lit(1)).alias("ndv_b")
+    )
+    actual = (
+        a.join(b, "key")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("actual"))
+    )
+    # per-bucket histogram estimate: Σ_b ba·bb DIV max(va, vb) — the
+    # uniform formula applied inside each of the 64 key buckets
+    est_bucket = (
+        a.groupBy((F.col("key") % CARD_BUCKETS).alias("bkt"))
+        .agg(F.sum("ca").alias("ba"), F.count(F.lit(1)).alias("va"))
+        .join(
+            b.groupBy((F.col("key") % CARD_BUCKETS).alias("bkt")).agg(
+                F.sum("cb").alias("bb"), F.count(F.lit(1)).alias("vb")
+            ),
+            "bkt",
+        )
+        .agg(
+            F.sum(
+                F.expr("(ba * bb) DIV greatest(va, vb)")
+            ).alias("est_bucket")
+        )
+    )
+    return (
+        tot_a.crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(actual))
+        .crossJoin(F.broadcast(est_bucket))
+        .select(
+            "n_a",
+            "n_b",
+            "ndv_a",
+            "ndv_b",
+            F.expr("(n_a * n_b) DIV greatest(ndv_a, ndv_b)").alias(
+                "est_uniform"
+            ),
+            "est_bucket",
+            "actual",
+            (
+                F.expr("(n_a * n_b) DIV greatest(ndv_a, ndv_b)").cast("double")
+                / F.col("actual").cast("double")
+            ).alias("err_uniform"),
+            (
+                F.col("est_bucket").cast("double")
+                / F.col("actual").cast("double")
+            ).alias("err_bucket"),
+        )
+    )
+
+
+ORACLE_JOIN_CARDINALITY_AUDIT = f"""
+WITH ta AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS ndv_a
+    FROM customer
+), tb AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS ndv_b
+    FROM supplier
+), act AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS actual
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+), eb AS (
+    SELECT CAST(SUM((ba * bb) // GREATEST(va, vb)) AS BIGINT) AS est_bucket
+    FROM (SELECT c_nationkey % {CARD_BUCKETS} AS bkt,
+                 CAST(COUNT(*) AS BIGINT) AS ba,
+                 CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS va
+          FROM customer GROUP BY 1) x
+    JOIN (SELECT s_nationkey % {CARD_BUCKETS} AS bkt,
+                 CAST(COUNT(*) AS BIGINT) AS bb,
+                 CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS vb
+          FROM supplier GROUP BY 1) y USING (bkt)
+)
+SELECT n_a, n_b, ndv_a, ndv_b,
+       CAST((n_a * n_b) // GREATEST(ndv_a, ndv_b) AS BIGINT) AS est_uniform,
+       est_bucket,
+       actual,
+       CAST((n_a * n_b) // GREATEST(ndv_a, ndv_b) AS DOUBLE)
+           / CAST(actual AS DOUBLE) AS err_uniform,
+       CAST(est_bucket AS DOUBLE) / CAST(actual AS DOUBLE) AS err_bucket
+FROM ta, tb, act, eb
+"""
+
+
 STATS_PROBE_GRID = {
     "p_size": [12, 25, 38],
     "p_partkey": [400, 1000, 1600],

@@ -2795,8 +2795,100 @@ ORDER BY channel
 """
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all pairwise
+    slopes of the daily-count series — the estimator that shrugs off
+    the outlier days OLS (``q_trend_per_group``) gets dragged by; the
+    robust-statistics sibling of ``q_robust_stats_mad``.
+
+    Determinism: x is the day offset from a fixed epoch and y the exact
+    daily count, so every pairwise slope is ONE IEEE division of exact
+    integers; the median is SELECTED (lower median — element
+    (n+1) DIV 2 of the sorted slope list), never averaged, so the
+    emitted double is one of the exact quotients, bit-identical across
+    engines.
+
+    Scale shape: the corpus collapses to (type, day) counts first; the
+    O(d²) pairwise-slope enumeration runs as JVM array lambdas on ONE
+    row per series, d bounded by the calendar span — at 10 years of
+    daily data that is ~6.7M slopes per series, still a single in-task
+    array job, parallel across series. No window, no self-join.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    pts_df = daily.select(
+        "event_type",
+        F.struct(
+            F.datediff("day", F.lit("2024-01-01").cast("date")).alias("x"),
+            F.col("y").alias("y"),
+        ).alias("pt"),
+    ).groupBy("event_type").agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+    n = F.size("pts")
+    slopes = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: (
+                    F.element_at("pts", j).y - F.element_at("pts", i).y
+                ).cast("double")
+                / (
+                    F.element_at("pts", j).x - F.element_at("pts", i).x
+                ).cast("double"),
+            ),
+        )
+    )
+    return (
+        pts_df.withColumn("slopes", F.array_sort(slopes))
+        .select(
+            "event_type",
+            n.alias("n_days"),
+            F.size("slopes").cast("long").alias("n_pairs"),
+            F.element_at(
+                "slopes", F.expr("CAST((size(slopes) + 1) DIV 2 AS INT)")
+            ).alias("slope_med"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_THEIL_SEN_TREND = """
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), series AS (
+    SELECT event_type,
+           list(struct_pack(x := x, y := y) ORDER BY x) AS pts
+    FROM daily GROUP BY event_type
+), sl AS (
+    SELECT event_type, len(pts) AS n_days,
+           list_sort(flatten(list_transform(
+               generate_series(1, len(pts) - 1),
+               i -> list_transform(
+                   generate_series(i + 1, len(pts)),
+                   j -> CAST(pts[CAST(j AS INT)]['y']
+                             - pts[CAST(i AS INT)]['y'] AS DOUBLE)
+                        / CAST(pts[CAST(j AS INT)]['x']
+                               - pts[CAST(i AS INT)]['x'] AS DOUBLE)))))
+               AS slopes
+    FROM series
+)
+SELECT event_type,
+       CAST(n_days AS INT) AS n_days,
+       CAST(len(slopes) AS BIGINT) AS n_pairs,
+       slopes[CAST((len(slopes) + 1) // 2 AS INT)] AS slope_med
+FROM sl
+ORDER BY event_type
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
         "linear_attribution": (q_linear_attribution, ORACLE_LINEAR_ATTRIBUTION),
         "fifo_allocation": (q_fifo_allocation, ORACLE_FIFO_ALLOCATION),
         "seasonal_decompose": (q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE),
