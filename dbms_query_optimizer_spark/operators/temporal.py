@@ -2201,33 +2201,18 @@ ORDER BY event_type
 DECOMP_PERIOD = 7  # weekly seasonality for the additive decomposition
 
 
-def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition (trend + seasonal +
-    residual) of each event type's daily spend series — the moving-
-    average method of Kendall/Stuart that STL generalizes. Trend is the
-    centered 7-day moving average (emitted only where the full window
-    exists), seasonal is the day-of-week mean deviation from trend, and
-    the residual is what's left. Companion of
-    ``q_forecast_backtest_snaive`` (which assumes the weekly season this
-    query extracts) and ``q_events_dow_hour_profile`` (the finer grid).
-
-    Cross-engine determinism with NO rounding: the daily series is
-    exact integer cents (DECIMAL sum of ``value``); the trend numerator
-    is an exact 7-day integer sum; deviations are computed ×7 so they
-    stay integers (dev7 = 7·cents − sum7); the day-of-week seasonal
-    numerator/denominator are exact integer sums. Every emitted double
-    is a single IEEE division (or subtraction of two such divisions) of
-    exact integers — bit-identical on both engines.
-
-    Scale shape: the raw scan collapses to (type, day) partial-agg
-    cells first, so every window below is partitioned by event_type and
-    bounded by the series length (calendar days), never by table rows;
-    the 7×types seasonal-index frame joins back via broadcast.
-    """
-    ev = load_tables(spark, sf_dir)["events"]
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.sum(dec("value")).cast("decimal(18,2)").alias("amt")
-    ).withColumn("cents", (F.col("amt") * 100).cast("long")).drop("amt")
+def _seasonal_frame(ev: DataFrame) -> DataFrame:
+    """Shared exact-integer decomposition frame: per (event_type, day) the
+    daily cents, the centered 7-day window sum (NULL unless the window is
+    full), the ×7 deviation, and the day-of-week seasonal numerator/
+    denominator joined back by broadcast. All columns exact integers;
+    consumers derive trend/seasonal/residual as IEEE divisions."""
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("amt"))
+        .withColumn("cents", (F.col("amt") * 100).cast("long"))
+        .drop("amt")
+    )
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
@@ -2253,9 +2238,33 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("ndev"),
         )
     )
-    out = trended.join(
-        F.broadcast(seasonal), ["event_type", "dow"], "left"
-    )
+    return trended.join(F.broadcast(seasonal), ["event_type", "dow"], "left")
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + seasonal +
+    residual) of each event type's daily spend series — the moving-
+    average method of Kendall/Stuart that STL generalizes. Trend is the
+    centered 7-day moving average (emitted only where the full window
+    exists), seasonal is the day-of-week mean deviation from trend, and
+    the residual is what's left. Companion of
+    ``q_forecast_backtest_snaive`` (which assumes the weekly season this
+    query extracts) and ``q_events_dow_hour_profile`` (the finer grid).
+
+    Cross-engine determinism with NO rounding: the daily series is
+    exact integer cents (DECIMAL sum of ``value``); the trend numerator
+    is an exact 7-day integer sum; deviations are computed ×7 so they
+    stay integers (dev7 = 7·cents − sum7); the day-of-week seasonal
+    numerator/denominator are exact integer sums. Every emitted double
+    is a single IEEE division (or subtraction of two such divisions) of
+    exact integers — bit-identical on both engines.
+
+    Scale shape: the raw scan collapses to (type, day) partial-agg
+    cells first, so every window below is partitioned by event_type and
+    bounded by the series length (calendar days), never by table rows;
+    the 7×types seasonal-index frame joins back via broadcast.
+    """
+    out = _seasonal_frame(load_tables(spark, sf_dir)["events"])
     seas = F.col("sdev7").cast("double") / (
         F.lit(float(DECOMP_PERIOD)) * F.col("ndev").cast("double")
     )
@@ -2304,6 +2313,112 @@ SELECT d.event_type, d.day, d.cents,
 FROM devs d LEFT JOIN seasonal s
   ON d.event_type = s.event_type AND d.dow = s.dow
 ORDER BY d.event_type, d.day
+"""
+
+
+ANOM_K = 3  # MAD multiplier for the anomaly threshold
+
+
+def q_seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: days whose DECOMPOSITION
+    RESIDUAL (observed − trend − day-of-week seasonal, from
+    ``_seasonal_frame``) deviates from the series' median residual by
+    more than 3× the residual MAD — the robust upgrade of
+    ``q_events_anomaly_zscore`` that stops flagging every Saturday just
+    for being a Saturday. Composition proof for the decomposition: the
+    same exact-integer frame feeds both queries.
+
+    Determinism: residuals are IEEE expressions of exact integers
+    (bit-identical both engines); median and MAD are SELECTED (lower
+    median) from the per-series sorted residual array, never averaged;
+    the flag compares those identical doubles. Emits only flagged rows.
+
+    Scale shape: everything after the (type, day) aggregate runs on
+    one row per series via JVM array lambdas (bounded by calendar
+    days); windows partition by event_type. No Python, no global sort.
+    """
+    frame = _seasonal_frame(load_tables(spark, sf_dir)["events"])
+    resid = (
+        F.col("dev7").cast("double") / F.lit(float(DECOMP_PERIOD))
+        - F.col("sdev7").cast("double")
+        / (F.lit(float(DECOMP_PERIOD)) * F.col("ndev").cast("double"))
+    )
+    scored = frame.filter(F.col("sum7").isNotNull()).select(
+        "event_type", "day", "cents", resid.alias("resid")
+    )
+    per_series = scored.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("resid")).alias("rs")
+    )
+    lower_med = F.element_at(
+        "rs", F.expr("CAST((size(rs) + 1) DIV 2 AS INT)")
+    )
+    meds = per_series.withColumn("med", lower_med).select(
+        "event_type", "med", "rs"
+    )
+    mad = meds.withColumn(
+        "ads", F.array_sort(F.transform("rs", lambda r: F.abs(r - F.col("med"))))
+    ).select(
+        "event_type",
+        "med",
+        F.element_at(
+            "ads", F.expr("CAST((size(ads) + 1) DIV 2 AS INT)")
+        ).alias("mad"),
+    )
+    return (
+        scored.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("resid") - F.col("med")) > F.lit(float(ANOM_K)) * F.col("mad"))
+        .select("event_type", "day", "cents", "resid", "med", "mad")
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_SEASONAL_ANOMALY_FLAGS = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), trended AS (
+    SELECT event_type, day, cents,
+           CASE WHEN COUNT(*) OVER w = {DECOMP_PERIOD}
+                THEN CAST(SUM(cents) OVER w AS BIGINT) END AS sum7,
+           CAST(dayofweek(day) + 1 AS INT) AS dow
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {DECOMP_PERIOD // 2} PRECEDING
+                          AND {DECOMP_PERIOD // 2} FOLLOWING)
+), devs AS (
+    SELECT *, {DECOMP_PERIOD} * cents - sum7 AS dev7 FROM trended
+), seasonal AS (
+    SELECT event_type, dow,
+           CAST(SUM(dev7) AS BIGINT) AS sdev7,
+           CAST(COUNT(*) AS BIGINT) AS ndev
+    FROM devs WHERE dev7 IS NOT NULL
+    GROUP BY event_type, dow
+), scored AS (
+    SELECT d.event_type, d.day, d.cents,
+           CAST(d.dev7 AS DOUBLE) / {float(DECOMP_PERIOD)}
+               - CAST(s.sdev7 AS DOUBLE)
+                 / ({float(DECOMP_PERIOD)} * CAST(s.ndev AS DOUBLE)) AS resid
+    FROM devs d JOIN seasonal s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    WHERE d.sum7 IS NOT NULL
+), stats AS (
+    SELECT event_type,
+           rs[CAST((len(rs) + 1) // 2 AS INT)] AS med,
+           rs
+    FROM (SELECT event_type, list_sort(list(resid)) AS rs
+          FROM scored GROUP BY event_type)
+), mads AS (
+    SELECT event_type, med,
+           ads[CAST((len(ads) + 1) // 2 AS INT)] AS mad
+    FROM (SELECT event_type, med,
+                 list_sort(list_transform(rs, r -> abs(r - med))) AS ads
+          FROM stats)
+)
+SELECT sc.event_type, sc.day, sc.cents, sc.resid, m.med, m.mad
+FROM scored sc JOIN mads m ON sc.event_type = m.event_type
+WHERE abs(sc.resid - m.med) > {float(ANOM_K)} * m.mad
+ORDER BY sc.event_type, sc.day
 """
 
 
@@ -2889,6 +3004,10 @@ ORDER BY event_type
 def oracles() -> dict[str, tuple]:
     return {
         "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
+        "seasonal_anomaly_flags": (
+            q_seasonal_anomaly_flags,
+            ORACLE_SEASONAL_ANOMALY_FLAGS,
+        ),
         "linear_attribution": (q_linear_attribution, ORACLE_LINEAR_ATTRIBUTION),
         "fifo_allocation": (q_fifo_allocation, ORACLE_FIFO_ALLOCATION),
         "seasonal_decompose": (q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE),
