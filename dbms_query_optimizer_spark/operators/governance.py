@@ -331,16 +331,24 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded groups, fully parallel. At 100 TB the only corpus-sized
     operations are one groupBy(n_chars) and one broadcast-join back.
     """
+    from .relational import distributed_prefix_agg, range_bucket
+
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
-    key_counts = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("_n"))
-    cum = key_counts.withColumn(
-        "_base",
-        F.coalesce(
-            F.sum("_n").over(
-                W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
+    key_counts = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).localCheckpoint()  # materialized once: bucket cuts + carry + numbering
+    # exclusive prefix count over the key domain WITHOUT the unpartitioned
+    # window (the key domain is data-dependent — doc lengths at 100 TB —
+    # so "small table" is not a scale guarantee): range buckets + local
+    # prefix windows + an n_parts-scalar carry map.
+    cum = distributed_prefix_agg(
+        key_counts,
+        "n_chars",
+        "_n",
+        range_bucket(key_counts, "n_chars", 8),
+        8,
+        kind="sum",
+        out_col="_base",
     )
     total = docs.agg(F.count(F.lit(1)).alias("_total"))
     local_rn = F.row_number().over(W.partitionBy("n_chars").orderBy("doc_id"))

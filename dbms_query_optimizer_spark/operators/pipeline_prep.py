@@ -220,23 +220,33 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Linearithmic, not quadratic: dominance against the frontier only needs
     each price's max size (map-side-combined groupBy), then one running-max
-    window in descending price order — a price survives iff its max size
-    strictly exceeds every higher price's. The window frame is |distinct
-    prices| rows, not |part|; no NOT EXISTS self-join anywhere. The oracle
+    prefix scan in descending price order — a price survives iff its max
+    size strictly exceeds every higher price's. The scan is the
+    DISTRIBUTED exclusive prefix max (``relational.distributed_prefix_agg``:
+    range buckets + parallel local windows + an n_parts-scalar carry) —
+    the |distinct prices| domain is data-dependent, so it never rides a
+    single-partition window. No NOT EXISTS self-join anywhere. The oracle
     states the textbook quadratic NOT EXISTS definition, proving the
     single-pass plan computes the same frontier.
     """
+    from .relational import distributed_prefix_agg, range_bucket
+
     part = load_tables(spark, sf_dir)["part"]
     by_price = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("max_size")
-    )
-    w = (
-        W.orderBy(F.col("price").desc())
-        .rowsBetween(W.unboundedPreceding, -1)
+    ).localCheckpoint()  # two passes: bucket cuts + the scan itself
+    scanned = distributed_prefix_agg(
+        by_price,
+        "price",
+        "max_size",
+        range_bucket(by_price, "price", 8, descending=True),
+        8,
+        kind="max",
+        out_col="best_above",
+        descending=True,
     )
     return (
-        by_price.withColumn("best_above", F.max("max_size").over(w))
-        .filter(
+        scanned.filter(
             F.col("best_above").isNull()
             | (F.col("max_size") > F.col("best_above"))
         )

@@ -835,6 +835,64 @@ def distributed_row_number(
     return out
 
 
+def distributed_prefix_agg(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    pid,
+    n_parts: int,
+    kind: str = "sum",
+    out_col: str = "_prefix",
+    descending: bool = False,
+) -> DataFrame:
+    """EXCLUSIVE prefix aggregate (running ``sum`` or ``max`` over all
+    STRICTLY-PRECEDING rows) of ``val_col`` in the global ``order_col``
+    order, without the single-partition window — the prefix-scan sibling
+    of :func:`distributed_row_number` with the same ``pid`` contract
+    (monotone range buckets from :func:`range_bucket`; equal keys must
+    share a bucket, and ``order_col`` must be unique per row so the
+    within-bucket order is total).
+
+    Shape: one hash shuffle on ``_pid`` + parallel partition-local
+    prefix windows; the cross-bucket carry is n_parts scalars collected
+    to the driver and re-emitted as a literal map (no join, no second
+    corpus pass). First-overall row gets NULL for ``max`` and 0 for
+    ``sum``-with-coalesce, matching the window form.
+    """
+    assert kind in ("sum", "max")
+    fn = F.sum if kind == "sum" else F.max
+    d = df.withColumn("_pid", pid)
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w_loc = (
+        W.partitionBy("_pid").orderBy(oc).rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = d.withColumn("_loc", fn(val_col).over(w_loc))
+    tots = {
+        r["_pid"]: r["_t"]
+        for r in d.groupBy("_pid").agg(fn(val_col).alias("_t")).collect()
+    }
+    offs: dict[int, object] = {}
+    acc = None
+    for p in range(n_parts):
+        offs[p] = acc
+        t = tots.get(p)
+        if kind == "sum":
+            acc = (acc or 0) + (t or 0)
+        elif t is not None:
+            acc = t if acc is None or t > acc else acc
+    entries = []
+    for p in range(n_parts):
+        entries += [F.lit(p), F.lit(offs[p]).cast("long")]
+    off = F.create_map(*entries)[F.col("_pid")]
+    if kind == "sum":
+        combined = F.coalesce(F.col("_loc"), F.lit(0)) + F.coalesce(
+            off, F.lit(0)
+        )
+    else:
+        combined = F.greatest(F.col("_loc"), off)
+    return local.withColumn(out_col, combined).drop("_loc", "_pid")
+
+
 def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = False):
     """Monotone range-bucket expression for a NUMERIC sort key, for use as
     ``distributed_row_number``'s ``pid``: driver-computed approx-quantile

@@ -91,3 +91,47 @@ def test_exact_ntile_matches_window(spark, n, k):
     assert sorted(map(tuple, via_window.collect())) == sorted(
         map(tuple, via_formula.collect())
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frames(), st.sampled_from(["sum", "max"]), st.booleans())
+def test_distributed_prefix_agg_matches_global_window(spark, case, kind, desc):
+    """distributed_prefix_agg must agree exactly with the naive
+    single-partition exclusive prefix window for both kinds and both
+    directions, on ties, skew, and tiny inputs. Keys are made unique
+    (the helper's documented contract) by enumerating the drawn values."""
+    from dbms_query_optimizer_spark.operators.relational import (
+        distributed_prefix_agg,
+    )
+
+    vals, n_parts = case
+    rows = [(i, v) for i, v in enumerate(vals)]  # unique order key i
+    df = spark.createDataFrame(rows, "k int, v long").localCheckpoint()
+    oc = F.col("k").desc() if desc else F.col("k").asc()
+    w = W.orderBy(oc).rowsBetween(W.unboundedPreceding, -1)
+    fn = F.sum if kind == "sum" else F.max
+    naive_col = fn("v").over(w)
+    if kind == "sum":
+        naive_col = F.coalesce(naive_col, F.lit(0))
+    naive = {
+        r["k"]: r["p"]
+        for r in df.withColumn("p", naive_col).collect()
+    }
+    got = {
+        r["k"]: r["p"]
+        for r in distributed_prefix_agg(
+            df,
+            "k",
+            "v",
+            range_bucket(df, "k", n_parts, descending=desc),
+            n_parts,
+            kind=kind,
+            out_col="p",
+            descending=desc,
+        ).collect()
+    }
+    assert got == naive
