@@ -1887,10 +1887,359 @@ FROM flagged
 """
 
 
+FK_EDGES = [
+    # (child, child_key, parent, parent_key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every foreign-key edge in the
+    schema: per edge, child rows, distinct child keys, orphan ROWS and
+    orphan KEYS (child keys with no parent) — the warehouse ingest gate
+    that catches a truncated dimension load before any join silently
+    drops facts. The relational complement of ``q_data_quality_report``
+    (in-table nulls/ranges) and ``q_txn_constraint_gate`` (write-time
+    checks).
+
+    Scale shape per edge: one grouped count on the child key (map-side
+    combined, shuffle = distinct keys), one anti-join against the
+    parent KEY SET (broadcast-eligible dimension side), one 1-row
+    aggregate; the seven 1-row frames union. No full-row joins —
+    orphan ROWS come from summing the per-key counts, so the child
+    table is scanned once per edge and never shuffled whole.
+    """
+    t = load_tables(spark, sf_dir)
+    outs = []
+    for child, ckey, parent, pkey in FK_EDGES:
+        per_key = t[child].groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        orphans = per_key.join(
+            t[parent].select(F.col(pkey).alias("k")).distinct(),
+            "k",
+            "left_anti",
+        )
+        totals = per_key.agg(
+            F.sum("c").alias("n_child_rows"),
+            F.count(F.lit(1)).alias("n_child_keys"),
+        )
+        orph = orphans.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_orphan_rows"),
+            F.count(F.lit(1)).alias("n_orphan_keys"),
+        )
+        outs.append(
+            totals.crossJoin(F.broadcast(orph)).select(
+                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("fk_edge"),
+                "n_child_rows",
+                "n_child_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fk_edge")
+
+
+def _oracle_fk_integrity_audit() -> str:
+    parts = []
+    for child, ckey, parent, pkey in FK_EDGES:
+        parts.append(
+            f"""
+SELECT '{child}.{ckey}->{parent}.{pkey}' AS fk_edge,
+       CAST(SUM(c) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+       CAST(COALESCE(SUM(CASE WHEN orphan THEN c END), 0) AS BIGINT)
+           AS n_orphan_rows,
+       CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphan_keys
+FROM (
+    SELECT {ckey} AS k, COUNT(*) AS c,
+           {ckey} NOT IN (SELECT {pkey} FROM {parent}) AS orphan
+    FROM {child} GROUP BY {ckey}
+)"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
+CMS_D = 3  # count-min depth (reuses the BLOOM_HASHES pairs)
+CMS_W = 64  # count-min width (narrow enough that collisions are visible)
+CMS_TOP_K = 20
+
+
+def q_count_min_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A count-min sketch built and AUDITED in one query: token counts
+    stream into a CMS_D×CMS_W sketch via portable integer hashes (the
+    Horner token hash re-hashed by the BLOOM_HASHES pairs), then the
+    corpus's top-CMS_TOP_K exact tokens probe it. CMS guarantees
+    est ≥ exact; the audit emits the exact count, the sketch estimate,
+    and the overestimate — the sketch-error contract as data, sibling
+    of ``q_bloom_membership_audit`` (membership) and
+    ``q_hll_estimate_audit`` (cardinality). The deterministic-hash
+    construction is what makes an approximate structure EXACTLY
+    oracle-able — DuckDB builds the identical sketch.
+
+    Scale shape: one vocab aggregate (corpus collapses before any
+    sketch work), the sketch is a ≤ D·W-cell aggregate (map-side
+    combined), probes broadcast against it. All integers.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    horner = F.pmod(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.ascii(F.col("w").substr(i, F.lit(1))),
+            ),
+            F.lit(0).cast("long"),
+            lambda h, c: F.pmod(h * F.lit(257) + c, F.lit(BLOOM_P)),
+        ),
+        F.lit(BLOOM_P),
+    )
+    hashed = vocab.withColumn("h", horner)
+    cells = hashed.select(
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(BLOOM_P))
+                            % F.lit(CMS_W)
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(BLOOM_HASHES)
+                ]
+            )
+        ).alias("rb"),
+    ).select("exact", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    sketch = cells.groupBy("row", "bucket").agg(F.sum("exact").alias("cell"))
+    top = (
+        hashed.orderBy(F.col("exact").desc(), "w")
+        .limit(CMS_TOP_K)
+        .select(
+            "w",
+            "exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            (
+                                (
+                                    (F.lit(a) * F.col("h") + F.lit(b))
+                                    % F.lit(BLOOM_P)
+                                )
+                                % F.lit(CMS_W)
+                            ).alias("bucket"),
+                        )
+                        for i, (a, b) in enumerate(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .select("w", "exact", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    )
+    return (
+        top.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("w", "exact")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "w",
+            "exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact")).alias("overest"),
+        )
+        .orderBy(F.col("exact").desc(), "w")
+    )
+
+
+def _oracle_count_min_sketch_audit() -> str:
+    hash_structs = ", ".join(
+        f"struct_pack(r := {i}, b := (({a} * h + {b}) % {BLOOM_P}) % {CMS_W})"
+        for i, (a, b) in enumerate(BLOOM_HASHES)
+    )
+    return f"""
+WITH vocab AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS exact
+    FROM (SELECT UNNEST(list_filter(
+              string_split_regex(lower(text), '[^a-z]+'),
+              x -> length(x) > 0)) AS w FROM documents)
+    GROUP BY w
+), hashed AS (
+    SELECT w, exact,
+           list_reduce(list_transform(generate_series(1, length(w)),
+                           i -> CAST(ord(substr(w, CAST(i AS INT), 1))
+                                     AS BIGINT)),
+                       (h, c) -> (h * 257 + c) % {BLOOM_P})
+               % {BLOOM_P} AS h
+    FROM vocab
+), cells AS (
+    SELECT exact, UNNEST([{hash_structs}], recursive := true)
+    FROM hashed
+), sketch AS (
+    SELECT r AS row, b AS bucket, CAST(SUM(exact) AS BIGINT) AS cell
+    FROM cells GROUP BY 1, 2
+), topk AS (
+    SELECT w, exact, h FROM hashed
+    ORDER BY exact DESC, w LIMIT {CMS_TOP_K}
+), top AS (
+    SELECT w, exact, UNNEST([{hash_structs}], recursive := true)
+    FROM topk
+)
+SELECT t.w, t.exact, CAST(MIN(s.cell) AS BIGINT) AS cms_est,
+       CAST(MIN(s.cell) - t.exact AS BIGINT) AS overest
+FROM top t JOIN sketch s ON t.r = s.row AND t.b = s.bucket
+GROUP BY t.w, t.exact
+ORDER BY t.exact DESC, t.w
+"""
+
+
+HLL_M = 64  # registers
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+HLL_RHO_CAP = 50  # cap so 2^(CAP - rho) sums stay exact BIGINT
+
+
+def q_hll_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles and audited against the
+    exact distinct count — the cardinality member of the sketch-audit
+    trio. Keys hash to 60 bits (md5-derived, engine-portable); the low
+    6 bits pick one of 64 registers; ρ = position of the highest set
+    bit of the remaining 54 (computed EXACTLY as 54 − len(bin(rest)) + 1
+    — a string length, no log2); each register keeps max ρ. The raw
+    estimate α·m²/Σ2^{{-M_j}} is computed with the harmonic sum held as
+    the EXACT integer Σ2^{{ρcap−M_j}} (every term a power of two ≤ 2^49,
+    m=64 terms — no float accumulation), so the emitted estimate is one
+    IEEE division of exact quantities. Raw HLL only (no small/large-range
+    correction): the audit's err_ratio column IS the bias report.
+
+    Scale shape: distinct-keys aggregate → 64-row register max →
+    1-row harmonic sum; the exact count is one COUNT(DISTINCT). All
+    corpus-sized work is two map-side-combined aggregates.
+    """
+    t = load_tables(spark, sf_dir)
+    keys = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("k").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = keys.withColumn("h", h).select(
+        (F.col("h") % HLL_M).alias("bucket"),
+        # integer DIV, not float /: rest is 54 bits, above double precision
+        F.expr(f"h DIV {HLL_M}").alias("rest"),
+    )
+    rho = F.when(
+        F.col("rest") > 0,
+        F.least(
+            F.lit(HLL_RHO_CAP),
+            F.lit(54) - F.length(F.conv(F.col("rest").cast("string"), 10, 2)) + 1,
+        ),
+    ).otherwise(F.lit(HLL_RHO_CAP))
+    regs = (
+        hashed.withColumn("rho", rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    summed = regs.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(HLL_RHO_CAP) - F.col("m_j")).cast("double"))
+            .cast("long")
+        ).alias("harmonic_scaled"),
+    )
+    exact = t["orders"].agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(2**HLL_RHO_CAP))
+        / F.col("harmonic_scaled").cast("double")
+    )
+    return (
+        summed.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).alias("m"),
+            "n_regs",
+            "harmonic_scaled",
+            "n_exact",
+            est.alias("hll_est"),
+            (est / F.col("n_exact").cast("double")).alias("err_ratio"),
+        )
+    )
+
+
+ORACLE_HLL_ESTIMATE_AUDIT = f"""
+WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+hashed AS (
+    SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {HLL_M} AS bucket,
+           CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+               // {HLL_M} AS rest
+    FROM keys
+), rhos AS (
+    SELECT bucket,
+           CASE WHEN rest > 0
+                THEN LEAST({HLL_RHO_CAP}, 54 - length(bin(rest)) + 1)
+                ELSE {HLL_RHO_CAP} END AS rho
+    FROM hashed
+), regs AS (
+    SELECT bucket, MAX(rho) AS m_j FROM rhos GROUP BY bucket
+), summed AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+           CAST(SUM(CAST(2 ** ({HLL_RHO_CAP} - m_j) AS BIGINT)) AS BIGINT)
+               AS harmonic_scaled
+    FROM regs
+)
+SELECT CAST({HLL_M} AS INT) AS m, n_regs, harmonic_scaled,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+           AS n_exact,
+       CAST({HLL_ALPHA} AS DOUBLE) * CAST({float(HLL_M * HLL_M)} AS DOUBLE)
+           * CAST({float(2**HLL_RHO_CAP)} AS DOUBLE)
+           / CAST(harmonic_scaled AS DOUBLE) AS hll_est,
+       CAST({HLL_ALPHA} AS DOUBLE) * CAST({float(HLL_M * HLL_M)} AS DOUBLE)
+           * CAST({float(2**HLL_RHO_CAP)} AS DOUBLE)
+           / CAST(harmonic_scaled AS DOUBLE)
+           / CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS DOUBLE)
+           AS err_ratio
+FROM summed
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "fk_integrity_audit": (
+            q_fk_integrity_audit,
+            _oracle_fk_integrity_audit(),
+        ),
+        "count_min_sketch_audit": (
+            q_count_min_sketch_audit,
+            _oracle_count_min_sketch_audit(),
+        ),
+        "hll_estimate_audit": (
+            q_hll_estimate_audit,
+            ORACLE_HLL_ESTIMATE_AUDIT,
+        ),
         "bloom_membership_audit": (
             q_bloom_membership_audit,
             _oracle_bloom_membership_audit(),
