@@ -2224,10 +2224,84 @@ FROM summed
 """
 
 
+def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between categorical feature pairs — the
+    feature-selection metric that, unlike ``q_chi_square_independence``'s
+    test statistic, is directly comparable across pairs of different
+    cardinality. Computed for (c_mktsegment × o_orderpriority) over the
+    joined orders: I(X;Y) = Σ p(x,y)·ln(p(x,y)·N² / (c_x·c_y·N)) in nats.
+
+    Determinism: cell/margin counts are exact; each cell's MI term is
+    ROUNDed to 9dp and scaled to an exact nano-nat integer, so the
+    cross-cell sum is order-free (the sMAPE trick); the total MI is the
+    exact integer sum emitted alongside its double rendering. Per-cell
+    terms are also emitted (grid ≤ |X|·|Y| rows).
+
+    Scale shape: one joined scan collapses to the |X|·|Y| contingency
+    grid (map-side combined); margins are two tiny re-aggregations of
+    the grid joined back by broadcast. Nothing corpus-sized after the
+    first aggregate.
+    """
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        t["orders"].o_custkey == F.col("c_custkey"),
+    )
+    cells = joined.groupBy(
+        F.col("c_mktsegment").alias("x"), F.col("o_orderpriority").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    term = (
+        F.col("nxy").cast("double")
+        / F.col("n").cast("double")
+        * F.log(
+            F.col("nxy").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        )
+    )
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "mi_nano",
+            F.round(F.round(term, 9) * F.lit(1e9)).cast("long"),
+        )
+        .select("x", "y", "nxy", "nx", "ny", "mi_nano")
+        .orderBy("x", "y")
+    )
+
+
+ORACLE_MUTUAL_INFORMATION_FEATURES = """
+WITH cells AS (
+    SELECT c_mktsegment AS x, o_orderpriority AS y,
+           CAST(COUNT(*) AS BIGINT) AS nxy
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+), mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
+my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells)
+SELECT c.x, c.y, c.nxy, mx.nx, my.ny,
+       CAST(ROUND(ROUND(CAST(c.nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(c.nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                             / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+                  * CAST(1e9 AS DOUBLE)) AS BIGINT) AS mi_nano
+FROM cells c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y, tot
+ORDER BY c.x, c.y
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "mutual_information_features": (
+            q_mutual_information_features,
+            ORACLE_MUTUAL_INFORMATION_FEATURES,
+        ),
         "fk_integrity_audit": (
             q_fk_integrity_audit,
             _oracle_fk_integrity_audit(),
