@@ -2294,10 +2294,118 @@ ORDER BY c.x, c.y
 """
 
 
+KS_CRIT_05 = 1.358  # Kolmogorov critical coefficient at alpha = 0.05
+
+
+def q_ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test on document length
+    between source cohorts (src0-9 vs src10-19) — the distribution-free
+    member of the drift family (``q_drift_psi`` needs binning choices,
+    ``q_drift_welch_t`` sees only means; KS sees any shape change).
+    D = max |F_A − F_B| over the merged support.
+
+    Exact-arithmetic construction: with cumulative counts cumA, cumB and
+    totals nA, nB, the statistic's numerator max|cumA·nB − cumB·nA| is an
+    exact BIGINT maximized by an ordinary aggregate; D is ONE IEEE
+    division by nA·nB. The cumulative scan over the merged value domain
+    (data-dependent size) is the DISTRIBUTED prefix sum
+    (``relational.distributed_prefix_agg``) — no single-partition window.
+
+    Scale shape: one grouped count per distinct (value) with conditional
+    A/B sums, the distributed prefix scan twice over that domain-sized
+    frame, a 1-row max aggregate. The reject_05 flag compares against
+    the classical large-sample critical value c(α)·√((nA+nB)/(nA·nB)).
+    """
+    from .relational import distributed_prefix_agg, range_bucket
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_val = (
+        docs.select(
+            "n_chars",
+            F.when(F.length("source") <= 4, F.lit(1)).otherwise(F.lit(0)).alias(
+                "in_a"
+            ),
+        )
+        .groupBy("n_chars")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+        )
+        .localCheckpoint()  # reused: bucket cuts + two prefix scans + totals
+    )
+    pid = range_bucket(per_val, "n_chars", 8)
+    cum_a = distributed_prefix_agg(
+        per_val, "n_chars", "ca", pid, 8, kind="sum", out_col="_xa"
+    ).withColumn("cum_a", F.col("_xa") + F.col("ca")).select("n_chars", "cum_a")
+    cum_b = distributed_prefix_agg(
+        per_val, "n_chars", "cb", pid, 8, kind="sum", out_col="_xb"
+    ).withColumn("cum_b", F.col("_xb") + F.col("cb")).select("n_chars", "cum_b")
+    totals = per_val.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    gaps = (
+        cum_a.join(cum_b, "n_chars")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("gap"),
+        )
+    )
+    out = gaps.groupBy("n_a", "n_b").agg(F.max("gap").alias("d_num"))
+    d_stat = F.col("d_num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    crit = F.lit(KS_CRIT_05) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return out.select(
+        "n_a", "n_b", "d_num", d_stat.alias("d_stat"), (d_stat > crit).alias("reject_05")
+    )
+
+
+ORACLE_KS_TEST_DRIFT = f"""
+WITH per_val AS (
+    SELECT n_chars,
+           CAST(SUM(CASE WHEN length(source) <= 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN length(source) <= 4 THEN 0 ELSE 1 END)
+                AS BIGINT) AS cb
+    FROM documents GROUP BY n_chars
+), cum AS (
+    SELECT n_chars,
+           CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+           CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+    FROM per_val
+    WINDOW w AS (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+    FROM per_val
+)
+SELECT n_a, n_b,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           > CAST({KS_CRIT_05} AS DOUBLE)
+             * sqrt(CAST(n_a + n_b AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+           AS reject_05
+FROM cum, tot
+GROUP BY n_a, n_b
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "ks_test_drift": (q_ks_test_drift, ORACLE_KS_TEST_DRIFT),
         "mutual_information_features": (
             q_mutual_information_features,
             ORACLE_MUTUAL_INFORMATION_FEATURES,
