@@ -195,3 +195,71 @@ def test_model_gains_table_totals(spark, sf_dir):
         cum += r.n_pos
         assert r.cum_pos == cum
     assert abs(rows[-1].capture - 1.0) < 1e-12
+
+
+# ------------------------------------------------------- sketch audits
+
+
+def test_hll_audit_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    from dbms_query_optimizer_spark.operators.governance import (
+        HLL_M,
+        HLL_RHO_CAP,
+    )
+
+    con = _duck(sf_dir)
+    keys = [k for (k,) in con.execute("SELECT DISTINCT o_custkey FROM orders").fetchall()]
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        bucket, rest = h % HLL_M, h // HLL_M
+        rho = min(HLL_RHO_CAP, 54 - rest.bit_length() + 1) if rest > 0 else HLL_RHO_CAP
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    harmonic = sum(2 ** (HLL_RHO_CAP - m) for m in regs.values())
+    row = QS["hll_estimate_audit"](spark, sf_dir).collect()[0]
+    assert row.n_regs == len(regs)
+    assert row.harmonic_scaled == harmonic
+    assert row.n_exact == len(keys)
+    # raw HLL with m=64 should land within ~3 standard errors (1.04/8)
+    assert 0.6 < row.err_ratio < 1.5
+
+
+def test_cms_audit_never_underestimates(spark, sf_dir):
+    rows = QS["count_min_sketch_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact  # the CMS one-sided error guarantee
+        assert r.overest == r.cms_est - r.exact
+
+
+def test_fk_audit_edges_and_clean_data(spark, sf_dir):
+    from dbms_query_optimizer_spark.operators.governance import FK_EDGES
+
+    rows = QS["fk_integrity_audit"](spark, sf_dir).collect()
+    assert len(rows) == len(FK_EDGES)
+    for r in rows:
+        assert r.n_child_keys <= r.n_child_rows
+        assert r.n_orphan_keys <= r.n_child_keys
+        assert r.n_orphan_rows <= r.n_child_rows
+    # the driver testdata is referentially clean — certify that fact
+    assert sum(r.n_orphan_rows for r in rows) == 0
+
+
+def test_ks_test_matches_python_reference(spark, sf_dir):
+    con = _duck(sf_dir)
+    rows = con.execute(
+        "SELECT n_chars, length(source) <= 4 FROM documents"
+    ).fetchall()
+    a = sorted(v for v, in_a in rows if in_a)
+    b = sorted(v for v, in_a in rows if not in_a)
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * len(b) - bisect.bisect_right(b, v) * len(a))
+        for v in support
+    )
+    row = QS["ks_test_drift"](spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.d_num) == (len(a), len(b), d_num)
+    assert abs(row.d_stat - d_num / (len(a) * len(b))) < 1e-15
