@@ -461,6 +461,53 @@ COMMENTARY = {
         "copies/row — measured 5.6 s vs 1.8 s at sf0.1): the barrier IS "
         "the optimization."
     ),
+    "dedup_set_similarity_prefix": (
+        "PPJoin prefix-filtered exact set-similarity join. Expect: the "
+        "shingle plan feeding ONE cached frame; candidates from the "
+        "bucket-pair posexplode (no self-join of the signature plan — no "
+        "second shingle scan); verification as array_intersect inside a "
+        "projection over two hash joins keyed on doc_id; no "
+        "BroadcastNestedLoopJoin, no Python plane. The v1 self-join form "
+        "lost 5-50× to the unpruned baseline (SCALING.md anti-lesson)."
+    ),
+    "fifo_allocation": (
+        "FIFO lot matching as interval intersection. Expect: two Window "
+        "operators partitioned by l_partkey (prefix sums per side), one "
+        "SortMergeJoin/BroadcastHashJoin on l_partkey with the overlap "
+        "range predicate as a post-join condition — never a nested loop "
+        "over unbounded pairs — and map-side-combined final aggregates."
+    ),
+    "seasonal_decompose": (
+        "Additive decomposition. Expect: one hash aggregate collapsing "
+        "events to (type, day) cells BEFORE any window; a single Window "
+        "with windowspecdefinition(event_type, ...) (centered 7-day "
+        "frame); the 7×types seasonal frame returning via "
+        "BroadcastHashJoin; emitted doubles are single divisions of "
+        "exact integer columns (no rounding operators in the plan)."
+    ),
+    "survival_km": (
+        "Kaplan-Meier per segment. Expect: orders collapse to per-"
+        "customer rows via grouped aggregates (no collect_list of order "
+        "history); every windowspecdefinition carries c_mktsegment; the "
+        "only SinglePartition exchange is the 1-row max-date scalar "
+        "aggregate broadcast back as a cross join."
+    ),
+    "bpe_pair_merge": (
+        "BPE pair counting. Expect: explode → hash aggregate to the "
+        "(word, freq) vocabulary, the character-pair explode running "
+        "over that aggregate's output (HashAggregate BELOW the second "
+        "explode in the tree), a second hash aggregate with partial_ "
+        "combiners, and TakeOrderedAndProject as the top-k — no Window, "
+        "no global Sort."
+    ),
+    "feature_hash_vectorize": (
+        "Hashing-trick featurizer. Expect: the Horner hash as a nested "
+        "aggregate/transform lambda chain inside a projection (JVM "
+        "higher-order functions — no ArrowEvalPython/MapInPandas "
+        "anywhere), two hash aggregates keyed (doc_id, bucket) then "
+        "doc_id, and one Window partitioned by doc_id for the top-bucket "
+        "rank."
+    ),
 }
 
 
