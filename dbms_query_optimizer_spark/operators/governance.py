@@ -2401,10 +2401,123 @@ GROUP BY n_a, n_b
 """
 
 
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (average-rank tie handling) between
+    line-item quantity and extended price — the robust, monotone-
+    invariant member of the correlation family (``correlation_matrix``'s
+    Pearson sees only linear association; Spearman survives any monotone
+    transform and ignores outlier magnitude, which is why feature-drift
+    and feature-redundancy audits prefer it).
+
+    Never ranks rows with a global window. Each column collapses to its
+    VALUE DOMAIN (one row per distinct value with a count); the average
+    rank is a prefix sum over that domain — run on the DISTRIBUTED
+    prefix scan — and rows pick their rank up by joining back to the
+    tiny domain tables (the 50-value quantity side broadcasts; Catalyst
+    picks for the price side). Doubled ranks r2 = 2·below + cnt + 1 keep
+    the tie-average integral; centering at their exact mean n+1 (rank
+    sums are tie-invariant) gives |d| ≤ n, so every accumulator is an
+    exact BIGINT up to n ≈ 1.3e6 rows per scope (Σd·d ≤ n³ < 2^63) —
+    beyond that the three sums switch to DECIMAL(38,0), a one-token
+    change. ρ itself is ONE IEEE expression over the exact sums.
+
+    Scale shape: two grouped counts, two domain-sized prefix scans, two
+    rank-lookup joins, one 1-row aggregate. No corpus-sized shuffle
+    beyond the price-domain join.
+    """
+    from .relational import distributed_prefix_agg, range_bucket
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qx"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("qy"),
+        )
+        .localCheckpoint()  # reused: two domain builds + the rank join
+    )
+
+    def rank_table(col: str, r2_name: str) -> DataFrame:
+        dom = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+        pid = range_bucket(dom, col, 8)
+        cum = distributed_prefix_agg(
+            dom, col, "cnt", pid, 8, kind="sum", out_col="_below"
+        )
+        return cum.select(
+            F.col(col).alias("v"),
+            (F.lit(2) * F.col("_below") + F.col("cnt") + F.lit(1)).alias(r2_name),
+        )
+
+    xr = rank_table("qx", "r2x")
+    yr = rank_table("qy", "r2y")
+    totals = li.agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        li.join(F.broadcast(xr), li["qx"] == xr["v"])
+        .drop("v")
+        .join(yr, li["qy"] == yr["v"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n",
+            (F.col("r2x") - (F.col("n") + F.lit(1))).alias("dx"),
+            (F.col("r2y") - (F.col("n") + F.lit(1))).alias("dy"),
+        )
+    )
+    out = joined.groupBy("n").agg(
+        F.sum(F.col("dx") * F.col("dy")).alias("s_xy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("s_xx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("s_yy"),
+    )
+    rho = F.col("s_xy").cast("double") / F.sqrt(
+        F.col("s_xx").cast("double") * F.col("s_yy").cast("double")
+    )
+    return out.select("n", "s_xy", "s_xx", "s_yy", rho.alias("rho"))
+
+
+ORACLE_SPEARMAN_RANK_CORR = """
+WITH li AS (
+    SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS qx,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS qy
+    FROM lineitem
+), xd AS (
+    SELECT qx AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY qx
+), xr AS (
+    SELECT v,
+           CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS BIGINT) AS r2x
+    FROM xd
+), yd AS (
+    SELECT qy AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY qy
+), yr AS (
+    SELECT v,
+           CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS BIGINT) AS r2y
+    FROM yd
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li
+), j AS (
+    SELECT n,
+           r2x - (n + 1) AS dx,
+           r2y - (n + 1) AS dy
+    FROM li JOIN xr ON li.qx = xr.v JOIN yr ON li.qy = yr.v, tot
+)
+SELECT n,
+       CAST(SUM(dx * dy) AS BIGINT) AS s_xy,
+       CAST(SUM(dx * dx) AS BIGINT) AS s_xx,
+       CAST(SUM(dy * dy) AS BIGINT) AS s_yy,
+       CAST(SUM(dx * dy) AS DOUBLE)
+           / sqrt(CAST(SUM(dx * dx) AS DOUBLE) * CAST(SUM(dy * dy) AS DOUBLE))
+           AS rho
+FROM j
+GROUP BY n
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
+        "spearman_rank_corr": (q_spearman_rank_corr, ORACLE_SPEARMAN_RANK_CORR),
         "ks_test_drift": (q_ks_test_drift, ORACLE_KS_TEST_DRIFT),
         "mutual_information_features": (
             q_mutual_information_features,

@@ -727,8 +727,137 @@ ORDER BY doc_id
 """
 
 
+STD_SPLIT_BUCKETS = 10  # md5 split: buckets 0-7 train, 8-9 held out
+STD_TRAIN_BUCKETS = 8
+STD_Z_FENCE = 3.0  # |z| fence for the outlier flag
+
+
+def q_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe feature standardization: per-feature mean/std are
+    FITTED on the train split only (the deterministic md5 hash split,
+    ``sampling.q_hash_split_train``'s convention) and APPLIED to the
+    held-out split — the transform every feature pipeline runs before
+    modeling, with the fit/apply separation that target_encode_kfold
+    enforces for encodings applied to scalers. Statistics computed on
+    the full frame would leak the eval distribution into training-time
+    normalization.
+
+    Shape: features unpivot via ``stack`` (no join), the fit is one
+    grouped aggregate over the train rows (2 result rows — broadcast
+    back), the apply is one more grouped pass over the eval rows.
+    Determinism: fit sums are exact BIGINTs; mean/std/z are fixed IEEE
+    expression trees over those exact integers, written identically in
+    the oracle, and the emitted per-feature row carries the exact
+    integers alongside the derived doubles so any drift is localized.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % STD_SPLIT_BUCKETS
+    )
+    base = docs.select(
+        bucket.alias("bucket"),
+        F.col("n_chars").cast("long").alias("f_n_chars"),
+        token_count_ws("text").cast("long").alias("f_n_tokens"),
+    )
+    long = base.selectExpr(
+        "bucket",
+        "stack(2, 'n_chars', f_n_chars, 'n_tokens', f_n_tokens)"
+        " AS (feature, x)",
+    ).localCheckpoint()  # reused: the fit pass and the apply pass
+    tr = (
+        long.filter(F.col("bucket") < STD_TRAIN_BUCKETS)
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_tr"),
+            F.sum("x").alias("s_tr"),
+            F.sum(F.col("x") * F.col("x")).alias("ss_tr"),
+        )
+    )
+    ev = long.filter(F.col("bucket") >= STD_TRAIN_BUCKETS)
+    mean = F.col("s_tr").cast("double") / F.col("n_tr").cast("double")
+    std = F.sqrt(
+        (
+            F.col("n_tr").cast("double") * F.col("ss_tr").cast("double")
+            - F.col("s_tr").cast("double") * F.col("s_tr").cast("double")
+        )
+        / (
+            F.col("n_tr").cast("double")
+            * (F.col("n_tr") - F.lit(1)).cast("double")
+        )
+    )
+    z = (F.col("x").cast("double") - mean) / std
+    return (
+        ev.join(F.broadcast(tr), "feature")
+        .groupBy("feature", "n_tr", "s_tr", "ss_tr")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.abs(z) > F.lit(STD_Z_FENCE)).cast("long")
+            ).alias("n_flagged"),
+        )
+        .select(
+            "feature",
+            "n_tr",
+            "s_tr",
+            "ss_tr",
+            "n_eval",
+            "n_flagged",
+            mean.alias("mean_tr"),
+            std.alias("std_tr"),
+        )
+        .orderBy("feature")
+    )
+
+
+_STD_MEAN = "(CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE))"
+_STD_STD = (
+    "sqrt((CAST(n_tr AS DOUBLE) * CAST(ss_tr AS DOUBLE)"
+    " - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE))"
+    " / (CAST(n_tr AS DOUBLE) * CAST(n_tr - 1 AS DOUBLE)))"
+)
+
+ORACLE_FEATURE_STANDARDIZE = f"""
+WITH base AS (
+    SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % {STD_SPLIT_BUCKETS} AS BIGINT) AS bucket,
+           CAST(n_chars AS BIGINT) AS f_n_chars,
+           CAST({SQL_TOKENS_WS} AS BIGINT) AS f_n_tokens
+    FROM documents
+), long AS (
+    SELECT bucket, 'n_chars' AS feature, f_n_chars AS x FROM base
+    UNION ALL
+    SELECT bucket, 'n_tokens' AS feature, f_n_tokens AS x FROM base
+), tr AS (
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_tr,
+           CAST(SUM(x) AS BIGINT) AS s_tr,
+           CAST(SUM(x * x) AS BIGINT) AS ss_tr
+    FROM long WHERE bucket < {STD_TRAIN_BUCKETS} GROUP BY feature
+), ev AS (
+    SELECT feature, x FROM long WHERE bucket >= {STD_TRAIN_BUCKETS}
+)
+SELECT feature, n_tr, s_tr, ss_tr,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN abs((CAST(x AS DOUBLE) - {_STD_MEAN}) / {_STD_STD})
+                          > {STD_Z_FENCE} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       {_STD_MEAN} AS mean_tr,
+       {_STD_STD} AS std_tr
+FROM ev JOIN tr USING (feature)
+GROUP BY feature, n_tr, s_tr, ss_tr
+ORDER BY feature
+"""
+
+
 def oracles():
     return {
+        "feature_standardize": (
+            q_feature_standardize,
+            ORACLE_FEATURE_STANDARDIZE,
+        ),
         "feature_hash_vectorize": (
             q_feature_hash_vectorize,
             ORACLE_FEATURE_HASH_VECTORIZE,

@@ -629,8 +629,137 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_TOPK_SQL)
 
 
+PCTL_CONT_GRID = [50, 90, 99]  # integer-percent probes
+
+
+def q_percentile_cont_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentiles (PERCENTILE_CONT semantics) per event
+    type WITHOUT a per-group sort buffer — the 100 TB exact-quantile
+    shape. ``q_percentile_exact``'s ``F.percentile`` aggregate holds a
+    whole group's values in one executor's sort buffer; here the corpus
+    collapses to its per-type VALUE DOMAIN (one row per distinct cent
+    value with a count), the cumulative scan runs over that domain, and
+    each probe p selects the two order statistics straddling rank
+    k = (p·(n−1)) DIV 100 by a conditional aggregate — selection, not
+    per-row ranking.
+
+    Exact arithmetic: positions use integer DIV/MOD, and the
+    interpolation numerator v_lo·(100−r) + v_hi·r is an exact BIGINT in
+    cent-percent units; the emitted percentile is ONE IEEE division by
+    100.0. The oracle reformulates independently via per-row
+    ROW_NUMBER order statistics, so the hash check certifies the
+    domain-collapse selection against the naive ranking.
+
+    The per-type domain window is partitioned by event_type over
+    domain-sized frames (distinct cent values), not rows; for an
+    unbounded value domain swap in ``relational.distributed_prefix_agg``
+    keyed by (type, value) — same contract as ``ks_test_drift``.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dom = base.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wd = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    dom2 = dom.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(wd), F.lit(0))
+    )
+    targets = (
+        dom.groupBy("event_type")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.explode(
+                F.array(*[F.lit(p) for p in PCTL_CONT_GRID])
+            ).alias("p"),
+        )
+        .withColumn("pos100", F.col("p").cast("long") * (F.col("n") - 1))
+        .withColumn("k", F.expr("pos100 DIV 100"))
+        .withColumn("r", F.expr("pos100 % 100"))
+        .drop("pos100")
+    )
+    j = dom2.join(F.broadcast(targets), "event_type")
+    sel = j.groupBy("event_type", "p", "n", "k", "r").agg(
+        F.min(
+            F.when(
+                (F.col("below") <= F.col("k"))
+                & (F.col("below") + F.col("cnt") > F.col("k")),
+                F.col("cents"),
+            )
+        ).alias("v_lo"),
+        F.min(
+            F.when(
+                (F.col("below") <= F.col("k") + 1)
+                & (F.col("below") + F.col("cnt") > F.col("k") + 1),
+                F.col("cents"),
+            )
+        ).alias("v_hi"),
+    )
+    numer = F.col("v_lo") * (F.lit(100) - F.col("r")) + F.coalesce(
+        F.col("v_hi"), F.col("v_lo")
+    ) * F.col("r")
+    return sel.select(
+        "event_type",
+        "p",
+        "n",
+        numer.alias("numer_centpct"),
+        (numer.cast("double") / F.lit(100.0)).alias("pctl_cents"),
+    ).orderBy("event_type", "p")
+
+
+def _oracle_percentile_cont_domain() -> str:
+    probes = ", ".join(f"({p})" for p in PCTL_CONT_GRID)
+    return f"""
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), ranked AS (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rn
+    FROM base
+), ns AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY event_type
+), targets AS (
+    SELECT event_type, n, CAST(p AS INT) AS p,
+           CAST((p * (n - 1)) // 100 AS BIGINT) AS k,
+           CAST((p * (n - 1)) % 100 AS BIGINT) AS r
+    FROM ns, (VALUES {probes}) probes(p)
+), sel AS (
+    SELECT t.event_type, t.p, t.n, t.k, t.r,
+           MIN(CASE WHEN rk.rn = t.k + 1 THEN rk.cents END) AS v_lo,
+           MIN(CASE WHEN rk.rn = t.k + 2 THEN rk.cents END) AS v_hi
+    FROM targets t
+    JOIN ranked rk
+      ON t.event_type = rk.event_type AND rk.rn IN (t.k + 1, t.k + 2)
+    GROUP BY t.event_type, t.p, t.n, t.k, t.r
+)
+SELECT event_type, p, n,
+       CAST(v_lo * (100 - r) + COALESCE(v_hi, v_lo) * r AS BIGINT)
+           AS numer_centpct,
+       CAST(v_lo * (100 - r) + COALESCE(v_hi, v_lo) * r AS DOUBLE) / 100.0
+           AS pctl_cents
+FROM sel
+ORDER BY event_type, p
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "percentile_cont_domain": (
+            q_percentile_cont_domain,
+            _oracle_percentile_cont_domain(),
+        ),
         "higher_order_funcs": (q_higher_order_funcs, ORACLE_HIGHER_ORDER_FUNCS),
         "functions_bitwise": (q_functions_bitwise, ORACLE_FUNCTIONS_BITWISE),
         "lateral_topk": (q_lateral_topk, LATERAL_TOPK_SQL),

@@ -3001,8 +3001,83 @@ ORDER BY event_type
 """
 
 
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resampling: per (event_type, day) bar with
+    open / high / low / close / trade count / turnover — the canonical
+    irregular-series → bar conversion every market-data and metrics
+    store runs (the value-weighted sibling of ``q_twap_daily``: TWAP
+    weights by holding time, a bar summarizes the day's path).
+
+    Open and close are lexicographic struct MIN/MAX over
+    (ts, event_id, cents) — argmin/argmax as ORDINARY mergeable
+    aggregates with map-side combine, never a rank-1 window that would
+    sort whole partitions (``q_argmax_per_group``'s lesson applied to a
+    time series). One grouped aggregate over one scan; every output
+    column is an exact integer — no float contract at all. The oracle
+    states the window formulation (ROW_NUMBER ASC/DESC = 1), proving
+    the struct-extreme and window forms equivalent.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        base.groupBy("event_type", "day")
+        .agg(
+            F.min(F.struct("ts", "event_id", "cents")).alias("_o"),
+            F.max(F.struct("ts", "event_id", "cents")).alias("_c"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("turnover_cents"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("_o.cents").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("_c.cents").alias("close_cents"),
+            "n_events",
+            "turnover_cents",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_EVENTS_OHLC_BARS = """
+WITH base AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day
+                              ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM base
+)
+SELECT event_type, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS turnover_cents
+FROM ranked
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "events_ohlc_bars": (q_events_ohlc_bars, ORACLE_EVENTS_OHLC_BARS),
         "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
         "seasonal_anomaly_flags": (
             q_seasonal_anomaly_flags,

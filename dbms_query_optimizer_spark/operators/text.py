@@ -1681,8 +1681,111 @@ ORDER BY decile
 """
 
 
+def q_model_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC for the frozen quality classifier, computed as the
+    tie-corrected Mann–Whitney rank-sum — the threshold-free companion of
+    ``q_model_calibration_report`` (honest probabilities) and
+    ``q_model_gains_table`` (ranking concentration): AUC is the
+    probability a random positive outscores a random negative, the one
+    number most model-eval dashboards lead with.
+
+    Never ranks rows. The corpus collapses to one row per DISTINCT score
+    (micro-unit integers, the calibration trick), so AUC =
+    [Σ_s n_pos(s)·(neg_below(s) + n_neg(s)/2)] / (P·N) needs only a
+    prefix sum of negatives over the score domain — run on the
+    DISTRIBUTED prefix scan (``relational.distributed_prefix_agg``), no
+    single-partition window. Doubling clears the half: ``auc_num2 =
+    Σ n_pos·(2·neg_below + n_neg)`` is an exact BIGINT (≤ 2·P·N < n²),
+    and AUC / Gini are single IEEE expressions over exact integers.
+
+    Scale shape: one grouped count per distinct score (≤ 1e6 + 1 rows at
+    ANY corpus size — micro-unit scores bound the domain), the prefix
+    scan over that domain-sized frame, one 1-row aggregate.
+    """
+    from .relational import distributed_prefix_agg, range_bucket
+
+    t = load_tables(spark, sf_dir)
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * T.stopword_ratio("text")
+        + F.lit(QC_W_MLEN) * T.mean_token_len("text")
+        + F.lit(QC_W_LTOK) * F.log(F.lit(1.0) + T.token_count_ws("text"))
+    )
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    per_score = (
+        t["documents"]
+        .select(
+            F.round(p6 * F.lit(1000000.0)).cast("long").alias("p_micro"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .groupBy("p_micro")
+        .agg(
+            F.sum("y").alias("np"),
+            F.sum(F.lit(1) - F.col("y")).alias("nn"),
+        )
+        .localCheckpoint()  # reused: bucket cuts + prefix scan + totals
+    )
+    pid = range_bucket(per_score, "p_micro", 8)
+    cum = distributed_prefix_agg(
+        per_score, "p_micro", "nn", pid, 8, kind="sum", out_col="neg_below"
+    )
+    out = cum.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("neg_below") + F.col("nn"))
+        ).alias("auc_num2"),
+    )
+    auc = F.col("auc_num2").cast("double") / (
+        F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
+def _oracle_model_auc_roc() -> str:
+    p6 = (
+        f"ROUND(1.0 / (1.0 + exp(-({QC_BIAS} + {QC_W_STOP} * {SQL_STOP_RATIO}"
+        f" + {QC_W_MLEN} * {SQL_MEAN_TOKEN_LEN}"
+        f" + {QC_W_LTOK} * ln(1.0 + {SQL_TOKENS_WS})))), 6)"
+    )
+    return f"""
+WITH scored AS (
+    SELECT CAST(ROUND({p6} * 1000000.0) AS BIGINT) AS p_micro,
+           CAST(lang = 'en' AS BIGINT) AS y
+    FROM documents
+), per_score AS (
+    SELECT p_micro,
+           CAST(SUM(y) AS BIGINT) AS np,
+           CAST(SUM(1 - y) AS BIGINT) AS nn
+    FROM scored GROUP BY p_micro
+), cum AS (
+    SELECT np, nn,
+           CAST(COALESCE(SUM(nn) OVER (ORDER BY p_micro
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_below
+    FROM per_score
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(np * (2 * neg_below + nn)) AS BIGINT) AS auc_num2,
+       CAST(SUM(np * (2 * neg_below + nn)) AS DOUBLE)
+           / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)) AS auc,
+       2.0 * (CAST(SUM(np * (2 * neg_below + nn)) AS DOUBLE)
+           / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE))) - 1.0
+           AS gini
+FROM cum
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "model_auc_roc": (q_model_auc_roc, _oracle_model_auc_roc()),
         "model_gains_table": (q_model_gains_table, _oracle_model_gains_table()),
         "bpe_pair_merge": (q_bpe_pair_merge, ORACLE_BPE_PAIR_MERGE),
         "text_collocations": (q_text_collocations, ORACLE_TEXT_COLLOCATIONS),

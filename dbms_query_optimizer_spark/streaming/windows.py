@@ -406,6 +406,112 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name)
 
 
+def q_streaming_stream_stream_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the completion of
+    ``q_streaming_stream_stream_join`` that also answers "which clicks
+    NEVER converted": matched rows emit immediately like the inner join,
+    and an unmatched click emits with NULL purchase columns only once
+    the global watermark proves no qualifying purchase can still arrive
+    (state eviction is the emission trigger — the semantics that make
+    outer stream joins need watermarks at all).
+
+    The final drained sink is deterministic regardless of micro-batch
+    splits: matches depend only on the data, and NULL emission only on
+    the FINAL global watermark min(max click ts, max purchase ts) − 1h.
+    The oracle states exactly that: the batch inner join UNION ALL the
+    NOT-EXISTS clicks whose 30-minute window closed strictly below the
+    final watermark — clicks still inside the horizon are (correctly)
+    withheld, and the hash check pins that boundary.
+
+    Scale: state per side is (watermark horizon × arrival rate), same as
+    the inner form; the outer side adds only the evicted-row emission.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_STREAM_LEFT_JOIN = """
+WITH wm AS (
+    SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+           ) - INTERVAL 1 HOUR AS w
+)
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+UNION ALL
+SELECT c.user_id, c.event_id, NULL, c.ts, NULL
+FROM events c, wm
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = c.user_id
+        AND p.ts >= c.ts
+        AND p.ts <= c.ts + INTERVAL 30 MINUTE
+  )
+  AND c.ts + INTERVAL 30 MINUTE < wm.w
+"""
+
+
 ORACLE_STREAM_STREAM_JOIN = """
     SELECT p.user_id AS user_id,
            c.event_id AS click_id,
@@ -938,6 +1044,10 @@ def oracles() -> dict[str, tuple]:
         "streaming_stream_stream_join": (
             q_streaming_stream_stream_join,
             ORACLE_STREAM_STREAM_JOIN,
+        ),
+        "streaming_stream_stream_left_join": (
+            q_streaming_stream_stream_left_join,
+            ORACLE_STREAM_STREAM_LEFT_JOIN,
         ),
         "streaming_dedup": (q_streaming_dedup, ORACLE_STREAMING_DEDUP),
         "streaming_foreachbatch_ingest": (

@@ -1,0 +1,266 @@
+"""Semantics tests for the round-5 third-session operators, independent of
+the DuckDB oracles (tests/test_queries_oracle.py runs those): each test
+pins an invariant or re-derives the answer with a pure-Python reference,
+so a bug mirrored into the oracle SQL would still be caught here.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import duckdb
+from pyspark.sql import functions as F
+
+from dbms_query_optimizer_spark.operators import catalog
+
+QS = catalog.queries()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in ("events", "lineitem", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _avg_ranks_doubled(values: list[int]) -> dict[int, int]:
+    """value -> 2 x average rank (exact integer), average-rank ties."""
+    out: dict[int, int] = {}
+    below = 0
+    last = None
+    cnt = 0
+    for v in sorted(values):
+        if v != last and last is not None:
+            out[last] = 2 * below + cnt + 1
+            below += cnt
+            cnt = 0
+        last = v
+        cnt += 1
+    if last is not None:
+        out[last] = 2 * below + cnt + 1
+    return out
+
+
+# ------------------------------------------------------------- ROC-AUC
+
+
+def test_auc_matches_naive_pairwise(spark, sf_dir):
+    """AUC from the rank-sum identity must equal the naive definition:
+    P(pos > neg) + 0.5 * P(pos == neg), counted over per-score groups
+    (equivalent to all pos x neg pairs, but feasible)."""
+    row = QS["model_auc_roc"](spark, sf_dir).collect()[0]
+    con = _duck(sf_dir)
+    # reproduce the scored frame via the catalog's own oracle CTE would
+    # re-trust the SQL; instead rebuild from the Spark result's inputs:
+    # the naive pairwise count only needs the (score, label) histogram,
+    # which we take from Spark itself but combine with INDEPENDENT math.
+    hist = (
+        QS["quality_classifier_score"](spark, sf_dir)
+        .selectExpr(
+            "CAST(ROUND(quality_p * 1000000.0) AS BIGINT) AS p_micro",
+            "CAST(lang = 'en' AS BIGINT) AS y",
+        )
+        .groupBy("p_micro")
+        .agg(F.sum("y").alias("np"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per = sorted((r["p_micro"], int(r["np"]), int(r["n"]) - int(r["np"])) for r in hist)
+    num2 = 0  # 2 * (wins + 0.5 * ties), exact integer
+    neg_below = 0
+    for _, np_, nn in per:
+        num2 += np_ * (2 * neg_below + nn)
+        neg_below += nn
+    n_pos = sum(p for _, p, _ in per)
+    n_neg = sum(n for _, _, n in per)
+    assert (row.n_pos, row.n_neg, row.auc_num2) == (n_pos, n_neg, num2)
+    assert row.auc == num2 / (2.0 * n_pos * n_neg)
+    assert 0.0 <= row.auc <= 1.0
+    assert row.gini == 2.0 * row.auc - 1.0
+    con.close()
+
+
+# ------------------------------------------------------------ Spearman
+
+
+def test_spearman_matches_python_reference(spark, sf_dir):
+    """Exact-integer rank sums and rho vs a Fraction-exact Python
+    implementation of Pearson-on-average-ranks."""
+    con = _duck(sf_dir)
+    pairs = con.execute(
+        """
+        SELECT CAST(ROUND(l_quantity * 100) AS BIGINT),
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        FROM lineitem
+        """
+    ).fetchall()
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    rx = _avg_ranks_doubled(xs)
+    ry = _avg_ranks_doubled(ys)
+    n = len(pairs)
+    s_xy = s_xx = s_yy = 0
+    for a, b in pairs:
+        dx = rx[a] - (n + 1)
+        dy = ry[b] - (n + 1)
+        s_xy += dx * dy
+        s_xx += dx * dx
+        s_yy += dy * dy
+    row = QS["spearman_rank_corr"](spark, sf_dir).collect()[0]
+    assert (row.n, row.s_xy, row.s_xx, row.s_yy) == (n, s_xy, s_xx, s_yy)
+    rho_exact = Fraction(s_xy * s_xy, s_xx * s_yy)
+    assert abs(row.rho * abs(row.rho) - float(rho_exact) * (1 if s_xy >= 0 else -1)) < 1e-12
+    # rank sums are tie-invariant: sum of doubled average ranks == n(n+1)
+    assert sum(rx[a] for a in xs) == n * (n + 1)
+    assert sum(ry[b] for b in ys) == n * (n + 1)
+    con.close()
+
+
+# ---------------------------------------------------------------- OHLC
+
+
+def test_ohlc_invariants_and_reference(spark, sf_dir):
+    """low <= open, close <= high per bar; open/close re-derived from a
+    Python scan of the raw events."""
+    con = _duck(sf_dir)
+    raw = con.execute(
+        """
+        SELECT event_type, CAST(ts AS DATE), ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM events
+        """
+    ).fetchall()
+    bars: dict[tuple, list] = {}
+    for et, day, ts, eid, cents in raw:
+        bars.setdefault((et, day), []).append((ts, eid, cents))
+    expect = {}
+    for k, rows in bars.items():
+        rows.sort()
+        cs = [c for _, _, c in rows]
+        expect[k] = (rows[0][2], max(cs), min(cs), rows[-1][2], len(rows), sum(cs))
+    got = {
+        (r.event_type, r.day): (
+            r.open_cents,
+            r.high_cents,
+            r.low_cents,
+            r.close_cents,
+            r.n_events,
+            r.turnover_cents,
+        )
+        for r in QS["events_ohlc_bars"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    for o, h, lo, c, n, _ in got.values():
+        assert lo <= o <= h and lo <= c <= h and n >= 1
+    con.close()
+
+
+# ---------------------------------------------- interpolated percentile
+
+
+def test_percentile_cont_matches_numpy(spark, sf_dir):
+    """Domain-collapse order-statistic selection == numpy's 'linear'
+    (PERCENTILE_CONT) interpolation, exactly in the integer numerator."""
+    con = _duck(sf_dir)
+    rows = con.execute(
+        """
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events ORDER BY event_type, cents
+        """
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, c in rows:
+        series.setdefault(et, []).append(c)
+    got = {
+        (r.event_type, r.p): (r.n, r.numer_centpct, r.pctl_cents)
+        for r in QS["percentile_cont_domain"](spark, sf_dir).collect()
+    }
+    for et, vals in series.items():
+        n = len(vals)
+        for p in (50, 90, 99):
+            pos100 = p * (n - 1)
+            k, r = divmod(pos100, 100)
+            v_lo = vals[k]
+            v_hi = vals[k + 1] if k + 1 < n else v_lo
+            numer = v_lo * (100 - r) + v_hi * r
+            assert got[(et, p)] == (n, numer, numer / 100.0), (et, p)
+
+
+# -------------------------------------------------------- standardize
+
+
+def test_feature_standardize_reference(spark, sf_dir):
+    """Fit-on-train sums re-derived in Python from the same md5 split;
+    flags recomputed with the identical float expression tree."""
+    import hashlib
+    import math
+
+    con = _duck(sf_dir)
+    docs = con.execute(
+        "SELECT doc_id, n_chars, len(string_split_regex(trim(text), '\\s+')) FROM documents"
+    ).fetchall()
+    feats: dict[str, dict[str, list[int]]] = {
+        "n_chars": {"tr": [], "ev": []},
+        "n_tokens": {"tr": [], "ev": []},
+    }
+    for doc_id, n_chars, n_tok in docs:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10
+        side = "tr" if b < 8 else "ev"
+        feats["n_chars"][side].append(int(n_chars))
+        feats["n_tokens"][side].append(int(n_tok))
+    got = {
+        r.feature: r for r in QS["feature_standardize"](spark, sf_dir).collect()
+    }
+    for feat, d in feats.items():
+        tr, ev = d["tr"], d["ev"]
+        n_tr, s, ss = len(tr), sum(tr), sum(v * v for v in tr)
+        r = got[feat]
+        assert (r.n_tr, r.s_tr, r.ss_tr, r.n_eval) == (n_tr, s, ss, len(ev))
+        mean = s / n_tr
+        std = math.sqrt((n_tr * ss - s * s) / (n_tr * (n_tr - 1)))
+        assert r.mean_tr == mean and r.std_tr == std
+        flagged = sum(1 for x in ev if abs((x - mean) / std) > 3.0)
+        assert r.n_flagged == flagged
+    con.close()
+
+
+# ------------------------------------------- streaming left-outer join
+
+
+def test_stream_left_join_contains_inner_and_bounds_nulls(spark, sf_dir):
+    """Left ⊇ inner; NULL rows are exactly the watermark-expired
+    unmatched clicks (re-derived via DuckDB)."""
+    left = QS["streaming_stream_stream_left_join"](spark, sf_dir).collect()
+    inner_keys = {
+        (r.click_id, r.purchase_id)
+        for r in QS["streaming_stream_stream_join"](spark, sf_dir).collect()
+    }
+    matched = {(r.click_id, r.purchase_id) for r in left if r.purchase_id is not None}
+    assert matched == inner_keys
+    con = _duck(sf_dir)
+    n_null_expected = con.execute(
+        """
+        WITH wm AS (
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 1 HOUR AS w
+        )
+        SELECT COUNT(*) FROM events c, wm
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+          AND c.ts + INTERVAL 30 MINUTE < wm.w
+        """
+    ).fetchone()[0]
+    n_null = sum(1 for r in left if r.purchase_id is None)
+    assert n_null == n_null_expected
+    for r in left:
+        if r.purchase_id is None:
+            assert r.purchase_ts is None
+        else:
+            assert r.click_ts <= r.purchase_ts
+    con.close()
