@@ -852,8 +852,153 @@ ORDER BY feature
 """
 
 
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of a TARGET hashed-unigram
+    distribution (here: the English subcorpus) to the RAW corpus
+    distribution — the published importance-resampling recipe for
+    picking pretraining data that looks like a target domain.
+
+    Both distributions live on the same FH_BUCKETS hashed-feature space
+    as ``q_feature_hash_vectorize`` (portable Horner hash, identical
+    buckets on both engines), Laplace-smoothed. Per-bucket log-ratios
+    are quantized to nano-nats ONCE (ROUND(lr·1e9) → BIGINT, the
+    ``mutual_information_features`` contract), so each document's
+    weight Σ_b c_db·lr_nano_b is an order-free exact integer, and the
+    per-token rate uses integer DIV.
+
+    Scale shape: token explode is map-side; the two LM tables are
+    FH_BUCKETS-row aggregates that broadcast; per-(doc,bucket) counts
+    shuffle once keyed by doc (bounded by nnz ≤ FH_BUCKETS per doc);
+    one grouped sum emits the weights. No Python, no global state —
+    exactly why DSIR's hashed features scale where a neural scorer
+    needs a GPU fleet.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.ascii(F.col("w").substr(i, F.lit(1))),
+                ),
+                F.lit(0).cast("long"),
+                lambda h, c: F.pmod(
+                    h * F.lit(FH_BASE) + c, F.lit(FH_PRIME)
+                ),
+            ),
+            F.lit(FH_BUCKETS),
+        ).alias("bucket"),
+    ).localCheckpoint()  # reused: target LM, raw LM, per-doc counts
+    lm = hashed.groupBy("bucket").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = lm.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
+    lr = (
+        lm.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.col("ct") + F.lit(1)).cast("double")
+                        / (F.col("t_tot") + F.lit(FH_BUCKETS)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1)).cast("double")
+                        / (F.col("r_tot") + F.lit(FH_BUCKETS)).cast("double")
+                    )
+                )
+                * F.lit(1000000000.0)
+            ).cast("long").alias("lr_nano"),
+        )
+    )
+    per_doc_bucket = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_nano")).alias("weight_nano"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_nano",
+            F.expr("weight_nano DIV n_tokens").alias("per_token_nano"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR_IMPORTANCE_WEIGHTS = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> length(x) > 0)) AS w
+    FROM documents
+), hashed AS (
+    SELECT doc_id, lang,
+           list_reduce(list_transform(generate_series(1, length(w)),
+                                      i -> CAST(ord(substr(w, CAST(i AS INT), 1))
+                                                AS BIGINT)),
+                       (h, c) -> (h * {FH_BASE} + c) % {FH_PRIME})
+               % {FH_BUCKETS} AS bucket
+    FROM toks
+), lm AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           CAST(COUNT(*) AS BIGINT) AS cr
+    FROM hashed GROUP BY bucket
+), tot AS (
+    SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
+           CAST(SUM(cr) AS BIGINT) AS r_tot
+    FROM lm
+), lr AS (
+    SELECT bucket,
+           CAST(ROUND((ln(CAST(ct + 1 AS DOUBLE)
+                          / CAST(t_tot + {FH_BUCKETS} AS DOUBLE))
+                       - ln(CAST(cr + 1 AS DOUBLE)
+                            / CAST(r_tot + {FH_BUCKETS} AS DOUBLE)))
+                      * 1000000000.0) AS BIGINT) AS lr_nano
+    FROM lm, tot
+), per_doc_bucket AS (
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM hashed GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * lr_nano) AS BIGINT) AS weight_nano,
+       CAST(SUM(c * lr_nano) AS BIGINT) // CAST(SUM(c) AS BIGINT)
+           AS per_token_nano
+FROM per_doc_bucket JOIN lr USING (bucket)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def oracles():
     return {
+        "dsir_importance_weights": (
+            q_dsir_importance_weights,
+            ORACLE_DSIR_IMPORTANCE_WEIGHTS,
+        ),
         "feature_standardize": (
             q_feature_standardize,
             ORACLE_FEATURE_STANDARDIZE,

@@ -1783,9 +1783,131 @@ FROM cum
 """
 
 
+def q_model_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step-wise over score thresholds) for the frozen quality classifier —
+    the class-imbalance-honest companion of ``q_model_auc_roc``: ROC-AUC
+    stays optimistic when negatives dominate, PR-AUC does not, which is
+    why retrieval and rare-event gates report AP.
+
+    Same domain-collapse machinery as the AUC query: one row per
+    distinct micro-unit score, DESCENDING cumulative positives/negatives
+    via the distributed prefix scan, then AP = Σ_k (np_k/P)·precision_k
+    where precision_k = cum_pos_k/(cum_pos_k+cum_neg_k) at each distinct
+    score k. Cross-engine determinism: each term is quantized to
+    nano-units BEFORE summation (ROUND(term·1e9) → BIGINT), so the
+    cross-threshold sum is an order-free exact integer — the
+    ``mutual_information_features`` contract; AP is ONE final division.
+
+    Scale shape: grouped count over the bounded score domain, two
+    domain-sized prefix scans, one 1-row aggregate.
+    """
+    from .relational import distributed_prefix_agg, range_bucket
+
+    t = load_tables(spark, sf_dir)
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * T.stopword_ratio("text")
+        + F.lit(QC_W_MLEN) * T.mean_token_len("text")
+        + F.lit(QC_W_LTOK) * F.log(F.lit(1.0) + T.token_count_ws("text"))
+    )
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    per_score = (
+        t["documents"]
+        .select(
+            F.round(p6 * F.lit(1000000.0)).cast("long").alias("p_micro"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .groupBy("p_micro")
+        .agg(
+            F.sum("y").alias("np"),
+            F.sum(F.lit(1) - F.col("y")).alias("nn"),
+        )
+        .localCheckpoint()  # reused: bucket cuts + two prefix scans + totals
+    )
+    pid = range_bucket(per_score, "p_micro", 8, descending=True)
+    above_p = distributed_prefix_agg(
+        per_score, "p_micro", "np", pid, 8, kind="sum",
+        out_col="_ap", descending=True,
+    ).select("p_micro", (F.col("_ap") + F.col("np")).alias("cum_pos"))
+    above_n = distributed_prefix_agg(
+        per_score, "p_micro", "nn", pid, 8, kind="sum",
+        out_col="_an", descending=True,
+    ).select(
+        F.col("p_micro").alias("pm2"),
+        (F.col("_an") + F.col("nn")).alias("cum_neg"),
+    )
+    totals = per_score.agg(F.sum("np").alias("p_total"))
+    terms = (
+        per_score.join(above_p, "p_micro")
+        .join(above_n, F.col("p_micro") == F.col("pm2"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "p_total",
+            F.round(
+                F.col("np").cast("double")
+                * F.col("cum_pos").cast("double")
+                / (
+                    F.col("p_total").cast("double")
+                    * (F.col("cum_pos") + F.col("cum_neg")).cast("double")
+                )
+                * F.lit(1000000000.0)
+            ).cast("long").alias("term_nano"),
+        )
+    )
+    return terms.groupBy("p_total").agg(
+        F.count(F.lit(1)).alias("n_thresholds"),
+        F.sum("term_nano").alias("ap_nano"),
+        (F.sum("term_nano").cast("double") / F.lit(1000000000.0)).alias("ap"),
+    ).select("p_total", "n_thresholds", "ap_nano", "ap")
+
+
+def _oracle_model_pr_auc() -> str:
+    p6 = (
+        f"ROUND(1.0 / (1.0 + exp(-({QC_BIAS} + {QC_W_STOP} * {SQL_STOP_RATIO}"
+        f" + {QC_W_MLEN} * {SQL_MEAN_TOKEN_LEN}"
+        f" + {QC_W_LTOK} * ln(1.0 + {SQL_TOKENS_WS})))), 6)"
+    )
+    return f"""
+WITH scored AS (
+    SELECT CAST(ROUND({p6} * 1000000.0) AS BIGINT) AS p_micro,
+           CAST(lang = 'en' AS BIGINT) AS y
+    FROM documents
+), per_score AS (
+    SELECT p_micro,
+           CAST(SUM(y) AS BIGINT) AS np,
+           CAST(SUM(1 - y) AS BIGINT) AS nn
+    FROM scored GROUP BY p_micro
+), cum AS (
+    SELECT np,
+           CAST(SUM(np) OVER w AS BIGINT) AS cum_pos,
+           CAST(SUM(nn) OVER w AS BIGINT) AS cum_neg
+    FROM per_score
+    WINDOW w AS (ORDER BY p_micro DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+    SELECT CAST(SUM(np) AS BIGINT) AS p_total FROM per_score
+), terms AS (
+    SELECT p_total,
+           CAST(ROUND(CAST(np AS DOUBLE) * CAST(cum_pos AS DOUBLE)
+                / (CAST(p_total AS DOUBLE)
+                   * CAST(cum_pos + cum_neg AS DOUBLE))
+                * 1000000000.0) AS BIGINT) AS term_nano
+    FROM cum, tot
+)
+SELECT p_total,
+       CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+       CAST(SUM(term_nano) AS BIGINT) AS ap_nano,
+       CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0 AS ap
+FROM terms
+GROUP BY p_total
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "model_auc_roc": (q_model_auc_roc, _oracle_model_auc_roc()),
+        "model_pr_auc": (q_model_pr_auc, _oracle_model_pr_auc()),
         "model_gains_table": (q_model_gains_table, _oracle_model_gains_table()),
         "bpe_pair_merge": (q_bpe_pair_merge, ORACLE_BPE_PAIR_MERGE),
         "text_collocations": (q_text_collocations, ORACLE_TEXT_COLLOCATIONS),

@@ -81,6 +81,101 @@ def test_auc_matches_naive_pairwise(spark, sf_dir):
     con.close()
 
 
+def test_pr_auc_matches_python_reference(spark, sf_dir):
+    """AP re-derived by walking the (score, label) histogram in
+    descending order with the identical nano-quantization."""
+    row = QS["model_pr_auc"](spark, sf_dir).collect()[0]
+    hist = (
+        QS["quality_classifier_score"](spark, sf_dir)
+        .selectExpr(
+            "CAST(ROUND(quality_p * 1000000.0) AS BIGINT) AS p_micro",
+            "CAST(lang = 'en' AS BIGINT) AS y",
+        )
+        .groupBy("p_micro")
+        .agg(F.sum("y").alias("np"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    groups = sorted(
+        ((r["p_micro"], int(r["np"]), int(r["n"]) - int(r["np"])) for r in hist),
+        reverse=True,
+    )
+    p_total = sum(np_ for _, np_, _ in groups)
+    cum_pos = cum_neg = 0
+    ap_nano = 0
+    for _, np_, nn in groups:
+        cum_pos += np_
+        cum_neg += nn
+        term = np_ * cum_pos / (p_total * (cum_pos + cum_neg))
+        ap_nano += int(round(term * 1e9))
+    assert (row.p_total, row.n_thresholds, row.ap_nano) == (
+        p_total,
+        len(groups),
+        ap_nano,
+    )
+    assert 0.0 < row.ap <= 1.0
+    assert row.ap == ap_nano / 1e9
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_match_python_reference(spark, sf_dir):
+    """Hashed-unigram importance weights re-derived in pure Python with
+    the same Horner hash; directional check that the English target
+    scores English docs higher per token."""
+    import math
+    import re
+
+    con = _duck(sf_dir)
+    docs = con.execute("SELECT doc_id, lang, text FROM documents").fetchall()
+    B, BASE, PRIME = 64, 257, 2_147_483_647
+
+    def buckets(text):
+        out = []
+        for w in re.split("[^a-z]+", text.lower()):
+            if not w:
+                continue
+            h = 0
+            for ch in w:
+                h = (h * BASE + ord(ch)) % PRIME
+            out.append(h % B)
+        return out
+
+    ct = [0] * B
+    cr = [0] * B
+    per_doc: dict[int, dict[int, int]] = {}
+    langs: dict[int, str] = {}
+    for doc_id, lang, text in docs:
+        langs[doc_id] = lang
+        d = per_doc.setdefault(doc_id, {})
+        for b in buckets(text):
+            cr[b] += 1
+            if lang == "en":
+                ct[b] += 1
+            d[b] = d.get(b, 0) + 1
+    t_tot, r_tot = sum(ct), sum(cr)
+    lr_nano = [
+        int(round((math.log((ct[b] + 1) / (t_tot + B))
+                   - math.log((cr[b] + 1) / (r_tot + B))) * 1e9))
+        for b in range(B)
+    ]
+    got = {r.doc_id: r for r in QS["dsir_importance_weights"](spark, sf_dir).collect()}
+    assert set(got) == {d for d in per_doc if per_doc[d]}
+    for doc_id, counts in per_doc.items():
+        if not counts:
+            continue
+        w = sum(c * lr_nano[b] for b, c in counts.items())
+        n = sum(counts.values())
+        r = got[doc_id]
+        assert (r.n_tokens, r.weight_nano) == (n, w), doc_id
+        q = abs(w) // n
+        assert r.per_token_nano == (q if w >= 0 else -q)
+    en = [r.per_token_nano for r in got.values() if langs[r.doc_id] == "en"]
+    other = [r.per_token_nano for r in got.values() if langs[r.doc_id] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+    con.close()
+
+
 # ------------------------------------------------------------ Spearman
 
 
