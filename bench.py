@@ -151,6 +151,24 @@ HEADLINE = [
     # vocab before any per-character work) and the hashing-trick featurizer
     "bpe_pair_merge",
     "feature_hash_vectorize",
+    # round 5c: model-eval pair over the score-domain collapse — exact
+    # ROC-AUC (rank-sum) and exact PR-AUC (nano-quantized threshold terms)
+    "model_auc_roc",
+    "model_pr_auc",
+    # round 5c: exact Spearman rho via domain rank tables (no row ranking)
+    "spearman_rank_corr",
+    # round 5c: OHLC bars as struct-extreme aggregates (argmin/argmax,
+    # zero windows, all-integer output)
+    "events_ohlc_bars",
+    # round 5c: PERCENTILE_CONT without a per-group sort buffer (value-
+    # domain collapse + order-statistic selection)
+    "percentile_cont_domain",
+    # round 5c: leakage-safe train-fitted standardization (fit=2-row
+    # broadcast, apply=one grouped pass)
+    "feature_standardize",
+    # round 5c: DSIR importance weights (hashed-unigram LM ratio,
+    # broadcast 64-row models, exact nano-nat doc weights)
+    "dsir_importance_weights",
 ]
 
 

@@ -508,6 +508,36 @@ COMMENTARY = {
         "doc_id, and one Window partitioned by doc_id for the top-bucket "
         "rank."
     ),
+    "model_auc_roc": (
+        "Exact ROC-AUC by tie-corrected rank-sum. Expect: documents "
+        "collapse to one row per distinct micro-unit score "
+        "(HashAggregate with partial_), the negatives prefix sum as a "
+        "Window partitioned by _pid (the distributed prefix scan — no "
+        "SinglePartition exchange except the final 1-row aggregate), "
+        "and NO join operator anywhere."
+    ),
+    "events_ohlc_bars": (
+        "OHLC bars. Expect: open/close as partial_min/partial_max over "
+        "(ts, event_id, cents) STRUCTS — SortAggregate (structs aren't "
+        "hash-aggregable) with map-side partials, one exchange on "
+        "(event_type, day), no Window, no Join; every output column an "
+        "exact integer."
+    ),
+    "percentile_cont_domain": (
+        "PERCENTILE_CONT without a per-group sort buffer. Expect: the "
+        "corpus collapsing to the per-type value domain (HashAggregate), "
+        "the cumulative scan as a Window partitioned by event_type over "
+        "domain rows, probe targets returning via BroadcastHashJoin — "
+        "never a BroadcastNestedLoopJoin — and the order-statistic "
+        "selection as conditional aggregates."
+    ),
+    "dsir_importance_weights": (
+        "DSIR importance weights. Expect: token explode (Generate), the "
+        "two 64-row hashed LMs built by hash aggregates and returned via "
+        "BroadcastHashJoin, per-(doc,bucket) counts with partial_ "
+        "combiners, and the Horner hash as JVM lambda folds — no "
+        "Python eval plane anywhere."
+    ),
 }
 
 

@@ -159,7 +159,8 @@ def test_shuffle_hash_join_strategy_pinned(explain):
     "name",
     ["global_row_number", "sample_systematic", "quantile_normalize",
      "rfm_segmentation", "shard_assignment_balanced", "woe_binning",
-     "stats_equidepth_histogram"],
+     "stats_equidepth_histogram", "model_auc_roc", "model_pr_auc",
+     "spearman_rank_corr"],
 )
 def test_global_ranks_never_single_partition(explain, name):
     # These queries need GLOBAL row numbers / NTILEs. The naive form —
@@ -358,6 +359,34 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     ],
     # hashing trick: per-doc windows only; Horner hash runs JVM-side
     "feature_hash_vectorize": ["!MapInPandas", "!ArrowEvalPython", "!SinglePartition"],
+    # ROC-AUC: domain collapse + distributed prefix scan — partitioned
+    # window, map-side partials, NO join anywhere in the plan
+    "model_auc_roc": [
+        "tree:Window", "tree:HashAggregate", "partial_",
+        "!MapInPandas", "!ArrowEvalPython",
+    ],
+    # PR-AUC: same machinery plus domain-sized equi-joins; no Python plane
+    "model_pr_auc": ["tree:Window", "!MapInPandas", "!ArrowEvalPython"],
+    # Spearman: the 50-value quantity rank table must BROADCAST onto the
+    # fact; rank building is the partitioned prefix window
+    "spearman_rank_corr": ["tree:Window", "BroadcastHashJoin", "!MapInPandas"],
+    # OHLC: argmin/argmax as struct-extreme AGGREGATES with map-side
+    # combine (struct keys aren't hash-aggregable, so Spark plans
+    # SortAggregate — still partial+final) — no window, no join at all
+    "events_ohlc_bars": [
+        "tree:SortAggregate", "partial_", "!tree:Window", "!tree:Join",
+    ],
+    # PERCENTILE_CONT: probe targets broadcast onto the value domain as
+    # an EQUI-join; the only windows partition by event_type
+    "percentile_cont_domain": [
+        "tree:Window", "BroadcastHashJoin", "!tree:BroadcastNestedLoopJoin",
+    ],
+    # standardization: the 2-row fit broadcasts back; stack unpivot and
+    # z-math stay JVM-side
+    "feature_standardize": ["BroadcastHashJoin", "!MapInPandas", "!ArrowEvalPython"],
+    # DSIR: the 64-row log-ratio table broadcasts onto per-doc bucket
+    # counts; Horner hashing is a JVM lambda fold, no Python plane
+    "dsir_importance_weights": ["BroadcastHashJoin", "!MapInPandas", "!ArrowEvalPython"],
 }
 
 
