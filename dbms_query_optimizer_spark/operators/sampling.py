@@ -382,8 +382,218 @@ ORDER BY rn
 """
 
 
+BOOT_B = 100  # bootstrap replicates
+BOOT_CI_LO_RANK = 3  # 2.5th percentile of 100 replicate means (ceil)
+BOOT_CI_HI_RANK = 98  # 97.5th percentile
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Integer thresholds t_k = floor(CDF_Poisson(1)(k) · 2^32): a uniform
+    32-bit hash h draws w = #{k : h ≥ t_k} ~ Poisson(1) (capped at 8,
+    tail mass ~1e-6). Pure-integer comparison — no float boundary can
+    diverge between engines."""
+    import math
+
+    term = math.exp(-1.0)
+    acc = 0.0
+    out = []
+    for k in range(8):
+        acc += term
+        out.append(int(acc * 2**32))
+        term /= k + 1
+    return out
+
+
+BOOT_THRESH = _poisson1_thresholds()
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean document
+    length via the DETERMINISTIC Poisson bootstrap — the resampling
+    scheme that works on data too large to index: instead of drawing n
+    rows with replacement (which needs global coordination), every row
+    independently receives a Poisson(1) weight per replicate, and the B
+    weighted means are the bootstrap distribution (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams"). Weights are a
+    pure function of md5(doc_id:replicate) against precomputed INTEGER
+    CDF thresholds, so both engines draw identical resamples — the
+    seeded-reproducibility contract of `sample_weighted`.
+
+    Shape: one explode by B=100 (map-side; partial aggregation collapses
+    it to B rows per partition before the shuffle, so shuffle volume is
+    partitions × B, independent of corpus size), one grouped aggregate
+    to the B-row replicate frame, order statistics selected from that
+    100-row frame (window bounded by the constant B), and the point
+    mean from a 1-row aggregate. Replicate means are single IEEE
+    divisions of exact integer sums; CI bounds are SELECTED replicate
+    means, never recomputed floats.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("b"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        ((h >= F.lit(t)).cast("long") for t in BOOT_THRESH), F.lit(0)
+    )
+    reps = (
+        base.select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("wx"), F.sum("w").alias("ws"))
+        .select(
+            "b", (F.col("wx").cast("double") / F.col("ws").cast("double")).alias("m")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(W.orderBy("m", "b"))
+    )  # 100-row frame: the single partition is bounded by the constant B
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.min(F.when(F.col("rn") == BOOT_CI_LO_RANK, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == BOOT_CI_HI_RANK, F.col("m"))).alias("ci_hi"),
+    )
+    point = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sx"),
+    ).select(
+        "n_docs",
+        (F.col("sx").cast("double") / F.col("n_docs").cast("double")).alias(
+            "point_mean"
+        ),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_docs", "point_mean", "n_replicates", "ci_lo", "ci_hi"
+    )
+
+
+def _oracle_bootstrap_ci_mean() -> str:
+    w_expr = " + ".join(
+        f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in BOOT_THRESH
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS x, b
+    FROM documents
+    CROSS JOIN (SELECT UNNEST(generate_series(0, {BOOT_B - 1})) AS b)
+), weighted AS (
+    SELECT b, x,
+           CAST({w_expr} AS BIGINT) AS w
+    FROM (
+        SELECT b, x,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS BIGINT) AS h
+        FROM base
+    )
+), reps AS (
+    SELECT b,
+           CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+    FROM weighted GROUP BY b
+), ranked AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM reps
+), ci AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           MIN(CASE WHEN rn = {BOOT_CI_LO_RANK} THEN m END) AS ci_lo,
+           MIN(CASE WHEN rn = {BOOT_CI_HI_RANK} THEN m END) AS ci_hi
+    FROM ranked
+), point AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS point_mean
+    FROM documents
+)
+SELECT n_docs, point_mean, n_replicates, ci_lo, ci_hi
+FROM ci, point
+"""
+
+
+GKF_FOLDS = 5
+
+
+def q_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment: every document of a SOURCE lands in
+    the same fold (fold = md5(source) % k), so cross-validation never
+    trains on one page of a site and validates on another — the group
+    leakage that inflates CV scores whenever rows within a group are
+    correlated (near-duplicate pages, same author, same session). The
+    group-level analog of ``q_hash_split_train``'s row split, and the
+    split discipline ``target_encode_kfold`` assumes.
+
+    One grouped aggregate emits the per-fold summary (docs, distinct
+    sources, token mass, share); the assignment itself is a pure
+    map-side hash of the group key — no fitted state, reproducible on
+    any engine. Group-exclusivity is structural (a deterministic
+    function of source alone cannot straddle folds) and pytest-pinned.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    fold = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long")
+        % GKF_FOLDS
+    ).cast("int")
+    per_fold = (
+        docs.select(
+            fold.alias("fold"),
+            "source",
+            F.col("n_chars").cast("long").alias("nc"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("nc").alias("n_chars_total"),
+        )
+    )
+    tot = per_fold.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        per_fold.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            "n_sources",
+            "n_chars_total",
+            (F.col("n_docs").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("fold")
+    )
+
+
+ORACLE_GROUP_KFOLD_SPLIT = f"""
+WITH assigned AS (
+    SELECT CAST(('0x' || substring(md5(source), 1, 8))::BIGINT
+                % {GKF_FOLDS} AS INT) AS fold,
+           source, CAST(n_chars AS BIGINT) AS nc
+    FROM documents
+), per_fold AS (
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(nc) AS BIGINT) AS n_chars_total
+    FROM assigned GROUP BY fold
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per_fold
+)
+SELECT fold, n_docs, n_sources, n_chars_total,
+       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM per_fold, tot
+ORDER BY fold
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "bootstrap_ci_mean": (q_bootstrap_ci_mean, _oracle_bootstrap_ci_mean()),
+        "group_kfold_split": (q_group_kfold_split, ORACLE_GROUP_KFOLD_SPLIT),
         "hash_split_train": (q_hash_split_train, ORACLE_HASH_SPLIT_TRAIN),
         "sample_systematic": (q_sample_systematic, ORACLE_SAMPLE_SYSTEMATIC),
         "sample_reservoir_per_group": (

@@ -1904,10 +1904,87 @@ GROUP BY p_total
 """
 
 
+def q_model_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix + derived metrics for the frozen
+    quality classifier at its shipping threshold τ — the operating-point
+    report that completes the model-eval family (AUC/AP are
+    threshold-free; calibration/gains are per-bin; this is the single
+    row a deployment dashboard shows for the gate as configured).
+
+    One conditional-aggregation pass over one scan: tp/fp/fn/tn are
+    exact counts; accuracy/precision/recall are single IEEE divisions
+    of exact integers and F1 is computed from the SAME exact counts as
+    2·tp / (2·tp + fp + fn) — one division, no chained
+    precision/recall floats.
+    """
+    t = load_tables(spark, sf_dir)
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * T.stopword_ratio("text")
+        + F.lit(QC_W_MLEN) * T.mean_token_len("text")
+        + F.lit(QC_W_LTOK) * F.log(F.lit(1.0) + T.token_count_ws("text"))
+    )
+    pred = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) >= F.lit(
+        QC_THRESHOLD
+    )
+    y = F.col("lang") == "en"
+    out = t["documents"].agg(
+        F.sum((pred & y).cast("long")).alias("tp"),
+        F.sum((pred & ~y).cast("long")).alias("fp"),
+        F.sum((~pred & y).cast("long")).alias("fn"),
+        F.sum((~pred & ~y).cast("long")).alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    return out.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((F.col("tp") + F.col("tn")).cast("double")
+         / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast("double")
+         ).alias("accuracy"),
+        (tp / (F.col("tp") + F.col("fp")).cast("double")).alias("precision"),
+        (tp / (F.col("tp") + F.col("fn")).cast("double")).alias("recall"),
+        ((F.lit(2) * F.col("tp")).cast("double")
+         / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+         ).alias("f1"),
+    )
+
+
+def _oracle_model_confusion_report() -> str:
+    p6 = (
+        f"ROUND(1.0 / (1.0 + exp(-({QC_BIAS} + {QC_W_STOP} * {SQL_STOP_RATIO}"
+        f" + {QC_W_MLEN} * {SQL_MEAN_TOKEN_LEN}"
+        f" + {QC_W_LTOK} * ln(1.0 + {SQL_TOKENS_WS})))), 6)"
+    )
+    return f"""
+WITH labeled AS (
+    SELECT ({p6} >= {QC_THRESHOLD}) AS pred, (lang = 'en') AS y
+    FROM documents
+), counts AS (
+    SELECT CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM labeled
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+FROM counts
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "model_auc_roc": (q_model_auc_roc, _oracle_model_auc_roc()),
         "model_pr_auc": (q_model_pr_auc, _oracle_model_pr_auc()),
+        "model_confusion_report": (
+            q_model_confusion_report,
+            _oracle_model_confusion_report(),
+        ),
         "model_gains_table": (q_model_gains_table, _oracle_model_gains_table()),
         "bpe_pair_merge": (q_bpe_pair_merge, ORACLE_BPE_PAIR_MERGE),
         "text_collocations": (q_text_collocations, ORACLE_TEXT_COLLOCATIONS),

@@ -116,6 +116,74 @@ def test_pr_auc_matches_python_reference(spark, sf_dir):
     assert row.ap == ap_nano / 1e9
 
 
+def test_confusion_report_matches_score_query(spark, sf_dir):
+    """tp/fp/fn/tn re-derived from the already-oracled per-doc score
+    query; derived metrics re-checked from the exact counts."""
+    rows = QS["quality_classifier_score"](spark, sf_dir).collect()
+    tp = sum(1 for r in rows if r.keep and r.lang == "en")
+    fp = sum(1 for r in rows if r.keep and r.lang != "en")
+    fn = sum(1 for r in rows if not r.keep and r.lang == "en")
+    tn = sum(1 for r in rows if not r.keep and r.lang != "en")
+    got = QS["model_confusion_report"](spark, sf_dir).collect()[0]
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+    assert got.accuracy == (tp + tn) / (tp + fp + fn + tn)
+    assert got.precision == tp / (tp + fp)
+    assert got.recall == tp / (tp + fn)
+    assert got.f1 == 2 * tp / (2 * tp + fp + fn)
+
+
+def test_bootstrap_ci_matches_python_reference(spark, sf_dir):
+    """Poisson weights re-drawn in pure Python from the same md5 stream;
+    replicate means and the selected CI order statistics must match."""
+    import hashlib
+
+    from dbms_query_optimizer_spark.operators.sampling import (
+        BOOT_B,
+        BOOT_CI_HI_RANK,
+        BOOT_CI_LO_RANK,
+        BOOT_THRESH,
+    )
+
+    con = _duck(sf_dir)
+    docs = con.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    means = []
+    for b in range(BOOT_B):
+        wx = ws = 0
+        for doc_id, x in docs:
+            h = int(
+                hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()[:8], 16
+            )
+            w = sum(1 for t in BOOT_THRESH if h >= t)
+            wx += w * x
+            ws += w
+        means.append(wx / ws)
+    means.sort()
+    got = QS["bootstrap_ci_mean"](spark, sf_dir).collect()[0]
+    assert got.n_replicates == BOOT_B
+    assert got.ci_lo == means[BOOT_CI_LO_RANK - 1]
+    assert got.ci_hi == means[BOOT_CI_HI_RANK - 1]
+    n = len(docs)
+    assert got.n_docs == n
+    assert got.point_mean == sum(x for _, x in docs) / n
+    assert got.ci_lo <= got.point_mean <= got.ci_hi
+    con.close()
+
+
+def test_group_kfold_no_group_straddles_folds(spark, sf_dir):
+    """Structural leakage check: fold is a function of source, so the
+    distinct-source counts across folds must sum to the corpus's
+    distinct sources; shares sum to 1."""
+    rows = QS["group_kfold_split"](spark, sf_dir).collect()
+    con = _duck(sf_dir)
+    n_sources, n_docs = con.execute(
+        "SELECT COUNT(DISTINCT source), COUNT(*) FROM documents"
+    ).fetchone()
+    assert sum(r.n_sources for r in rows) == n_sources
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    con.close()
+
+
 # ----------------------------------------------------------------- DSIR
 
 
