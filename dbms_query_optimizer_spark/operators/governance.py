@@ -2513,11 +2513,164 @@ GROUP BY n
 """
 
 
+def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et al.
+    2013, "Improving the Sensitivity of Online Controlled Experiments"):
+    users hash-assigned to two arms, the experiment-period purchase
+    metric adjusted by each user's PRE-period value of the same metric —
+    the covariate trick every experimentation platform runs because it
+    cuts metric variance by the squared pre/post correlation without
+    touching the treatment effect.
+
+    Determinism end to end: arm = md5(user_id) % 2 (the seeded-split
+    contract); the period boundary is the data's midpoint day, computed
+    once as a broadcast scalar; per-user pre (x) and experiment (y)
+    metrics are exact integer cents from ONE conditional-aggregation
+    pass; θ = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) and the adjusted means are
+    fixed IEEE trees over those exact sums, written identically in the
+    oracle. θ is pooled across arms (the unbiasedness requirement — a
+    per-arm θ would absorb treatment effect into the adjustment).
+
+    Scale shape: one shuffle keyed by user to build the per-user frame,
+    two 1-row aggregates (boundary, pooled moments) broadcast back, one
+    2-row grouped readout. Nothing is per-event after the first
+    aggregate.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    days = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    ).select(
+        F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias("mid")
+    )
+    base = ev.filter(F.col("event_type") == "purchase").crossJoin(
+        F.broadcast(days)
+    )
+    per_user = (
+        base.select(
+            "user_id",
+            F.when(
+                F.to_date("ts") <= F.col("mid"),
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("xc"),
+            F.when(
+                F.to_date("ts") > F.col("mid"),
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("yc"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).cast("int").alias("arm"),
+            "x",
+            "y",
+        )
+        .localCheckpoint()  # reused: pooled moments + per-arm readout
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    theta = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    mean_x_pooled = F.col("sx").cast("double") / F.col("n").cast("double")
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    mean_y = F.col("sy_arm").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("sx_arm").cast("double") / F.col("n_users").cast("double")
+    return (
+        per_arm.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n_users",
+            "sx_arm",
+            "sy_arm",
+            mean_y.alias("mean_y"),
+            theta.alias("theta"),
+            (mean_y - theta * (mean_x - mean_x_pooled)).alias("cuped_mean_y"),
+        )
+        .orderBy("arm")
+    )
+
+
+ORACLE_AB_TEST_CUPED = """
+WITH days AS (
+    SELECT date_add(MIN(CAST(ts AS DATE)),
+                    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                                   MAX(CAST(ts AS DATE))) // 2 AS INT)) AS mid
+    FROM events
+), per_user AS (
+    SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                % 2 AS INT) AS arm,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) <= mid
+                         THEN CAST(ROUND(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) > mid
+                         THEN CAST(ROUND(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y
+    FROM events, days
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+), pooled AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM per_user
+), per_arm AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS sx_arm,
+           CAST(SUM(y) AS BIGINT) AS sy_arm
+    FROM per_user GROUP BY arm
+)
+SELECT arm, n_users, sx_arm, sy_arm,
+       CAST(sy_arm AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+       CAST(sy_arm AS DOUBLE) / CAST(n_users AS DOUBLE)
+       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         * (CAST(sx_arm AS DOUBLE) / CAST(n_users AS DOUBLE)
+            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS cuped_mean_y
+FROM per_arm, pooled
+ORDER BY arm
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
         "spearman_rank_corr": (q_spearman_rank_corr, ORACLE_SPEARMAN_RANK_CORR),
+        "ab_test_cuped": (q_ab_test_cuped, ORACLE_AB_TEST_CUPED),
         "ks_test_drift": (q_ks_test_drift, ORACLE_KS_TEST_DRIFT),
         "mutual_information_features": (
             q_mutual_information_features,

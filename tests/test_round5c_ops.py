@@ -244,6 +244,58 @@ def test_dsir_weights_match_python_reference(spark, sf_dir):
     con.close()
 
 
+def test_ab_test_cuped_reference_and_invariant(spark, sf_dir):
+    """Per-user pre/experiment sums and θ re-derived in Python; plus the
+    CUPED conservation law: user-weighted adjusted means equal the raw
+    pooled mean (the adjustment must not move the overall metric)."""
+    import hashlib
+
+    con = _duck(sf_dir)
+    mid = con.execute(
+        """
+        SELECT date_add(MIN(CAST(ts AS DATE)),
+               CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                              MAX(CAST(ts AS DATE))) // 2 AS INT))
+        FROM events
+        """
+    ).fetchone()[0]
+    rows = con.execute(
+        """
+        SELECT user_id, CAST(ts AS DATE), CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    per_user: dict[int, list[int]] = {}
+    for uid, day, cents in rows:
+        xy = per_user.setdefault(uid, [0, 0])
+        xy[0 if day <= mid else 1] += cents
+    n = len(per_user)
+    sx = sum(v[0] for v in per_user.values())
+    sy = sum(v[1] for v in per_user.values())
+    sxy = sum(v[0] * v[1] for v in per_user.values())
+    sxx = sum(v[0] * v[0] for v in per_user.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    arms: dict[int, list[int]] = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for uid, (x, y) in per_user.items():
+        a = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+        arms[a][0] += 1
+        arms[a][1] += x
+        arms[a][2] += y
+    got = {r.arm: r for r in QS["ab_test_cuped"](spark, sf_dir).collect()}
+    for a in (0, 1):
+        na, sxa, sya = arms[a]
+        r = got[a]
+        assert (r.n_users, r.sx_arm, r.sy_arm) == (na, sxa, sya)
+        assert abs(r.theta - theta) < 1e-9
+        assert abs(
+            r.cuped_mean_y
+            - (sya / na - r.theta * (sxa / na - sx / n))
+        ) < 1e-9
+    pooled_cuped = sum(got[a].n_users * got[a].cuped_mean_y for a in (0, 1))
+    assert abs(pooled_cuped - sy) < 1e-6 * max(1, abs(sy))
+    con.close()
+
+
 # ------------------------------------------------------------ Spearman
 
 
