@@ -86,5 +86,171 @@ def _oracle_corpus_prep() -> str:
     """
 
 
+FUNNEL_STAGES = [
+    "0_raw",
+    "1_lang",
+    "2_quality",
+    "3_exact_dedup",
+    "4_token_sort_dedup",
+    "5_decontaminated",
+]
+
+
+def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-funnel dashboard every training pipeline publishes: how
+    many documents (and how much token mass) survive each cleaning stage
+    in sequence — raw → language filter → quality gate → exact dedup →
+    order-invariant (token-sort) dedup → benchmark decontamination. The
+    per-stage composite that ``q_corpus_prep`` summarizes per source,
+    unrolled along the STAGE axis so losses are attributable.
+
+    Stage semantics are cumulative (each dedup canonicalizes within the
+    PREVIOUS stage's survivors — dedup sets depend on the candidate
+    pool, so ordering is part of the contract the oracle mirrors).
+    Canonical = min doc_id per fingerprint. Decontamination drops the
+    held-out eval split (doc_id % EVAL_MOD == 0) and every remaining doc
+    sharing a word 8-gram with it.
+
+    Shape: ONE base pass computes every per-doc feature (quality,
+    both fingerprints, token count); each dedup stage is a grouped
+    min + semi-join on the fingerprint; contamination is the broadcast
+    eval-span probe of ``q_decontaminate_ngram``. Counts are exact;
+    pct_docs is a single IEEE division per stage.
+    """
+    from ..functions.text import fingerprint_md5, word_ngrams
+    from ..functions.text import tokens as tok_fn
+    from .pipeline_prep import DECON_N, EVAL_MOD
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count_ws("text").cast("long").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        fingerprint_md5("text").alias("fp_exact"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.split(F.lower("text"), "[^a-z]+")), " "
+            ).cast("binary")
+        ).alias("fp_sorted"),
+        tok_fn("text").alias("toks"),
+    ).localCheckpoint()  # every stage and the span probe reuse this pass
+
+    s1 = base.filter(F.col("lang") == PREP_LANG)
+    s2 = s1.filter(F.col("quality") >= QUALITY_T)
+    keep3 = s2.groupBy("fp_exact").agg(F.min("doc_id").alias("doc_id"))
+    s3 = s2.join(keep3, ["fp_exact", "doc_id"], "left_semi")
+    keep4 = s3.groupBy("fp_sorted").agg(F.min("doc_id").alias("doc_id"))
+    s4 = s3.join(keep4, ["fp_sorted", "doc_id"], "left_semi")
+
+    spans = base.select(
+        "doc_id", F.explode(word_ngrams("toks", DECON_N)).alias("span")
+    ).distinct()
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_spans = spans.filter(is_eval).select("span").distinct()
+    contaminated = (
+        spans.filter(~is_eval)
+        .join(F.broadcast(eval_spans), "span", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s5 = s4.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+
+    stages = [base, s1, s2, s3, s4, s5]
+    per_stage = None
+    for name, frame in zip(FUNNEL_STAGES, stages):
+        agg = frame.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        per_stage = agg if per_stage is None else per_stage.unionAll(agg)
+    raw = base.agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        per_stage.crossJoin(F.broadcast(raw))
+        .select(
+            "stage",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs").cast("double") / F.col("n_raw").cast("double")).alias(
+                "pct_docs"
+            ),
+        )
+        .orderBy("stage")
+    )
+
+
+def _oracle_pipeline_funnel_report() -> str:
+    from .dedup import SQL_NORM
+    from .pipeline_prep import DECON_N, EVAL_MOD
+
+    concat = " || ' ' || ".join(f"tk[i+{k}]" for k in range(DECON_N))
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang,
+           CAST({SQL_TOKENS_WS} AS BIGINT) AS n_tokens,
+           {SQL_QUALITY} AS quality,
+           md5({SQL_NORM}) AS fp_exact,
+           md5(array_to_string(list_sort(
+               string_split_regex(lower(text), '[^a-z]+')), ' ')) AS fp_sorted
+    FROM documents
+), s1 AS (
+    SELECT * FROM base WHERE lang = '{PREP_LANG}'
+), s2 AS (
+    SELECT * FROM s1 WHERE quality >= {QUALITY_T}
+), s3 AS (
+    SELECT * FROM s2
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY fp_exact)
+), s4 AS (
+    SELECT * FROM s3
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM s3 GROUP BY fp_sorted)
+), sp AS (
+    SELECT DISTINCT doc_id, {concat} AS span
+    FROM (SELECT doc_id, string_split(trim({SQL_NORM}), ' ') AS tk
+          FROM documents),
+         UNNEST(generate_series(1, len(tk) - {DECON_N - 1})) AS t(i)
+), ev AS (
+    SELECT DISTINCT span FROM sp WHERE doc_id % {EVAL_MOD} = 0
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM sp JOIN ev USING (span)
+    WHERE doc_id % {EVAL_MOD} <> 0
+), s5 AS (
+    SELECT * FROM s4
+    WHERE doc_id % {EVAL_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), stages AS (
+    SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM base
+    UNION ALL
+    SELECT '1_lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT '4_token_sort_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM s4
+    UNION ALL
+    SELECT '5_decontaminated', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM s5
+), raw AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM base
+)
+SELECT stage, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / CAST(n_raw AS DOUBLE) AS pct_docs
+FROM stages, raw
+ORDER BY stage
+"""
+
+
 def oracles() -> dict[str, tuple]:
-    return {"corpus_prep": (q_corpus_prep, _oracle_corpus_prep())}
+    return {
+        "corpus_prep": (q_corpus_prep, _oracle_corpus_prep()),
+        "pipeline_funnel_report": (
+            q_pipeline_funnel_report,
+            _oracle_pipeline_funnel_report(),
+        ),
+    }

@@ -1977,6 +1977,99 @@ FROM counts
 """
 
 
+# Frozen 3-tree GBM over the same cheap features as the logistic gate —
+# leaf values are INTEGER micro-logits so the ensemble margin is an exact
+# BIGINT sum: model-to-SQL compilation with no float contract at all
+# beyond the feature comparisons (identical expression trees both engines).
+GBT_TREES_DOC = """
+tree1: n_tokens < 30 -> -800000 | stop_ratio < 0.10 -> -200000 | else +500000
+tree2: mean_len < 3.0 -> -400000 | mean_len > 8.0 -> -300000 | else +300000
+tree3: stop_ratio >= 0.30 -> +400000 | n_tokens >= 100 -> +100000 | else -100000
+"""
+
+
+def q_gbt_inference_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-ensemble INFERENCE compiled to pure relational expressions —
+    the "model as SQL" deployment pattern (operator-fusion inference à la
+    ICDE'25 'ML Inference Pipeline Execution Using Pure SQL'): a frozen
+    3-tree gradient-boosted classifier over the classifier gate's cheap
+    features, each tree a nested CASE, the ensemble margin a sum of
+    INTEGER micro-logit leaves. At 100 TB this scores fused with the
+    scan inside whole-stage codegen — no model server, no Python plane,
+    no UDF; the complement of ``q_quality_classifier_score``'s logistic
+    form (trees capture the non-monotone feature interactions a linear
+    head can't).
+
+    Determinism: leaf values are exact integers; every split compares a
+    feature computed by the identical expression tree in the oracle, so
+    the margin is an exact BIGINT and the keep flag an integer compare.
+    """
+    t = load_tables(spark, sf_dir)
+    n_tok = T.token_count_ws("text")
+    stop = T.stopword_ratio("text")
+    mlen = T.mean_token_len("text")
+    tree1 = (
+        F.when(n_tok < 30, F.lit(-800000))
+        .when(stop < 0.10, F.lit(-200000))
+        .otherwise(F.lit(500000))
+    )
+    tree2 = (
+        F.when(mlen < 3.0, F.lit(-400000))
+        .when(mlen > 8.0, F.lit(-300000))
+        .otherwise(F.lit(300000))
+    )
+    tree3 = (
+        F.when(stop >= 0.30, F.lit(400000))
+        .when(n_tok >= 100, F.lit(100000))
+        .otherwise(F.lit(-100000))
+    )
+    margin = (tree1 + tree2 + tree3).cast("long")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            margin.alias("margin_micro"),
+            (margin >= 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_gbt_inference_sql() -> str:
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           {SQL_TOKENS_WS} AS n_tok,
+           {SQL_STOP_RATIO} AS stop_r,
+           {SQL_MEAN_TOKEN_LEN} AS mlen
+    FROM documents
+)
+SELECT doc_id,
+       CAST(
+         (CASE WHEN n_tok < 30 THEN -800000
+               WHEN stop_r < 0.10 THEN -200000
+               ELSE 500000 END)
+         + (CASE WHEN mlen < 3.0 THEN -400000
+                 WHEN mlen > 8.0 THEN -300000
+                 ELSE 300000 END)
+         + (CASE WHEN stop_r >= 0.30 THEN 400000
+                 WHEN n_tok >= 100 THEN 100000
+                 ELSE -100000 END)
+       AS BIGINT) AS margin_micro,
+       (CASE WHEN n_tok < 30 THEN -800000
+             WHEN stop_r < 0.10 THEN -200000
+             ELSE 500000 END)
+       + (CASE WHEN mlen < 3.0 THEN -400000
+               WHEN mlen > 8.0 THEN -300000
+               ELSE 300000 END)
+       + (CASE WHEN stop_r >= 0.30 THEN 400000
+               WHEN n_tok >= 100 THEN 100000
+               ELSE -100000 END) >= 0 AS keep
+FROM feats
+ORDER BY doc_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "model_auc_roc": (q_model_auc_roc, _oracle_model_auc_roc()),
@@ -1985,6 +2078,7 @@ def oracles() -> dict[str, tuple]:
             q_model_confusion_report,
             _oracle_model_confusion_report(),
         ),
+        "gbt_inference_sql": (q_gbt_inference_sql, _oracle_gbt_inference_sql()),
         "model_gains_table": (q_model_gains_table, _oracle_model_gains_table()),
         "bpe_pair_merge": (q_bpe_pair_merge, ORACLE_BPE_PAIR_MERGE),
         "text_collocations": (q_text_collocations, ORACLE_TEXT_COLLOCATIONS),

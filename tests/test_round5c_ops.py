@@ -440,6 +440,46 @@ def test_feature_standardize_reference(spark, sf_dir):
     con.close()
 
 
+def test_pipeline_funnel_monotone_and_anchored(spark, sf_dir):
+    """Funnel counts must be non-increasing stage to stage, anchored at
+    the raw corpus size; token mass shrinks with the docs."""
+    rows = {r.stage: r for r in QS["pipeline_funnel_report"](spark, sf_dir).collect()}
+    con = _duck(sf_dir)
+    n_raw = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    order = [
+        "0_raw", "1_lang", "2_quality", "3_exact_dedup",
+        "4_token_sort_dedup", "5_decontaminated",
+    ]
+    assert set(rows) == set(order)
+    assert rows["0_raw"].n_docs == n_raw and rows["0_raw"].pct_docs == 1.0
+    for a, b in zip(order, order[1:]):
+        assert rows[b].n_docs <= rows[a].n_docs, (a, b)
+        assert rows[b].n_tokens <= rows[a].n_tokens, (a, b)
+    for r in rows.values():
+        assert 0.0 < r.pct_docs <= 1.0
+        assert r.pct_docs == r.n_docs / n_raw
+    # the eval split alone guarantees stage 5 dropped something
+    assert rows["5_decontaminated"].n_docs < rows["4_token_sort_dedup"].n_docs
+    con.close()
+
+
+def test_gbt_margins_are_valid_leaf_sums(spark, sf_dir):
+    """Every ensemble margin must be one of the 27 possible leaf-sum
+    combinations, keep == (margin >= 0), and the trees actually split
+    the corpus (more than one distinct margin)."""
+    leaves1 = {-800000, -200000, 500000}
+    leaves2 = {-400000, -300000, 300000}
+    leaves3 = {400000, 100000, -100000}
+    valid = {a + b + c for a in leaves1 for b in leaves2 for c in leaves3}
+    rows = QS["gbt_inference_sql"](spark, sf_dir).collect()
+    assert rows
+    margins = {r.margin_micro for r in rows}
+    assert margins <= valid
+    assert len(margins) > 1
+    for r in rows:
+        assert r.keep == (r.margin_micro >= 0)
+
+
 # ------------------------------------------- streaming left-outer join
 
 
