@@ -388,6 +388,65 @@ ORACLE_SOURCE_PYTHON_DATASOURCE = f"""
 """
 
 
+def q_source_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the Python Data Source API: documents written
+    through the custom ``jsondirsink`` connector (executor-side staged
+    part files, driver-side job-atomic rename publish — the two-phase
+    commit every file sink owes its reader), then read back and
+    aggregated per language. The oracle aggregates the source table
+    directly, so a lost, doubled, or truncated partition breaks the
+    value hash — the exactly-once write contract checked end to end.
+    Completes the connector surface: batch read + stream read
+    (``source_python_datasource`` / ``source_python_stream``) + write.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.python_datasource import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="spark_graft_pysink_")
+    try:
+        docs = load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        (
+            docs.repartition(8)
+            .write.format("jsondirsink")
+            .mode("append")
+            .option("path", out)
+            .save()
+        )
+        landed = spark.read.schema("doc_id long, lang string, n_chars long").json(
+            f"{out}/*.jsonl"
+        )
+        return (
+            landed.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .orderBy("lang")
+            .localCheckpoint()  # materialize before the dir is removed
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLE_SOURCE_PYTHON_DATASINK = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
 def q_source_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order-clustered write → 2-D-selective read, end to end: orders
     rewritten Morton-interleaved on (o_custkey, o_totalprice) into 8
@@ -2034,6 +2093,10 @@ def oracles() -> dict[str, tuple]:
         "source_python_datasource": (
             q_source_python_datasource,
             ORACLE_SOURCE_PYTHON_DATASOURCE,
+        ),
+        "source_python_datasink": (
+            q_source_python_datasink,
+            ORACLE_SOURCE_PYTHON_DATASINK,
         ),
         "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
         "source_json_scan": (q_source_json_scan, ORACLE_SOURCE_JSON_SCAN),

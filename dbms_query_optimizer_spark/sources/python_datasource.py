@@ -28,8 +28,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -171,6 +173,80 @@ class SyntheticEvents(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
 
+class _StagedFile(WriterCommitMessage):
+    """Commit message: one staged file per task, published on job commit.
+    Must be picklable — it travels executor → driver."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonDirSinkWriter(DataSourceWriter):
+    """Executor-side writer with JOB-ATOMIC publish semantics — the
+    write path of the Python Data Source API, mirroring what every
+    file-based sink must do: each task writes to a staging name no
+    reader looks at; the driver's ``commit`` renames the staged files
+    into the live directory only after EVERY task reported success, and
+    ``abort`` removes the stage — a failed or speculative task can never
+    leave a half-written file visible (same contract as
+    ``sources/writers.py``'s job-atomic sinks, here demonstrated through
+    the connector extension point; staging and live dir share the
+    sink's storage, as for any file sink)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsondirsink requires .option('path', dir)")
+        self.overwrite = overwrite
+
+    # runs on EXECUTORS, one call per partition
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(f"{self.path}/_staging", exist_ok=True)
+        tmp = f"{self.path}/_staging/{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StagedFile(tmp, n)
+
+    # runs on the DRIVER after all tasks succeed
+    def commit(self, messages):
+        import os
+        import shutil
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    os.remove(f"{self.path}/{name}")
+        for i, m in enumerate(messages):
+            os.replace(m.path, f"{self.path}/part-{i:05d}.jsonl")
+        shutil.rmtree(f"{self.path}/_staging", ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(f"{self.path}/_staging", ignore_errors=True)
+
+
+class JsonDirSink(DataSource):
+    """``df.write.format('jsondirsink').option('path', d).save()`` — the
+    WRITER half of the custom-connector surface (SyntheticEvents covers
+    batch read + stream read)."""
+
+    @classmethod
+    def name(cls):
+        return "jsondirsink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonDirSinkWriter(self.options, overwrite)
+
+
 def register(spark) -> None:
     """Idempotent per-session registration. A reader implementing
     ``pushFilters`` refuses to initialize unless Python-source filter
@@ -178,3 +254,4 @@ def register(spark) -> None:
     here so any session (including the grading driver's) can scan."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEvents)
+    spark.dataSource.register(JsonDirSink)

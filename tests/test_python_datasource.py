@@ -138,3 +138,52 @@ def test_stream_query_equals_batch(spark):
     want = {r["kind"]: (r["n_rows"], r["sum_amount"], r["max_row_id"])
             for r in batch.collect()}
     assert got == want
+
+
+# ------------------------------------------------------------- sink side
+
+
+def test_jsondir_sink_atomic_publish(spark, tmp_path):
+    """Each partition lands as one part file, staging is cleaned up on
+    commit, and the read-back equals the written frame exactly."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS lang", "id * 7 AS n_chars"
+    )
+    df.repartition(4).write.format("jsondirsink").mode("append").option(
+        "path", out
+    ).save()
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".jsonl"))
+    assert len(parts) == 4
+    assert not os.path.exists(f"{out}/_staging")
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        f"{out}/*.jsonl"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsondir_sink_overwrite_replaces(spark, tmp_path):
+    """mode('overwrite') removes prior part files before publishing."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "sink2")
+    os.makedirs(out)
+    for n in (50, 20):
+        (
+            spark.range(n)
+            .selectExpr("id AS doc_id", "'en' AS lang", "id AS n_chars")
+            .repartition(2)
+            .write.format("jsondirsink")
+            .mode("overwrite")
+            .option("path", out)
+            .save()
+        )
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        f"{out}/*.jsonl"
+    )
+    assert back.count() == 20
