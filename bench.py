@@ -169,6 +169,15 @@ HEADLINE = [
     # round 5c: DSIR importance weights (hashed-unigram LM ratio,
     # broadcast 64-row models, exact nano-nat doc weights)
     "dsir_importance_weights",
+    # round 5c: deterministic Poisson bootstrap (explode x100 collapses
+    # map-side; shuffle = partitions x B), CUPED experiment readout,
+    # the full cleaning-funnel composite, compiled tree-ensemble
+    # inference, and the Python Data Source write path
+    "bootstrap_ci_mean",
+    "ab_test_cuped",
+    "pipeline_funnel_report",
+    "gbt_inference_sql",
+    "source_python_datasink",
 ]
 
 

@@ -387,6 +387,28 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # DSIR: the 64-row log-ratio table broadcasts onto per-doc bucket
     # counts; Horner hashing is a JVM lambda fold, no Python plane
     "dsir_importance_weights": ["BroadcastHashJoin", "!MapInPandas", "!ArrowEvalPython"],
+    # Poisson bootstrap: the x100 replicate explode must collapse
+    # map-side (partial_) before the B-row shuffle; weights are integer
+    # threshold compares, no Python plane
+    "bootstrap_ci_mean": [
+        "tree:Generate", "tree:HashAggregate", "partial_", "!MapInPandas",
+    ],
+    # CUPED: per-user frame from one conditional-agg pass; pooled moments
+    # and the boundary are broadcast 1-row aggregates
+    "ab_test_cuped": [
+        "tree:HashAggregate", "partial_", "!MapInPandas", "!ArrowEvalPython",
+    ],
+    # funnel: dedup canonicalization joins and the eval-span probe stay
+    # broadcast/semi; no Python plane anywhere in the composite
+    "pipeline_funnel_report": ["BroadcastHashJoin", "!MapInPandas", "!ArrowEvalPython"],
+    # compiled tree ensemble: a pure codegen projection — no join, no
+    # window, no Python eval plane
+    "gbt_inference_sql": [
+        "!tree:Join", "!tree:Window", "!MapInPandas", "!ArrowEvalPython",
+    ],
+    # connector write path: the returned frame is the checkpointed
+    # read-back aggregate; default gates apply
+    "source_python_datasink": [],
 }
 
 
