@@ -208,12 +208,15 @@ def main() -> None:
 
     qs = catalog.queries()
     timings: dict[str, float] = {}
-    # min of 2 runs per query: single-run local-JVM timings jitter +-20%
-    # from GC/codegen; the min is the stable estimate of engine cost.
+    # min of 3 runs per query: single-run local-JVM timings jitter +-20%
+    # from GC/codegen, and a heavy plan's FIRST execution pays its
+    # whole-stage-codegen JIT compile (observed 9.2 s cold vs 2.4 s warm
+    # on the minhash plan) — with 2 runs the min can still be a
+    # half-warm sample. The min of 3 is the stable engine-cost estimate.
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

@@ -64,6 +64,16 @@ def get_spark(
         # session already exists (cluster deploys size the driver via
         # spark-submit instead).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # whole-stage codegen compiles one Java class per plan; a 90+
+        # query session fills HotSpot's 240m default reserved code cache,
+        # after which the JIT stops compiling and LATE queries silently
+        # run interpreted 2-3x slower (observed: the same query 9.5 s at
+        # the tail of a 93-query bench vs 3.0 s steady-state). Applied at
+        # JVM launch only, like driver.memory.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     if master is not None:
         builder = builder.master(master)
