@@ -580,6 +580,7 @@ register(
 register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, None)
 
 register("market_basket_pairs", R.q_market_basket_pairs, R.ORACLE_MARKET_BASKET_PAIRS)
+register("recsys_item_cosine", R.q_recsys_item_cosine, R.ORACLE_RECSYS_ITEM_COSINE)
 
 # -------------------------------- corpus prep: decontaminate/chunk/pack
 

@@ -1360,6 +1360,92 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", rk).orderBy("rnk")
 
 
+RECSYS_MIN_CO = 3  # minimum co-interaction support
+RECSYS_TOP_K = 50
+
+
+def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers who bought X also
+    bought"): cosine similarity over the binary user×item interaction
+    matrix, cos(a,b) = |U_a∩U_b| / √(|U_a|·|U_b|) — the popularity
+    normalization that separates this from ``q_market_basket_pairs``'s
+    raw support (two blockbusters co-occur with everything; cosine
+    surfaces genuinely coupled niche items).
+
+    Pair fan-out is bounded per user by (items-per-user choose 2) — the
+    basket argument, one level up; at web scale the standard guard is
+    capping hyperactive users before the self-join (the same hub
+    treatment as ``graph_degree_distribution`` documents). Counts are
+    exact integers; cosine is ONE IEEE expression over them; the top-k
+    sort key is the 9-dp-rounded cosine (identical double both engines)
+    with key tie-breaks, and the re-rank window runs AFTER the limit
+    (zipf discipline).
+    """
+    t = load_tables(spark, sf_dir)
+    ui = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint()  # reused: item norms + both pair sides
+    )
+    na = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
+    a = ui.toDF("u", "part_a")
+    b = ui.toDF("u", "part_b")
+    co = (
+        a.join(b, "u")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= RECSYS_MIN_CO)
+    )
+    joined = (
+        co.join(na.toDF("part_a", "n_a"), "part_a")
+        .join(na.toDF("part_b", "n_b"), "part_b")
+    )
+    cos = F.col("co").cast("double") / F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    top = (
+        joined.select("part_a", "part_b", "n_a", "n_b", "co", cos.alias("cosine"))
+        .orderBy(F.round(F.col("cosine"), 9).desc(), "part_a", "part_b")
+        .limit(RECSYS_TOP_K)
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.round(F.col("cosine"), 9).desc(), "part_a", "part_b")
+    )
+    return top.withColumn("rnk", rk).orderBy("rnk")
+
+
+ORACLE_RECSYS_ITEM_COSINE = f"""
+WITH ui AS (
+    SELECT DISTINCT o_custkey AS u, l_partkey AS item
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), na AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_u FROM ui GROUP BY item
+), co AS (
+    SELECT a.item AS part_a, b.item AS part_b, CAST(COUNT(*) AS BIGINT) AS co
+    FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= {RECSYS_MIN_CO}
+), scored AS (
+    SELECT part_a, part_b, x.n_u AS n_a, y.n_u AS n_b, co,
+           CAST(co AS DOUBLE)
+               / sqrt(CAST(x.n_u AS DOUBLE) * CAST(y.n_u AS DOUBLE)) AS cosine
+    FROM co JOIN na x ON co.part_a = x.item JOIN na y ON co.part_b = y.item
+), top AS (
+    SELECT * FROM scored
+    ORDER BY ROUND(cosine, 9) DESC, part_a, part_b
+    LIMIT {RECSYS_TOP_K}
+)
+SELECT part_a, part_b, n_a, n_b, co, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(cosine, 9) DESC, part_a, part_b)
+            AS INT) AS rnk
+FROM top
+ORDER BY rnk
+"""
+
+
 ORACLE_MARKET_BASKET_PAIRS = f"""
 WITH items AS (
     SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem

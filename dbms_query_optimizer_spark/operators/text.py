@@ -1977,17 +1977,6 @@ FROM counts
 """
 
 
-# Frozen 3-tree GBM over the same cheap features as the logistic gate —
-# leaf values are INTEGER micro-logits so the ensemble margin is an exact
-# BIGINT sum: model-to-SQL compilation with no float contract at all
-# beyond the feature comparisons (identical expression trees both engines).
-GBT_TREES_DOC = """
-tree1: n_tokens < 30 -> -800000 | stop_ratio < 0.10 -> -200000 | else +500000
-tree2: mean_len < 3.0 -> -400000 | mean_len > 8.0 -> -300000 | else +300000
-tree3: stop_ratio >= 0.30 -> +400000 | n_tokens >= 100 -> +100000 | else -100000
-"""
-
-
 def q_gbt_inference_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tree-ensemble INFERENCE compiled to pure relational expressions —
     the "model as SQL" deployment pattern (operator-fusion inference à la
