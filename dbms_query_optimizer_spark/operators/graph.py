@@ -366,9 +366,201 @@ def _oracle_degree_distribution() -> str:
     )
 
 
+MARKOV_K = 25  # fixed absorption iterations — both engines run exactly K
+MARKOV_CONV = "purchase"
+MARKOV_CHANNELS = ["click", "error", "signup", "view"]  # transient types
+MARKOV_START = "__start__"
+MARKOV_NULL = "__null__"
+
+
+def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order attribution chain from per-user event paths, truncated
+    at the FIRST conversion (purchase absorbs): start→first event,
+    consecutive-event transitions, last event→null for never-converting
+    users. One distributed pass (user-partitioned windows + a grouped
+    count); the result is (states+2)² rows at most — broadcast scale."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    wp = W.partitionBy("user_id")
+    fp = F.min(
+        F.when(F.col("event_type") == MARKOV_CONV, F.col("rn"))
+    ).over(wp)
+    kept = base.withColumn("fp", fp).filter(
+        F.col("rn") <= F.coalesce(F.col("fp"), F.lit(2**31))
+    )
+    w2 = W.partitionBy("user_id").orderBy("rn")
+    seq = kept.select(
+        "event_type", "rn", "fp", F.lead("event_type").over(w2).alias("nxt")
+    )
+    inner = seq.filter(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("s"), F.col("nxt").alias("t")
+    )
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit(MARKOV_START).alias("s"), F.col("event_type").alias("t")
+    )
+    ends = seq.filter(F.col("nxt").isNull() & F.col("fp").isNull()).select(
+        F.col("event_type").alias("s"), F.lit(MARKOV_NULL).alias("t")
+    )
+    return (
+        inner.unionAll(starts)
+        .unionAll(ends)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven member
+    of the attribution family (`first_touch` credits the entry,
+    `linear_attribution` splits evenly; the Markov model credits each
+    channel by how much the conversion probability DROPS when that
+    channel is deleted from the journey graph — Anderl et al. 2014).
+
+    Distributed part: the transition-count aggregate (user-partitioned
+    windows, one shuffle). The chain itself is (|event types|+2)² numbers
+    — broadcast scale — so the absorption probabilities are solved
+    driver-side by K fixed power iterations, the same metadata-sized
+    driver math as `similarity.py`'s PCA moments. The oracle unrolls the
+    IDENTICAL K iterations per removal chain as CTEs, and every emitted
+    probability is ROUND(…,6) — the `graph_pagerank` contract that
+    absorbs summation-order ulps between engines. Exact integer
+    `n_touch` anchors each channel row to the data.
+    """
+    trans_rows = _markov_transitions(spark, sf_dir).collect()
+    counts: dict[tuple[str, str], int] = {(r.s, r.t): r.n for r in trans_rows}
+    out_tot: dict[str, int] = {}
+    for (s, _), n in counts.items():
+        out_tot[s] = out_tot.get(s, 0) + n
+    transient = sorted(out_tot)  # every source state is transient
+    probs = {
+        (s, t): n / out_tot[s] for (s, t), n in counts.items()
+    }
+
+    def absorb(removed: str | None) -> float:
+        x = {s: 0.0 for s in transient}
+        for _ in range(MARKOV_K):
+            nxt = {}
+            for s in transient:
+                acc = probs.get((s, MARKOV_CONV), 0.0)
+                for t in transient:
+                    if t == removed:
+                        continue
+                    p = probs.get((s, t))
+                    if p is not None:
+                        acc += p * x[t]
+                nxt[s] = acc
+            x = nxt
+        return x[MARKOV_START]
+
+    p_base = absorb(None)
+    effects = {c: p_base - absorb(c) for c in MARKOV_CHANNELS}
+    te = sum(effects[c] for c in sorted(effects))
+    rows = [
+        (
+            c,
+            int(out_tot.get(c, 0)),
+            round(p_base, 6),
+            round(p_base - effects[c], 6),
+            round(effects[c], 6),
+            round(effects[c] / te, 6),
+        )
+        for c in MARKOV_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, n_touch long, p_base double, p_removed double,"
+        " removal_effect double, credit_share double",
+    ).orderBy("channel")
+
+
+def _oracle_markov_attribution() -> str:
+    absorbing = f"'{MARKOV_CONV}', '{MARKOV_NULL}'"
+    chains = [("none", None)] + [(c, c) for c in MARKOV_CHANNELS]
+    steps = []
+    for name, removed in chains:
+        excl = absorbing + (f", '{removed}'" if removed else "")
+        steps.append(
+            f"x_{name}_0 AS MATERIALIZED (SELECT s, 0.0 AS val FROM pconv)"
+        )
+        for i in range(1, MARKOV_K + 1):
+            steps.append(
+                f"""x_{name}_{i} AS MATERIALIZED (
+    SELECT pc.s, pc.pc + COALESCE(SUM(p.p * x.val), 0.0) AS val
+    FROM pconv pc
+    LEFT JOIN probs p ON p.s = pc.s AND p.t NOT IN ({excl})
+    LEFT JOIN x_{name}_{i - 1} x ON x.s = p.t
+    GROUP BY pc.s, pc.pc
+)"""
+            )
+    eff_rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS channel,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM counts WHERE s = '{c}') AS n_touch,
+           (SELECT val FROM x_none_{MARKOV_K} WHERE s = '{MARKOV_START}') AS p_base,
+           (SELECT val FROM x_{c}_{MARKOV_K} WHERE s = '{MARKOV_START}') AS p_removed"""
+        for c in MARKOV_CHANNELS
+    )
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), flagged AS (
+    SELECT *, MIN(CASE WHEN event_type = '{MARKOV_CONV}' THEN rn END)
+              OVER (PARTITION BY user_id) AS fp
+    FROM ordered
+), kept AS (
+    SELECT user_id, event_type, rn, fp,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+    FROM flagged WHERE rn <= COALESCE(fp, 2147483647)
+), trans AS (
+    SELECT event_type AS s, nxt AS t FROM kept WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT '{MARKOV_START}', event_type FROM kept WHERE rn = 1
+    UNION ALL
+    SELECT event_type, '{MARKOV_NULL}' FROM kept
+    WHERE nxt IS NULL AND fp IS NULL
+), counts AS MATERIALIZED (
+    SELECT s, t, CAST(COUNT(*) AS BIGINT) AS n FROM trans GROUP BY s, t
+), probs AS MATERIALIZED (
+    SELECT s, t,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY s) AS DOUBLE) AS p
+    FROM counts
+), pconv AS MATERIALIZED (
+    SELECT st.s,
+           COALESCE(MAX(CASE WHEN p.t = '{MARKOV_CONV}' THEN p.p END), 0.0)
+               AS pc
+    FROM (SELECT DISTINCT s FROM counts) st
+    LEFT JOIN probs p ON p.s = st.s
+    GROUP BY st.s
+), {", ".join(steps)},
+eff AS (
+{eff_rows}
+), tot AS (
+    SELECT SUM(p_base - p_removed) AS te FROM eff
+)
+SELECT channel, n_touch,
+       ROUND(p_base, 6) AS p_base,
+       ROUND(p_removed, 6) AS p_removed,
+       ROUND(p_base - p_removed, 6) AS removal_effect,
+       ROUND((p_base - p_removed) / te, 6) AS credit_share
+FROM eff, tot
+ORDER BY channel
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
+        "markov_attribution": (
+            q_markov_attribution,
+            _oracle_markov_attribution(),
+        ),
         "graph_triangle_count": (q_graph_triangle_count, ORACLE_GRAPH_TRIANGLE_COUNT),
         "graph_link_prediction": (
             q_graph_link_prediction,

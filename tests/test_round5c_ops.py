@@ -480,6 +480,82 @@ def test_gbt_margins_are_valid_leaf_sums(spark, sf_dir):
         assert r.keep == (r.margin_micro >= 0)
 
 
+def test_markov_attribution_reference_and_laws(spark, sf_dir):
+    """Absorption probabilities re-derived with Fraction-exact K-step
+    iteration from independently-built transition counts; plus the
+    structural laws: removal never raises conversion, shares sum to 1."""
+    from fractions import Fraction
+
+    from dbms_query_optimizer_spark.operators.graph import (
+        MARKOV_CHANNELS,
+        MARKOV_CONV,
+        MARKOV_K,
+        MARKOV_START,
+    )
+
+    con = _duck(sf_dir)
+    pairs = con.execute(
+        """
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), flagged AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+                      OVER (PARTITION BY user_id) AS fp
+            FROM ordered
+        ), kept AS (
+            SELECT user_id, event_type, rn, fp,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY rn) AS nxt
+            FROM flagged WHERE rn <= COALESCE(fp, 2147483647)
+        )
+        SELECT event_type AS s, nxt AS t FROM kept WHERE nxt IS NOT NULL
+        UNION ALL SELECT '__start__', event_type FROM kept WHERE rn = 1
+        UNION ALL SELECT event_type, '__null__' FROM kept
+                  WHERE nxt IS NULL AND fp IS NULL
+        """
+    ).fetchall()
+    counts: dict[tuple, int] = {}
+    out_tot: dict[str, int] = {}
+    for s, t in pairs:
+        counts[(s, t)] = counts.get((s, t), 0) + 1
+        out_tot[s] = out_tot.get(s, 0) + 1
+    transient = sorted(out_tot)
+    probs = {k: Fraction(n, out_tot[k[0]]) for k, n in counts.items()}
+
+    def absorb(removed):
+        x = {s: Fraction(0) for s in transient}
+        for _ in range(MARKOV_K):
+            x = {
+                s: probs.get((s, MARKOV_CONV), Fraction(0))
+                + sum(
+                    probs.get((s, t), Fraction(0)) * x[t]
+                    for t in transient
+                    if t != removed
+                )
+                for s in transient
+            }
+        return x[MARKOV_START]
+
+    p_base = absorb(None)
+    got = {r.channel: r for r in QS["markov_attribution"](spark, sf_dir).collect()}
+    assert set(got) == set(MARKOV_CHANNELS)
+    effects = {}
+    for c in MARKOV_CHANNELS:
+        r = got[c]
+        p_rm = absorb(c)
+        assert abs(r.p_base - float(p_base)) < 1e-6
+        assert abs(r.p_removed - float(p_rm)) < 1e-6
+        assert r.removal_effect >= 0  # removal can only hurt conversion
+        assert r.n_touch == out_tot.get(c, 0)
+        effects[c] = float(p_base - p_rm)
+    shares = sum(got[c].credit_share for c in MARKOV_CHANNELS)
+    assert abs(shares - 1.0) < 1e-5
+    con.close()
+
+
 # ------------------------------------------- streaming left-outer join
 
 
