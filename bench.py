@@ -178,6 +178,11 @@ HEADLINE = [
     "pipeline_funnel_report",
     "gbt_inference_sql",
     "source_python_datasink",
+    # round 5c: item-item collaborative filtering (basket-bounded pair
+    # self-join + popularity normalization) and Markov removal-effect
+    # attribution (one distributed transition pass + broadcast-scale solve)
+    "recsys_item_cosine",
+    "markov_attribution",
 ]
 
 

@@ -409,6 +409,16 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # connector write path: the returned frame is the checkpointed
     # read-back aggregate; default gates apply
     "source_python_datasink": [],
+    # item-item CF: pair support counts combine map-side; the norm
+    # lookups are equi-joins; re-rank window only after the limit
+    "recsys_item_cosine": [
+        "tree:HashAggregate", "partial_", "!tree:BroadcastNestedLoopJoin",
+        "!MapInPandas",
+    ],
+    # Markov attribution: returned frame is the driver-solved 4-row
+    # attribution table (the distributed transition pass runs inside the
+    # query function); default gates apply
+    "markov_attribution": [],
 }
 
 
