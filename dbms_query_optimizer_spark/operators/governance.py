@@ -2665,12 +2665,96 @@ ORDER BY arm
 """
 
 
+def q_source_loo_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out data valuation by VOCABULARY contribution: for every
+    source, how much of the corpus vocabulary exists ONLY because that
+    source is in the mix — the cheap, exact member of the data-valuation
+    family (Shapley needs 2^n subsets; for the vocabulary metric the
+    leave-one-out marginal is computable from ONE pass because a token
+    survives source s's removal iff it appears in any other source).
+
+    Shape: distinct (token, source) pairs aggregate map-side; per token
+    ONE more aggregate yields (n_sources, the unique source when
+    n_sources = 1); per source, unique-token counts and the LOO
+    vocabulary |V| − unique(s) are exact integers, with the contribution
+    share a single IEEE division. No per-pair join, no 2^n anything —
+    the shuffle carries one row per distinct token.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok_src = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    per_token = tok_src.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.max("source").alias("only_src"),
+    )
+    totals = per_token.agg(F.count(F.lit(1)).alias("v_total"))
+    uniq = (
+        per_token.filter(F.col("n_src") == 1)
+        .groupBy(F.col("only_src").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_unique_tokens"))
+    )
+    srcs = docs.select("source").distinct()
+    return (
+        srcs.join(uniq, "source", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.coalesce(F.col("n_unique_tokens"), F.lit(0)).alias(
+                "n_unique_tokens"
+            ),
+            "v_total",
+            (
+                F.col("v_total")
+                - F.coalesce(F.col("n_unique_tokens"), F.lit(0))
+            ).alias("loo_vocab"),
+            (
+                F.coalesce(F.col("n_unique_tokens"), F.lit(0)).cast("double")
+                / F.col("v_total").cast("double")
+            ).alias("contribution"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_LOO_VOCAB = """
+WITH tok_src AS (
+    SELECT DISTINCT source, t.token
+    FROM documents,
+         UNNEST(string_split(text, ' ')) AS t(token)
+    WHERE t.token <> ''
+), per_token AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_src,
+           MAX(source) AS only_src
+    FROM tok_src GROUP BY token
+), totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v_total FROM per_token
+), uniq AS (
+    SELECT only_src AS source, CAST(COUNT(*) AS BIGINT) AS n_unique_tokens
+    FROM per_token WHERE n_src = 1 GROUP BY only_src
+)
+SELECT s.source,
+       CAST(COALESCE(u.n_unique_tokens, 0) AS BIGINT) AS n_unique_tokens,
+       v_total,
+       CAST(v_total - COALESCE(u.n_unique_tokens, 0) AS BIGINT) AS loo_vocab,
+       CAST(COALESCE(u.n_unique_tokens, 0) AS DOUBLE)
+           / CAST(v_total AS DOUBLE) AS contribution
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN uniq u ON u.source = s.source, totals
+ORDER BY s.source
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
     return {
         "spearman_rank_corr": (q_spearman_rank_corr, ORACLE_SPEARMAN_RANK_CORR),
         "ab_test_cuped": (q_ab_test_cuped, ORACLE_AB_TEST_CUPED),
+        "source_loo_vocab": (q_source_loo_vocab, ORACLE_SOURCE_LOO_VOCAB),
         "ks_test_drift": (q_ks_test_drift, ORACLE_KS_TEST_DRIFT),
         "mutual_information_features": (
             q_mutual_information_features,

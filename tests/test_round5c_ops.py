@@ -480,6 +480,33 @@ def test_gbt_margins_are_valid_leaf_sums(spark, sf_dir):
         assert r.keep == (r.margin_micro >= 0)
 
 
+def test_source_loo_vocab_reference(spark, sf_dir):
+    """Per-source unique-token counts re-derived in pure Python; the LOO
+    identity loo_vocab = |V| − unique(s) and Σ unique ≤ |V| law."""
+    con = _duck(sf_dir)
+    docs = con.execute("SELECT source, text FROM documents").fetchall()
+    tok_srcs: dict[str, set] = {}
+    for src, text in docs:
+        for t in text.split(" "):
+            if t:
+                tok_srcs.setdefault(t, set()).add(src)
+    v_total = len(tok_srcs)
+    uniq: dict[str, int] = {}
+    for t, ss in tok_srcs.items():
+        if len(ss) == 1:
+            s = next(iter(ss))
+            uniq[s] = uniq.get(s, 0) + 1
+    got = {r.source: r for r in QS["source_loo_vocab"](spark, sf_dir).collect()}
+    assert set(got) == {s for s, _ in docs}
+    for s, r in got.items():
+        assert r.n_unique_tokens == uniq.get(s, 0)
+        assert r.v_total == v_total
+        assert r.loo_vocab == v_total - uniq.get(s, 0)
+        assert r.contribution == uniq.get(s, 0) / v_total
+    assert sum(r.n_unique_tokens for r in got.values()) <= v_total
+    con.close()
+
+
 def test_markov_attribution_reference_and_laws(spark, sf_dir):
     """Absorption probabilities re-derived with Fraction-exact K-step
     iteration from independently-built transition counts; plus the
