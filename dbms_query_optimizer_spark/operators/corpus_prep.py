@@ -111,10 +111,12 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out eval split (doc_id % EVAL_MOD == 0) and every remaining doc
     sharing a word 8-gram with it.
 
-    Shape: ONE base pass computes every per-doc feature (quality,
-    both fingerprints, token count); each dedup stage is a grouped
-    min + semi-join on the fingerprint; contamination is the broadcast
-    eval-span probe of ``q_decontaminate_ngram``. Counts are exact;
+    Shape: one COMPACT checkpointed base pass computes the per-doc
+    scalars (quality, both fingerprints, token count — 6 columns, never
+    the token arrays); each dedup stage is a grouped min + semi-join on
+    the fingerprint; contamination is the broadcast eval-span probe of
+    ``q_decontaminate_ngram``, re-tokenizing from the source scan so no
+    corpus-sized array frame is ever materialized. Counts are exact;
     pct_docs is a single IEEE division per stage.
     """
     from ..functions.text import fingerprint_md5, word_ngrams
@@ -133,8 +135,11 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.split(F.lower("text"), "[^a-z]+")), " "
             ).cast("binary")
         ).alias("fp_sorted"),
-        tok_fn("text").alias("toks"),
-    ).localCheckpoint()  # every stage and the span probe reuse this pass
+        # deliberately NO token-array column: the checkpoint must stay
+        # compact (6 scalar columns per doc); materializing tokenized
+        # arrays would make it corpus-sized at 100 TB — the span probe
+        # below re-tokenizes from the source scan instead
+    ).localCheckpoint()  # every counting stage reuses this compact pass
 
     s1 = base.filter(F.col("lang") == PREP_LANG)
     s2 = s1.filter(F.col("quality") >= QUALITY_T)
@@ -143,9 +148,11 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep4 = s3.groupBy("fp_sorted").agg(F.min("doc_id").alias("doc_id"))
     s4 = s3.join(keep4, ["fp_sorted", "doc_id"], "left_semi")
 
-    spans = base.select(
-        "doc_id", F.explode(word_ngrams("toks", DECON_N)).alias("span")
-    ).distinct()
+    spans = (
+        docs.select("doc_id", tok_fn("text").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams("toks", DECON_N)).alias("span"))
+        .distinct()
+    )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_spans = spans.filter(is_eval).select("span").distinct()
     contaminated = (

@@ -886,6 +886,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
+    # NOT checkpointed: this frame is one row per TOKEN OCCURRENCE —
+    # corpus-sized — so materializing it would spill ~the whole corpus
+    # to executor disk at 100 TB. The LM pass and the per-doc pass each
+    # re-derive it from the scan instead (2 CPU passes beat 1 pass +
+    # 1 corpus-sized write + 1 read; contrast ks_test_drift, which
+    # checkpoints only its DOMAIN-sized frame).
     hashed = toks.select(
         "doc_id",
         "lang",
@@ -902,7 +908,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(FH_BUCKETS),
         ).alias("bucket"),
-    ).localCheckpoint()  # reused: target LM, raw LM, per-doc counts
+    )
     lm = hashed.groupBy("bucket").agg(
         F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
         F.count(F.lit(1)).alias("cr"),
