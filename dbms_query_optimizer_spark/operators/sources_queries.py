@@ -447,6 +447,160 @@ ORACLE_SOURCE_PYTHON_DATASINK = """
 """
 
 
+ADVISOR_BUCKETS = 8  # files a range-clustered rewrite would produce
+
+
+def q_cluster_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-design advisor: for every candidate CLUSTER key, how much
+    file skipping would a range-clustered rewrite buy for range queries
+    on every QUERY column? Clustering by c partitions rows into B
+    equal-count files; a range predicate on column d then skips a file
+    whose d-min/max band misses the range — so the expected scan
+    fraction is the files' average d-band width relative to d's global
+    span. span_ratio(c→d) = Σ_buckets span_d / (B · global_span_d):
+    ≈ 1/B on the diagonal (clustering by d always serves d), < 1 off
+    the diagonal exactly when c ORDERS d (correlated columns — the
+    orderkey/orderdate correlation every append-only fact table has),
+    ≈ 1 for uncorrelated pairs (clustering by c buys d nothing). The
+    decision `write_sorted_parquet` / `write_zorder_parquet` callers
+    make, measured instead of guessed — the physical-design complement
+    of the §4.1 selectivity estimator.
+
+    All quantities exact: columns quantize to integer units (cents /
+    epoch days), bucket ids come from the DISTRIBUTED rank +
+    closed-form ``exact_ntile`` (equal keys split deterministically by
+    the orderkey tie-break, mirrored in the oracle's ROW_NUMBER), spans
+    are integer max−min, and the ratio is ONE IEEE division. Shape per
+    candidate: one distributed rank + one B-row grouped min/max pass —
+    B·|candidates|·|columns| result rows, corpus touched |candidates|
+    times.
+    """
+    from .relational import distributed_row_number, exact_ntile, range_bucket
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    cols = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_totalprice_c": F.round(F.col("o_totalprice") * 100).cast("long"),
+        "o_orderdate_d": F.datediff(
+            F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
+        ).cast("long"),
+    }
+    base = orders.select(
+        *[expr.alias(name) for name, expr in cols.items()]
+    ).localCheckpoint()  # reused once per candidate cluster key
+    names = list(cols)
+    globals_row = base.agg(
+        *[
+            (F.max(n) - F.min(n)).alias(f"gspan_{n}")
+            for n in names
+        ]
+    )
+    out = None
+    for ckey in names:
+        ranked, n = distributed_row_number(
+            base,
+            [F.col(ckey), F.col("o_orderkey")],
+            range_bucket(base, ckey, 8),
+            8,
+            rn_col="_rn",
+            return_total=True,
+        )
+        per_bucket = (
+            ranked.select(
+                exact_ntile("_rn", n, ADVISOR_BUCKETS).alias("bkt"), *names
+            )
+            .groupBy("bkt")
+            .agg(
+                *[
+                    (F.max(q) - F.min(q)).alias(f"span_{q}")
+                    for q in names
+                ]
+            )
+        )
+        sums = per_bucket.agg(
+            *[F.sum(f"span_{q}").alias(f"ssum_{q}") for q in names]
+        )
+        rows = sums.crossJoin(F.broadcast(globals_row)).selectExpr(
+            f"'{ckey}' AS cluster_col",
+            f"stack({len(names)}, "
+            + ", ".join(
+                f"'{q}', ssum_{q}, gspan_{q}" for q in names
+            )
+            + ") AS (query_col, sum_bucket_span, global_span)",
+        )
+        out = rows if out is None else out.unionAll(rows)
+    return out.select(
+        "cluster_col",
+        "query_col",
+        "sum_bucket_span",
+        "global_span",
+        (
+            F.col("sum_bucket_span").cast("double")
+            / (
+                F.lit(float(ADVISOR_BUCKETS))
+                * F.col("global_span").cast("double")
+            )
+        ).alias("span_ratio"),
+    ).orderBy("cluster_col", "query_col")
+
+
+def _oracle_cluster_key_advisor() -> str:
+    names = ["o_orderkey", "o_custkey", "o_totalprice_c", "o_orderdate_d"]
+    parts = []
+    for ckey in names:
+        spans = ", ".join(
+            f"CAST(MAX({q}) - MIN({q}) AS BIGINT) AS span_{q}" for q in names
+        )
+        parts.append(
+            f"""pb_{ckey} AS (
+    SELECT NTILE({ADVISOR_BUCKETS}) OVER (ORDER BY {ckey}, o_orderkey) AS bkt,
+           *
+    FROM base
+), spans_{ckey} AS (
+    SELECT bkt, {spans}
+    FROM (SELECT bkt, {", ".join(names)} FROM pb_{ckey}) GROUP BY bkt
+)"""
+        )
+    # rebuild the per-cluster stacks against the span tables
+    stacks = []
+    for ckey in names:
+        for q in names:
+            stacks.append(
+                f"SELECT '{ckey}' AS cluster_col, '{q}' AS query_col, "
+                f"CAST(SUM(span_{q}) AS BIGINT) AS sum_bucket_span "
+                f"FROM spans_{ckey}"
+            )
+    union = "\n    UNION ALL\n    ".join(stacks)
+    gspans = ", ".join(
+        f"CAST(MAX({q}) - MIN({q}) AS BIGINT) AS gspan_{q}" for q in names
+    )
+    gcase = " ".join(
+        f"WHEN query_col = '{q}' THEN gspan_{q}" for q in names
+    )
+    return f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+           CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS o_orderdate_d
+    FROM orders
+), g AS (
+    SELECT {gspans} FROM base
+), {", ".join(parts)},
+stacked AS (
+    {union}
+)
+SELECT cluster_col, query_col, sum_bucket_span,
+       CAST(CASE {gcase} END AS BIGINT) AS global_span,
+       CAST(sum_bucket_span AS DOUBLE)
+           / ({ADVISOR_BUCKETS}.0 * CAST(CASE {gcase} END AS DOUBLE))
+           AS span_ratio
+FROM stacked, g
+ORDER BY cluster_col, query_col
+"""
+
+
 def q_source_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order-clustered write → 2-D-selective read, end to end: orders
     rewritten Morton-interleaved on (o_custkey, o_totalprice) into 8
@@ -2097,6 +2251,10 @@ def oracles() -> dict[str, tuple]:
         "source_python_datasink": (
             q_source_python_datasink,
             ORACLE_SOURCE_PYTHON_DATASINK,
+        ),
+        "cluster_key_advisor": (
+            q_cluster_key_advisor,
+            _oracle_cluster_key_advisor(),
         ),
         "source_csv_scan": (q_source_csv_scan, ORACLE_SOURCE_CSV_SCAN),
         "source_json_scan": (q_source_json_scan, ORACLE_SOURCE_JSON_SCAN),

@@ -18,7 +18,7 @@ QS = catalog.queries()
 
 def _duck(sf_dir: str):
     con = duckdb.connect()
-    for t in ("events", "lineitem", "documents"):
+    for t in ("events", "lineitem", "documents", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -478,6 +478,54 @@ def test_gbt_margins_are_valid_leaf_sums(spark, sf_dir):
     assert len(margins) > 1
     for r in rows:
         assert r.keep == (r.margin_micro >= 0)
+
+
+def test_cluster_key_advisor_reference(spark, sf_dir):
+    """Span ratios re-derived in pure Python (NTILE by sorted position,
+    per-bucket max-min spans); diagonal must be the near-perfect 1/B."""
+    con = _duck(sf_dir)
+    rows = con.execute(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               CAST(date_diff('day', DATE '1990-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+        FROM orders
+        """
+    ).fetchall()
+    names = ["o_orderkey", "o_custkey", "o_totalprice_c", "o_orderdate_d"]
+    B = 8
+    n = len(rows)
+    got = {
+        (r.cluster_col, r.query_col): r
+        for r in QS["cluster_key_advisor"](spark, sf_dir).collect()
+    }
+    gspan = {
+        q: max(r[i] for r in rows) - min(r[i] for r in rows)
+        for i, q in enumerate(names)
+    }
+    q_, rem = divmod(n, B)
+    sizes = [q_ + 1] * rem + [q_] * (B - rem)
+    for ci, ckey in enumerate(names):
+        ordered = sorted(rows, key=lambda r: (r[ci], r[0]))
+        pos = 0
+        spans = {q: 0 for q in names}
+        for size in sizes:
+            chunk = ordered[pos : pos + size]
+            pos += size
+            for qi, q in enumerate(names):
+                vals = [r[qi] for r in chunk]
+                spans[q] += max(vals) - min(vals)
+        for q in names:
+            r = got[(ckey, q)]
+            assert (r.sum_bucket_span, r.global_span) == (spans[q], gspan[q]), (
+                ckey,
+                q,
+            )
+            assert r.span_ratio == spans[q] / (8.0 * gspan[q])
+    for q in names:
+        assert got[(q, q)].span_ratio <= 1.0 / B + 0.01  # diagonal ~ 1/B
+    con.close()
 
 
 def test_source_loo_vocab_reference(spark, sf_dir):
