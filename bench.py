@@ -183,6 +183,10 @@ HEADLINE = [
     # attribution (one distributed transition pass + broadcast-scale solve)
     "recsys_item_cosine",
     "markov_attribution",
+    # round 5c: physical-design advisor (distributed-rank bucket spans per
+    # candidate cluster key) and leave-one-out vocabulary valuation
+    "cluster_key_advisor",
+    "source_loo_vocab",
 ]
 
 

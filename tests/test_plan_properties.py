@@ -419,6 +419,14 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # attribution table (the distributed transition pass runs inside the
     # query function); default gates apply
     "markov_attribution": [],
+    # advisor: bucket spans aggregate map-side over the ranked frame;
+    # rank windows are _pid-partitioned (distributed_row_number)
+    "cluster_key_advisor": [
+        "tree:Window", "tree:HashAggregate", "partial_", "!MapInPandas",
+    ],
+    # LOO vocabulary: distinct (token, source) + per-token aggregate;
+    # no Python plane, no nested loop beyond the 1-row totals broadcast
+    "source_loo_vocab": ["tree:HashAggregate", "partial_", "!MapInPandas"],
 }
 
 
