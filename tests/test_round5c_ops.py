@@ -480,6 +480,25 @@ def test_gbt_margins_are_valid_leaf_sums(spark, sf_dir):
         assert r.keep == (r.margin_micro >= 0)
 
 
+def test_recsys_cosine_bounds_and_support(spark, sf_dir):
+    """Structural laws: co ≤ min(n_a, n_b) (intersection bound), cosine
+    in (0, 1], descending by the rounded score, and co ≥ threshold."""
+    from dbms_query_optimizer_spark.operators.relational import RECSYS_MIN_CO
+
+    rows = QS["recsys_item_cosine"](spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in sorted(rows, key=lambda r: r.rnk):
+        assert r.co <= min(r.n_a, r.n_b)
+        assert r.co >= RECSYS_MIN_CO
+        assert 0.0 < r.cosine <= 1.0
+        assert abs(r.cosine - r.co / (r.n_a * r.n_b) ** 0.5) < 1e-12
+        key = round(r.cosine, 9)
+        if prev is not None:
+            assert key <= prev + 1e-12
+        prev = key
+
+
 def test_cluster_key_advisor_reference(spark, sf_dir):
     """Span ratios re-derived in pure Python (NTILE by sorted position,
     per-bucket max-min spans); diagonal must be the near-perfect 1/B."""
