@@ -623,11 +623,29 @@ for _name, (_fn, _sql) in TPCH.oracles().items():
 # full-catalog gate (tests/test_queries_oracle.py — the identical DuckDB
 # hash check over every oracled entry).
 
-# Names with a hash-checked driver row in rounds 1-4 (union of
-# CORRECTNESS_r0{1,2,3,4}.json minus the no_oracle rows-only entries and
-# minus tpch_q12, whose r4 row was red — an oracle-side HUGEINT cast bug,
-# fixed this round and rotated back in to prove it).
+# Names with a hash-checked driver row in rounds 1-5 (union of
+# CORRECTNESS_r0{1..5}.json greens minus the no_oracle rows-only entries
+# and minus twap_daily, whose r5 row was red — an oracle-side
+# DOUBLE-vs-BIGINT epoch() cast defect, fixed this round and rotated
+# back in to prove it).
 DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
+    # round-5 greens
+    "arrow_map_stats", "asof_join_left", "audience_overlap_bitmap",
+    "boilerplate_strip", "chi_square_independence", "cogroup_reconcile",
+    "cohort_ltv", "column_profile", "corpus_mix_build",
+    "correlation_matrix", "dedup_containment", "dedup_keep_superset",
+    "drift_psi", "drift_welch_t", "entity_resolution",
+    "event_pattern_match", "ewma_smooth", "feature_assembly_pit",
+    "first_touch_attribution", "functions_array_json",
+    "functions_bitwise", "functions_datetime", "functions_map",
+    "functions_string", "gini_concentration", "pii_redact",
+    "quantile_normalize", "rfm_segmentation", "rolling_median",
+    "running_balance_clamped", "sample_systematic", "session_paths",
+    "source_quota_cap", "stats_selectivity_report",
+    "streaming_quantile_sketch", "streaming_stream_stream_join",
+    "table_checksum", "tpch_q12", "txn_changes", "txn_delete_mor",
+    "txn_restore", "txn_scd2_apply", "txn_wap_publish",
+    "vocab_coverage", "weighted_median",
     # round-4 greens
     "approx_aggs", "asof_join_forward", "asof_join_salted",
     "bucketed_colocated_join", "curriculum_bins",
@@ -675,74 +693,74 @@ DRIVER_SENTINELS = [
     "tpch_q1",            # pure scan + partial-agg baseline
 ]
 
-# Round-5 window: sentinels + tpch_q12 (red in r4 on an oracle-side
-# HUGEINT cast; the query was always right — re-checked to prove the
-# fix) + the 12 other queries whose oracles carried the same HUGEINT
-# defect (all cast this round) + the round-4 session additions that have
-# never produced a driver row (txn family, temporal/attribution,
-# dedup variants, governance) + the functions_* scalar families (zero
-# driver rows after 4 rounds) + streaming_stream_stream_join (the last
-# §2.2 streaming member without driver evidence) + the three reworked
-# distributed-window queries (sample_systematic, quantile_normalize,
-# rfm_segmentation) + the newly hash-checkable stats_selectivity_report.
+# Round-6 window: sentinels + twap_daily (red in r5 on an oracle-side
+# DOUBLE-vs-BIGINT epoch() cast; the query's values were bit-identical
+# to the oracle's — cast fixed this round, re-checked to prove it) + 45
+# never-driver-checked round-5 additions, prioritizing one representative
+# per operator family: the model-eval family, time-series/anomaly,
+# drift/audit sketches, set-similarity dedup, attribution/recsys, text
+# vectorization, feature engineering, experimentation, and the two
+# plan-pinned advisor queries. (linear_attribution deferred to r7 — the
+# attribution family is already represented by markov_attribution here
+# and first_touch_attribution green in r5.)
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
-    # red in r4 — oracle cast fixed, re-prove
-    "tpch_q12",
-    # the 12 other HUGEINT-defect oracles, all cast this round
-    "audience_overlap_bitmap",
-    "cogroup_reconcile",
-    "arrow_map_stats",
-    "rfm_segmentation",
-    "cohort_ltv",
-    "txn_scd2_apply",
-    "streaming_quantile_sketch",
-    "first_touch_attribution",
-    "vocab_coverage",
-    "drift_psi",
-    "column_profile",
-    "gini_concentration",
-    # transactional manifest family (round-4 additions, never checked)
-    "txn_delete_mor",
-    "txn_wap_publish",
-    "txn_restore",
-    "txn_changes",
-    # temporal / attribution / smoothing
-    "ewma_smooth",
-    "rolling_median",
-    "running_balance_clamped",
+    # red in r5 — oracle epoch() cast to BIGINT this round, re-prove
     "twap_daily",
-    "session_paths",
-    "asof_join_left",
-    # dedup / entity variants
-    "entity_resolution",
-    "dedup_containment",
-    "dedup_keep_superset",
-    "boilerplate_strip",
-    # governance / stats
-    "correlation_matrix",
-    "chi_square_independence",
-    "weighted_median",
-    "drift_welch_t",
-    "table_checksum",
-    "corpus_mix_build",
-    "pii_redact",
-    "event_pattern_match",
-    "feature_assembly_pit",
-    # scalar function families (zero driver rows after 4 rounds)
-    "functions_datetime",
-    "functions_string",
-    "functions_array_json",
-    "functions_map",
-    "functions_bitwise",
-    # last §2.2 streaming member without driver evidence
-    "streaming_stream_stream_join",
-    # reworked this round: distributed global windows (same semantics)
-    "sample_systematic",
-    "quantile_normalize",
-    # TableStats estimation surface, newly hash-checkable (§2.1 unit 6)
-    "stats_selectivity_report",
-    # ingest/quota
-    "source_quota_cap",
+    # model evaluation family
+    "model_auc_roc",
+    "model_pr_auc",
+    "model_gains_table",
+    "model_calibration_report",
+    "model_confusion_report",
+    # rank/percentile statistics
+    "spearman_rank_corr",
+    "percentile_cont_domain",
+    # time series
+    "seasonal_decompose",
+    "rolling_corr",
+    "theil_sen_trend",
+    "survival_km",
+    "forecast_backtest_snaive",
+    "cusum_changepoint",
+    "seasonal_anomaly_flags",
+    # drift / governance audits
+    "ks_test_drift",
+    "mutual_information_features",
+    "fk_integrity_audit",
+    "count_min_sketch_audit",
+    "hll_estimate_audit",
+    "bloom_membership_audit",
+    "join_cardinality_audit",
+    "benford_audit",
+    "rate_smoothing_eb",
+    "skew_key_report",
+    # dedup variants
+    "dedup_set_similarity_prefix",
+    "dedup_token_sort",
+    # allocation / attribution / recsys
+    "fifo_allocation",
+    "markov_attribution",
+    "recsys_item_cosine",
+    # text vectorization / mining
+    "bpe_pair_merge",
+    "text_collocations",
+    "feature_hash_vectorize",
+    "text_keyphrase_rake",
+    "graph_link_prediction",
+    "dsir_importance_weights",
+    # feature engineering
+    "feature_standardize",
+    "woe_binning",
+    "target_encode_kfold",
+    # experimentation
+    "ab_test_cuped",
+    "bootstrap_ci_mean",
+    "group_kfold_split",
+    "pipeline_funnel_report",
+    "gbt_inference_sql",
+    # plan-pinned advisors (benched r5)
+    "cluster_key_advisor",
+    "source_loo_vocab",
 ]
 
 

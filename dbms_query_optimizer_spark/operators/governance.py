@@ -2433,7 +2433,9 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_quantity") * 100).cast("long").alias("qx"),
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("qy"),
         )
-        .localCheckpoint()  # reused: two domain builds + the rank join
+        .persist()  # reused (two domain builds + rank join + totals);
+        # persist keeps lineage intact — fault-tolerant at cluster scale,
+        # unlike localCheckpoint which pins O(table) bytes with no recompute
     )
 
     def rank_table(col: str, r2_name: str) -> DataFrame:

@@ -464,17 +464,29 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             c,
             int(out_tot.get(c, 0)),
-            round(p_base, 6),
-            round(p_base - effects[c], 6),
-            round(effects[c], 6),
-            round(effects[c] / te, 6),
+            p_base,
+            p_base - effects[c],
+            effects[c],
+            effects[c] / te,
         )
         for c in MARKOV_CHANNELS
     ]
-    return spark.createDataFrame(
+    # Round via F.round, not Python round(): the repo's ROUND(…,6)
+    # contract pairs Spark F.round (HALF_UP) with DuckDB ROUND
+    # (half-away-from-zero); Python's round-half-to-even would diverge
+    # on an exact 1e-7 half-boundary.
+    raw = spark.createDataFrame(
         rows,
         "channel string, n_touch long, p_base double, p_removed double,"
         " removal_effect double, credit_share double",
+    )
+    return raw.select(
+        "channel",
+        "n_touch",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("p_base", "p_removed", "removal_effect", "credit_share")
+        ],
     ).orderBy("channel")
 
 
@@ -499,7 +511,8 @@ def _oracle_markov_attribution() -> str:
             )
     eff_rows = "\n    UNION ALL\n".join(
         f"""    SELECT '{c}' AS channel,
-           (SELECT CAST(SUM(n) AS BIGINT) FROM counts WHERE s = '{c}') AS n_touch,
+           COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM counts
+                     WHERE s = '{c}'), 0) AS n_touch,
            (SELECT val FROM x_none_{MARKOV_K} WHERE s = '{MARKOV_START}') AS p_base,
            (SELECT val FROM x_{c}_{MARKOV_K} WHERE s = '{MARKOV_START}') AS p_removed"""
         for c in MARKOV_CHANNELS

@@ -1362,6 +1362,14 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RECSYS_MIN_CO = 3  # minimum co-interaction support
 RECSYS_TOP_K = 50
+# Hub guard: users with more than this many distinct items are dropped
+# BEFORE the pair self-join. The pair fan-out is (items-per-user choose
+# 2), so one 10^5-item power user is 5×10^9 pairs through a single join
+# key at web scale; hyperactive users also carry near-zero collaborative
+# signal (they co-occur with everything). 64 sits at ~p95-p99 of the
+# TPC-H test distribution (sf0.001 max=66, sf0.01 max=90), so the cap
+# BINDS at test scale and the oracle hash pins its exact semantics.
+RECSYS_MAX_ITEMS_PER_USER = 64
 
 
 def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,22 +1381,34 @@ def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces genuinely coupled niche items).
 
     Pair fan-out is bounded per user by (items-per-user choose 2) — the
-    basket argument, one level up; at web scale the standard guard is
-    capping hyperactive users before the self-join (the same hub
-    treatment as ``graph_degree_distribution`` documents). Counts are
-    exact integers; cosine is ONE IEEE expression over them; the top-k
-    sort key is the 9-dp-rounded cosine (identical double both engines)
-    with key tie-breaks, and the re-rank window runs AFTER the limit
-    (zipf discipline).
+    basket argument, one level up — and hard-bounded by the shipped hub
+    cap: users above RECSYS_MAX_ITEMS_PER_USER distinct items are
+    filtered out before the self-join (the same hub treatment as
+    ``graph_degree_distribution`` documents), so per-key fan-out is
+    ≤ (cap choose 2) regardless of corpus skew. Item norms are computed
+    over the SAME capped matrix, so the output stays a true cosine of
+    the matrix actually joined. Counts are exact integers; cosine is ONE
+    IEEE expression over them; the top-k sort key is the 9-dp-rounded
+    cosine (identical double both engines) with key tie-breaks, and the
+    re-rank window runs AFTER the limit (zipf discipline). The capped
+    interaction frame is persist()ed (lineage intact — fault-tolerant at
+    cluster scale, unlike localCheckpoint) because it feeds item norms
+    plus both pair sides.
     """
     t = load_tables(spark, sf_dir)
-    ui = (
+    ui_all = (
         t["orders"]
         .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
         .distinct()
-        .localCheckpoint()  # reused: item norms + both pair sides
     )
+    kept = (
+        ui_all.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") <= RECSYS_MAX_ITEMS_PER_USER)
+        .select("u")
+    )
+    ui = ui_all.join(kept, "u").persist()
     na = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
     a = ui.toDF("u", "part_a")
     b = ui.toDF("u", "part_b")
@@ -1418,9 +1438,14 @@ def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_RECSYS_ITEM_COSINE = f"""
-WITH ui AS (
+WITH ui_all AS (
     SELECT DISTINCT o_custkey AS u, l_partkey AS item
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), kept AS (
+    SELECT u FROM ui_all GROUP BY u
+    HAVING COUNT(*) <= {RECSYS_MAX_ITEMS_PER_USER}
+), ui AS (
+    SELECT ui_all.u, ui_all.item FROM ui_all JOIN kept ON ui_all.u = kept.u
 ), na AS (
     SELECT item, CAST(COUNT(*) AS BIGINT) AS n_u FROM ui GROUP BY item
 ), co AS (

@@ -488,7 +488,9 @@ def q_cluster_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     base = orders.select(
         *[expr.alias(name) for name, expr in cols.items()]
-    ).localCheckpoint()  # reused once per candidate cluster key
+    ).persist()  # reused once per candidate key; lineage kept intact
+    # (persist, not localCheckpoint: recomputable on executor loss, no
+    # storage pinned beyond the LRU cache)
     names = list(cols)
     globals_row = base.agg(
         *[

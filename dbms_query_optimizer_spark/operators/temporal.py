@@ -1570,7 +1570,7 @@ ORACLE_TWAP_DAILY = """
 WITH base AS (
     SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
            CAST(ROUND(value * 100) AS BIGINT) AS cents,
-           epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS sec
+           CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS sec
     FROM events
 ), with_dur AS (
     SELECT *, LEAD(sec) OVER (
@@ -1580,7 +1580,7 @@ WITH base AS (
 )
 SELECT user_id, day,
        COUNT(*) AS n_obs,
-       SUM(dur_s) AS span_s,
+       CAST(SUM(dur_s) AS BIGINT) AS span_s,
        CAST(SUM(cents * dur_s) AS DOUBLE)
            / (100.0 * CAST(SUM(dur_s) AS DOUBLE)) AS twap
 FROM with_dur

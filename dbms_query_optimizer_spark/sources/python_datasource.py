@@ -183,16 +183,24 @@ class _StagedFile(WriterCommitMessage):
 
 
 class JsonDirSinkWriter(DataSourceWriter):
-    """Executor-side writer with JOB-ATOMIC publish semantics — the
-    write path of the Python Data Source API, mirroring what every
-    file-based sink must do: each task writes to a staging name no
-    reader looks at; the driver's ``commit`` renames the staged files
-    into the live directory only after EVERY task reported success, and
-    ``abort`` removes the stage — a failed or speculative task can never
-    leave a half-written file visible (same contract as
-    ``sources/writers.py``'s job-atomic sinks, here demonstrated through
-    the connector extension point; staging and live dir share the
-    sink's storage, as for any file sink)."""
+    """Executor-side writer with TASK-ATOMIC staging and a Hadoop-v1
+    style driver-side publish — the write path of the Python Data
+    Source API, mirroring what every file-based sink must do: each task
+    writes to a staging name no reader looks at; the driver's ``commit``
+    renames the staged files into the live directory only after EVERY
+    task reported success, and ``abort`` removes the stage — a failed or
+    speculative TASK can never leave a half-written file visible (same
+    contract as ``sources/writers.py``'s sinks, here demonstrated
+    through the connector extension point; staging and live dir share
+    the sink's storage, as for any file sink).
+
+    Honest guarantee boundary: each published file appears atomically
+    (one ``os.replace`` per task), but the JOB-level publish is a window
+    of N renames, like Hadoop's v1 FileOutputCommitter — a driver crash
+    mid-``commit`` can leave a partially published (or, in overwrite
+    mode, partially deleted) directory. True job atomicity needs a
+    manifest pointer swap; that upgrade lives in ``sources/manifest.py``
+    (single-rename commit log), which is the repo's transactional path."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -219,13 +227,18 @@ class JsonDirSinkWriter(DataSourceWriter):
     def commit(self, messages):
         import os
         import shutil
+        import uuid
 
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.endswith(".jsonl"):
                     os.remove(f"{self.path}/{name}")
+        # Job-unique token in every published name: a second append job
+        # into a non-empty directory must never collide with (and
+        # silently clobber via os.replace) an earlier job's part files.
+        job = uuid.uuid4().hex[:12]
         for i, m in enumerate(messages):
-            os.replace(m.path, f"{self.path}/part-{i:05d}.jsonl")
+            os.replace(m.path, f"{self.path}/part-{job}-{i:05d}.jsonl")
         shutil.rmtree(f"{self.path}/_staging", ignore_errors=True)
 
     def abort(self, messages):

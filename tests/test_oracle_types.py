@@ -1,5 +1,8 @@
-"""DESCRIBE-only type gate over every catalog oracle: no pandas-lossy
-output column (HUGEINT/INT128, or DECIMAL with precision > 15).
+"""Type gates over every catalog oracle: (1) DESCRIBE-only — no
+pandas-lossy output column (HUGEINT/INT128, or DECIMAL with precision
+> 15); (2) bidirectional — DuckDB DESCRIBE types must agree with the
+Spark DataFrame's dtypes at the numeric-class level (int vs float vs
+decimal), closing the r5 twap_daily class for good.
 
 DuckDB widens SUM over INTEGER/BIGINT to HUGEINT. The grading driver
 canonicalizes oracle results through pandas (``.df()``), where HUGEINT —
@@ -23,7 +26,7 @@ import pytest
 
 from dbms_query_optimizer_spark.operators import catalog
 
-from .oracle_utils import duckdb_conn, hugeint_columns
+from .oracle_utils import duckdb_conn, hugeint_columns, type_mismatches
 
 ORACLED = sorted(n for n, (_, sql) in catalog.CATALOG.items() if sql)
 
@@ -46,4 +49,33 @@ def test_oracle_has_no_hugeint_columns(name, conn):
         f"{name}: oracle emits pandas-lossy columns {huge} — the driver's "
         "canonicalization renders these float64 and the hash flips; "
         "CAST to BIGINT (or publish a modular/narrower value) in the oracle"
+    )
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_types_agree_with_spark_schema(name, conn, spark, sf_dir):
+    """Bidirectional type gate: for every oracled entry, compare DuckDB's
+    DESCRIBE column types against the Spark DataFrame's dtypes and fail
+    any numeric-class (int vs float vs decimal) disagreement.
+
+    This is the static form of the r5 twap_daily defect: the oracle's
+    ``epoch()`` returned DOUBLE so ``span_s`` reached the driver's pandas
+    canonicalization as float64 ("32869.0") while Spark emitted BIGINT
+    ("32869") — values bit-identical, hash flipped on rendering. Both
+    local harnesses were blind to it because they int-collapsed integral
+    floats; the collapse is gone (oracle_utils normalizes integral floats
+    to "X.0") and this gate names the offending column at authoring time.
+    Spark plan construction only (no job runs), so the sweep is cheap.
+    """
+    fn, sql = catalog.CATALOG[name]
+    try:
+        conn.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception as exc:  # state-dependent oracle — covered in compare()
+        pytest.skip(f"oracle not plannable standalone: {str(exc)[:120]}")
+    df = fn(spark, sf_dir)
+    mism = type_mismatches(df, conn, sql)
+    assert not mism, (
+        f"{name}: numeric-class mismatch vs oracle {mism} — the driver's "
+        "pandas path renders int64 as '32869' but float64 as '32869.0'; "
+        "CAST the oracle (or the Spark column) so both sides agree"
     )

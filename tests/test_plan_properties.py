@@ -363,7 +363,7 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # window, map-side partials, NO join anywhere in the plan
     "model_auc_roc": [
         "tree:Window", "tree:HashAggregate", "partial_",
-        "!MapInPandas", "!ArrowEvalPython",
+        "!tree:Join", "!MapInPandas", "!ArrowEvalPython",
     ],
     # PR-AUC: same machinery plus domain-sized equi-joins; no Python plane
     "model_pr_auc": ["tree:Window", "!MapInPandas", "!ArrowEvalPython"],
@@ -410,10 +410,13 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # read-back aggregate; default gates apply
     "source_python_datasink": [],
     # item-item CF: pair support counts combine map-side; the norm
-    # lookups are equi-joins; re-rank window only after the limit
+    # lookups are equi-joins; re-rank window only after the limit; the
+    # hub cap (users > RECSYS_MAX_ITEMS_PER_USER items filtered BEFORE
+    # the pair self-join) must be in the plan — "n_items" is the cap
+    # aggregate's alias and "<= 64" its filter predicate
     "recsys_item_cosine": [
         "tree:HashAggregate", "partial_", "!tree:BroadcastNestedLoopJoin",
-        "!MapInPandas",
+        "!MapInPandas", "n_items", "<= 64",
     ],
     # Markov attribution: returned frame is the driver-solved 4-row
     # attribution table (the distributed transition pass runs inside the

@@ -166,6 +166,34 @@ def test_jsondir_sink_atomic_publish(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_jsondir_sink_double_append_accumulates(spark, tmp_path):
+    """A second append job into a non-empty directory must ADD its part
+    files, not silently clobber the first job's (published names carry a
+    job-unique token, so os.replace can never collide across jobs)."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "sink3")
+    os.makedirs(out)
+    for lo, hi in ((0, 50), (50, 80)):
+        (
+            spark.range(lo, hi)
+            .selectExpr("id AS doc_id", "'en' AS lang", "id AS n_chars")
+            .repartition(2)
+            .write.format("jsondirsink")
+            .mode("append")
+            .option("path", out)
+            .save()
+        )
+    parts = [p for p in os.listdir(out) if p.endswith(".jsonl")]
+    assert len(parts) == 4  # 2 part files per job, both jobs retained
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        f"{out}/*.jsonl"
+    )
+    assert back.count() == 80
+    assert back.agg({"doc_id": "sum"}).collect()[0][0] == sum(range(80))
+
+
 def test_jsondir_sink_overwrite_replaces(spark, tmp_path):
     """mode('overwrite') removes prior part files before publishing."""
     import os
