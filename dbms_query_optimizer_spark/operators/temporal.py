@@ -1124,11 +1124,16 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series smoother (pandas ``ewm(halflife=1)``) as a distributed
     window operator.
 
-    Plan: one shuffle on user_id, one partitioned sort; each row folds
-    its trailing window with JVM higher-order functions (collect_list →
-    array_sort → transform → aggregate) — no self-join (the naive SQL
-    is an O(span) fan-out join, which is exactly what the oracle does on
-    DuckDB's side), no Python.
+    Plan: one shuffle on user_id, ONE partitioned sort, ONE Window
+    operator — row_number and the trailing collect_list share the same
+    partition+order spec so Catalyst fuses them into a single window
+    pass, and the collected array is materialized into a column ONCE
+    before the fold (inlining it would plan a separate collect_list
+    buffer per reference — the 4×-buffer shape this round's profile
+    caught). Each row then folds its trailing window with JVM
+    higher-order functions (array_sort → transform → aggregate) — no
+    self-join (the naive SQL is an O(span) fan-out join, which is
+    exactly what the oracle does on DuckDB's side), no Python.
 
     Cross-engine float determinism is engineered, not hoped for: values
     quantize to integer cents and the decay is a power of TWO, so every
@@ -1139,30 +1144,32 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit before the final ROUND.
     """
     ev = load_tables(spark, sf_dir)["events"]
-    base = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
-        )
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    wf = (
-        W.partitionBy("user_id")
-        .orderBy("rn")
-        .rowsBetween(-(EWMA_SPAN - 1), W.currentRow)
+    # Both window expressions share (partitionBy user_id, orderBy ts,
+    # event_id) so they land in ONE Window operator over ONE sort.
+    wspec = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wspec.rowsBetween(-(EWMA_SPAN - 1), W.currentRow)
+    # array_sort on (ts, event_id, cents) structs pins the fold order by
+    # contract — no reliance on collect_list's frame-order behavior; the
+    # array is materialized into a column ONCE so the fold below reads
+    # one buffer (each inline reference would otherwise plan its own
+    # collect_list + array_sort)
+    windowed = base.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wspec).alias("rn"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "cents")).over(wf)
+        ).alias("_arr"),
     )
-    # array_sort on (rn, cents) structs pins the fold order by contract —
-    # no reliance on collect_list's frame-order behavior
-    arr = F.array_sort(F.collect_list(F.struct("rn", "cents")).over(wf))
-    n = F.size(arr)
+    n = F.size(F.col("_arr"))
     terms = F.transform(
-        arr,
+        F.col("_arr"),
         lambda x, i: x["cents"].cast("double")
         * F.pow(F.lit(2.0), (i - (n - F.lit(1))).cast("double")),
     )
@@ -1171,7 +1178,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.0) - F.pow(F.lit(2.0), (F.lit(1) - n).cast("double"))
     )
     return (
-        base.select(
+        windowed.select(
             "user_id",
             "event_id",
             "rn",
@@ -1266,9 +1273,12 @@ def q_feature_assembly_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/serve leakage every feature store exists to rule out.
 
     Three different temporal primitives, each in its scale-correct
-    plan: the trailing-window counts are BUCKETED range joins (the
-    label explodes over its window's day buckets, candidates come from
-    an equi-join — bounded fan-out, no theta join); the
+    plan: BOTH trailing-window counts come from ONE bucketed range join
+    (the label explodes over the wider window's day buckets once,
+    candidates come from an equi-join — bounded fan-out, no theta join —
+    and the two window spans are conditional aggregates over the same
+    joined frame; the first shipped form ran a separate range join per
+    feature, a 2× corpus-join tax the round-6 profile caught); the
     last-event-before lookup is the one-shuffle union-sort-window as-of
     carry with labels sorted before same-instant events so "strictly
     earlier ts" holds exactly. The oracle decorrelates all three as
@@ -1289,33 +1299,41 @@ def q_feature_assembly_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("e_day"),
     )
 
-    def trailing_count(days: int, etype: str, alias: str) -> DataFrame:
-        span_us = days * 86_400 * 1_000_000
-        probes = labels.select(
-            "label_id",
-            "user_id",
-            "l_us",
-            F.explode(
-                F.sequence(
-                    F.date_sub(F.to_date("l_ts"), days), F.to_date("l_ts")
+    # ONE bucketed range join serves both trailing features: explode
+    # each label over the WIDER (7-day) bucket span, equi-join events of
+    # either type, and split the two window spans as conditional counts.
+    day_us = 86_400 * 1_000_000
+    probes7 = labels.select(
+        "label_id",
+        "user_id",
+        "l_us",
+        F.explode(
+            F.sequence(F.date_sub(F.to_date("l_ts"), 7), F.to_date("l_ts"))
+        ).alias("e_day"),
+    )
+    counts = (
+        probes7.join(
+            feats.filter(F.col("event_type").isin("view", "click")),
+            ["user_id", "e_day"],
+        )
+        .filter(
+            (F.col("e_us") >= F.col("l_us") - 7 * day_us)
+            & (F.col("e_us") < F.col("l_us"))
+        )
+        .groupBy("label_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias(
+                "n_views_7d"
+            ),
+            F.count(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("e_us") >= F.col("l_us") - day_us),
+                    1,
                 )
-            ).alias("e_day"),
+            ).alias("n_clicks_24h"),
         )
-        return (
-            probes.join(
-                feats.filter(F.col("event_type") == etype),
-                ["user_id", "e_day"],
-            )
-            .filter(
-                (F.col("e_us") >= F.col("l_us") - span_us)
-                & (F.col("e_us") < F.col("l_us"))
-            )
-            .groupBy("label_id")
-            .agg(F.count(F.lit(1)).alias(alias))
-        )
-
-    views7 = trailing_count(7, "view", "n_views_7d")
-    clicks1 = trailing_count(1, "click", "n_clicks_24h")
+    )
 
     # last event strictly before the label: probes sort BEFORE feeds at
     # equal ts so same-instant events are excluded; feed tie-break is
@@ -1350,8 +1368,7 @@ def q_feature_assembly_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         labels.select("label_id", "user_id", "l_ts")
-        .join(views7, "label_id", "left")
-        .join(clicks1, "label_id", "left")
+        .join(counts, "label_id", "left")
         .join(last_ev, "label_id", "left")
         .select(
             "label_id",

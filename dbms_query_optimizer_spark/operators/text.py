@@ -1104,14 +1104,19 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEG_WORDS-word windows; on real web text the same plan runs on
     newline splits.
 
-    Plan: one explode to (doc, seg_idx, segment), one map-side-combined
-    count of distinct docs per segment (shuffle = distinct segments,
-    not corpus), a broadcast-ish join back, and per-doc ordered
-    reassembly via array_sort(collect_list(struct)) — the same
-    struct-pinned ordering as session_paths, so the rebuilt text is
-    byte-deterministic (the output hashes its md5). Removal is
-    corpus-frequency-driven: a segment is judged by how many DISTINCT
-    docs carry it, so a doc repeating its own phrase is untouched.
+    Plan: ONE explode to (doc, seg_idx, segment) — persist()ed, since
+    both the per-segment doc count and the join-back read it (the first
+    shipped form recomputed the split+slice string work three times; the
+    round-6 profile caught it) — one map-side-combined count of distinct
+    docs per segment (shuffle = distinct segments, not corpus), a join
+    back, and per-doc ordered reassembly via
+    array_sort(collect_list(struct)) — the same struct-pinned ordering
+    as session_paths, so the rebuilt text is byte-deterministic (the
+    output hashes its md5). Per-doc segment totals come straight from
+    the word count on the base table (ceil arithmetic, no third pass
+    over the exploded frame). Removal is corpus-frequency-driven: a
+    segment is judged by how many DISTINCT docs carry it, so a doc
+    repeating its own phrase is untouched.
     """
     docs = load_tables(spark, sf_dir)["documents"]
     words = F.split("text", " ")
@@ -1126,7 +1131,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("seg_idx", "seg"),
-    )
+    ).persist()  # read twice (per-seg doc counts + join-back); lineage kept
     seg_docs = segs.groupBy("seg").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
@@ -1143,7 +1148,9 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
-    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    # per-doc totals are pure arithmetic on the base table — no need to
+    # touch the exploded frame a third time
+    totals = docs.select("doc_id", n_segs.cast("long").alias("n_segs"))
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(
