@@ -330,7 +330,7 @@ register(
 
 register("approx_aggs", R.q_approx_aggs, R.ORACLE_APPROX_AGGS)
 
-register("approx_hll_mergeable", R.q_approx_hll_mergeable, None)  # sketch bytes engine-defined
+register("approx_hll_mergeable", R.q_approx_hll_mergeable, R.ORACLE_APPROX_HLL_MERGEABLE)
 
 register(
     "exact_distinct_counts",
@@ -577,7 +577,7 @@ register(
     R.ORACLE_JOIN_CARDINALITY_AUDIT,
 )
 
-register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, None)
+register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, R.ORACLE_CBO_VS_DP_REPORT)
 
 register("market_basket_pairs", R.q_market_basket_pairs, R.ORACLE_MARKET_BASKET_PAIRS)
 register("recsys_item_cosine", R.q_recsys_item_cosine, R.ORACLE_RECSYS_ITEM_COSINE)

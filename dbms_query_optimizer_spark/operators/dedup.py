@@ -1748,6 +1748,59 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup made hash-checkable (the ``lsh_recall_report`` trick,
+    applied to the k-means path): single-row audit over the REAL
+    ``q_dedup_semantic`` survivorship frame. ``n_vectors`` and
+    ``n_exact_pairs`` are exact values DuckDB recomputes independently
+    (corpus count; the all-pairs cosine >= tau listing — the same SQL
+    as the ``dedup_embedding_cosine`` oracle); ``drops_sound`` asserts
+    every (dup_of, vec_id) drop pair IS an exact near-dup pair (the
+    soundness half of SemDeDup's contract — clustering may MISS pairs
+    by design, but must never invent one), and ``drops_nonzero``
+    asserts the clustering co-located at least one true pair
+    (non-triviality). A broken centroid build, a wrong witness tile, or
+    a threshold drift flips a boolean and fails the driver hash;
+    previously this entry was rows-only and only pytest saw it."""
+    sem = q_dedup_semantic(spark, sf_dir)
+    exact = q_dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    drops = sem.filter(~F.col("keep")).select(
+        F.col("dup_of").alias("id_a"), F.col("vec_id").alias("id_b")
+    )
+    drop_stats = drops.join(
+        exact.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum(F.coalesce("_t", F.lit(0))).alias("_nm"),
+    )
+    return (
+        sem.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")))
+        .crossJoin(drop_stats)
+        .select(
+            "n_vectors",
+            "n_exact_pairs",
+            (F.col("_nd") == F.col("_nm")).alias("drops_sound"),
+            (F.col("_nd") >= F.lit(1)).alias("drops_nonzero"),
+        )
+    )
+
+
+ORACLE_DEDUP_SEMANTIC_AUDIT = f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+              >= {COSINE_T}
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           (SELECT COUNT(*) FROM pairs) AS n_exact_pairs,
+           TRUE AS drops_sound,
+           TRUE AS drops_nonzero
+"""
+
+
 CDC_MASK = 64  # boundary when window-hash % CDC_MASK == 0 → ~64-char chunks
 CDC_BOILERPLATE = (
     " subscribe to our newsletter for updates all rights reserved"
@@ -2109,7 +2162,7 @@ def oracles() -> dict[str, tuple]:
         ),
         "dedup_token_sort": (q_dedup_token_sort, ORACLE_DEDUP_TOKEN_SORT),
         "dedup_cdc_chunks": (q_dedup_cdc_chunks, _oracle_dedup_cdc_chunks()),
-        "dedup_semantic": (q_dedup_semantic, None),
+        "dedup_semantic": (q_dedup_semantic_audit, ORACLE_DEDUP_SEMANTIC_AUDIT),
         "fuzzy_join_blocked": (q_fuzzy_join_blocked, ORACLE_FUZZY_JOIN_BLOCKED),
         "entity_resolution": (q_entity_resolution, ORACLE_ENTITY_RESOLUTION),
         "dedup_containment": (q_dedup_containment, _oracle_containment()),

@@ -1497,10 +1497,20 @@ def q_cbo_vs_dp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     costed under the REFERENCE model. The DP is optimal over left-deep
     orders under that model, so its cost must be ≤ Catalyst's — the
     cross-optimizer invariant tests/test_cbo_compare.py enforces; this
-    entry surfaces the orders and costs as data. Stats collection is
-    distributed (TableStats two-job build, Catalyst ANALYZE); only the
-    O(2^n) enumeration over 4 tables runs on the driver — optimizer
-    work, not data work. Python cost model => rows-only.
+    entry surfaces the orders and the optimality invariant as data.
+    Stats collection is distributed (TableStats two-job build, Catalyst
+    ANALYZE); only the O(2^n) enumeration over 4 tables runs on the
+    driver — optimizer work, not data work.
+
+    Hash-checkable since round 6: both chosen orders are deterministic
+    functions of the seeded testdata's relative table sizes (verified
+    stable across sf0.001/0.01/0.1), so the oracle pins them as
+    literals (VALUES), and ``dp_cost_le_catalyst`` pins the Selinger
+    optimality contract — the DP is optimal over left-deep orders under
+    its own model, so Catalyst's order can never beat it there. A DP
+    regression that picks a worse order flips either the order string
+    or the boolean and fails the driver hash. (Raw model costs are
+    SF-dependent and live in tests/test_cbo_compare.py instead.)
     """
     from ..engine import TABLES
     from ..plans.cbo_compare import (
@@ -1527,13 +1537,24 @@ def q_cbo_vs_dp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat_order = catalyst_join_order(spark, sf_dir, joins)
     cat_cost = reference_cost_of_order(cat_order, joins, stats, sels, TABLES)
 
+    ok = bool(dp_cost <= cat_cost)
     rows = [
-        ("catalyst_cbo", " -> ".join(cat_order), float(cat_cost)),
-        ("reference_dp", " -> ".join(dp_order), float(dp_cost)),
+        ("catalyst_cbo", " -> ".join(cat_order), ok),
+        ("reference_dp", " -> ".join(dp_order), ok),
     ]
     return spark.createDataFrame(
-        rows, "optimizer string, join_order string, cost_under_reference_model double"
+        rows, "optimizer string, join_order string, dp_cost_le_catalyst boolean"
     ).orderBy("optimizer")
+
+
+ORACLE_CBO_VS_DP_REPORT = """
+    SELECT optimizer, join_order, dp_cost_le_catalyst
+    FROM (VALUES
+        ('catalyst_cbo', 'customer -> nation -> orders -> lineitem', TRUE),
+        ('reference_dp', 'nation -> customer -> orders -> lineitem', TRUE)
+    ) AS t(optimizer, join_order, dp_cost_le_catalyst)
+    ORDER BY optimizer
+"""
 
 
 CARD_BUCKETS = 64  # histogram resolution for the bucketized join estimate
@@ -2029,9 +2050,16 @@ def q_approx_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the sketch pre-aggregation contract that makes distinct counts
     cheap at 100 TB: per-partition/day sketches are stored bytes, and any
     rollup (day→month, segment→global) is a sketch union, not a rescan.
-    Sketch bytes are implementation-defined, so the harness records a
-    rows-only check; tests/test_queries_oracle.py's driver run plus the
-    estimate-vs-exact bound test in the same file gate the values.
+
+    Hash-checkable since round 6 (the ``stats_selectivity_report``
+    boolean trick): the raw estimate is Datasketches-implementation-
+    defined so SQL can't reproduce it, but ``n_segments`` and the EXACT
+    global distinct count are oracle values, and ``est_within_5pct``
+    pins the accuracy contract (|union estimate − exact| / exact <
+    0.05 — comfortably inside lgK=12's ~1.6% RSE; the same bound
+    tests/test_queries_oracle.py asserts). A broken union or a
+    mis-built per-segment sketch blows the 5% envelope and fails the
+    driver hash; through round 5 this entry was rows-only.
     """
     t = load_tables(spark, sf_dir)
     per_segment = (
@@ -2039,12 +2067,30 @@ def q_approx_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
     )
-    return (
-        per_segment.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers_union"),
-            F.count(F.lit(1)).alias("n_segments"),
-        )
+    merged = per_segment.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+        F.count(F.lit(1)).alias("n_segments"),
     )
+    exact = t["orders"].agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return merged.crossJoin(exact).select(
+        "n_segments",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            < F.lit(0.05)
+        ).alias("est_within_5pct"),
+    )
+
+
+ORACLE_APPROX_HLL_MERGEABLE = """
+    SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_segments,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS est_within_5pct
+    FROM orders
+"""
 
 
 def q_agg_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:

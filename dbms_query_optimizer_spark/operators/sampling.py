@@ -72,20 +72,65 @@ ORACLE_HASH_SPLIT_TRAIN = f"""
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sample: per-language keep fractions (the data-mixing
-    knob — e.g. downweight the dominant language), then per-stratum counts.
+    """Stratified sample: per-language keep fractions (the data-mixing
+    knob — e.g. downweight the dominant language), then per-stratum
+    counts.
 
-    ``sampleBy`` is a map-side Bernoulli filter per stratum; no shuffle
-    until the summarizing groupBy. Rows-only driver check; statistical
-    properties (proportions, determinism) are pytest-verified.
+    The per-row draw is a pure function of the row key (md5 hex chars
+    17-24 — disjoint from the split's chars 1-8 and the weighted
+    sample's 9-16, so all three memberships stay independent), compared
+    against the stratum's fraction — a map-side filter fused into the
+    scan, no shuffle until the summarizing groupBy, and reproducible
+    across runs, partitionings, and engines. RNG ``sampleBy`` gives the
+    same statistics but its membership is engine-internal (seeded
+    partition-order Bernoulli), which made this entry rows-only through
+    round 5; the key-hash draw is the same sampling design a 100 TB
+    pipeline wants anyway (membership survives recomputation and
+    repartitioning) and lets DuckDB recompute the exact counts.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    sampled = docs.sampleBy("lang", STRATA_FRACTIONS, seed=SAMPLE_SEED)
+    fmap = F.create_map(
+        *[
+            x
+            for lang, frac in sorted(STRATA_FRACTIONS.items())
+            for x in (F.lit(lang), F.lit(frac))
+        ]
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    sampled = docs.filter(u < fmap[F.col("lang")])
     return (
         sampled.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {frac}"
+        for lang, frac in sorted(STRATA_FRACTIONS.items())
+    )
+    return f"CASE lang {whens} END"
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+WITH s AS (
+    SELECT lang,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT
+               / 4294967296.0 AS u
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled
+FROM s
+WHERE u < {_strata_case_sql()}
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,7 +649,7 @@ def oracles() -> dict[str, tuple]:
             q_sample_weighted_reservoir,
             ORACLE_SAMPLE_WEIGHTED_RESERVOIR,
         ),
-        "sample_stratified": (q_sample_stratified, None),
+        "sample_stratified": (q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
         "sample_weighted": (q_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
         "approx_counts_sampled": (
             q_approx_counts_sampled,

@@ -295,6 +295,72 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(pairs)
 
 
+# The catalog's mean-recall contract for the IVF probe: recall@TOP_K
+# averaged over the query set must beat the expected fraction of the
+# corpus scanned (probing nprobe of k cells and doing no better than
+# chance would land AT this ratio — beating it is the quality bar, the
+# same floor tests/test_similarity.py::test_ivf_recall_vs_brute_force
+# enforces; measured mean is ~0.6-0.7 at every test SF).
+IVF_RECALL_FLOOR = IVF_NPROBE / IVF_K
+
+
+def q_knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe made hash-checkable (the ``lsh_recall_report``
+    trick): emit the EXACT brute-force top-k per query — every cell of
+    which DuckDB recomputes independently — plus ``ivf_recall_ok``, the
+    mean-recall-vs-exact contract evaluated over the REAL IVF probe's
+    results (``q_knn_ivf`` — k-means index build + nprobe cell search,
+    which SQL cannot express; the oracle pins the contract's truth,
+    TRUE, and the exact columns pin the baseline the probe is judged
+    against). A broken index, a wrong probe join, or a recall collapse
+    flips the boolean and fails the driver hash; previously this entry
+    was rows-only and none of that was value-checked.
+
+    The brute-force side is the probe's verification twin — at corpus
+    scale one runs it on a sampled query set exactly like this
+    (N_QUERIES fixed, corpus streamed once, broadcast probe side)."""
+    ivf_hits = q_knn_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    exact = q_knn_brute_force(spark, sf_dir)
+    recall = (
+        exact.join(ivf_hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            (
+                F.sum(F.coalesce("_hit", F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("_mean_recall")
+        )
+        .select(
+            (F.col("_mean_recall") >= F.lit(IVF_RECALL_FLOOR)).alias(
+                "ivf_recall_ok"
+            )
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(recall))
+        .select("query_id", "neighbor_id", "cosine", "rank", "ivf_recall_ok")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_IVF_RECALL_AUDIT = f"""
+    SELECT query_id, neighbor_id, cosine, rank, TRUE AS ivf_recall_ok
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_COS} DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
 PQ_M = 16  # subspaces (codes per vector)
 PQ_SUBDIM = 4  # dims per subspace (PQ_M * PQ_SUBDIM = EMB_DIM)
 PQ_K = 32  # centroids per subspace codebook
@@ -1117,7 +1183,7 @@ def oracles() -> dict[str, tuple]:
         ),
         "embedding_centroids": (q_embedding_centroids, ORACLE_EMBEDDING_CENTROIDS),
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
-        "knn_ivf": (q_knn_ivf, None),
+        "knn_ivf": (q_knn_ivf_recall_audit, ORACLE_KNN_IVF_RECALL_AUDIT),
         "embedding_pq_adc": (q_embedding_pq_adc, None),
         "embedding_pca_project": (q_embedding_pca_project, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),

@@ -52,7 +52,9 @@ def test_oracle_keys_subset():
 
 def test_hll_union_estimate_close_to_exact(spark, sf_dir):
     """The merged-sketch estimate must sit within HLL error of the exact
-    global distinct count (and the union must cover all 5 segments)."""
+    global distinct count (and the union must cover all 5 segments).
+    The query now carries the contract itself (est_within_5pct); this
+    test independently recomputes the exact count and re-checks it."""
     from dbms_query_optimizer_spark.operators.relational import (
         q_approx_hll_mergeable,
     )
@@ -66,4 +68,5 @@ def test_hll_union_estimate_close_to_exact(spark, sf_dir):
         .count()
     )
     assert row.n_segments == 5
-    assert abs(row.approx_customers_union - exact) / exact < 0.05
+    assert row.exact_customers == exact
+    assert row.est_within_5pct

