@@ -361,6 +361,101 @@ ORACLE_KNN_IVF_RECALL_AUDIT = f"""
 """
 
 
+def _l2_expr(a: str, b: str) -> F.Column:
+    """Euclidean distance between two float-array columns, folded
+    JVM-side in index order (bit-identical to DuckDB's list_distance on
+    the same float32→double-exact operands)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(a),
+                F.col(b),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+# Mean-recall floor for the PQ-ADC probe vs the exact L2 top-k: measured
+# ~0.44 at sf0.01 with 32x16 codebooks vs 0.02 by chance; the floor sits
+# below the measurement because centroid means are float sums whose
+# partial-aggregation order varies with partitioning (same floor as
+# tests/test_similarity.py::test_pq_adc_recall_vs_exact_l2).
+PQ_RECALL_FLOOR = 0.35
+
+
+def q_embedding_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC made hash-checkable (the ``knn_ivf`` pattern): emit the
+    EXACT L2 top-k per query — every cell recomputed by DuckDB's
+    ``list_distance`` — plus ``pq_recall_ok``, the mean-recall contract
+    evaluated over the REAL ADC probe (``q_embedding_pq_adc``: Lloyd's
+    codebooks + asymmetric distance, not SQL-expressible; the oracle
+    pins the contract's truth and the exact baseline the probe is
+    judged against). Previously rows-only."""
+    pq_hits = q_embedding_pq_adc(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vc"))
+    wl = W.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2_expr("vq", "vc"), 6).alias("l2"),
+        )
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    recall = (
+        exact.join(pq_hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            (F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1))).alias(
+                "_mr"
+            )
+        )
+        .select((F.col("_mr") >= F.lit(PQ_RECALL_FLOOR)).alias("pq_recall_ok"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(recall))
+        .select("query_id", "neighbor_id", "l2", "rank", "pq_recall_ok")
+        .orderBy("query_id", "rank")
+    )
+
+
+_DUCK_L2 = (
+    "ROUND(list_distance(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+ORACLE_EMBEDDING_PQ_ADC_AUDIT = f"""
+    SELECT query_id, neighbor_id, l2, rank, TRUE AS pq_recall_ok
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_L2} AS l2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_L2} ASC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
 PQ_M = 16  # subspaces (codes per vector)
 PQ_SUBDIM = 4  # dims per subspace (PQ_M * PQ_SUBDIM = EMB_DIM)
 PQ_K = 32  # centroids per subspace codebook
@@ -1184,7 +1279,10 @@ def oracles() -> dict[str, tuple]:
         "embedding_centroids": (q_embedding_centroids, ORACLE_EMBEDDING_CENTROIDS),
         "knn_lsh_bucketed": (q_knn_lsh_bucketed, ORACLE_KNN_LSH_BUCKETED),
         "knn_ivf": (q_knn_ivf_recall_audit, ORACLE_KNN_IVF_RECALL_AUDIT),
-        "embedding_pq_adc": (q_embedding_pq_adc, None),
+        "embedding_pq_adc": (
+            q_embedding_pq_adc_audit,
+            ORACLE_EMBEDDING_PQ_ADC_AUDIT,
+        ),
         "embedding_pca_project": (q_embedding_pca_project, None),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
         "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),

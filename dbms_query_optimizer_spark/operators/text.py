@@ -786,10 +786,61 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches cross the shuffle, so at 100 TB the shuffle volume is
     (sketch size × partitions), independent of vocabulary, where the
     exact path (``zipf_token_rank``) shuffles one row per distinct
-    token. Sketch estimates aren't cross-engine reproducible => rows-only
-    for the driver; tests/test_text_sketch.py asserts the reported
-    counts equal exact counts at test scale (vocabulary fits the
-    sketch's maxItemsTracked, so no estimation error)."""
+    token.
+
+    Hash-checkable since round 6 (the boolean-contract trick): the
+    sketch's item ordering under count ties is implementation-defined,
+    so raw (rank, token) rows can't be oracled — instead the output is
+    a single-row audit whose exact values (``k``, ``n_tokens`` — the
+    corpus token total) DuckDB recomputes, plus two contract booleans
+    over the REAL sketch result: ``counts_exact_ok`` (every reported
+    token's estimated count equals its exact corpus count — true here
+    because the test vocabularies fit the sketch's maxItemsTracked, so
+    the Space-Saving summary is exact) and ``topset_sound`` (no
+    unreported token outcounts a reported one — the top-k set is a
+    valid top-k under ties). tests/test_text_sketch.py keeps the
+    per-row variant under independent pytest checks."""
+    sk = _approx_topk_sketch(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    exact_counts = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    joined = sk.join(exact_counts, "token", "left")
+    rep_stats = joined.agg(
+        F.count(F.lit(1)).alias("_n_rep"),
+        F.sum(
+            (F.col("est_count") == F.col("exact_n")).cast("long")
+        ).alias("_n_match"),
+        F.min("est_count").alias("_min_rep"),
+    )
+    unrep_max = (
+        exact_counts.join(sk.select("token"), "token", "left_anti")
+        .agg(F.coalesce(F.max("exact_n"), F.lit(0)).alias("_max_unrep"))
+    )
+    totals = tokens.agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.crossJoin(rep_stats)
+        .crossJoin(unrep_max)
+        .select(
+            F.lit(APPROX_TOPK_TERMS_K).alias("k"),
+            "n_tokens",
+            (
+                (F.col("_n_rep") == F.lit(APPROX_TOPK_TERMS_K))
+                & (F.col("_n_match") == F.col("_n_rep"))
+            ).alias("counts_exact_ok"),
+            (F.col("_max_unrep") <= F.col("_min_rep")).alias("topset_sound"),
+        )
+    )
+
+
+def _approx_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw sketch heavy-hitter rows (rnk, token, est_count) —
+    Spark 4 ``approx_top_k`` over the corpus token stream. Used by the
+    audit above and by tests/test_text_sketch.py directly."""
     docs = load_tables(spark, sf_dir)["documents"]
     tokens = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -801,6 +852,18 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.item").alias("token"),
         F.col("s.count").alias("est_count"),
     )
+
+
+ORACLE_APPROX_TOPK_TERMS = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT {APPROX_TOPK_TERMS_K} AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           TRUE AS counts_exact_ok,
+           TRUE AS topset_sound
+    FROM toks WHERE token <> ''
+"""
 
 
 # mixed-language salting: the corpus is cleanly single-language, so to
@@ -2089,7 +2152,7 @@ def oracles() -> dict[str, tuple]:
         "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
         "text_mixed_language": (q_text_mixed_language, _oracle_text_mixed_language()),
         "text_token_stats": (q_text_token_stats, ORACLE_TEXT_TOKEN_STATS),
-        "approx_topk_terms": (q_approx_topk_terms, None),
+        "approx_topk_terms": (q_approx_topk_terms, ORACLE_APPROX_TOPK_TERMS),
         "quality_classifier_score": (
             q_quality_classifier_score,
             ORACLE_QUALITY_CLASSIFIER_SCORE,

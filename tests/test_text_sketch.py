@@ -9,12 +9,19 @@ from pyspark.sql import functions as F
 from dbms_query_optimizer_spark.engine import load_tables
 from dbms_query_optimizer_spark.operators.text import (
     APPROX_TOPK_TERMS_K,
+    _approx_topk_sketch,
     q_approx_topk_terms,
 )
 
 
+def test_approx_topk_audit_contract(spark, sf_dir):
+    row = q_approx_topk_terms(spark, sf_dir).collect()[0]
+    assert row.k == APPROX_TOPK_TERMS_K
+    assert row.counts_exact_ok and row.topset_sound
+
+
 def test_approx_topk_terms_exact_at_test_scale(spark, sf_dir):
-    got = {r["token"]: r["est_count"] for r in q_approx_topk_terms(spark, sf_dir).collect()}
+    got = {r["token"]: r["est_count"] for r in _approx_topk_sketch(spark, sf_dir).collect()}
     assert len(got) == APPROX_TOPK_TERMS_K
 
     docs = load_tables(spark, sf_dir)["documents"]
