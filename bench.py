@@ -187,6 +187,21 @@ HEADLINE = [
     # candidate cluster key) and leave-one-out vocabulary valuation
     "cluster_key_advisor",
     "source_loo_vocab",
+    # round 6: grid-blocked spatial NN join (lossless 3×3 cover with
+    # antimeridian wrap; argmin as struct-min aggregate, no rank window)
+    # and the 1°-cell density heatmap (one hash agg + distributed top-k)
+    "geo_nearest_facility",
+    "geo_grid_density",
+    # round 6: weekly-seasonality ACF over the days-domain collapse,
+    # gaps-and-islands streaks (rn-difference trick, per-user windows),
+    # integer-exact time-decay attribution (completes the family)
+    "autocorr_lags",
+    "activity_islands",
+    "time_decay_attribution",
+    # round 6: BH FDR step-up on distributed_row_number (global p-rank
+    # with no SinglePartition window) and the l-diversity privacy gate
+    "bh_fdr_report",
+    "l_diversity_audit",
 ]
 
 

@@ -610,6 +610,13 @@ from . import tpch as TPCH  # noqa: E402
 for _name, (_fn, _sql) in TPCH.oracles().items():
     register(_name, _fn, _sql)
 
+# ------------------------------------------- geospatial (grid-blocked)
+
+from . import geo as GEO  # noqa: E402
+
+for _name, (_fn, _sql) in GEO.oracles().items():
+    register(_name, _fn, _sql)
+
 
 # ------------------------------------------------------------ driver order
 #

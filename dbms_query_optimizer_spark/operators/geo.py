@@ -1,0 +1,263 @@
+"""Geospatial operators — grid-blocked distance join and spatial binning.
+
+The reference engine has no spatial operators (its surface is the
+relational core, ``/root/reference/src``); this family is part of the
+repo's beyond-the-reference pipeline coverage: location joins and
+density maps are stock analytics asks the moment a table carries
+coordinates, and the naive forms (point×facility cross join, global
+sort by distance) are exactly the shapes that die at 100 TB.
+
+The testdata carries no coordinate columns, so coordinates are DERIVED
+deterministically from integer keys with a multiplicative-congruential
+map (the repo's standard trick for exercising machinery the fixture
+lacks — same discipline as text.py's mixed-language salting): both
+engines compute byte-identical doubles from the same integer
+arithmetic, so oracle parity is exact.
+
+Scale design, per operator:
+
+- ``geo_nearest_facility``: the classic k=1 spatial join. Never the
+  cross join — facilities are exploded into their 3×3 grid-cell
+  neighborhood (9× blow-up ON THE SMALL SIDE only) and the join is an
+  equi-join on cell id, so candidate pairs are bounded by cell
+  occupancy, not |points|×|facilities|. Cell size ≥ the search radius
+  (in worst-case degrees) makes the 3×3 neighborhood a complete cover:
+  no true neighbor within the radius is ever missed — the blocking is
+  lossless, same contract as dedup.py's LSH band join. Argmin per
+  point is a struct-min AGGREGATE (map-side combinable), not a global
+  rank window.
+- ``geo_grid_density``: spatial binning is one hash aggregate over
+  integer cell ids — map-side combined, then a distributed top-k
+  (TakeOrdered), never a full sort of the cell table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import load_tables
+
+# Multiplicative-congruential coordinate derivation: Knuth's 2654435761
+# spreads consecutive keys; lat confined to [-60, 60] so the worst-case
+# metres-per-degree-longitude shrink is bounded by cos(60°) = 0.5 and a
+# single conservative cell size covers every latitude in range.
+_MCG = 2654435761
+
+def _lat_expr(key):  # [-60, 60)
+    return (((key * _MCG) % 120000) / 1000.0 - 60.0)
+
+def _lon_expr(key):  # [-180, 180)
+    return ((((key + 7) * _MCG) % 360000) / 1000.0 - 180.0)
+
+def _sql_lat(key: str) -> str:
+    return f"((({key} * {_MCG}) % 120000) / 1000.0 - 60.0)"
+
+def _sql_lon(key: str) -> str:
+    return f"(((({key} + 7) * {_MCG}) % 360000) / 1000.0 - 180.0)"
+
+
+GEO_RADIUS_KM = 400.0
+# Completeness bound for the 3×3 cover: the longest lon span a 400 km
+# great circle can have on this map is at lat ±60° (cos = 0.5), where
+# haversine with Δφ=0 gives Δλ = 2·asin(sin(r/2R)/cos 60°) = 7.199°;
+# the lat span is r/111.195 = 3.60°. Dividing by (110 · cos 60°) —
+# 110 < 111.195 km per great-circle degree — over-estimates both, so
+# any facility within GEO_RADIUS_KM is at most one cell away per axis
+# and the 3×3 neighborhood is a complete candidate cover (cell edge
+# 7.273° > 7.199° worst case; proven lossless by the unblocked oracle).
+GEO_CELL_DEG = GEO_RADIUS_KM / (110.0 * 0.5)
+# Longitude wraps at the antimeridian (haversine sees +179.9° and
+# −179.9° as 0.2° apart; a plain floor grid puts them 49 cells apart),
+# so lon cells are EXACT-width 360°/49 = 7.347° ≥ the 7.199° worst
+# case, indexed 0..48, and the neighborhood expansion wraps modulo 49.
+GEO_LON_CELLS = 49
+GEO_LON_CELL_DEG = 360.0 / GEO_LON_CELLS
+EARTH_R_KM = 6371.0088
+
+
+def _haversine_expr(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km — written as ONE canonical operation
+    order shared with the SQL oracle so both engines fold the same IEEE
+    double sequence."""
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return 2.0 * EARTH_R_KM * F.asin(F.sqrt(a))
+
+
+def _sql_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"2.0 * {EARTH_R_KM} * asin(sqrt("
+        f"sin(radians({lat2} - {lat1}) / 2.0) * sin(radians({lat2} - {lat1}) / 2.0)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians({lon2} - {lon1}) / 2.0) * sin(radians({lon2} - {lon1}) / 2.0)"
+        f"))"
+    )
+
+
+def q_geo_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest facility within GEO_RADIUS_KM for every customer point —
+    the k=1 spatial join, grid-blocked.
+
+    Plan shape: facilities (suppliers — the SMALL side) explode into
+    their 3×3 cell neighborhood (9 rows each), points compute one cell
+    id, and candidates come from an equi-join on the cell id — hash
+    join, no CartesianProduct anywhere. The per-point argmin is
+    ``min_by``-style struct-min aggregation on (dist, s_suppkey): a
+    map-side-combinable AGGREGATE, so no per-point rank window and no
+    skew pivot on a hot cell. Distance is rounded to 4 dp BEFORE the
+    argmin on both engines, so near-ties break on the facility key
+    identically regardless of libm's last ulp.
+
+    At 100 TB: points stream through one shuffle keyed by cell; the
+    exploded facility table is 9×|facilities| — broadcastable for any
+    realistic facility count, and the explicit ``broadcast`` hint pins
+    that; cell occupancy (not corpus size) bounds the pair work.
+    """
+    t = load_tables(spark, sf_dir)
+    pts = t["customer"].select(
+        "c_custkey",
+        _lat_expr(F.col("c_custkey")).alias("lat"),
+        _lon_expr(F.col("c_custkey")).alias("lon"),
+    )
+    fac = t["supplier"].select(
+        "s_suppkey",
+        _lat_expr(F.col("s_suppkey") * 13).alias("flat"),
+        _lon_expr(F.col("s_suppkey") * 13).alias("flon"),
+    )
+    cell_lat = lambda c: F.floor(c / GEO_CELL_DEG).cast("long")  # noqa: E731
+    cell_lon = lambda c: F.floor(  # noqa: E731
+        (c + 180.0) / GEO_LON_CELL_DEG
+    ).cast("long")
+    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    fac9 = fac.crossJoin(F.broadcast(off)).select(
+        "s_suppkey",
+        "flat",
+        "flon",
+        (cell_lat(F.col("flat")) + F.col("dy")).alias("cy"),
+        (
+            (cell_lon(F.col("flon")) + F.col("dx") + GEO_LON_CELLS)
+            % GEO_LON_CELLS
+        ).alias("cx"),
+    )
+    cand = pts.withColumn("cy", cell_lat(F.col("lat"))).withColumn(
+        "cx", cell_lon(F.col("lon"))
+    ).join(F.broadcast(fac9), ["cy", "cx"])
+    scored = cand.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(
+            _haversine_expr(F.col("lat"), F.col("lon"), F.col("flat"), F.col("flon")),
+            4,
+        ).alias("dist_km"),
+    ).filter(F.col("dist_km") <= GEO_RADIUS_KM)
+    return (
+        scored.groupBy("c_custkey")
+        .agg(F.min(F.struct("dist_km", "s_suppkey")).alias("best"))
+        .select(
+            "c_custkey",
+            F.col("best.s_suppkey").alias("s_suppkey"),
+            F.col("best.dist_km").alias("dist_km"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_PT_LAT = _sql_lat("c_custkey")
+_PT_LON = _sql_lon("c_custkey")
+_FC_LAT = _sql_lat("(s_suppkey * 13)")
+_FC_LON = _sql_lon("(s_suppkey * 13)")
+
+# The oracle is the UNBLOCKED form — full point×facility argmin — so a
+# hash match proves the grid blocking lossless (the dedup.py
+# prefix-filter discipline): every in-radius neighbor the naive join
+# finds, the 3×3 cover finds too.
+ORACLE_GEO_NEAREST_FACILITY = f"""
+WITH pts AS (
+    SELECT c_custkey, {_PT_LAT} AS lat, {_PT_LON} AS lon FROM customer
+),
+fac AS (
+    SELECT s_suppkey, {_FC_LAT} AS flat, {_FC_LON} AS flon FROM supplier
+),
+scored AS (
+    SELECT c_custkey, s_suppkey,
+           ROUND({_sql_haversine("lat", "lon", "flat", "flon")}, 4) AS dist_km
+    FROM pts CROSS JOIN fac
+),
+ranked AS (
+    SELECT c_custkey, s_suppkey, dist_km,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_custkey ORDER BY dist_km, s_suppkey
+           ) AS rn
+    FROM scored
+    WHERE dist_km <= {GEO_RADIUS_KM}
+)
+SELECT c_custkey, s_suppkey, dist_km FROM ranked WHERE rn = 1
+ORDER BY c_custkey
+"""
+
+
+GRID_DENSITY_TOPK = 50
+
+
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density map: bin event actors into 1°×1° grid cells and
+    report the GRID_DENSITY_TOPK hottest cells — the heatmap backing
+    query.
+
+    One hash aggregate over integer cell ids (map-side combined: the
+    shuffle carries cells, not events) then a distributed top-k
+    (TakeOrdered — never a global sort of the cell table). Event count,
+    distinct actors, and mean value per cell. At 100 TB the shuffle
+    volume is |occupied cells| × partitions, independent of row count.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "value", "event_id"
+    )
+    binned = ev.select(
+        F.floor(_lat_expr(F.col("user_id"))).cast("long").alias("cell_lat"),
+        F.floor(_lon_expr(F.col("user_id"))).cast("long").alias("cell_lon"),
+        "user_id",
+        "value",
+    )
+    return (
+        binned.groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy(
+            F.col("n_events").desc(), F.col("cell_lat"), F.col("cell_lon")
+        )
+        .limit(GRID_DENSITY_TOPK)
+    )
+
+
+ORACLE_GEO_GRID_DENSITY = f"""
+SELECT CAST(FLOOR({_sql_lat("user_id")}) AS BIGINT) AS cell_lat,
+       CAST(FLOOR({_sql_lon("user_id")}) AS BIGINT) AS cell_lon,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY n_events DESC, cell_lat, cell_lon
+LIMIT {GRID_DENSITY_TOPK}
+"""
+
+
+def oracles() -> dict[str, tuple]:
+    return {
+        "geo_nearest_facility": (
+            q_geo_nearest_facility,
+            ORACLE_GEO_NEAREST_FACILITY,
+        ),
+        "geo_grid_density": (q_geo_grid_density, ORACLE_GEO_GRID_DENSITY),
+    }

@@ -2750,6 +2750,248 @@ ORDER BY s.source
 """
 
 
+# ---------------------------------------------------- l-diversity audit
+
+L_DIVERSITY = 3  # minimum distinct sensitive values per QI class
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute complement of
+    ``q_k_anonymity_audit``: a class that hides you among k others is
+    still a leak if they all share your sensitive value, so each
+    quasi-identifier class (nation, market segment) must carry ≥ l
+    DISTINCT sensitive values (order priority of the member's orders —
+    the behavioral attribute this release would expose). Reports both
+    distinct-l and entropy-l (the Shannon entropy of the sensitive
+    distribution; entropy-l-diversity demands entropy ≥ ln l — the
+    stricter test that catches a 99/1 skew distinct-l misses).
+
+    Scale: one customer⋈orders equi-join (fact side streams), one
+    aggregate to (class, priority) counts — map-side combined, bounded
+    by |classes|·|priorities| — then a classes-sized rollup. Entropy
+    is Σ over ≤5 priority terms of exact integer ratios, rounded 6 dp
+    on identical double pipelines (the ``text_entropy`` contract).
+    """
+    t = load_tables(spark, sf_dir)
+    joined = t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment").join(
+        t["orders"].select("o_custkey", "o_orderpriority"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    per_val = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_custkey").alias("n_cust_v"),
+    )
+    w_cls = W.partitionBy("c_nationkey", "c_mktsegment")
+    frac = per_val.withColumn("n_tot", F.sum("n").over(w_cls)).withColumn(
+        "p", F.col("n").cast("double") / F.col("n_tot").cast("double")
+    )
+    return (
+        frac.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_orders",
+            "l_distinct",
+            "entropy",
+            (F.col("l_distinct") >= L_DIVERSITY).alias("distinct_l_ok"),
+            (F.col("entropy") >= float(_math.log(L_DIVERSITY))).alias(
+                "entropy_l_ok"
+            ),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+ORACLE_L_DIVERSITY_AUDIT = f"""
+WITH per_val AS (
+    SELECT c_nationkey, c_mktsegment, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1, 2, 3
+), frac AS (
+    SELECT c_nationkey, c_mktsegment, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+               PARTITION BY c_nationkey, c_mktsegment
+           ) AS DOUBLE) AS p
+    FROM per_val
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       COUNT(*) AS l_distinct,
+       ROUND(-SUM(p * ln(p)), 6) AS entropy,
+       COUNT(*) >= {L_DIVERSITY} AS distinct_l_ok,
+       ROUND(-SUM(p * ln(p)), 6) >= {float(_math.log(L_DIVERSITY))!r}
+           AS entropy_l_ok
+FROM frac
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# ------------------------------------- Benjamini–Hochberg FDR control
+
+BH_Q = 0.10  # target false-discovery rate
+BH_N_PARTS = 8  # rank-shuffle fan-out for the tests-domain frame
+
+
+def q_bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a FAMILY of hypothesis
+    tests — one Welch test per user ("did this user's mean event value
+    move between the halves of the timeline?"), then the step-up
+    procedure picks which rejections survive multiple-testing control.
+    Screening thousands of per-entity tests is exactly where
+    per-test α goes wrong (at α=.05, 5% of null entities false-alarm);
+    BH bounds the FALSE-DISCOVERY RATE instead — the standard fix.
+
+    Machinery (the distributed-interest part): p-values need a GLOBAL
+    ascending rank across all m tests — shipped on
+    ``distributed_row_number`` (explicit p-range buckets, no
+    SinglePartition window), the step-up cutoff k* = max{{i : p_i ≤
+    q·i/m}} is ONE scalar aggregate broadcast back, and rejection is
+    rank ≤ k*. No corpus-scale window, no join against the corpus: the
+    corpus collapses to per-user moments in one map-side-combined
+    aggregate and everything after runs on the m-row test frame.
+
+    Determinism: t is rounded 4 dp (the ``drift_welch_t`` moment
+    contract), the p-value uses the LOGISTIC approximation to the
+    normal tail — p = 2/(1+exp(1.702·|t|)), a screening-grade
+    approximation computed from the ROUNDED t and itself rounded 6 dp,
+    so both engines rank identical p's (ties break on user_id).
+    Exact-CDF p-values belong to the consumer; BH only needs p's
+    monotone in |t|, which the logistic map preserves exactly.
+    """
+    from .relational import distributed_row_number
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "value")
+    mid = ev.agg(
+        F.date_add(
+            F.min(F.to_date("ts")),
+            (
+                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            ).cast("int"),
+        ).alias("mid_day")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "user_id",
+            F.when(F.to_date("ts") <= F.col("mid_day"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("half"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = halves.filter(F.col("half") == "a").select(
+        "user_id",
+        F.col("n").alias("n1"),
+        F.col("m").alias("m1"),
+        F.col("v").alias("v1"),
+    )
+    b = halves.filter(F.col("half") == "b").select(
+        "user_id",
+        F.col("n").alias("n2"),
+        F.col("m").alias("m2"),
+        F.col("v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    tests = (
+        a.join(b, "user_id")
+        .filter((F.col("n1") > 1) & (F.col("n2") > 1))
+        .withColumn(
+            "t_stat", F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4)
+        )
+        .withColumn(
+            "p_value",
+            F.round(
+                2.0 / (1.0 + F.exp(F.lit(1.702) * F.abs(F.col("t_stat")))), 6
+            ),
+        )
+        .select("user_id", "t_stat", "p_value")
+    )
+    pid = F.least(
+        F.floor(F.col("p_value") * BH_N_PARTS), F.lit(BH_N_PARTS - 1)
+    ).cast("int")
+    ranked, m_total = distributed_row_number(
+        tests, ["p_value", "user_id"], pid, BH_N_PARTS, return_total=True
+    )
+    ranked = ranked.withColumn(
+        "bh_threshold",
+        F.round(F.lit(BH_Q) * F.col("rn") / F.lit(float(m_total)), 6),
+    ).withColumn("hit", F.col("p_value") <= F.col("bh_threshold"))
+    k_star = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("hit"), F.col("rn"))), F.lit(0)
+        ).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k_star))
+        .select(
+            "user_id",
+            "t_stat",
+            "p_value",
+            F.col("rn").alias("p_rank"),
+            "bh_threshold",
+            (F.col("rn") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+ORACLE_BH_FDR_REPORT = f"""
+WITH mid AS (
+    SELECT MIN(CAST(ts AS DATE))
+           + CAST(CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                                 MAX(CAST(ts AS DATE))) AS DOUBLE) / 2 AS INTEGER)
+           AS mid_day
+    FROM events
+), halves AS (
+    SELECT user_id,
+           CASE WHEN CAST(ts AS DATE) <= mid.mid_day THEN 'a' ELSE 'b' END
+               AS half,
+           COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+    FROM events, mid
+    GROUP BY 1, 2, mid.mid_day
+), tests AS (
+    SELECT a.user_id,
+           ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat
+    FROM halves a JOIN halves b USING (user_id)
+    WHERE a.half = 'a' AND b.half = 'b' AND a.n > 1 AND b.n > 1
+), pvals AS (
+    SELECT user_id, t_stat,
+           ROUND(2.0 / (1.0 + exp(1.702 * abs(t_stat))), 6) AS p_value
+    FROM tests
+), ranked AS (
+    SELECT user_id, t_stat, p_value,
+           ROW_NUMBER() OVER (ORDER BY p_value, user_id) AS p_rank,
+           COUNT(*) OVER () AS m_total
+    FROM pvals
+), thresh AS (
+    SELECT *, ROUND({BH_Q} * p_rank / CAST(m_total AS DOUBLE), 6)
+               AS bh_threshold
+    FROM ranked
+), kstar AS (
+    SELECT COALESCE(MAX(CASE WHEN p_value <= bh_threshold
+                             THEN p_rank END), 0) AS k_star
+    FROM thresh
+)
+SELECT user_id, t_stat, p_value, p_rank, bh_threshold,
+       p_rank <= kstar.k_star AS rejected
+FROM thresh, kstar
+ORDER BY p_rank
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
@@ -2789,6 +3031,8 @@ def oracles() -> dict[str, tuple]:
         "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
         "drift_psi": (q_drift_psi, ORACLE_DRIFT_PSI),
         "drift_welch_t": (q_drift_welch_t, ORACLE_DRIFT_WELCH_T),
+        "l_diversity_audit": (q_l_diversity_audit, ORACLE_L_DIVERSITY_AUDIT),
+        "bh_fdr_report": (q_bh_fdr_report, ORACLE_BH_FDR_REPORT),
         "dataset_card_report": (q_dataset_card_report, _oracle_dataset_card()),
         "column_profile": (q_column_profile, _oracle_column_profile()),
         "gini_concentration": (

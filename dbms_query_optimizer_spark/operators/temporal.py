@@ -3092,6 +3092,303 @@ ORDER BY event_type, day
 """
 
 
+# ------------------------------------------- time-decay attribution
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the half-life-weighted
+    member of the attribution family (first-touch / linear / Markov
+    already shipped): a touch ``d`` whole days before its conversion
+    earns weight 2^(ATTR_WINDOW_DAYS−1−d), so yesterday's click counts
+    double a two-day-old one.
+
+    Determinism (the family's integer discipline): with the 3-day
+    window the weights are the INTEGERS {4, 2, 1}; each touch's credit
+    is ``cents·10⁶·w DIV Σw`` — exact integer division per conversion,
+    no float path anywhere, so per-channel sums are order-independent.
+    Day age is whole-day ``(conv_sec − touch_sec) DIV 86400`` on epoch
+    seconds, identical on both engines.
+
+    Scale shape is q_linear_attribution's unchanged: equi-join on
+    user_id with the time predicate inside, one window partitioned by
+    conversion id for Σw, one map-side-combined channel aggregate.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("touch_ts") < F.col("conv_ts"))
+            & (
+                F.col("touch_ts")
+                >= F.col("conv_ts")
+                - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+            )
+        )
+        .withColumn(
+            "age_d",
+            F.expr(
+                "(unix_timestamp(conv_ts) - unix_timestamp(touch_ts)) DIV 86400"
+            ),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                f"CAST(shiftleft(1, CAST({ATTR_WINDOW_DAYS - 1} - age_d"
+                " AS INT)) AS BIGINT)"
+            ),
+        )
+    )
+    w_conv = W.partitionBy("conv_id")
+    credited = pairs.withColumn("w_tot", F.sum("w").over(w_conv)).withColumn(
+        "credit_micro", F.expr("(cents * 1000000 * w) DIV w_tot")
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("w").alias("weight_total"),
+            F.sum("credit_micro").alias("credited_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_TIME_DECAY_ATTRIBUTION = f"""
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), touch AS (
+    SELECT user_id, ts AS touch_ts, event_type AS channel
+    FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+    SELECT c.conv_id, c.cents, t.channel,
+           CAST(1 AS BIGINT) << CAST(
+               ({ATTR_WINDOW_DAYS} - 1)
+               - (CAST(epoch(c.conv_ts) AS BIGINT)
+                  - CAST(epoch(t.touch_ts) AS BIGINT)) // 86400
+               AS INTEGER) AS w
+    FROM conv c JOIN touch t
+      ON c.user_id = t.user_id
+     AND t.touch_ts < c.conv_ts
+     AND t.touch_ts >= c.conv_ts - INTERVAL {ATTR_WINDOW_DAYS} DAYS
+), credited AS (
+    SELECT channel, w,
+           (cents * 1000000 * w) // SUM(w) OVER (PARTITION BY conv_id)
+               AS credit_micro
+    FROM pairs
+)
+SELECT channel,
+       COUNT(*) AS n_touches,
+       CAST(SUM(w) AS BIGINT) AS weight_total,
+       CAST(SUM(credit_micro) AS BIGINT) AS credited_micro
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+# ------------------------------------------------- autocorrelation
+
+ACF_MAX_LAG = 7
+
+
+def q_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-type daily event-count series
+    at lags 1..ACF_MAX_LAG — the "is there weekly seasonality?" scan
+    that precedes any forecasting work (companions:
+    ``seasonal_decompose`` assumes the period; this measures it).
+
+    Plan: the corpus collapses to (event_type, day, count) in ONE
+    map-side-combined aggregate — everything after runs on the
+    days-sized frame (|types|·|days| rows, ~thousands at any corpus
+    size, the same collapse discipline as ``model_auc_roc``'s score
+    domain). Lagged pairs come from a window ``lag`` per type ordered
+    by day (gap days don't exist in this fixture; a gapped series
+    would LOCF-fill first via ``events_gapfill_locf``), and r_k uses
+    the standard biased-denominator estimator
+    Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with the per-type mean over all
+    days. Rounded 6 dp on identical double pipelines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("x").alias("xbar"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"x_l{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    num = lagged.join(F.broadcast(stats), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        *[
+            F.sum(
+                (F.col("x") - F.col("xbar"))
+                * (F.col(f"x_l{k}") - F.col("xbar"))
+            ).alias(f"num_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+        F.first("xbar").alias("xbar"),
+        F.first("sxx").alias("sxx"),
+        F.first("sx").alias("sx"),
+        F.first("n_days").alias("n_days"),
+    )
+    # denominator Σ(x−x̄)² = Σx² − 2x̄Σx + n·x̄² — exact from the moments
+    den = (
+        F.col("sxx")
+        - 2.0 * F.col("xbar") * F.col("sx")
+        + F.col("n_days") * F.col("xbar") * F.col("xbar")
+    )
+    acf_cols = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.round(F.col(f"num_{k}") / den, 6).alias("acf"),
+            )
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    return (
+        num.select(
+            "event_type", "n_days", F.explode(acf_cols).alias("a")
+        )
+        .select(
+            "event_type",
+            F.col("a.lag").alias("lag"),
+            F.col("a.acf").alias("acf"),
+            "n_days",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+ORACLE_AUTOCORR_LAGS = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, AVG(x) AS xbar,
+           SUM(x * x) AS sxx, SUM(x) AS sx, COUNT(*) AS n_days
+    FROM daily GROUP BY event_type
+), lagged AS (
+    SELECT event_type, x,
+           {", ".join(
+               f"LAG(x, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+               f" AS x_l{k}"
+               for k in range(1, ACF_MAX_LAG + 1)
+           )}
+    FROM daily
+), num AS (
+    SELECT l.event_type,
+           {", ".join(
+               f"SUM((l.x - s.xbar) * (l.x_l{k} - s.xbar)) AS num_{k}"
+               for k in range(1, ACF_MAX_LAG + 1)
+           )},
+           ANY_VALUE(s.sxx) AS sxx, ANY_VALUE(s.sx) AS sx,
+           ANY_VALUE(s.xbar) AS xbar, ANY_VALUE(s.n_days) AS n_days
+    FROM lagged l JOIN stats s USING (event_type)
+    GROUP BY l.event_type
+)
+SELECT event_type, lag, acf, n_days
+FROM num, LATERAL (
+    {" UNION ALL ".join(
+        f"SELECT {k} AS lag, ROUND(num_{k} / "
+        "(sxx - 2.0 * xbar * sx + n_days * xbar * xbar), 6) AS acf"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )}
+) t
+ORDER BY event_type, lag
+"""
+
+
+# --------------------------------------------------- gaps and islands
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks — the
+    classic sessionization-at-day-granularity shape (streak features
+    feed retention models; ``heartbeat_gaps`` finds the gaps, this
+    groups the islands).
+
+    The island id is the row_number-difference trick: within a user,
+    ``day − INTERVAL rn DAYS`` is constant exactly across consecutive
+    days, so islands fall out of ONE distinct + ONE window + ONE
+    aggregate — no self-join, no iteration. All-integer outputs (exact
+    hash parity, no rounding contract needed).
+
+    Scale: the corpus collapses to distinct (user, day) first —
+    map-side-combined, the frame is bounded by users×days — and the
+    row_number window partitions BY USER (no global window anywhere).
+    Per-user output: streak count, longest/mean streak, active days.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor",
+        F.date_sub(F.col("day"), F.row_number().over(w)),
+    )
+    islands = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+            F.min("start_day").alias("first_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_ACTIVITY_ISLANDS = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grp AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+           ) AS INTEGER) AS anchor
+    FROM days
+), islands AS (
+    SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS start_day
+    FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       MIN(start_day) AS first_day
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "events_ohlc_bars": (q_events_ohlc_bars, ORACLE_EVENTS_OHLC_BARS),
@@ -3101,6 +3398,12 @@ def oracles() -> dict[str, tuple]:
             ORACLE_SEASONAL_ANOMALY_FLAGS,
         ),
         "linear_attribution": (q_linear_attribution, ORACLE_LINEAR_ATTRIBUTION),
+        "time_decay_attribution": (
+            q_time_decay_attribution,
+            ORACLE_TIME_DECAY_ATTRIBUTION,
+        ),
+        "autocorr_lags": (q_autocorr_lags, ORACLE_AUTOCORR_LAGS),
+        "activity_islands": (q_activity_islands, ORACLE_ACTIVITY_ISLANDS),
         "fifo_allocation": (q_fifo_allocation, ORACLE_FIFO_ALLOCATION),
         "seasonal_decompose": (q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE),
         "survival_km": (q_survival_km, ORACLE_SURVIVAL_KM),

@@ -160,7 +160,7 @@ def test_shuffle_hash_join_strategy_pinned(explain):
     ["global_row_number", "sample_systematic", "quantile_normalize",
      "rfm_segmentation", "shard_assignment_balanced", "woe_binning",
      "stats_equidepth_histogram", "model_auc_roc", "model_pr_auc",
-     "spearman_rank_corr"],
+     "spearman_rank_corr", "bh_fdr_report"],
 )
 def test_global_ranks_never_single_partition(explain, name):
     # These queries need GLOBAL row numbers / NTILEs. The naive form —
@@ -424,6 +424,44 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "markov_attribution": [],
     # advisor: bucket spans aggregate map-side over the ranked frame;
     # rank windows are _pid-partitioned (distributed_row_number)
+    # spatial NN join: the candidate join is a hash equi-join on cell id
+    # (never a theta join over points×facilities; the only nested loop is
+    # the 9-row neighborhood offsets broadcast onto the SMALL side) and
+    # the per-point argmin is a struct-min AGGREGATE with map-side
+    # partials (SortAggregate — struct keys aren't hash-aggregable), not
+    # a per-point rank window
+    "geo_nearest_facility": [
+        "BroadcastHashJoin", "tree:SortAggregate", "partial_",
+        "!tree:SortMergeJoin", "!tree:Window",
+    ],
+    # density heatmap: one map-side-combined hash agg over cell ids, then
+    # a distributed top-k — never a global sort or window over the cells
+    "geo_grid_density": [
+        "tree:TakeOrderedAndProject", "tree:HashAggregate", "partial_",
+        "!tree:Window", "!tree:Join",
+    ],
+    # ACF: the corpus collapses to (type, day) in one partial-agg pass;
+    # the lag window and moment join-back run on the days-sized frame
+    # (stats broadcast onto it)
+    "autocorr_lags": ["tree:Window", "BroadcastHashJoin", "partial_"],
+    # gaps-and-islands: distinct + per-user window + aggregate — no join
+    # anywhere in the plan
+    "activity_islands": [
+        "tree:Window", "tree:HashAggregate", "partial_", "!tree:Join",
+    ],
+    # time-decay attribution: equi-join pairing, per-conversion Σw
+    # window, integer credit — no Python eval plane
+    "time_decay_attribution": [
+        "tree:Window", "partial_", "!MapInPandas", "!ArrowEvalPython",
+    ],
+    # BH step-up: global p-rank ships on distributed_row_number (the
+    # SinglePartition-adjacency gate runs in
+    # test_global_ranks_never_single_partition); k* is a 1-row broadcast
+    "bh_fdr_report": ["tree:Window", "BroadcastHashJoin", "partial_"],
+    # l-diversity: one fact equi-join, classes-sized window + rollup
+    "l_diversity_audit": [
+        "tree:Window", "partial_", "!MapInPandas", "!ArrowEvalPython",
+    ],
     "cluster_key_advisor": [
         "tree:Window", "tree:HashAggregate", "partial_", "!MapInPandas",
     ],
