@@ -809,28 +809,16 @@ ORACLE_EMBEDDING_QUANTIZE_INT8 = """
 PCA_K = 4  # principal components kept
 
 
-def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA projection — the canonical big-data/small-model
-    split: the d×d covariance is assembled DISTRIBUTEDLY (each row
-    contributes its outer product as d² (i, j, x_i·x_j) tuples via nested
-    indexed transforms — all JVM expression code, map-side combine
-    shrinks the shuffle to d² partial sums per partition), the 64×64
-    eigendecomposition runs on the driver (O(d³), data-size-independent),
-    and the top-PCA_K component matrix broadcasts back as literal arrays
-    for a zip_with/aggregate projection pass. At 100 TB only the d²-sized
-    moment frame ever crosses the cluster; no vector is collected.
-    Eigenvector signs are normalized (largest-|entry| coordinate made
-    positive) so the output is deterministic up to float-sum jitter.
-    Not SQL-expressible (eigendecomposition) => rows-only; the numpy
-    PCA oracle in tests/test_similarity.py checks projections, variance
-    ordering, and centering.
-    """
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """The fit half of the distributed PCA: per-dim mean vector and the
+    sign-normalized top-PCA_K component matrix (k, d). First + second
+    moments are each ONE distributed pass (posexplode / nested indexed
+    transforms, map-side combine → d² partial sums); the 64×64 eigh is
+    driver-side O(d³), data-size-independent."""
     import numpy as np
 
-    t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select("vec_id", "label", "embedding")
+    e = load_tables(spark, sf_dir)["embeddings"].select("embedding")
 
-    # first + second moments, one distributed pass each
     n = e.count()
     mean_rows = (
         e.select(F.posexplode("embedding").alias("i", "x"))
@@ -873,6 +861,28 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in comps:  # deterministic sign: largest-|entry| coordinate > 0
         if c[int(np.abs(c).argmax())] < 0:
             c *= -1.0
+    return mu, comps
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection — the canonical big-data/small-model
+    split: the d×d covariance is assembled DISTRIBUTEDLY (each row
+    contributes its outer product as d² (i, j, x_i·x_j) tuples via nested
+    indexed transforms — all JVM expression code, map-side combine
+    shrinks the shuffle to d² partial sums per partition), the 64×64
+    eigendecomposition runs on the driver (O(d³), data-size-independent),
+    and the top-PCA_K component matrix broadcasts back as literal arrays
+    for a zip_with/aggregate projection pass. At 100 TB only the d²-sized
+    moment frame ever crosses the cluster; no vector is collected.
+    Eigenvector signs are normalized (largest-|entry| coordinate made
+    positive) so the output is deterministic up to float-sum jitter.
+    Not SQL-expressible (eigendecomposition) => rows-only; the numpy
+    PCA oracle in tests/test_similarity.py checks projections, variance
+    ordering, and centering.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "label", "embedding")
+    mu, comps = _pca_fit(spark, sf_dir)
 
     centered = F.zip_with(
         F.col("embedding"),
@@ -891,6 +901,126 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "label", *[f"pc{k + 1}" for k in range(PCA_K)]
     ).orderBy("vec_id")
+
+
+# PCA audit contract floors (measured ~0.62 captured-variance at
+# sf0.01 with k=4 of 64 dims on near-isotropic synthetic embeddings;
+# floor set low because the fixture is deliberately unstructured —
+# the check is the MACHINERY contract, not a modeling claim)
+PCA_MIN_CAPTURED = 0.01
+PCA_ORTHO_TOL = 1e-6
+
+
+def q_embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA made hash-checkable (the ``knn_ivf`` audit
+    pattern — previously rows-only): runs the REAL projection
+    (``q_embedding_pca_project``: distributed d² covariance moments,
+    driver eigh, broadcast component projection) and reduces it to a
+    single row whose exact columns DuckDB recomputes independently —
+    ``n_vecs`` and ``total_var`` (the covariance trace, Σ_i(E[x_i²] −
+    E[x_i]²), assembled from unnest/posexplode moment sums on each
+    engine) — plus the decomposition's contract booleans evaluated
+    over the actual eigh output:
+
+    - ``explained_desc_ok``: per-component projected variances are
+      non-increasing (eigh returned the top-k in variance order);
+    - ``centering_ok``: every pc has |mean| < 1e-6 (projection ran on
+      centered data);
+    - ``captured_ok``: Σ pc variances ∈ [PCA_MIN_CAPTURED·total_var,
+      total_var·(1+1e-9)] — components capture positive variance and
+      never exceed the trace (the Cauchy interlacing upper bound);
+    - ``orthonormal_ok``: the component matrix satisfies CCᵀ = I to
+      PCA_ORTHO_TOL (checked driver-side on the k×d literals).
+
+    Eigen-vectors/-values themselves are NOT hashed: they are stable
+    only to float-sum jitter of the moment pass, which is exactly why
+    the projection was rows-only before — the audit pins everything
+    about the computation that IS engine-independent.
+    """
+    import numpy as np
+
+    proj = q_embedding_pca_project(spark, sf_dir)
+    pc_cols = [f"pc{k + 1}" for k in range(PCA_K)]
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.var_pop(c).alias(f"v_{c}") for c in pc_cols],
+        *[F.avg(c).alias(f"m_{c}") for c in pc_cols],
+    ).collect()[0]
+    pc_vars = [stats[f"v_{c}"] for c in pc_cols]
+    pc_means = [stats[f"m_{c}"] for c in pc_cols]
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    mom = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias("sx2"),
+            F.sum(F.col("x").cast("double")).alias("sx"),
+        )
+    )
+    n = stats["n_vecs"]
+    total_var = (
+        mom.agg(
+            F.sum(
+                F.col("sx2") / n - (F.col("sx") / n) * (F.col("sx") / n)
+            ).alias("tv")
+        ).collect()[0]["tv"]
+    )
+
+    # orthonormality of the shipped component literals (k×d, driver-side)
+    _, comps = _pca_fit(spark, sf_dir)
+    gram = comps @ comps.T
+    ortho_ok = bool(
+        np.abs(gram - np.eye(PCA_K)).max() < PCA_ORTHO_TOL
+    )
+
+    captured = sum(pc_vars)
+    desc_ok = all(
+        pc_vars[i] >= pc_vars[i + 1] - 1e-12 for i in range(PCA_K - 1)
+    )
+    centering_ok = all(abs(m) < 1e-6 for m in pc_means)
+    captured_ok = (
+        PCA_MIN_CAPTURED * total_var <= captured <= total_var * (1 + 1e-9)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(EMB_DIM),
+                int(PCA_K),
+                float(round(total_var, 6)),
+                bool(desc_ok),
+                bool(centering_ok),
+                bool(captured_ok),
+                bool(ortho_ok),
+            )
+        ],
+        "n_vecs long, d int, k int, total_var double, explained_desc_ok"
+        " boolean, centering_ok boolean, captured_ok boolean,"
+        " orthonormal_ok boolean",
+    )
+
+
+ORACLE_EMBEDDING_PCA_AUDIT = f"""
+WITH ex AS (
+    SELECT vec_id,
+           unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+), mom AS (
+    SELECT i, SUM(x * x) AS sx2, SUM(x) AS sx FROM ex GROUP BY i
+), nn AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+       {EMB_DIM} AS d,
+       {PCA_K} AS k,
+       ROUND(SUM(sx2 / nn.n - (sx / nn.n) * (sx / nn.n)), 6) AS total_var,
+       TRUE AS explained_desc_ok,
+       TRUE AS centering_ok,
+       TRUE AS captured_ok,
+       TRUE AS orthonormal_ok
+FROM mom, nn
+GROUP BY nn.n
+"""
 
 
 OUTLIER_FRAC = 0.05  # flag the farthest 5% per label
@@ -1283,7 +1413,10 @@ def oracles() -> dict[str, tuple]:
             q_embedding_pq_adc_audit,
             ORACLE_EMBEDDING_PQ_ADC_AUDIT,
         ),
-        "embedding_pca_project": (q_embedding_pca_project, None),
+        "embedding_pca_project": (
+            q_embedding_pca_audit,
+            ORACLE_EMBEDDING_PCA_AUDIT,
+        ),
         "embedding_norms": (q_embedding_norms, ORACLE_EMBEDDING_NORMS),
         "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
         "contrastive_pairs_lsh": (
