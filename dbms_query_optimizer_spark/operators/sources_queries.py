@@ -2211,6 +2211,133 @@ ORACLE_TXN_TIME_TRAVEL = """
 """
 
 
+def q_txn_cluster_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec / clustering EVOLUTION across file generations —
+    the lakehouse capability hive-style static partitioning lacks: a
+    table whose early files were laid out for one predicate class and
+    whose later files for another keeps BOTH scans prunable, because
+    zone-map pruning reads each file's own stats instead of a
+    table-wide partition spec (Iceberg's partition-evolution argument,
+    realized here through the manifest's spec-agnostic zones).
+
+    Fixture: generation 1 (lower-half custkeys) commits 4 files
+    clustered by ORDER-DATE quarter; the table then "evolves" — the
+    ingest re-clusters — and generation 2 (upper-half custkeys)
+    commits 4 files clustered by ORDER-KEY quartile. Two predicate
+    reads follow:
+
+    - date scan (o_orderdate ≥ Q4 cut): gen-1 prunes to its one Q4
+      file, gen-2 files all span the full date range and must all be
+      read → files_read 5 / 8;
+    - key scan (o_orderkey ≥ Q4 cut): the mirror — gen-2 prunes to one
+      file, gen-1 read in full → 5 / 8.
+
+    Both prune counts AND both result aggregates are oracle-pinned, so
+    a layout change that silently broke pruning (or worse, results)
+    fails the hash. Scale: evolution is metadata-only — no rewrite of
+    old files — and pruning cost stays O(files) driver-side.
+    """
+    import datetime as dt
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_cluster_evo", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    # INT96 (the legacy parquet default) writes no timestamp min/max,
+    # which would blind the o_orderdate zones — force stats-bearing
+    # micros under any host session (the driver's doesn't set it)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    mx_key, mx_cust, d0, d1 = orders.agg(
+        F.max("o_orderkey"),
+        F.max("o_custkey"),
+        F.min(F.to_date("o_orderdate")),
+        F.max(F.to_date("o_orderdate")),
+    ).collect()[0]
+    mid_cust = (mx_cust + 1) // 2
+    kq = [(i * (mx_key + 1)) // 4 for i in range(5)]
+    span = ((d1 - d0).days + 1) // 4  # whole days per date quarter
+
+    gen1 = orders.filter(F.col("o_custkey") <= mid_cust)
+    gen2 = orders.filter(F.col("o_custkey") > mid_cust)
+
+    table = TransactionalTable.create(root, orders.schema)
+    day_idx = F.datediff(F.to_date("o_orderdate"), F.lit(d0))
+    for i in range(4):  # generation 1: date-quarter clustering
+        lo, hi = i * span, (i + 1) * span
+        part = gen1.filter(
+            (day_idx >= lo) & ((day_idx < hi) if i < 3 else F.lit(True))
+        )
+        t = table.begin()
+        t.insert(part.coalesce(1))
+        t.commit()
+    for lo, hi in zip(kq, kq[1:]):  # generation 2: key-quartile clustering
+        t = table.begin()
+        t.insert(
+            gen2.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).coalesce(1)
+        )
+        t.commit()
+
+    reader = TransactionalTable(root)  # fresh open = recovery path
+    cut_ts = dt.datetime.combine(
+        d0 + dt.timedelta(days=3 * span), dt.time()
+    )
+    date_df = reader.read(spark, where=("o_orderdate", ">=", cut_ts))
+    date_row = date_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    ).select(
+        F.lit("date_ge_q4").alias("scan"),
+        "n_rows",
+        "sum_price",
+        F.lit(reader.last_scan["files_read"]).alias("files_read"),
+        F.lit(reader.last_scan["files_total"]).alias("files_total"),
+    )
+    key_df = reader.read(spark, where=("o_orderkey", ">=", kq[3]))
+    key_row = key_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    ).select(
+        F.lit("key_ge_q4").alias("scan"),
+        "n_rows",
+        "sum_price",
+        F.lit(reader.last_scan["files_read"]).alias("files_read"),
+        F.lit(reader.last_scan["files_total"]).alias("files_total"),
+    )
+    return date_row.unionAll(key_row).orderBy("scan")
+
+
+ORACLE_TXN_CLUSTER_EVOLUTION = """
+WITH bounds AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+           (date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                      MAX(CAST(o_orderdate AS DATE))) + 1) // 4 AS span,
+           ((MAX(o_orderkey) + 1) * 3) // 4 AS kq3
+    FROM orders
+)
+SELECT 'date_ge_q4' AS scan, COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS sum_price,
+       5 AS files_read, 8 AS files_total
+FROM orders, bounds
+WHERE o_orderdate >= CAST(d0 + 3 * span * INTERVAL 1 DAY AS TIMESTAMP)
+UNION ALL
+SELECT 'key_ge_q4' AS scan, COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS sum_price,
+       5 AS files_read, 8 AS files_total
+FROM orders, bounds
+WHERE o_orderkey >= kq3
+ORDER BY scan
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
@@ -2234,6 +2361,10 @@ def oracles() -> dict[str, tuple]:
             ORACLE_STREAMING_MANIFEST_TAIL,
         ),
         "txn_zonemap_scan": (q_txn_zonemap_scan, ORACLE_TXN_ZONEMAP_SCAN),
+        "txn_cluster_evolution": (
+            q_txn_cluster_evolution,
+            ORACLE_TXN_CLUSTER_EVOLUTION,
+        ),
         "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
         "txn_constraint_gate": (q_txn_constraint_gate, ORACLE_TXN_CONSTRAINT_GATE),
         "txn_schema_evolution": (q_txn_schema_evolution, ORACLE_TXN_SCHEMA_EVOLUTION),

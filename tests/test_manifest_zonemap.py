@@ -290,3 +290,19 @@ def test_timestamp_zone_pruning(spark, tmp_path):
     assert len(td._replaced) == 2  # newer files proven clean, untouched
     td.commit()
     assert sorted(r.id // 100 for r in table.read(spark).collect()) == [3] * 5 + [4] * 5
+
+
+def test_cluster_evolution_prunes_per_generation(spark, sf_dir):
+    # q_txn_cluster_evolution's claim, re-checked structurally: after a
+    # mid-table re-clustering, EACH scan's pruning follows the file
+    # generation laid out for it (the spec-agnostic-zones argument).
+    from dbms_query_optimizer_spark.operators.sources_queries import (
+        q_txn_cluster_evolution,
+    )
+
+    rows = {r.scan: r for r in q_txn_cluster_evolution(spark, sf_dir).collect()}
+    assert set(rows) == {"date_ge_q4", "key_ge_q4"}
+    for r in rows.values():
+        assert r.files_total == 8
+        assert r.files_read == 5  # 1 surviving file + the 4 blind ones
+        assert r.n_rows > 0  # a vacuous scan proves nothing
