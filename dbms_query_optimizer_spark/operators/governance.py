@@ -2779,10 +2779,7 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_val = joined.groupBy(
         "c_nationkey", "c_mktsegment", "o_orderpriority"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("c_custkey").alias("n_cust_v"),
-    )
+    ).agg(F.count(F.lit(1)).alias("n"))
     w_cls = W.partitionBy("c_nationkey", "c_mktsegment")
     frac = per_val.withColumn("n_tot", F.sum("n").over(w_cls)).withColumn(
         "p", F.col("n").cast("double") / F.col("n_tot").cast("double")
@@ -2907,7 +2904,14 @@ def q_bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
     tests = (
         a.join(b, "user_id")
-        .filter((F.col("n1") > 1) & (F.col("n2") > 1))
+        # n>1 so both variances are defined; v1+v2>0 excludes the
+        # degenerate all-identical-values user whose t would be NaN/Inf
+        # (engines order NaN differently — keep it out of the family)
+        .filter(
+            (F.col("n1") > 1)
+            & (F.col("n2") > 1)
+            & ((F.col("v1") + F.col("v2")) > 0)
+        )
         .withColumn(
             "t_stat", F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4)
         )
@@ -2967,6 +2971,7 @@ WITH mid AS (
            ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat
     FROM halves a JOIN halves b USING (user_id)
     WHERE a.half = 'a' AND b.half = 'b' AND a.n > 1 AND b.n > 1
+      AND (a.v + b.v) > 0
 ), pvals AS (
     SELECT user_id, t_stat,
            ROUND(2.0 / (1.0 + exp(1.702 * abs(t_stat))), 6) AS p_value

@@ -3141,10 +3141,15 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
+            # age_d can reach ATTR_WINDOW_DAYS on the boundary SECOND:
+            # the window predicate compares microseconds but age_d is
+            # whole truncated seconds, so a touch inside the same second
+            # as the 3-day boundary floors to day 3 — clamp it into the
+            # oldest bucket (weight 1), never a negative shift
             "w",
             F.expr(
-                f"CAST(shiftleft(1, CAST({ATTR_WINDOW_DAYS - 1} - age_d"
-                " AS INT)) AS BIGINT)"
+                f"CAST(shiftleft(1, greatest(0, CAST({ATTR_WINDOW_DAYS - 1}"
+                " - age_d AS INT))) AS BIGINT)"
             ),
         )
     )
@@ -3172,12 +3177,18 @@ WITH conv AS (
     SELECT user_id, ts AS touch_ts, event_type AS channel
     FROM events WHERE event_type IN ('click', 'view')
 ), pairs AS (
+    -- epoch() on a fractional timestamp returns DOUBLE and CAST would
+    -- ROUND where Spark's unix_timestamp TRUNCATES — truncate to the
+    -- second first (the twap_daily contract); GREATEST clamps the
+    -- boundary-second age into the oldest bucket, mirroring the Spark
+    -- side
     SELECT c.conv_id, c.cents, t.channel,
-           CAST(1 AS BIGINT) << CAST(
+           CAST(1 AS BIGINT) << GREATEST(0, CAST(
                ({ATTR_WINDOW_DAYS} - 1)
-               - (CAST(epoch(c.conv_ts) AS BIGINT)
-                  - CAST(epoch(t.touch_ts) AS BIGINT)) // 86400
-               AS INTEGER) AS w
+               - (CAST(epoch(date_trunc('second', c.conv_ts)) AS BIGINT)
+                  - CAST(epoch(date_trunc('second', t.touch_ts)) AS BIGINT))
+                 // 86400
+               AS INTEGER)) AS w
     FROM conv c JOIN touch t
       ON c.user_id = t.user_id
      AND t.touch_ts < c.conv_ts

@@ -239,8 +239,10 @@ def test_time_decay_weights_partition_by_age(spark, sf_dir):
     )
     ref: dict[str, int] = {}
     for r in pairs:
+        # boundary-second touches floor to age_d == ATTR_WINDOW_DAYS;
+        # the query clamps them into the oldest bucket
         ref[r.channel] = ref.get(r.channel, 0) + (
-            1 << (ATTR_WINDOW_DAYS - 1 - r.age_d)
+            1 << max(0, ATTR_WINDOW_DAYS - 1 - r.age_d)
         )
     got = {
         r.channel: r.weight_total
