@@ -202,6 +202,11 @@ HEADLINE = [
     # with no SinglePartition window) and the l-diversity privacy gate
     "bh_fdr_report",
     "l_diversity_audit",
+    # round 6: third-order sequential-pattern mining (per-user lead
+    # windows → trigram-domain count → distributed top-k) and
+    # partition-spec evolution with per-generation zone pruning
+    "event_trigram_mining",
+    "txn_cluster_evolution",
 ]
 
 

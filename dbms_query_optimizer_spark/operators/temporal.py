@@ -3334,6 +3334,69 @@ ORDER BY event_type, lag
 """
 
 
+# ------------------------------------------------ sequence mining
+
+TRIGRAM_TOPK = 25
+
+
+def q_event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, n-gram form: the TRIGRAM_TOPK most
+    frequent consecutive event-type TRIGRAMS across user timelines,
+    with support (occurrence count) and the number of distinct users
+    exhibiting each — the "what do users actually do next" complement
+    of ``session_paths`` (whole journeys) and
+    ``event_transition_matrix`` (first-order bigrams): third-order
+    context is where funnels start to look like intent.
+
+    Plan: two ``lead`` windows per user (bounded by per-user history —
+    never a global window), one map-side-combined count over the
+    trigram key, and a distributed top-k (TakeOrdered) with full
+    lexicographic tie-break. All-integer outputs — exact hash parity.
+    At 100 TB the shuffle after the windows carries |distinct
+    trigrams| ≤ |event types|³ partials per partition, corpus-size
+    independent.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(
+            F.col("support").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+        )
+        .limit(TRIGRAM_TOPK)
+    )
+
+
+ORACLE_EVENT_TRIGRAM_MINING = f"""
+WITH tri AS (
+    SELECT user_id, event_type AS e1,
+           LEAD(event_type, 1) OVER w AS e2,
+           LEAD(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS support,
+       COUNT(DISTINCT user_id) AS n_users
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY support DESC, e1, e2, e3
+LIMIT {TRIGRAM_TOPK}
+"""
+
+
 # --------------------------------------------------- gaps and islands
 
 def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3414,6 +3477,10 @@ def oracles() -> dict[str, tuple]:
             ORACLE_TIME_DECAY_ATTRIBUTION,
         ),
         "autocorr_lags": (q_autocorr_lags, ORACLE_AUTOCORR_LAGS),
+        "event_trigram_mining": (
+            q_event_trigram_mining,
+            ORACLE_EVENT_TRIGRAM_MINING,
+        ),
         "activity_islands": (q_activity_islands, ORACLE_ACTIVITY_ISLANDS),
         "fifo_allocation": (q_fifo_allocation, ORACLE_FIFO_ALLOCATION),
         "seasonal_decompose": (q_seasonal_decompose, ORACLE_SEASONAL_DECOMPOSE),

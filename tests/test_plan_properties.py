@@ -462,6 +462,15 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "l_diversity_audit": [
         "tree:Window", "partial_", "!MapInPandas", "!ArrowEvalPython",
     ],
+    # trigram mining: per-user lead windows, map-side-combined trigram
+    # count, distributed top-k — no join, no global sort
+    "event_trigram_mining": [
+        "tree:Window", "tree:TakeOrderedAndProject", "partial_",
+        "!tree:Join",
+    ],
+    # cluster evolution: the read half is two zone-pruned manifest
+    # scans + 1-row aggregates; no corpus window, no Python plane
+    "txn_cluster_evolution": ["!tree:Window", "!MapInPandas"],
     "cluster_key_advisor": [
         "tree:Window", "tree:HashAggregate", "partial_", "!MapInPandas",
     ],

@@ -314,3 +314,36 @@ def test_l_diversity_python_reference(spark, sf_dir):
         assert abs(r.entropy - ent) < 1e-5
         assert r.distinct_l_ok == (len(dist) >= L_DIVERSITY)
         assert r.entropy_l_ok == (r.entropy >= math.log(L_DIVERSITY))
+
+
+# ------------------------------------------------- trigram mining
+
+def test_event_trigrams_python_reference(spark, sf_dir):
+    from dbms_query_optimizer_spark.engine import load_tables
+    from dbms_query_optimizer_spark.operators.temporal import TRIGRAM_TOPK
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    support: dict[tuple, int] = {}
+    users: dict[tuple, set] = {}
+    for u, rows in per_user.items():
+        seq = [t for _, _, t in sorted(rows, key=lambda x: (x[0], x[1]))]
+        for i in range(len(seq) - 2):
+            k = (seq[i], seq[i + 1], seq[i + 2])
+            support[k] = support.get(k, 0) + 1
+            users.setdefault(k, set()).add(u)
+    expected = sorted(
+        ((-n, *k, n, len(users[k])) for k, n in support.items())
+    )[:TRIGRAM_TOPK]
+    expected = [(e1, e2, e3, n, nu) for _, e1, e2, e3, n, nu in expected]
+    got = [
+        (r.e1, r.e2, r.e3, r.support, r.n_users)
+        for r in QS["event_trigram_mining"](spark, sf_dir).collect()
+    ]
+    assert got == expected
