@@ -710,6 +710,22 @@ DRIVER_SENTINELS = [
 # plan-pinned advisor queries. (linear_attribution deferred to r7 — the
 # attribution family is already represented by markov_attribution here
 # and first_touch_attribution green in r5.)
+#
+# PLANNED r7 rotation (make it the FIRST commit of round 7): union this
+# round's greens into DRIVER_CHECKED_PRIOR_ROUNDS, keep the sentinels,
+# then fill with (a) the remaining never-checked r5 names —
+# linear_attribution, embedding_drift, embedding_outliers,
+# contrastive_pairs, argmax_per_group, trend_per_group, window_analytics,
+# text_tfidf_top_terms and the other pre-r5 names without rows, (b) ALL
+# round-6 additions — geo_nearest_facility, geo_grid_density,
+# autocorr_lags, activity_islands, time_decay_attribution,
+# event_trigram_mining, bh_fdr_report, l_diversity_audit,
+# txn_cluster_evolution, embedding_pca_project (now the audit),
+# embedding_pq_adc + approx_topk_terms (made hash-checkable r6), and
+# (c) the txn lifecycle surface per the r5 verdict stretch —
+# txn_compact_scan, txn_history, txn_clone, txn_erase_keys,
+# txn_replace_where, txn_retention_delete, txn_incremental_mv,
+# txn_constraint_gate, txn_schema_evolution, txn_delete_where.
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # red in r5 — oracle epoch() cast to BIGINT this round, re-prove
     "twap_daily",
