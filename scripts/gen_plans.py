@@ -538,6 +538,27 @@ COMMENTARY = {
         "combiners, and the Horner hash as JVM lambda folds — no "
         "Python eval plane anywhere."
     ),
+    "geo_nearest_facility": (
+        "Grid-blocked spatial k=1 join. Expect: the 9-row neighborhood "
+        "offsets as a tiny BroadcastNestedLoopJoin onto the SMALL "
+        "facility side only, candidates from a BroadcastHashJoin on the "
+        "(cy, cx) cell id — never a theta join of points × facilities — "
+        "and the per-point argmin as a partial+final SortAggregate "
+        "(struct-min), not a rank window."
+    ),
+    "bh_fdr_report": (
+        "Benjamini–Hochberg step-up. Expect: per-user moments from one "
+        "partial_-combined hash aggregate over the corpus; the global "
+        "p-value rank as _pid-partitioned Windows with a literal offset "
+        "map (distributed_row_number — no SinglePartition window over "
+        "the test frame); k* as a 1-row aggregate broadcast back."
+    ),
+    "event_trigram_mining": (
+        "Sequential trigram mining. Expect: two lead() expressions fused "
+        "into ONE Window per user, a partial_-combined count over the "
+        "trigram key, and TakeOrderedAndProject for the top-k — no join, "
+        "no global sort."
+    ),
 }
 
 
