@@ -207,6 +207,9 @@ HEADLINE = [
     # partition-spec evolution with per-generation zone pruning
     "event_trigram_mining",
     "txn_cluster_evolution",
+    # round 6: VACUUM made catalog-visible (reclaim counts + post-vacuum
+    # read hash-pinned) — closes the lifecycle loop
+    "txn_vacuum_report",
 ]
 
 

@@ -2338,6 +2338,78 @@ ORDER BY scan
 """
 
 
+def q_txn_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM made catalog-visible: the storage-reclaim half of the
+    table lifecycle (every other lifecycle op — merge, delete, compact,
+    restore, clone, WAP — already has a driver-checkable query; this
+    closes the loop). The fixture manufactures all three kinds of dead
+    storage a real table accretes:
+
+    - two small ingest commits whose files a later OPTIMIZE
+      (``compact``) rewrites — their txn dirs become unreferenced by
+      the LATEST manifest (time travel to pre-compact versions is the
+      price, as in any lakehouse VACUUM);
+    - one crashed writer (begin + insert, never commit) whose staged
+      files no manifest ever referenced.
+
+    ``vacuum()`` must reclaim exactly those three txn dirs and NOTHING
+    live: the report emits the reclaim counts AND the post-vacuum read
+    (row count, exact decimal sum) so a vacuum that touched a live file
+    fails the hash on the data columns, not just the bookkeeping.
+    Scale: vacuum is driver-side metadata (set difference of dir names)
+    + O(dead files) deletes — no data scan.
+    """
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+
+    root = _roundtrip_dir(sf_dir, "txn_vacuum", "orders")
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    subset = orders.filter(F.col("o_orderkey") % 10 == 7)
+
+    table = TransactionalTable.create(root, subset.schema)
+    for parity in (0, 1):  # two small ingest commits, one file each
+        t = table.begin()
+        t.insert(subset.filter(F.col("o_custkey") % 2 == parity).coalesce(1))
+        t.commit()
+    crashed = table.begin()  # crashed writer: staged, never committed
+    crashed.insert(subset.limit(5).coalesce(1))
+
+    # OPTIMIZE: pack both small files into one (huge target => exactly
+    # ceil(bytes/target) = 1 rewritten file, byte-size independent)
+    table.compact(spark, target_file_bytes=1 << 40)
+
+    reclaimed = table.vacuum()
+
+    reader = TransactionalTable(root)
+    snap = reader.snapshot(None)
+    df = reader.read(spark)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum_double(dec("o_totalprice"), 2).alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(len(reclaimed)).alias("dirs_reclaimed"),
+        F.lit(len(snap["files"])).alias("files_live"),
+    )
+
+
+ORACLE_TXN_VACUUM_REPORT = """
+    SELECT COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS sum_price,
+           3 AS dirs_reclaimed,
+           1 AS files_live
+    FROM orders
+    WHERE o_orderkey % 10 = 7
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "txn_write_read": (q_txn_write_read, ORACLE_TXN_WRITE_READ),
@@ -2365,6 +2437,7 @@ def oracles() -> dict[str, tuple]:
             q_txn_cluster_evolution,
             ORACLE_TXN_CLUSTER_EVOLUTION,
         ),
+        "txn_vacuum_report": (q_txn_vacuum_report, ORACLE_TXN_VACUUM_REPORT),
         "txn_point_lookup": (q_txn_point_lookup, ORACLE_TXN_POINT_LOOKUP),
         "txn_constraint_gate": (q_txn_constraint_gate, ORACLE_TXN_CONSTRAINT_GATE),
         "txn_schema_evolution": (q_txn_schema_evolution, ORACLE_TXN_SCHEMA_EVOLUTION),

@@ -471,6 +471,8 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # cluster evolution: the read half is two zone-pruned manifest
     # scans + 1-row aggregates; no corpus window, no Python plane
     "txn_cluster_evolution": ["!tree:Window", "!MapInPandas"],
+    # vacuum report: one post-vacuum scan + 1-row aggregate
+    "txn_vacuum_report": ["!tree:Window", "!MapInPandas"],
     "cluster_key_advisor": [
         "tree:Window", "tree:HashAggregate", "partial_", "!MapInPandas",
     ],
