@@ -113,10 +113,16 @@ def q_geo_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin on both engines, so near-ties break on the facility key
     identically regardless of libm's last ulp.
 
-    At 100 TB: points stream through one shuffle keyed by cell; the
-    exploded facility table is 9×|facilities| — broadcastable for any
-    realistic facility count, and the explicit ``broadcast`` hint pins
-    that; cell occupancy (not corpus size) bounds the pair work.
+    At 100 TB: cell occupancy (not corpus size) bounds the pair work.
+    The facility side here is dimension-sized (9×|facilities|), so the
+    explicit ``broadcast`` hint pins the map-side join; for a facility
+    table too big to broadcast (say 10⁷ stores → ~90M exploded rows)
+    the ONE-TOKEN scale swap is dropping the hint — the same equi-join
+    then shuffles BOTH sides by (cy, cx), still never a theta join, and
+    the points side needs no explode at all (the 9× stays on the
+    facility side). Hot cells (urban cores) shard like any skewed join
+    key: AQE skew splitting or a salt on the point side inside the
+    cell.
     """
     t = load_tables(spark, sf_dir)
     pts = t["customer"].select(
