@@ -210,6 +210,9 @@ HEADLINE = [
     # round 6: VACUUM made catalog-visible (reclaim counts + post-vacuum
     # read hash-pinned) — closes the lifecycle loop
     "txn_vacuum_report",
+    # round 6: per-user trajectory stats (one lag window + integer-meter
+    # hops, exact aggregates)
+    "geo_trajectory_length",
 ]
 
 

@@ -259,6 +259,87 @@ LIMIT {GRID_DENSITY_TOPK}
 """
 
 
+def q_geo_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory statistics — hop count, total and maximum
+    great-circle hop — the movement-summary pass of any
+    location-events pipeline (fraud velocity checks, delivery-route
+    audits). Event positions derive from event_id via the module's
+    deterministic key→coordinate map.
+
+    Plan: ONE lag window per user (ordered by ts, event_id — bounded
+    by per-user history, no global window), haversine on the
+    consecutive pair, then a map-side-combined per-user aggregate.
+    Determinism: each hop is rounded to INTEGER METERS before any
+    aggregation, so the per-user totals are exact integer sums under
+    any summation order — no float rounding contract on the
+    aggregates at all.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _lat_expr(F.col("event_id")).alias("lat"),
+        _lon_expr(F.col("event_id")).alias("lon"),
+    ).select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    hops = pts.filter(F.col("plat").isNotNull()).select(
+        "user_id",
+        F.round(
+            _haversine_expr(
+                F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")
+            )
+            * 1000.0
+        )
+        .cast("long")
+        .alias("hop_m"),
+    )
+    return (
+        hops.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hops"),
+            F.sum("hop_m").alias("total_m"),
+            F.max("hop_m").alias("max_hop_m"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EV_LAT = _sql_lat("event_id")
+_EV_LON = _sql_lon("event_id")
+
+ORACLE_GEO_TRAJECTORY_LENGTH = f"""
+WITH pts AS (
+    SELECT user_id, {_EV_LAT} AS lat, {_EV_LON} AS lon,
+           LAG({_EV_LAT}) OVER w AS plat,
+           LAG({_EV_LON}) OVER w AS plon
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), hops AS (
+    SELECT user_id,
+           CAST(ROUND({_sql_haversine("plat", "plon", "lat", "lon")} * 1000.0)
+                AS BIGINT) AS hop_m
+    FROM pts WHERE plat IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_hops,
+       CAST(SUM(hop_m) AS BIGINT) AS total_m,
+       CAST(MAX(hop_m) AS BIGINT) AS max_hop_m
+FROM hops
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "geo_nearest_facility": (
@@ -266,4 +347,8 @@ def oracles() -> dict[str, tuple]:
             ORACLE_GEO_NEAREST_FACILITY,
         ),
         "geo_grid_density": (q_geo_grid_density, ORACLE_GEO_GRID_DENSITY),
+        "geo_trajectory_length": (
+            q_geo_trajectory_length,
+            ORACLE_GEO_TRAJECTORY_LENGTH,
+        ),
     }

@@ -473,6 +473,10 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "txn_cluster_evolution": ["!tree:Window", "!MapInPandas"],
     # vacuum report: one post-vacuum scan + 1-row aggregate
     "txn_vacuum_report": ["!tree:Window", "!MapInPandas"],
+    # trajectory: one per-user lag window, map-side-combined aggregate
+    "geo_trajectory_length": [
+        "tree:Window", "partial_", "!tree:Join", "!MapInPandas",
+    ],
     "cluster_key_advisor": [
         "tree:Window", "tree:HashAggregate", "partial_", "!MapInPandas",
     ],

@@ -347,3 +347,39 @@ def test_event_trigrams_python_reference(spark, sf_dir):
         for r in QS["event_trigram_mining"](spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+# ---------------------------------------------------- trajectory length
+
+def test_geo_trajectory_python_reference(spark, sf_dir):
+    from dbms_query_optimizer_spark.engine import load_tables
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+
+    def lat(k):
+        return ((k * 2654435761) % 120000) / 1000.0 - 60.0
+
+    def lon(k):
+        return (((k + 7) * 2654435761) % 360000) / 1000.0 - 180.0
+
+    got = {
+        r.user_id: (r.n_hops, r.total_m, r.max_hop_m)
+        for r in QS["geo_trajectory_length"](spark, sf_dir).collect()
+    }
+    for u, rows in per_user.items():
+        seq = [e for _, e in sorted(rows)]
+        hops = [
+            int(round(_haversine(lat(a), lon(a), lat(b), lon(b)) * 1000))
+            for a, b in zip(seq, seq[1:])
+        ]
+        if not hops:
+            assert u not in got
+            continue
+        assert got[u] == (len(hops), sum(hops), max(hops)), u
