@@ -720,7 +720,8 @@ DRIVER_SENTINELS = [
 # round-6 additions — geo_nearest_facility, geo_grid_density,
 # autocorr_lags, activity_islands, time_decay_attribution,
 # event_trigram_mining, bh_fdr_report, l_diversity_audit,
-# txn_cluster_evolution, embedding_pca_project (now the audit),
+# txn_cluster_evolution, txn_vacuum_report, geo_trajectory_length,
+# embedding_pca_project (now the audit),
 # embedding_pq_adc + approx_topk_terms (made hash-checkable r6), and
 # (c) the txn lifecycle surface per the r5 verdict stretch —
 # txn_compact_scan, txn_history, txn_clone, txn_erase_keys,
