@@ -999,11 +999,16 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         "event_type", "ts", "value"
     )
+    # exact integer midpoint (datediff DIV 2): the double-divide form
+    # truncates on Spark but DuckDB's DOUBLE->INT cast rounds half-even,
+    # so the two engines would disagree whenever datediff is odd with
+    # .5 rounding UP (datediff % 4 == 3) -- integer division on both
+    # sides closes the class (the twap/markov rounding discipline)
     mid = ev.agg(
         F.date_add(
             F.min(F.to_date("ts")),
-            (
-                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            F.expr(
+                "datediff(max(to_date(ts)), min(to_date(ts))) DIV 2"
             ).cast("int"),
         ).alias("mid_day")
     )
@@ -1050,8 +1055,8 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DRIFT_PSI = f"""
 WITH mid AS (
     SELECT MIN(CAST(ts AS DATE))
-           + CAST(CAST(datediff('day', MIN(CAST(ts AS DATE)),
-                                MAX(CAST(ts AS DATE))) AS DOUBLE) / 2 AS INT)
+           + CAST(datediff('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))) // 2 AS INT)
            AS mid_day
     FROM events
 ), stats AS (
@@ -1098,11 +1103,16 @@ def q_drift_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     belong to the consumer).
     """
     ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    # exact integer midpoint (datediff DIV 2): the double-divide form
+    # truncates on Spark but DuckDB's DOUBLE->INT cast rounds half-even,
+    # so the two engines would disagree whenever datediff is odd with
+    # .5 rounding UP (datediff % 4 == 3) -- integer division on both
+    # sides closes the class (the twap/markov rounding discipline)
     mid = ev.agg(
         F.date_add(
             F.min(F.to_date("ts")),
-            (
-                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            F.expr(
+                "datediff(max(to_date(ts)), min(to_date(ts))) DIV 2"
             ).cast("int"),
         ).alias("mid_day")
     )
@@ -1157,8 +1167,8 @@ def q_drift_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DRIFT_WELCH_T = """
 WITH mid AS (
     SELECT MIN(CAST(ts AS DATE))
-           + CAST(CAST(datediff('day', MIN(CAST(ts AS DATE)),
-                                MAX(CAST(ts AS DATE))) AS DOUBLE) / 2 AS INT)
+           + CAST(datediff('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))) // 2 AS INT)
            AS mid_day
     FROM events
 ), halves AS (
@@ -2867,11 +2877,16 @@ def q_bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import distributed_row_number
 
     ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "value")
+    # exact integer midpoint (datediff DIV 2): the double-divide form
+    # truncates on Spark but DuckDB's DOUBLE->INT cast rounds half-even,
+    # so the two engines would disagree whenever datediff is odd with
+    # .5 rounding UP (datediff % 4 == 3) -- integer division on both
+    # sides closes the class (the twap/markov rounding discipline)
     mid = ev.agg(
         F.date_add(
             F.min(F.to_date("ts")),
-            (
-                F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) / 2
+            F.expr(
+                "datediff(max(to_date(ts)), min(to_date(ts))) DIV 2"
             ).cast("int"),
         ).alias("mid_day")
     )
@@ -2955,8 +2970,8 @@ def q_bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BH_FDR_REPORT = f"""
 WITH mid AS (
     SELECT MIN(CAST(ts AS DATE))
-           + CAST(CAST(date_diff('day', MIN(CAST(ts AS DATE)),
-                                 MAX(CAST(ts AS DATE))) AS DOUBLE) / 2 AS INTEGER)
+           + CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) // 2 AS INTEGER)
            AS mid_day
     FROM events
 ), halves AS (

