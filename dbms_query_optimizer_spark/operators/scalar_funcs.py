@@ -285,11 +285,17 @@ ORACLE_PERCENTILE_EXACT = """
 
 
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window family: lag / lead / row_number / ntile /
-    percent_rank per customer, ordered by the unique order key so every
-    function is deterministic."""
+    """Analytic window family — the COMPLETE set: lag / lead /
+    row_number / ntile / percent_rank / cume_dist over the running
+    frame, plus first_value / last_value / nth_value over the full
+    partition frame (explicit ROWS UNBOUNDED..UNBOUNDED — the default
+    running frame would make last_value degenerate to the current
+    row). Per customer, ordered by the unique order key so every
+    function is deterministic; one partitioned sort serves all nine.
+    """
     t = load_tables(spark, sf_dir)
     w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         t["orders"]
         .filter(F.col("o_custkey") <= 100)
@@ -301,6 +307,10 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_totalprice", 1).over(w).alias("next_price"),
             F.ntile(4).over(w).alias("quartile"),
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.last("o_totalprice").over(wf).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -313,10 +323,16 @@ ORACLE_WINDOW_ANALYTICS = """
            lag(o_totalprice, 1) OVER w AS prev_price,
            lead(o_totalprice, 1) OVER w AS next_price,
            CAST(ntile(4) OVER w AS INT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist,
+           first_value(o_totalprice) OVER wf AS first_price,
+           last_value(o_totalprice) OVER wf AS last_price,
+           nth_value(o_totalprice, 2) OVER wf AS second_price
     FROM orders
     WHERE o_custkey <= 100
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey, o_orderkey
 """
 
