@@ -630,12 +630,32 @@ for _name, (_fn, _sql) in GEO.oracles().items():
 # full-catalog gate (tests/test_queries_oracle.py — the identical DuckDB
 # hash check over every oracled entry).
 
-# Names with a hash-checked driver row in rounds 1-5 (union of
-# CORRECTNESS_r0{1..5}.json greens minus the no_oracle rows-only entries
-# and minus twap_daily, whose r5 row was red — an oracle-side
-# DOUBLE-vs-BIGINT epoch() cast defect, fixed this round and rotated
-# back in to prove it).
+# Names with a hash-checked driver row in rounds 1-6 (union of
+# CORRECTNESS_r0{1..6}.json greens minus the no_oracle rows-only
+# entries).
 DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
+    # round-6 greens (50/50 window, CORRECTNESS_r06.json; sentinels and
+    # twap_daily — red in r5 on an oracle-side epoch() cast, re-proven
+    # green in r6 — listed in their original round groups below)
+    "ab_test_cuped", "benford_audit", "bloom_membership_audit",
+    "bootstrap_ci_mean", "bpe_pair_merge", "cluster_key_advisor",
+    "count_min_sketch_audit", "cusum_changepoint",
+    "dedup_set_similarity_prefix", "dedup_token_sort",
+    "dsir_importance_weights", "feature_hash_vectorize",
+    "feature_standardize", "fifo_allocation", "fk_integrity_audit",
+    "forecast_backtest_snaive", "gbt_inference_sql",
+    "graph_link_prediction", "group_kfold_split",
+    "hll_estimate_audit", "join_cardinality_audit",
+    "ks_test_drift", "markov_attribution", "model_auc_roc",
+    "model_calibration_report", "model_confusion_report",
+    "model_gains_table", "model_pr_auc",
+    "mutual_information_features", "percentile_cont_domain",
+    "pipeline_funnel_report", "rate_smoothing_eb",
+    "recsys_item_cosine", "rolling_corr", "seasonal_anomaly_flags",
+    "seasonal_decompose", "skew_key_report", "source_loo_vocab",
+    "spearman_rank_corr", "survival_km", "target_encode_kfold",
+    "text_collocations", "text_keyphrase_rake", "theil_sen_trend",
+    "twap_daily", "woe_binning",
     # round-5 greens
     "arrow_map_stats", "asof_join_left", "audience_overlap_bitmap",
     "boilerplate_strip", "chi_square_independence", "cogroup_reconcile",
@@ -700,91 +720,119 @@ DRIVER_SENTINELS = [
     "tpch_q1",            # pure scan + partial-agg baseline
 ]
 
-# Round-6 window: sentinels + twap_daily (red in r5 on an oracle-side
-# DOUBLE-vs-BIGINT epoch() cast; the query's values were bit-identical
-# to the oracle's — cast fixed this round, re-checked to prove it) + 45
-# never-driver-checked round-5 additions, prioritizing one representative
-# per operator family: the model-eval family, time-series/anomaly,
-# drift/audit sketches, set-similarity dedup, attribution/recsys, text
-# vectorization, feature engineering, experimentation, and the two
-# plan-pinned advisor queries. (linear_attribution deferred to r7 — the
-# attribution family is already represented by markov_attribution here
-# and first_touch_attribution green in r5.)
+# Round-7 window (the r6 verdict's prescribed rotation, applied as the
+# first commit of round 7): sentinels + 46 first-time names — (a) every
+# round-6 catalog addition, (b) the full txn lifecycle surface
+# (scheduled by the r5/r6 verdicts), (c) the three queries converted
+# from rows-only to hash-checkable audits in r6 (embedding_pq_adc,
+# approx_topk_terms, embedding_pca_project), (d) the three names whose
+# latest driver row is a stale r2-r4 `no_oracle` err and which have
+# since gained oracles (knn_ivf, dedup_semantic, approx_hll_mergeable),
+# (e) the never-checked round-5 leftovers the r6 plan named, and (f)
+# family-representative fill from the never-checked backlog (dedup
+# bitwise variants, brute-force KNN + LSH recall, events funnel /
+# retention, text quality, stratified sampling, grouping sets, lateral
+# top-k).
 #
-# PLANNED r7 rotation (make it the FIRST commit of round 7): union this
-# round's greens into DRIVER_CHECKED_PRIOR_ROUNDS, keep the sentinels,
-# then fill with (a) the remaining never-checked r5 names —
-# linear_attribution, embedding_drift, embedding_outliers,
-# contrastive_pairs, argmax_per_group, trend_per_group, window_analytics,
-# text_tfidf_top_terms and the other pre-r5 names without rows, (b) ALL
-# round-6 additions — geo_nearest_facility, geo_grid_density,
-# autocorr_lags, activity_islands, time_decay_attribution,
-# event_trigram_mining, bh_fdr_report, l_diversity_audit,
-# txn_cluster_evolution, txn_vacuum_report, geo_trajectory_length,
-# embedding_pca_project (now the audit),
-# embedding_pq_adc + approx_topk_terms (made hash-checkable r6), and
-# (c) the txn lifecycle surface per the r5 verdict stretch —
-# txn_compact_scan, txn_history, txn_clone, txn_erase_keys,
-# txn_replace_where, txn_retention_delete, txn_incremental_mv,
-# txn_constraint_gate, txn_schema_evolution, txn_delete_where.
+# PLANNED r8/r9 endgame (verdict task 4): after this window lands,
+# exactly 74 catalog names have never had a driver row. The exact
+# split (machine-checked against CATALOG minus
+# DRIVER_CHECKED_PRIOR_ROUNDS minus this window):
+#
+# r8 window = sentinels + these 46 —
+#   events/time-series (13): conversion_lag_percentiles,
+#     date_dim_generate, events_anomaly_zscore, events_dow_hour_profile,
+#     events_gapfill_locf, events_ohlc_bars, events_resample_interp,
+#     events_rollup_multires, events_session_window_native,
+#     event_transition_matrix, heartbeat_gaps, sliding_distinct_users,
+#     interval_coverage;
+#   text (13): ccnet_ppl_buckets, chunk_documents, doc_repeat_removal,
+#     explode_tokens, span_corruption_mask, text_bigram_logprob,
+#     text_entropy, text_fingerprint, text_lang_confusion,
+#     text_lang_quality_summary, text_mixed_language,
+#     text_rolling_fingerprint, text_unigram_logprob;
+#   dedup/similarity (8): dedup_cdc_chunks, dedup_incremental_lsh,
+#     dedup_simhash_pairs, dedup_span_duplication, contrastive_pairs_lsh,
+#     fuzzy_join_blocked, market_basket_pairs, skyline_pareto;
+#   embeddings/sketches (6): embedding_centroids, embedding_norms,
+#     embedding_quantize_int8, embedding_truncate_renorm,
+#     audience_overlap_sketch, quantile_sketch_mergeable;
+#   sampling/stats (6): approx_counts_sampled, percentile_exact,
+#     sample_reservoir_per_group, sample_weighted,
+#     sample_weighted_reservoir, shard_assignment_balanced;
+#
+# r9 window = sentinels + the remaining 28 —
+#   sampling/stats (3): stats_equidepth_histogram, stats_moments,
+#     stratified_neyman_alloc;
+#   streaming (6): streaming_foreachbatch_ingest, streaming_manifest_tail,
+#     streaming_static_join, streaming_stream_stream_left_join,
+#     streaming_upsert_ingest, streaming_sessionized (rows-only unless
+#     the r7 sandwich-audit stretch lands);
+#   relational/misc (13): cbo_vs_dp_report, dataset_card_report,
+#     functions_variant, graph_degree_distribution, graph_triangle_count,
+#     incremental_join_view, interval_overlap_join, join_shuffle_hash,
+#     k_anonymity_audit, late_supplier_blame, source_python_datasink,
+#     try_safe_arithmetic, udf_price_score;
+#   multimodal (5, rows-only by design): multimodal_audio_features,
+#     multimodal_features, multimodal_frame_sample,
+#     multimodal_image_dhash_dedup, multimodal_resize;
+#   quality (1): quality_classifier_score;
+# plus ~18 re-check slots for any names the r7/r8 windows leave red,
+# closing the never-checked backlog to zero by end of r9.
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
-    # red in r5 — oracle epoch() cast to BIGINT this round, re-prove
-    "twap_daily",
-    # model evaluation family
-    "model_auc_roc",
-    "model_pr_auc",
-    "model_gains_table",
-    "model_calibration_report",
-    "model_confusion_report",
-    # rank/percentile statistics
-    "spearman_rank_corr",
-    "percentile_cont_domain",
-    # time series
-    "seasonal_decompose",
-    "rolling_corr",
-    "theil_sen_trend",
-    "survival_km",
-    "forecast_backtest_snaive",
-    "cusum_changepoint",
-    "seasonal_anomaly_flags",
-    # drift / governance audits
-    "ks_test_drift",
-    "mutual_information_features",
-    "fk_integrity_audit",
-    "count_min_sketch_audit",
-    "hll_estimate_audit",
-    "bloom_membership_audit",
-    "join_cardinality_audit",
-    "benford_audit",
-    "rate_smoothing_eb",
-    "skew_key_report",
-    # dedup variants
-    "dedup_set_similarity_prefix",
-    "dedup_token_sort",
-    # allocation / attribution / recsys
-    "fifo_allocation",
-    "markov_attribution",
-    "recsys_item_cosine",
-    # text vectorization / mining
-    "bpe_pair_merge",
-    "text_collocations",
-    "feature_hash_vectorize",
-    "text_keyphrase_rake",
-    "graph_link_prediction",
-    "dsir_importance_weights",
-    # feature engineering
-    "feature_standardize",
-    "woe_binning",
-    "target_encode_kfold",
-    # experimentation
-    "ab_test_cuped",
-    "bootstrap_ci_mean",
-    "group_kfold_split",
-    "pipeline_funnel_report",
-    "gbt_inference_sql",
-    # plan-pinned advisors (benched r5)
-    "cluster_key_advisor",
-    "source_loo_vocab",
+    # (d) stale no_oracle rows from r2-r4 — all three gained oracles
+    # since and pass the local DuckDB gate; prove them at the driver
+    "knn_ivf",
+    "dedup_semantic",
+    "approx_hll_mergeable",
+    # (c) converted from rows-only to hash-checkable audits in r6
+    "embedding_pq_adc",
+    "approx_topk_terms",
+    "embedding_pca_project",
+    # (b) txn lifecycle surface
+    "txn_compact_scan",
+    "txn_history",
+    "txn_clone",
+    "txn_erase_keys",
+    "txn_replace_where",
+    "txn_retention_delete",
+    "txn_incremental_mv",
+    "txn_constraint_gate",
+    "txn_schema_evolution",
+    "txn_delete_where",
+    # (a) round-6 catalog additions
+    "geo_nearest_facility",
+    "geo_grid_density",
+    "geo_trajectory_length",
+    "autocorr_lags",
+    "activity_islands",
+    "time_decay_attribution",
+    "event_trigram_mining",
+    "bh_fdr_report",
+    "l_diversity_audit",
+    "txn_cluster_evolution",
+    "txn_vacuum_report",
+    # (e) never-checked round-5 leftovers
+    "linear_attribution",
+    "embedding_drift",
+    "embedding_outliers",
+    "contrastive_pairs",
+    "argmax_per_group",
+    "trend_per_group",
+    "window_analytics",
+    "text_tfidf_top_terms",
+    # (f) family-representative fill from the never-checked backlog
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "knn_brute_force",
+    "lsh_recall_report",
+    "events_funnel",
+    "events_retention",
+    "text_quality",
+    "quality_gopher_rules",
+    "sample_stratified",
+    "grouping_sets",
+    "lateral_topk",
 ]
 
 
