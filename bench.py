@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from dbms_query_optimizer_spark.cache import release_tracked  # noqa: E402
 from dbms_query_optimizer_spark.operators import catalog  # noqa: E402
 from dbms_query_optimizer_spark.session import get_spark  # noqa: E402
 
@@ -256,6 +257,12 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.monotonic() - t0)
+        # drop frames the query persisted (cache.track_persist) AFTER the
+        # 3 runs, not between them: Spark's canonicalized-plan cache lookup
+        # lets runs 2-3 reuse run 1's materialization (as every recorded
+        # bench round did), so releasing between runs would inflate the
+        # min-of-3; releasing after bounds live cache to one query's frames
+        release_tracked()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..engine import load_tables
 from ..functions import text as T
 
@@ -2437,15 +2438,17 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .relational import distributed_prefix_agg, range_bucket
 
-    li = (
-        load_tables(spark, sf_dir)["lineitem"]
-        .select(
+    # Reused (two domain builds + rank join + totals); persist keeps
+    # lineage intact — fault-tolerant at cluster scale, unlike
+    # localCheckpoint which pins O(table) bytes with no recompute.
+    # Tracked: the harness unpersists after the consuming action
+    # (cache.release_tracked), so caches don't pile up across a
+    # 330-query run.
+    li = track_persist(
+        load_tables(spark, sf_dir)["lineitem"].select(
             F.round(F.col("l_quantity") * 100).cast("long").alias("qx"),
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("qy"),
         )
-        .persist()  # reused (two domain builds + rank join + totals);
-        # persist keeps lineage intact — fault-tolerant at cluster scale,
-        # unlike localCheckpoint which pins O(table) bytes with no recompute
     )
 
     def rank_table(col: str, r2_name: str) -> DataFrame:
@@ -2558,7 +2561,11 @@ def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.filter(F.col("event_type") == "purchase").crossJoin(
         F.broadcast(days)
     )
-    per_user = (
+    # Reused twice (pooled moments + per-arm readout). persist, not
+    # localCheckpoint: lineage stays intact (fault-tolerant at cluster
+    # scale, nothing pinned beyond the LRU cache), and the harness
+    # unpersists after the consuming action via cache.release_tracked.
+    per_user = track_persist(
         base.select(
             "user_id",
             F.when(
@@ -2588,7 +2595,6 @@ def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "y",
         )
-        .localCheckpoint()  # reused: pooled moments + per-arm readout
     )
     pooled = per_user.agg(
         F.count(F.lit(1)).alias("n"),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..engine import load_tables
 from ..functions.numeric import charge_expr, davg_double, dec, disc_price_expr, dsum_double
 
@@ -1408,7 +1409,8 @@ def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_items") <= RECSYS_MAX_ITEMS_PER_USER)
         .select("u")
     )
-    ui = ui_all.join(kept, "u").persist()
+    # Tracked: the harness unpersists after the consuming action.
+    ui = track_persist(ui_all.join(kept, "u"))
     na = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
     a = ui.toDF("u", "part_a")
     b = ui.toDF("u", "part_b")
@@ -1502,15 +1504,20 @@ def q_cbo_vs_dp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANALYZE); only the O(2^n) enumeration over 4 tables runs on the
     driver — optimizer work, not data work.
 
-    Hash-checkable since round 6: both chosen orders are deterministic
-    functions of the seeded testdata's relative table sizes (verified
-    stable across sf0.001/0.01/0.1), so the oracle pins them as
-    literals (VALUES), and ``dp_cost_le_catalyst`` pins the Selinger
-    optimality contract — the DP is optimal over left-deep orders under
-    its own model, so Catalyst's order can never beat it there. A DP
-    regression that picks a worse order flips either the order string
-    or the boolean and fails the driver hash. (Raw model costs are
-    SF-dependent and live in tests/test_cbo_compare.py instead.)
+    Hash-checkable since round 6. What the oracle pins is only what this
+    repo controls: the DP's chosen order (a deterministic function of the
+    seeded testdata's relative table sizes, verified stable across
+    sf0.001/0.01/0.1), the Selinger optimality contract
+    ``dp_cost_le_catalyst`` (the DP is optimal over left-deep orders
+    under its own model, so Catalyst's order can never beat it there),
+    and a validity bit for Catalyst's order (it must be a permutation of
+    the four involved tables). Catalyst's CONCRETE order is deliberately
+    NOT in the hashed output — it belongs to Spark's CBO + ANALYZE
+    stats, so pinning it as a literal would couple the driver hash to
+    the Spark version with no defect in this repo. A DP regression that
+    picks a worse order flips the order string or the boolean and fails
+    the driver hash. (Raw model costs are SF-dependent and live in
+    tests/test_cbo_compare.py instead.)
     """
     from ..engine import TABLES
     from ..plans.cbo_compare import (
@@ -1538,22 +1545,30 @@ def q_cbo_vs_dp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat_cost = reference_cost_of_order(cat_order, joins, stats, sels, TABLES)
 
     ok = bool(dp_cost <= cat_cost)
+    cat_valid = sorted(cat_order) == sorted(involved)
     rows = [
-        ("catalyst_cbo", " -> ".join(cat_order), ok),
-        ("reference_dp", " -> ".join(dp_order), ok),
+        (
+            "reference_dp",
+            " -> ".join(dp_order),
+            ok,
+            cat_valid,
+        )
     ]
     return spark.createDataFrame(
-        rows, "optimizer string, join_order string, dp_cost_le_catalyst boolean"
-    ).orderBy("optimizer")
+        rows,
+        "optimizer string, dp_join_order string, "
+        "dp_cost_le_catalyst boolean, catalyst_order_valid boolean",
+    )
 
 
 ORACLE_CBO_VS_DP_REPORT = """
-    SELECT optimizer, join_order, dp_cost_le_catalyst
+    SELECT optimizer, dp_join_order, dp_cost_le_catalyst,
+           catalyst_order_valid
     FROM (VALUES
-        ('catalyst_cbo', 'customer -> nation -> orders -> lineitem', TRUE),
-        ('reference_dp', 'nation -> customer -> orders -> lineitem', TRUE)
-    ) AS t(optimizer, join_order, dp_cost_le_catalyst)
-    ORDER BY optimizer
+        ('reference_dp', 'nation -> customer -> orders -> lineitem',
+         TRUE, TRUE)
+    ) AS t(optimizer, dp_join_order, dp_cost_le_catalyst,
+           catalyst_order_valid)
 """
 
 

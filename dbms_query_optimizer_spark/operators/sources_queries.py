@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..engine import load_tables
 from ..functions.numeric import dec, dsum_double
 from ..sources import (
@@ -486,11 +487,12 @@ def q_cluster_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")
         ).cast("long"),
     }
-    base = orders.select(
-        *[expr.alias(name) for name, expr in cols.items()]
-    ).persist()  # reused once per candidate key; lineage kept intact
-    # (persist, not localCheckpoint: recomputable on executor loss, no
-    # storage pinned beyond the LRU cache)
+    base = track_persist(
+        orders.select(*[expr.alias(name) for name, expr in cols.items()])
+    )  # reused once per candidate key; lineage kept intact (persist, not
+    # localCheckpoint: recomputable on executor loss, no storage pinned
+    # beyond the LRU cache); tracked so the harness unpersists after the
+    # consuming action (cache.release_tracked)
     names = list(cols)
     globals_row = base.agg(
         *[
@@ -1164,33 +1166,43 @@ def q_txn_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # INT96 (the legacy parquet default) writes no timestamp min/max, which
     # would blind the time zone maps — force stats-bearing micros under any
-    # host session (the driver's doesn't set it)
+    # host session (the driver's doesn't set it). Scoped: the prior value
+    # is restored once the writes are committed, so the session-global
+    # conf doesn't leak into later parquet writes in the same process.
+    _prior_tst = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts", "value")
-    lo, hi = ev.agg(
-        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
-    ).collect()[0]
-    span = (hi - lo).days + 1
-    bounds = [lo + dt.timedelta(days=(span * i) // 4) for i in range(5)]
-
-    table = TransactionalTable.create(root, ev.schema)
-    for i in range(4):
-        t = table.begin()
-        upper = (
-            F.to_date("ts") < F.lit(bounds[i + 1])
-            if i < 3
-            else F.lit(True)
+    try:
+        ev = load_tables(spark, sf_dir)["events"].select(
+            "event_id", "ts", "value"
         )
-        t.insert(
-            ev.filter((F.to_date("ts") >= F.lit(bounds[i])) & upper).coalesce(1)
-        )
-        t.commit()
+        lo, hi = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).collect()[0]
+        span = (hi - lo).days + 1
+        bounds = [lo + dt.timedelta(days=(span * i) // 4) for i in range(5)]
 
-    cutoff = dt.datetime.combine(bounds[2], dt.time.min)
-    td = table.begin()
-    td.delete(spark, ("ts", "<", cutoff))
-    n_rewritten = len(td._replaced)
-    td.commit()
+        table = TransactionalTable.create(root, ev.schema)
+        for i in range(4):
+            t = table.begin()
+            upper = (
+                F.to_date("ts") < F.lit(bounds[i + 1])
+                if i < 3
+                else F.lit(True)
+            )
+            t.insert(
+                ev.filter(
+                    (F.to_date("ts") >= F.lit(bounds[i])) & upper
+                ).coalesce(1)
+            )
+            t.commit()
+
+        cutoff = dt.datetime.combine(bounds[2], dt.time.min)
+        td = table.begin()
+        td.delete(spark, ("ts", "<", cutoff))
+        n_rewritten = len(td._replaced)
+        td.commit()
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", _prior_tst)
 
     reader = TransactionalTable(root)  # fresh open = recovery path
     return reader.read(spark).agg(
@@ -2247,42 +2259,48 @@ def q_txn_cluster_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # INT96 (the legacy parquet default) writes no timestamp min/max,
     # which would blind the o_orderdate zones — force stats-bearing
-    # micros under any host session (the driver's doesn't set it)
+    # micros under any host session (the driver's doesn't set it).
+    # Scoped: the prior value is restored once the writes commit, so the
+    # session-global conf doesn't leak into later parquet writes.
+    _prior_tst = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    mx_key, mx_cust, d0, d1 = orders.agg(
-        F.max("o_orderkey"),
-        F.max("o_custkey"),
-        F.min(F.to_date("o_orderdate")),
-        F.max(F.to_date("o_orderdate")),
-    ).collect()[0]
-    mid_cust = (mx_cust + 1) // 2
-    kq = [(i * (mx_key + 1)) // 4 for i in range(5)]
-    span = ((d1 - d0).days + 1) // 4  # whole days per date quarter
-
-    gen1 = orders.filter(F.col("o_custkey") <= mid_cust)
-    gen2 = orders.filter(F.col("o_custkey") > mid_cust)
-
-    table = TransactionalTable.create(root, orders.schema)
-    day_idx = F.datediff(F.to_date("o_orderdate"), F.lit(d0))
-    for i in range(4):  # generation 1: date-quarter clustering
-        lo, hi = i * span, (i + 1) * span
-        part = gen1.filter(
-            (day_idx >= lo) & ((day_idx < hi) if i < 3 else F.lit(True))
+    try:
+        orders = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
         )
-        t = table.begin()
-        t.insert(part.coalesce(1))
-        t.commit()
-    for lo, hi in zip(kq, kq[1:]):  # generation 2: key-quartile clustering
-        t = table.begin()
-        t.insert(
-            gen2.filter(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
-            ).coalesce(1)
-        )
-        t.commit()
+        mx_key, mx_cust, d0, d1 = orders.agg(
+            F.max("o_orderkey"),
+            F.max("o_custkey"),
+            F.min(F.to_date("o_orderdate")),
+            F.max(F.to_date("o_orderdate")),
+        ).collect()[0]
+        mid_cust = (mx_cust + 1) // 2
+        kq = [(i * (mx_key + 1)) // 4 for i in range(5)]
+        span = ((d1 - d0).days + 1) // 4  # whole days per date quarter
+
+        gen1 = orders.filter(F.col("o_custkey") <= mid_cust)
+        gen2 = orders.filter(F.col("o_custkey") > mid_cust)
+
+        table = TransactionalTable.create(root, orders.schema)
+        day_idx = F.datediff(F.to_date("o_orderdate"), F.lit(d0))
+        for i in range(4):  # generation 1: date-quarter clustering
+            lo, hi = i * span, (i + 1) * span
+            part = gen1.filter(
+                (day_idx >= lo) & ((day_idx < hi) if i < 3 else F.lit(True))
+            )
+            t = table.begin()
+            t.insert(part.coalesce(1))
+            t.commit()
+        for lo, hi in zip(kq, kq[1:]):  # generation 2: key-quartile
+            t = table.begin()
+            t.insert(
+                gen2.filter(
+                    (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+                ).coalesce(1)
+            )
+            t.commit()
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", _prior_tst)
 
     reader = TransactionalTable(root)  # fresh open = recovery path
     cut_ts = dt.datetime.combine(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..engine import fan_out, load_tables
 from ..functions import text as T
 from ..functions.text import word_ngrams
@@ -1184,17 +1185,20 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     words = F.split("text", " ")
     n_segs = F.ceil(F.size(words) / F.lit(SEG_WORDS)).cast("int")
-    segs = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_segs - F.lit(1)),
-                lambda i: F.array_join(
-                    F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " "
-                ),
-            )
-        ).alias("seg_idx", "seg"),
-    ).persist()  # read twice (per-seg doc counts + join-back); lineage kept
+    segs = track_persist(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )  # read twice (per-seg doc counts + join-back); lineage kept; the
+    # harness unpersists after the consuming action (cache.release_tracked)
     seg_docs = segs.groupBy("seg").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )

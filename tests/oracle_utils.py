@@ -179,6 +179,16 @@ def type_mismatches(
     return out
 
 
+def release_query_caches() -> None:
+    """Drop any frames a query function persisted via cache.track_persist.
+
+    Called after the action that consumed a query's result so cached
+    intermediates never accumulate across the 330-query sweep."""
+    from dbms_query_optimizer_spark.cache import release_tracked
+
+    release_tracked()
+
+
 def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     huge = hugeint_columns(conn, sql)
     if huge:
@@ -194,7 +204,10 @@ def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, 
             "pandas canonicalization renders these differently (e.g. "
             "'32869' vs '32869.0') and the hash flips; CAST one side"
         )
-    s_pdf = spark_df.toPandas()
+    try:
+        s_pdf = spark_df.toPandas()
+    finally:
+        release_query_caches()
     s_cols = list(s_pdf.columns)
     s_rows = list(s_pdf.itertuples(index=False, name=None))
     odf = conn.execute(sql).df()

@@ -26,7 +26,12 @@ import pytest
 
 from dbms_query_optimizer_spark.operators import catalog
 
-from .oracle_utils import duckdb_conn, hugeint_columns, type_mismatches
+from .oracle_utils import (
+    duckdb_conn,
+    hugeint_columns,
+    release_query_caches,
+    type_mismatches,
+)
 
 ORACLED = sorted(n for n, (_, sql) in catalog.CATALOG.items() if sql)
 
@@ -36,6 +41,18 @@ def conn(sf_dir):
     c = duckdb_conn(sf_dir)
     yield c
     c.close()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm_footers(spark, sf_dir):
+    """Pre-read every table's parquet footer. The FIRST construction that
+    touches a table in a fresh session runs one small schema/listing job
+    per table — warmup cost, not the query's — which would trip the
+    zero-jobs-at-construction assertion for whichever test runs first."""
+    from dbms_query_optimizer_spark.engine import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.schema  # forces the footer read without an action
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -54,9 +71,10 @@ def test_oracle_has_no_hugeint_columns(name, conn):
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_types_agree_with_spark_schema(name, conn, spark, sf_dir):
-    """Bidirectional type gate: for every oracled entry, compare DuckDB's
-    DESCRIBE column types against the Spark DataFrame's dtypes and fail
-    any numeric-class (int vs float vs decimal) disagreement.
+    """Bidirectional type gate: for every LAZY-construction oracled
+    entry, compare DuckDB's DESCRIBE column types against the Spark
+    DataFrame's dtypes and fail any numeric-class (int vs float vs
+    decimal) disagreement.
 
     This is the static form of the r5 twap_daily defect: the oracle's
     ``epoch()`` returned DOUBLE so ``span_s`` reached the driver's pandas
@@ -65,14 +83,38 @@ def test_oracle_types_agree_with_spark_schema(name, conn, spark, sf_dir):
     local harnesses were blind to it because they int-collapsed integral
     floats; the collapse is gone (oracle_utils normalizes integral floats
     to "X.0") and this gate names the offending column at authoring time.
-    Spark plan construction only (no job runs), so the sweep is cheap.
+
+    Entries flagged ``catalog.EAGER_CONSTRUCTION`` — whose fn() runs
+    Spark jobs or rewrites txn table state just to build the plan — are
+    skipped here: sweeping them would re-execute the heavy half of the
+    catalog once more per pytest run (and run side-effectful txn
+    fixtures in an extra, order-arbitrary context). Their type agreement
+    is still enforced at full-execution time by the ``type_mismatches``
+    check inside ``oracle_utils.compare`` (test_queries_oracle). For
+    unflagged entries the sweep is construction-only and self-enforcing:
+    it runs fn() under a job group and fails if any job executed, so a
+    newly-eager entry must be flagged rather than silently re-executing.
     """
     fn, sql = catalog.CATALOG[name]
+    if name in catalog.EAGER_CONSTRUCTION:
+        pytest.skip("eager construction — typed at execution by compare()")
     try:
         conn.execute(f"DESCRIBE ({sql})").fetchall()
     except Exception as exc:  # state-dependent oracle — covered in compare()
         pytest.skip(f"oracle not plannable standalone: {str(exc)[:120]}")
-    df = fn(spark, sf_dir)
+    sc = spark.sparkContext
+    group = f"type-gate-{name}"
+    sc.setJobGroup(group, group)
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        sc.setJobGroup("", "")
+        release_query_caches()  # drop lazily-registered persists
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert not jobs, (
+        f"{name}: construction ran {len(jobs)} Spark job(s) — flag it in "
+        "catalog.EAGER_CONSTRUCTION so schema sweeps don't re-execute it"
+    )
     mism = type_mismatches(df, conn, sql)
     assert not mism, (
         f"{name}: numeric-class mismatch vs oracle {mism} — the driver's "
