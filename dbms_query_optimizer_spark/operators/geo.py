@@ -28,7 +28,21 @@ Scale design, per operator:
   rank window.
 - ``geo_grid_density``: spatial binning is one hash aggregate over
   integer cell ids — map-side combined, then a distributed top-k
-  (TakeOrdered), never a full sort of the cell table.
+  (TakeOrdered), never a full sort of the cell table. Its per-cell
+  mean is exact integer-cents arithmetic (no float aggregation): see
+  the function docstring and SCALING.md's round-7 addendum.
+
+Cross-engine determinism contract: the trig queries' oracle parity
+assumes the JVM's and DuckDB's libm sin/cos/asin/sqrt chains agree to
+within a few ulps, and the explicit ROUND()s absorb exactly that noise
+— PROVIDED no pre-rounding value sits within ~a-few-ulps of a rounding
+half-boundary. That proviso is measured, not assumed:
+tests/test_geo_rounding.py audits the full candidate population and
+pins the min boundary margin at > 256 ulps (observed: 1.07e6 at
+sf0.01, 2341 at sf0.1 for the 4-dp distances; 7.7e4 / 1502 for the
+integer-metre hops). If the fixture ever scales to where the gate
+trips, quantize the trig INPUTS to a shared integer micro-degree
+domain rather than loosening the gate.
 """
 
 from __future__ import annotations
@@ -222,6 +236,18 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrdered — never a global sort of the cell table). Event count,
     distinct actors, and mean value per cell. At 100 TB the shuffle
     volume is |occupied cells| × partitions, independent of row count.
+
+    The per-cell mean follows the repo's exact-decimal aggregate policy
+    (functions/numeric.py): ``value`` carries exactly 2 decimals, so the
+    sum is an EXACT integer in cents and the published mean is the exact
+    integer floor of avg·10⁴, converted back to a double (integer ≤ 2⁵³
+    → exact conversion, /10⁴ correctly rounded — bit-identical on any
+    engine). ``ROUND(AVG(double), 4)`` is NOT safe here: a 2-dp column
+    averaged over n rows lands EXACTLY on the 4-dp half-boundary
+    whenever n divides the cents sum into ...X5·10⁻⁴ (measured at
+    sf0.1: cell (57,-172), n=80, avg·10⁴ = 456352.5 exactly), where the
+    float summation order — which differs per engine AND per partition
+    layout — decides the 4th decimal.
     """
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", "value", "event_id"
@@ -230,14 +256,27 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(_lat_expr(F.col("user_id"))).cast("long").alias("cell_lat"),
         F.floor(_lon_expr(F.col("user_id"))).cast("long").alias("cell_lon"),
         "user_id",
-        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return (
         binned.groupBy("cell_lat", "cell_lon")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "cell_lat",
+            "cell_lon",
+            "n_events",
+            "n_users",
+            # exact integer floor of avg·1e4, then an exact int→double
+            # conversion and one correctly-rounded division — no float
+            # summation anywhere
+            (
+                F.expr("(sum_cents * 100) DIV n_events").cast("double")
+                / 10000.0
+            ).alias("avg_value"),
         )
         .orderBy(
             F.col("n_events").desc(), F.col("cell_lat"), F.col("cell_lon")
@@ -247,13 +286,18 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GEO_GRID_DENSITY = f"""
-SELECT CAST(FLOOR({_sql_lat("user_id")}) AS BIGINT) AS cell_lat,
-       CAST(FLOOR({_sql_lon("user_id")}) AS BIGINT) AS cell_lon,
-       COUNT(*) AS n_events,
-       COUNT(DISTINCT user_id) AS n_users,
-       ROUND(AVG(value), 4) AS avg_value
-FROM events
-GROUP BY 1, 2
+WITH cells AS (
+    SELECT CAST(FLOOR({_sql_lat("user_id")}) AS BIGINT) AS cell_lat,
+           CAST(FLOOR({_sql_lon("user_id")}) AS BIGINT) AS cell_lon,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT cell_lat, cell_lon, n_events, n_users,
+       CAST((sum_cents * 100) // n_events AS DOUBLE) / 10000.0 AS avg_value
+FROM cells
 ORDER BY n_events DESC, cell_lat, cell_lon
 LIMIT {GRID_DENSITY_TOPK}
 """
