@@ -732,7 +732,7 @@ EAGER_CONSTRUCTION = frozenset({
     "column_profile", "curriculum_bins", "dedup_components",
     "dedup_incremental_lsh", "dedup_semantic", "dpp_join_pruned",
     "embedding_pca_project", "embedding_pq_adc", "entity_resolution",
-    "feature_standardize", "global_row_number", "graph_pagerank",
+    "global_row_number", "graph_pagerank",
     "ks_test_drift", "lsh_recall_report", "markov_attribution",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
@@ -744,7 +744,8 @@ EAGER_CONSTRUCTION = frozenset({
     "stats_equidepth_histogram", "stats_selectivity_report",
     "streaming_dedup", "streaming_foreachbatch_ingest",
     "streaming_manifest_tail", "streaming_quantile_sketch",
-    "streaming_static_join", "streaming_stream_stream_join",
+    "streaming_sessionized", "streaming_static_join",
+    "streaming_stream_stream_join",
     "streaming_stream_stream_left_join", "streaming_tumbling",
     "streaming_upsert_ingest", "txn_changes", "txn_clone",
     "txn_cluster_evolution", "txn_compact_scan", "txn_constraint_gate",
@@ -810,8 +811,8 @@ DRIVER_SENTINELS = [
 #     stratified_neyman_alloc;
 #   streaming (6): streaming_foreachbatch_ingest, streaming_manifest_tail,
 #     streaming_static_join, streaming_stream_stream_left_join,
-#     streaming_upsert_ingest, streaming_sessionized (rows-only unless
-#     the r7 sandwich-audit stretch lands);
+#     streaming_upsert_ingest, streaming_sessionized (hash-checkable
+#     since r7: the closure-predicate sandwich oracle);
 #   relational/misc (13): cbo_vs_dp_report, dataset_card_report,
 #     functions_variant, graph_degree_distribution, graph_triangle_count,
 #     incremental_join_view, interval_overlap_join, join_shuffle_hash,

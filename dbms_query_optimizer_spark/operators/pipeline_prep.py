@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..engine import load_tables
 from ..functions.text import token_count_ws, tokens, word_ngrams
 
@@ -762,11 +763,17 @@ def q_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("f_n_chars"),
         token_count_ws("text").cast("long").alias("f_n_tokens"),
     )
-    long = base.selectExpr(
-        "bucket",
-        "stack(2, 'n_chars', f_n_chars, 'n_tokens', f_n_tokens)"
-        " AS (feature, x)",
-    ).localCheckpoint()  # reused: the fit pass and the apply pass
+    # Reused by the fit pass and the apply pass. persist, not
+    # localCheckpoint: the unpivot is CORPUS-sized (2 rows per doc), so
+    # an eager checkpoint pins O(corpus) bytes with no recompute path;
+    # persist keeps lineage and the harness unpersists after the action.
+    long = track_persist(
+        base.selectExpr(
+            "bucket",
+            "stack(2, 'n_chars', f_n_chars, 'n_tokens', f_n_tokens)"
+            " AS (feature, x)",
+        )
+    )
     tr = (
         long.filter(F.col("bucket") < STD_TRAIN_BUCKETS)
         .groupBy("feature")

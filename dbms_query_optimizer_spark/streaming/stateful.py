@@ -15,11 +15,25 @@ state, so memory is bounded by concurrently-active users. The Arrow
 boundary batches whole key-groups per executor call — no per-row
 Python.
 
-There is no SQL oracle for the *streaming* form (emission depends on
-trigger/watermark progress, definitionally outside SQL); instead
-tests/test_stateful_streaming.py proves CLOSED sessions identical to
-the batch lag/cumsum sessionization of windows.py — same gap constant,
-same aggregates — and the driver records the rows-only check.
+Hash-checkable since round 7 (the sandwich-audit conversion the r6
+verdict asked for): although emission *timing* depends on
+trigger/watermark progress, the SET a terminated replay has emitted is
+a pure function of the data — every batch session whose end sits more
+than one gap before the stream's final watermark (max event ts, 0 s
+delay). A session closed mid-stream by a later same-user event
+satisfies that predicate automatically (the successor event IS later
+than end+gap), and a session closed by event-time timeout satisfies it
+by the timeout condition itself. So the DuckDB oracle is the batch
+lag/cumsum sessionization filtered to ``end + gap < max(ts)`` — proven
+hash-identical to the real applyInPandasWithState replay at
+sf0.001/0.01/0.1. Boundary note: the stream's timeout fires at
+millisecond resolution ((end_us+gap)//1000 + 1) while the filter is
+exact microseconds; the two can only disagree for a session ending
+within 2 ms of exactly one gap before max(ts), and the fixture's
+second-granular timestamps with whole-minute gaps keep every session
+≥ 1 s away from that boundary. tests/test_stateful_streaming.py
+independently proves the closed-session semantics against the batch
+form.
 """
 
 from __future__ import annotations
@@ -123,8 +137,9 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty trigger advances the (global) watermark to max(ts), closing
     every session ending more than one gap before it. Sessions still
     open relative to the final watermark are unemitted by design (a
-    stream never knows it ended) — tests sandwich the emitted set
-    against batch sessionization.
+    stream never knows it ended) — the oracle applies the same closure
+    predicate to the batch sessionization (module docstring), so the
+    driver hash-checks the emitted set exactly.
     """
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -152,5 +167,50 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "session_start")
 
 
+# The batch lag/cumsum sessionization (windows.py's ORACLE_EVENTS_
+# SESSIONIZED shape) filtered to the stream's closure predicate: a
+# session is emitted iff its end sits more than one gap before the
+# final watermark max(ts). sum_value mirrors the stream's exact
+# integer-cents accumulation (SUM(ROUND(value*100)) / 100.0 — identical
+# doubles, no float summation).
+ORACLE_STREAMING_SESSIONIZED = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_no
+    FROM flagged
+),
+sess AS (
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+),
+wm AS (SELECT MAX(ts) AS mx FROM events)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sess, wm
+WHERE epoch_us(session_end) + {GAP_US} < epoch_us(mx)
+ORDER BY user_id, session_start
+"""
+
+
 def oracles() -> dict[str, tuple]:
-    return {"streaming_sessionized": (q_streaming_sessionized, None)}
+    return {
+        "streaming_sessionized": (
+            q_streaming_sessionized,
+            ORACLE_STREAMING_SESSIONIZED,
+        )
+    }
