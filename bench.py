@@ -214,6 +214,14 @@ HEADLINE = [
     # round 6: per-user trajectory stats (one lag window + integer-meter
     # hops, exact aggregates)
     "geo_trajectory_length",
+    # round 7: generic edge-list WCC (delta-frontier min-label propagation
+    # over star-collapsed co-occurrence edges) and the hash-checkable
+    # stateful-streaming sessionizer replay
+    "graph_wcc",
+    "streaming_sessionized",
+    # round 7: trajectory as-of join (last known position per purchase;
+    # one union-sort-window pass, exact integer coordinates/staleness)
+    "geo_position_asof",
 ]
 
 

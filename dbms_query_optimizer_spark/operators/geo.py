@@ -384,6 +384,104 @@ ORDER BY user_id
 """
 
 
+def q_geo_position_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last known position at the time of each purchase — the trajectory
+    as-of join (fraud geo-velocity checks, delivery ETA baselines:
+    "where was this user when they bought?").
+
+    Composition of this module's key→coordinate map with temporal.py's
+    as-of machinery: position FIXES are the user's non-purchase events
+    (coordinates derived from the fix's event_id), PROBES are purchases,
+    and the match is the one-shuffle union-sort-window backward as-of —
+    every row shuffles once on user_id, one ignorenulls last() fill
+    resolves each probe, no range join and no per-probe subquery. Inner
+    semantics: a purchase before the user's first fix drops out.
+
+    Determinism: fixes are first made UNIQUE per (user, ts) (max
+    event_id — both engines agree), so equal-timestamp ties can't pick
+    different fixes per engine; coordinates are the module's exact
+    integer-derived doubles (no trig), and staleness is an exact integer
+    microsecond difference. Nothing in the output has a rounding
+    contract at all.
+
+    At 100 TB: identical scale story to q_asof_join — one hash shuffle
+    by user, per-user sorted windows, payload carried as a struct; a
+    hot user salts like any skewed window key.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    fixes = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("fix_id"))
+    )
+    build_t = "struct<fix_ts:timestamp,fix_id:bigint>"
+    builds = fixes.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct(
+            F.col("ts").alias("fix_ts"), F.col("fix_id").alias("fix_id")
+        ).alias("build"),
+        F.lit(0).alias("is_probe"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast(build_t).alias("build"),
+        F.lit(1).alias("is_probe"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")  # builds first at equal ts: inclusive
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = probes.unionByName(builds).withColumn(
+        "m", F.last("build", ignorenulls=True).over(w)
+    )
+    m = F.col("m")
+    return (
+        filled.filter((F.col("is_probe") == 1) & m.isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            m.getField("fix_id").alias("fix_id"),
+            _lat_expr(m.getField("fix_id")).alias("lat"),
+            _lon_expr(m.getField("fix_id")).alias("lon"),
+            (
+                F.unix_micros("ts") - F.unix_micros(m.getField("fix_ts"))
+            ).alias("staleness_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_GEO_POSITION_ASOF = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+    FROM events
+),
+fixes AS (
+    SELECT user_id, ts, MAX(event_id) AS fix_id
+    FROM ev WHERE event_type <> 'purchase'
+    GROUP BY user_id, ts
+),
+p AS (
+    SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, f.fix_id,
+       {_sql_lat("f.fix_id")} AS lat,
+       {_sql_lon("f.fix_id")} AS lon,
+       epoch_us(p.ts) - epoch_us(f.ts) AS staleness_us
+FROM p ASOF JOIN fixes f
+  ON p.user_id = f.user_id AND f.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "geo_nearest_facility": (
@@ -395,4 +493,5 @@ def oracles() -> dict[str, tuple]:
             q_geo_trajectory_length,
             ORACLE_GEO_TRAJECTORY_LENGTH,
         ),
+        "geo_position_asof": (q_geo_position_asof, ORACLE_GEO_POSITION_ASOF),
     }

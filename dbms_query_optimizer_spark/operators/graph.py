@@ -567,9 +567,175 @@ ORDER BY channel
 """
 
 
+WCC_MAX_ITERS = 30  # rounds bound = graph diameter; raise for path-like graphs
+
+
+def weakly_connected_components(
+    edges: DataFrame, max_iters: int = WCC_MAX_ITERS
+) -> DataFrame:
+    """Generic weakly-connected components over an edge list
+    (``src``/``dst`` columns, any orientation) by iterative min-label
+    propagation with DELTA (frontier) messaging — the reusable form of
+    the loop ``dedup.q_dedup_components`` runs over its near-dup pairs.
+
+    Returns (node, component) where component = min node id reachable.
+    Scale: labels are |nodes| rows, messages track the SHRINKING
+    frontier (a node whose label didn't improve has nothing new to
+    tell its neighbors), and ``localCheckpoint`` per round keeps plan
+    depth constant — the documented iteration-state exception to the
+    no-corpus-checkpoint rule, since labels are node-domain-sized.
+    Rounds = component diameter; for adversarial path graphs raise
+    ``max_iters`` or switch to large-star/small-star (log rounds).
+    """
+    und = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .coalesce(8)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    frontier = labels  # round 1: every node announces its own label
+    for _ in range(max_iters):
+        msg_min = (
+            und.join(frontier.toDF("f_node", "f_label"), und.src == F.col("f_node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("f_label").alias("m"))
+        )
+        new_labels = (
+            labels.join(msg_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("m", "label")).alias("new_label"),
+                (F.col("m") < F.col("label")).alias("improved"),
+            )
+            .select("node", F.col("new_label").alias("label"), "improved")
+            .coalesce(8)
+            .localCheckpoint()
+        )
+        frontier = new_labels.filter("improved").select("node", "label")
+        labels = new_labels.select("node", "label")
+        if frontier.count() == 0:
+            break
+    else:
+        raise RuntimeError(f"WCC did not converge in {max_iters} iterations")
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _wcc_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic-WCC fixture graph: purchase events co-occurring in the
+    same (day, hour, props.k) slot. The grouping is a fixture device
+    (the repo's standard trick — cf. geo.py's derived coordinates) that
+    yields non-trivial component structure from the seeded data (120
+    components, max size 5 at sf0.01); the OPERATOR under test is the
+    generic edge-list WCC above.
+
+    Each co-occurrence group emits STAR edges (member -> group min), not
+    the quadratic clique: O(group) edges with identical connectivity —
+    the same lossless-blocking discipline as the LSH band join."""
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window as W
+
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .distinct()
+    )
+    mu = F.min("user_id").over(W.partitionBy("d", "h", "k"))
+    return (
+        members.select("user_id", mu.alias("mu"))
+        .filter(F.col("user_id") != F.col("mu"))
+        .select(F.col("user_id").alias("src"), F.col("mu").alias("dst"))
+        .distinct()
+    )
+
+
+def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components over a generic edge list — the graph
+    primitive behind entity resolution, dedup clustering, and household/
+    account linking — run on the purchase co-occurrence graph.
+
+    Output: every purchase-active user with its component id (min user
+    in the component) and the component size. Users with no edges are
+    their own singleton components (isolated nodes never enter the
+    propagation loop; they are union'd back label=self).
+
+    The DuckDB oracle computes the same components with a recursive CTE
+    (transitive closure, then per-node min) — full value parity for an
+    operator SQL cannot express without recursion.
+    """
+    edges = _wcc_interactions(spark, sf_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    nodes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    comp = weakly_connected_components(edges)
+    full = (
+        nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        full.select(
+            F.col("node").alias("user_id"),
+            "component",
+            F.count(F.lit(1))
+            .over(W.partitionBy("component"))
+            .alias("component_size"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_GRAPH_WCC = """
+WITH RECURSIVE members AS (
+    SELECT DISTINCT user_id,
+           CAST(ts AS DATE) AS d,
+           date_part('hour', ts) AS h,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events WHERE event_type = 'purchase'
+),
+star AS (
+    SELECT user_id, MIN(user_id) OVER (PARTITION BY d, h, k) AS mu
+    FROM members
+),
+e AS (SELECT DISTINCT user_id AS a, mu AS b FROM star WHERE user_id <> mu),
+und AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+nodes AS (
+    SELECT DISTINCT user_id AS node FROM events WHERE event_type = 'purchase'
+),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node AS user_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS component_size
+FROM comp
+ORDER BY user_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
+        "graph_wcc": (q_graph_wcc, ORACLE_GRAPH_WCC),
         "markov_attribution": (
             q_markov_attribution,
             _oracle_markov_attribution(),

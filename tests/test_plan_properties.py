@@ -480,6 +480,17 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "cluster_key_advisor": [
         "tree:Window", "tree:HashAggregate", "partial_", "!MapInPandas",
     ],
+    # generic WCC: the returned frame is label-join + size window over
+    # node-domain checkpointed state; no Python plane anywhere, and the
+    # star-edge build is an aggregate, never a pair join
+    "graph_wcc": ["tree:Window", "!MapInPandas", "!ArrowEvalPython"],
+    # the stateful sessionizer replay returns the memory-sink table; the
+    # stateful plan itself ran inside the stream (applyInPandasWithState
+    # is the one DELIBERATE Python plane — pinned by its dedicated tests)
+    "streaming_sessionized": [],
+    # trajectory as-of: ONE union-sort-window pass — no join operator of
+    # any kind in the plan, no Python plane
+    "geo_position_asof": ["tree:Window", "!tree:Join", "!MapInPandas"],
     # LOO vocabulary: distinct (token, source) + per-token aggregate;
     # no Python plane, no nested loop beyond the 1-row totals broadcast
     "source_loo_vocab": ["tree:HashAggregate", "partial_", "!MapInPandas"],
