@@ -559,6 +559,20 @@ COMMENTARY = {
         "trigram key, and TakeOrderedAndProject for the top-k — no join, "
         "no global sort."
     ),
+    "geo_position_asof": (
+        "Trajectory as-of join (last fix per purchase). Expect: fixes "
+        "deduped by one (user, ts) hash aggregate, then the union-sort-"
+        "window as-of — a single Exchange on user_id feeding Sort + "
+        "Window, NO join operator anywhere and no Python plane."
+    ),
+    "graph_wcc": (
+        "Generic WCC by delta-frontier min-label propagation. The lazy "
+        "tail of the last converged round: Expect scans of checkpointed "
+        "node-domain RDDs (label state — the documented iteration-state "
+        "exception), a left join of labels against the final min-message "
+        "aggregate, and the component_size Window — corpus never "
+        "re-enters the plan after the star-edge build."
+    ),
 }
 
 

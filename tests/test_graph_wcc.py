@@ -1,0 +1,47 @@
+"""Unit semantics for the generic WCC helper (graph.py) on crafted
+graphs — structure the fixture-derived catalog query can't guarantee it
+exercises: multi-hop chains (label must PROPAGATE, not just copy), rings,
+direction-independence, and nodes absent from the edge list."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbms_query_optimizer_spark.operators.graph import (
+    weakly_connected_components,
+)
+
+
+def _components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in weakly_connected_components(df).collect()
+    }
+
+
+def test_chain_propagates_min_label_multi_hop(spark):
+    # path 1-2-3-4-5: diameter 4 forces >1 propagation round
+    comp = _components(spark, [(2, 1), (3, 2), (4, 3), (5, 4)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_direction_independence(spark):
+    # edges given in mixed orientations; components must ignore direction
+    comp = _components(spark, [(1, 2), (3, 2), (10, 11), (12, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_ring_converges(spark):
+    comp = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert set(comp.values()) == {1} and len(comp) == 4
+
+
+def test_max_iters_raises_on_long_chain(spark):
+    # a 10-node path needs ~9 rounds; max_iters=2 must fail loudly
+    # rather than return a half-propagated labeling
+    df = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 10)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        weakly_connected_components(df, max_iters=2)
