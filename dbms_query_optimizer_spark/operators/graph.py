@@ -584,14 +584,28 @@ def weakly_connected_components(
     tell its neighbors), and ``localCheckpoint`` per round keeps plan
     depth constant — the documented iteration-state exception to the
     no-corpus-checkpoint rule, since labels are node-domain-sized.
-    Rounds = component diameter; for adversarial path graphs raise
-    ``max_iters`` or switch to large-star/small-star (log rounds).
+
+    Each round also POINTER-JUMPS (path doubling): after the message
+    step, every node re-reads its label's own label, so label chains
+    halve per round and convergence is O(log diameter) rounds instead
+    of O(diameter) — measured 10 → 5 rounds on the sf0.1 fixture graph
+    (one 1445-node component). The jump is one extra node-domain join
+    per round; safety is monotone (labels only decrease, and a label's
+    label is always in the same component), and the frontier rule stays
+    sound because ``improved`` is computed against the round's FINAL
+    label, message- or jump-sourced alike.
     """
+    # Every round's message join re-reads the edge list; without the
+    # persist each round would recompute the full upstream edge build
+    # (scan + distinct + window at the catalog call site). Edge-domain
+    # sized; unpersisted before return — the returned labels are
+    # checkpointed, so nothing downstream re-reads it.
     und = (
         edges.select(F.col("src"), F.col("dst"))
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .coalesce(8)
+        .persist()
     )
     labels = (
         und.select(F.col("src").alias("node"))
@@ -606,14 +620,28 @@ def weakly_connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("f_label").alias("m"))
         )
+        stepped = labels.join(msg_min, "node", "left").select(
+            "node",
+            "label",
+            F.least("label", F.coalesce("m", "label")).alias("l1"),
+        )
+        # pointer jump: follow l1 to ITS post-message label (l1 of the
+        # node named l1) — label chains halve every round
+        hop = stepped.select(
+            F.col("node").alias("j_node"), F.col("l1").alias("j_l1")
+        )
         new_labels = (
-            labels.join(msg_min, "node", "left")
+            stepped.join(hop, stepped.l1 == F.col("j_node"), "left")
             .select(
                 "node",
-                F.least("label", F.coalesce("m", "label")).alias("new_label"),
-                (F.col("m") < F.col("label")).alias("improved"),
+                F.least("l1", F.coalesce("j_l1", "l1")).alias("new_label"),
+                "label",
             )
-            .select("node", F.col("new_label").alias("label"), "improved")
+            .select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("label")).alias("improved"),
+            )
             .coalesce(8)
             .localCheckpoint()
         )
@@ -622,7 +650,9 @@ def weakly_connected_components(
         if frontier.count() == 0:
             break
     else:
+        und.unpersist()
         raise RuntimeError(f"WCC did not converge in {max_iters} iterations")
+    und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
