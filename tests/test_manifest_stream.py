@@ -11,6 +11,19 @@ from dbms_query_optimizer_spark.sources.manifest import TransactionalTable
 from dbms_query_optimizer_spark.sources.manifest_stream import register
 
 
+def test_manifest_name_width_matches_writer():
+    """manifest_stream duplicates the manifest filename width BY VALUE
+    (the data-source planner/executor processes can't import this
+    package when the host launches from an arbitrary cwd); this pin
+    fails if either side's constant drifts."""
+    from dbms_query_optimizer_spark.sources import manifest, manifest_stream
+
+    assert manifest_stream._VERSION_WIDTH == manifest._VERSION_WIDTH
+    assert manifest_stream._manifest_path("/r", 7).endswith(
+        "/" + manifest._manifest_name(7)
+    )
+
+
 @pytest.fixture()
 def table(spark, tmp_path):
     root = str(tmp_path / "tail_table")
