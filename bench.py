@@ -222,6 +222,8 @@ HEADLINE = [
     # round 7: trajectory as-of join (last known position per purchase;
     # one union-sort-window pass, exact integer coordinates/staleness)
     "geo_position_asof",
+    # round 7: single-source BFS hop distances (frontier loop, O(E) total)
+    "graph_bfs_hops",
 ]
 
 

@@ -732,7 +732,7 @@ EAGER_CONSTRUCTION = frozenset({
     "column_profile", "curriculum_bins", "dedup_components",
     "dedup_incremental_lsh", "dedup_semantic", "dpp_join_pruned",
     "embedding_pca_project", "embedding_pq_adc", "entity_resolution",
-    "global_row_number", "graph_pagerank", "graph_wcc",
+    "global_row_number", "graph_bfs_hops", "graph_pagerank", "graph_wcc",
     "ks_test_drift", "lsh_recall_report", "markov_attribution",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
@@ -781,9 +781,10 @@ DRIVER_SENTINELS = [
 #
 # PLANNED r8/r9 endgame (verdict task 4): after this window lands, 74
 # pre-round-7 catalog names have never had a driver row (plus the three
-# round-7 additions graph_wcc / geo_position_asof / the now-oracled
-# streaming_sessionized — slot graph_wcc and geo_position_asof into the
-# r8 window in place of two sampling names, which slide to r9). The exact
+# round-7 additions graph_wcc / graph_bfs_hops / geo_position_asof /
+# the now-oracled streaming_sessionized — slot the three new operators
+# into the r8 window in place of three sampling names, which slide to
+# r9). The exact
 # split (machine-checked against CATALOG minus
 # DRIVER_CHECKED_PRIOR_ROUNDS minus this window):
 #

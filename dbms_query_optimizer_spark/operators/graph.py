@@ -762,10 +762,142 @@ ORDER BY user_id
 """
 
 
+BFS_MAX_HOPS = 30  # frontier rounds bound = eccentricity of the source
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distance over the generic edge list — the
+    unweighted-shortest-path primitive (blast-radius queries, degrees of
+    separation, influence radius), completing the graph family's
+    distance axis next to connectivity (``graph_wcc``) and centrality
+    (``graph_pagerank``).
+
+    The fixture graph here is the ALL-events co-activity star graph
+    ((day, hour, event_type) groups — denser than the purchase graph, so
+    the driver-checked sf0.01 result carries the full 150-user level
+    structure rather than a near-singleton component). Source = the
+    minimum user with at least one edge, else the minimum user. Classic
+    frontier BFS:
+    round d joins the CURRENT frontier against the edge list, anti-joins
+    out already-visited nodes, and tags survivors with distance d — each
+    edge is traversed at most twice over the whole run (once per
+    direction, the round its source enters the frontier), so total work
+    is O(E) regardless of round count, and the visited set is
+    node-domain-sized state checkpointed per round like the WCC labels.
+    Unreachable nodes are excluded (inner semantics). Output also
+    carries n_at_hop — how many nodes share the row's distance — making
+    the hash sensitive to the full level structure.
+
+    The oracle walks the same graph with a bounded recursive CTE
+    ((node, depth) states, depth < BFS_MAX_HOPS, then MIN(depth) per
+    node) — correct whenever the true eccentricity fits the bound, which
+    the Spark side's convergence (frontier empties before BFS_MAX_HOPS)
+    proves on every run.
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark.sql import Window as WW
+
+    ev = load_tables(spark, sf_dir)["events"]
+    members = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.col("event_type").alias("t"),
+        )
+        .distinct()
+    )
+    mu = F.min("user_id").over(WW.partitionBy("d", "h", "t"))
+    edges = (
+        members.select("user_id", mu.alias("mu"))
+        .filter(F.col("user_id") != F.col("mu"))
+        .select(F.col("user_id").alias("src"), F.col("mu").alias("dst"))
+        .distinct()
+    )
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .coalesce(8)
+        .persist()
+    )
+    # min edge-bearing user; on an edge-free fixture fall back to the
+    # min user so the result is the source alone at hop 0 rather than a
+    # crash/NULL divergence
+    src_row = und.agg(F.min("src").alias("s")).collect()[0]
+    if src_row["s"] is not None:
+        source = int(src_row["s"])
+    else:
+        source = int(ev.agg(F.min("user_id").alias("s")).collect()[0]["s"])
+
+    visited = spark.createDataFrame(
+        [(source, 0)], "node long, hops int"
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            und.join(frontier.toDF("f_node"), und.src == F.col("f_node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("hops"))
+            .coalesce(8)
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).coalesce(8).localCheckpoint()
+        frontier = nxt.select("node")
+    else:
+        raise RuntimeError(f"BFS frontier alive after {BFS_MAX_HOPS} rounds")
+    und.unpersist()
+    return (
+        visited.select(
+            F.col("node").alias("user_id"),
+            "hops",
+            F.count(F.lit(1)).over(W.partitionBy("hops")).alias("n_at_hop"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_GRAPH_BFS_HOPS = f"""
+WITH RECURSIVE members AS (
+    SELECT DISTINCT user_id,
+           CAST(ts AS DATE) AS d,
+           date_part('hour', ts) AS h,
+           event_type AS t
+    FROM events
+),
+star AS (
+    SELECT user_id, MIN(user_id) OVER (PARTITION BY d, h, t) AS mu
+    FROM members
+),
+e AS (SELECT DISTINCT user_id AS a, mu AS b FROM star WHERE user_id <> mu),
+und AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+s AS (SELECT COALESCE((SELECT MIN(src) FROM und),
+                      (SELECT MIN(user_id) FROM members)) AS source),
+walk(node, depth) AS (
+    SELECT source, 0 FROM s
+    UNION
+    SELECT u.dst, walk.depth + 1
+    FROM walk JOIN und u ON u.src = walk.node
+    WHERE walk.depth < {BFS_MAX_HOPS}
+),
+dist AS (SELECT node, CAST(MIN(depth) AS INT) AS hops FROM walk GROUP BY node)
+SELECT node AS user_id, hops,
+       COUNT(*) OVER (PARTITION BY hops) AS n_at_hop
+FROM dist
+ORDER BY user_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
         "graph_wcc": (q_graph_wcc, ORACLE_GRAPH_WCC),
+        "graph_bfs_hops": (q_graph_bfs_hops, ORACLE_GRAPH_BFS_HOPS),
         "markov_attribution": (
             q_markov_attribution,
             _oracle_markov_attribution(),

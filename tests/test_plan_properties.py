@@ -491,6 +491,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # trajectory as-of: ONE union-sort-window pass — no join operator of
     # any kind in the plan, no Python plane
     "geo_position_asof": ["tree:Window", "!tree:Join", "!MapInPandas"],
+    # BFS: the returned frame is the visited union + level-count window
+    # over checkpointed node-domain state; no Python plane
+    "graph_bfs_hops": ["tree:Window", "!MapInPandas", "!ArrowEvalPython"],
     # LOO vocabulary: distinct (token, source) + per-token aggregate;
     # no Python plane, no nested loop beyond the 1-row totals broadcast
     "source_loo_vocab": ["tree:HashAggregate", "partial_", "!MapInPandas"],
