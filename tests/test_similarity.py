@@ -95,10 +95,12 @@ def test_embedding_dedup_lsh_subset_and_recall(spark, sf_dir):
 
 
 def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
-    """PQ-ADC ranks by approximate squared L2; recall is judged against the
-    exact L2 top-k (numpy oracle over the raw parquet), plus structural
-    invariants: full rank lists, self excluded, distances non-negative and
-    ascending."""
+    """PQ-ADC shortlists by approximate squared L2 then exact-reranks;
+    recall is judged against the exact L2 top-k (numpy oracle over the
+    raw parquet), plus structural invariants: full rank lists, self
+    excluded, final order ascending in the EXACT distance (the rerank
+    contract; adc_d2 is the stage-1 score and need not be monotone in
+    the final rank)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -129,15 +131,18 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     for qid, rs in per_q.items():
         rs = sorted(rs, key=lambda r: r["rank"])
         assert [r["rank"] for r in rs] == list(range(1, TOP_K + 1))
-        d2s = [r["adc_d2"] for r in rs]
-        assert d2s == sorted(d2s) and d2s[0] >= 0
+        l2s = [r["l2"] for r in rs]
+        assert l2s == sorted(l2s) and l2s[0] >= 0
+        assert all(r["adc_d2"] >= 0 for r in rs)
         assert all(r["neighbor_id"] != qid for r in rs)
         recalls.append(len({r["neighbor_id"] for r in rs} & exact[qid]) / TOP_K)
     mean_recall = sum(recalls) / len(recalls)
-    # 32 centroids x 16 subspaces: measured 0.44 at sf0.01 vs 0.02 by
-    # chance. Floor sits below the measurement because centroid means are
-    # float sums whose partial-aggregation order varies with partitioning —
-    # a borderline assignment may flip between cluster layouts.
+    # With the 4x shortlist + exact rerank: measured 0.82/0.84/0.60 at
+    # sf0.001/0.01/0.1 (vs 0.44->0.29 raw-ADC before the rerank, and
+    # 0.02 by chance). Floor sits below the measurements because
+    # centroid means are float sums whose partial-aggregation order
+    # varies with partitioning — a borderline assignment may flip
+    # between cluster layouts.
     assert mean_recall >= 0.35, f"mean recall {mean_recall:.2f}, per-query {recalls}"
 
 
