@@ -893,6 +893,10 @@ LIMIT {PATH_TOP_K}
 
 
 DDSKETCH_GAMMA = 1.02  # relative-error alpha = (g-1)/(g+1) ~ 0.99%
+# zero-bucket bin id: far below any real log bin (value=0.01 -> bin
+# ~ -232 at gamma=1.02); gamma**ZERO_BIN underflows to +0.0 in IEEE
+# pow on BOTH engines, so the bucket's midpoint estimate is exactly 0.0
+DDSKETCH_ZERO_BIN = -(1 << 40)
 DDSKETCH_QS = (0.5, 0.9, 0.99)
 
 
@@ -900,11 +904,19 @@ def ddsketch_partial(df: DataFrame) -> DataFrame:
     """(event_type, bin) counts with DDSketch log-domain bins:
     bin = ceil(ln(v)/ln(gamma)) — scale-free, no data pre-scan, so the
     sketch works on an unbounded stream (unlike equi-width bins, whose
-    edges need min/max up front). All inputs here are > 0; a production
-    sketch adds a zero bucket + a mirrored negative ladder."""
+    edges need min/max up front). Values ≤ 0 land in the dedicated ZERO
+    BUCKET (DDSKETCH_ZERO_BIN, below every log bin; its midpoint
+    estimate is exactly 0.0 since gamma^bin underflows): the sf0.1
+    fixture carries value = 0.0 rows, where ln() is NULL in Spark but an
+    ERROR in DuckDB — without the explicit bucket the two engines don't
+    even agree on whether the query runs. A mirrored negative ladder
+    would complete the production sketch; the fixture has no negatives.
+    """
     import math
 
-    bin_col = F.ceil(F.log("value") / F.lit(math.log(DDSKETCH_GAMMA)))
+    bin_col = F.when(F.col("value") <= 0, F.lit(DDSKETCH_ZERO_BIN)).otherwise(
+        F.ceil(F.log("value") / F.lit(math.log(DDSKETCH_GAMMA)))
+    )
     return df.groupBy("event_type", bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("pn")
     )
@@ -1003,8 +1015,9 @@ def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAMING_QUANTILE_SKETCH = f"""
 WITH binned AS (
     SELECT event_type,
-           CAST(CEIL(LN(value) / LN(CAST({DDSKETCH_GAMMA} AS DOUBLE))) AS BIGINT)
-               AS bin
+           CASE WHEN value <= 0 THEN CAST({DDSKETCH_ZERO_BIN} AS BIGINT)
+                ELSE CAST(CEIL(LN(value) / LN(CAST({DDSKETCH_GAMMA} AS DOUBLE)))
+                     AS BIGINT) END AS bin
     FROM events
 ), merged AS (
     SELECT event_type, bin, COUNT(*) AS n FROM binned GROUP BY event_type, bin
