@@ -224,6 +224,9 @@ HEADLINE = [
     "geo_position_asof",
     # round 7: single-source BFS hop distances (frontier loop, O(E) total)
     "graph_bfs_hops",
+    # round 7: greedy k-center diversity coreset (K map-side scans, zero
+    # shuffles, one 1-row collect per round)
+    "sample_kcenter_coreset",
 ]
 
 

@@ -736,7 +736,8 @@ EAGER_CONSTRUCTION = frozenset({
     "ks_test_drift", "lsh_recall_report", "markov_attribution",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
-    "sample_systematic", "shard_assignment_balanced", "skyline_pareto",
+    "sample_kcenter_coreset", "sample_systematic",
+    "shard_assignment_balanced", "skyline_pareto",
     "source_binaryfile_scan", "source_csv_scan", "source_json_scan",
     "source_orc_scan", "source_partitioned_scan",
     "source_python_datasink", "source_schema_evolution",

@@ -635,6 +635,139 @@ ORDER BY fold
 """
 
 
+
+
+KCENTER_K = 8  # coreset size; rounds = K-1 (Gonzalez greedy)
+
+
+def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez): pick KCENTER_K maximally
+    spread embedding vectors — the diversity-sampling primitive of
+    data curation (select the most diverse exemplars / dedup a batch
+    down to representatives), the 2-approximation of the k-center
+    objective.
+
+    Seed = min vec_id; each round broadcasts the chosen centers (≤ K
+    tiny rows + vectors), computes every vector's distance to its
+    nearest center in ONE map-side pass (no shuffle — the aggregate is
+    per-row over K broadcast candidates), and takes the argmax as the
+    next center via a distributed TakeOrdered (never a global sort).
+    Total work O(N·K²·dim) map-side; the only driver traffic is one
+    1-row collect per round. At 100 TB this is exactly the plan you
+    want: K scans, zero shuffles, K-1 scalar collects.
+
+    Determinism: distances are the module-shared IEEE fold (index
+    order, float32→double exact — bit-identical to DuckDB's
+    list_distance) rounded to 6 dp before every argmax/argmin, with
+    ties broken on vec_id / center rank. Output: every vector's
+    assignment (nearest center, rank, distance) plus the coreset
+    radius (max over vectors of nearest-center distance — the
+    k-center objective value) as a broadcast scalar column.
+
+    The oracle unrolls the same K-1 greedy steps as chained CTEs
+    (argmax inside recursion is not expressible; the unroll is the
+    portable formulation, same as graph_pagerank's power iteration).
+    """
+    from .similarity import _l2_expr
+
+    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    seed = e.agg(F.min("vec_id")).collect()[0][0]
+    centers: list[tuple[int, int]] = [(1, int(seed))]
+
+    def center_frame():
+        cdf = spark.createDataFrame(centers, "crank int, cid long")
+        return F.broadcast(
+            cdf.join(
+                e.select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec"),
+                ),
+                "cid",
+            )
+        )
+
+    def nearest():
+        # per-vector struct-min over the broadcast centers: (d6, crank, cid)
+        return (
+            e.crossJoin(center_frame())
+            .select(
+                "vec_id",
+                F.struct(
+                    F.round(_l2_expr("embedding", "cvec"), 6).alias("d6"),
+                    F.col("crank").alias("crank"),
+                    F.col("cid").alias("cid"),
+                ).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("best"))
+        )
+
+    for r in range(2, KCENTER_K + 1):
+        nxt = (
+            nearest()
+            .orderBy(F.col("best.d6").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((r, int(nxt["vec_id"])))
+
+    final = nearest()
+    radius = final.agg(F.max("best.d6").alias("coreset_radius"))
+    return (
+        final.crossJoin(F.broadcast(radius))
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("center_id"),
+            F.col("best.crank").alias("center_rank"),
+            F.col("best.d6").alias("dist"),
+            "coreset_radius",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_kcenter() -> str:
+    l2 = (
+        "ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[])), 6)"
+    )
+    steps = ["cc1 AS (SELECT 1 AS crank, MIN(vec_id) AS cid FROM embeddings)"]
+    for r in range(2, KCENTER_K + 1):
+        p = r - 1
+        steps.append(
+            f"""m{p} AS (
+    SELECT e.vec_id, MIN({l2}) AS dmin
+    FROM embeddings e
+    JOIN cc{p} x ON TRUE
+    JOIN embeddings c ON c.vec_id = x.cid
+    GROUP BY e.vec_id
+),
+n{p} AS (SELECT vec_id FROM m{p} ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+cc{r} AS (SELECT crank, cid FROM cc{p}
+          UNION ALL SELECT {r}, vec_id FROM n{p})"""
+        )
+    k = KCENTER_K
+    return f"""
+WITH {','.join(steps)},
+assign AS (
+    SELECT e.vec_id, x.cid, x.crank, {l2} AS d6,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {l2} ASC, x.crank ASC
+           ) AS rn
+    FROM embeddings e
+    JOIN cc{k} x ON TRUE
+    JOIN embeddings c ON c.vec_id = x.cid
+),
+final AS (SELECT vec_id, cid, crank, d6 FROM assign WHERE rn = 1),
+rad AS (SELECT MAX(d6) AS coreset_radius FROM final)
+SELECT f.vec_id, f.cid AS center_id, f.crank AS center_rank,
+       f.d6 AS dist, r.coreset_radius
+FROM final f CROSS JOIN rad r
+ORDER BY f.vec_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "bootstrap_ci_mean": (q_bootstrap_ci_mean, _oracle_bootstrap_ci_mean()),
@@ -654,5 +787,9 @@ def oracles() -> dict[str, tuple]:
         "approx_counts_sampled": (
             q_approx_counts_sampled,
             ORACLE_APPROX_COUNTS_SAMPLED,
+        ),
+        "sample_kcenter_coreset": (
+            q_sample_kcenter_coreset,
+            _oracle_kcenter(),
         ),
     }

@@ -494,6 +494,12 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # BFS: the returned frame is the visited union + level-count window
     # over checkpointed node-domain state; no Python plane
     "graph_bfs_hops": ["tree:Window", "!MapInPandas", "!ArrowEvalPython"],
+    # k-center assignment: per-row struct-min over the K broadcast
+    # centers (BroadcastNestedLoopJoin over K rows is the intended
+    # shape), one hash aggregate, no Python plane and no sort-merge join
+    "sample_kcenter_coreset": [
+        "tree:HashAggregate", "!tree:SortMergeJoin", "!MapInPandas",
+    ],
     # LOO vocabulary: distinct (token, source) + per-token aggregate;
     # no Python plane, no nested loop beyond the 1-row totals broadcast
     "source_loo_vocab": ["tree:HashAggregate", "partial_", "!MapInPandas"],
