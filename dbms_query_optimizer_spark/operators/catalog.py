@@ -781,11 +781,13 @@ DRIVER_SENTINELS = [
 # top-k).
 #
 # PLANNED r8/r9 endgame (verdict task 4): after this window lands, 74
-# pre-round-7 catalog names have never had a driver row (plus the three
-# round-7 additions graph_wcc / graph_bfs_hops / geo_position_asof /
-# the now-oracled streaming_sessionized — slot the three new operators
-# into the r8 window in place of three sampling names, which slide to
-# r9). The exact
+# pre-round-7 catalog names have never had a driver row, plus the four
+# round-7 additions (graph_wcc, graph_bfs_hops, geo_position_asof,
+# sample_kcenter_coreset) and the now-oracled streaming_sessionized —
+# slot the four new operators into the r8 window in place of four
+# sampling/stats names, which slide to r9. Every name below passed the
+# full driver-contract drive at BOTH sf0.01 and sf0.1 this round, so
+# the remaining windows are de-risked. The exact
 # split (machine-checked against CATALOG minus
 # DRIVER_CHECKED_PRIOR_ROUNDS minus this window):
 #
