@@ -717,7 +717,7 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
 # txn/streaming families write table directories, the advisor/solver
 # entries collect stats or run driver solves, the source_* roundtrips
 # write fixtures, and the distributed-moment entries (PCA, spearman,
-# feature_standardize, ...) collect scalars. Authoring-time sweeps that
+# ...) collect scalars. Authoring-time sweeps that
 # only need the result SCHEMA (tests/test_oracle_types.py) skip these —
 # their type agreement is still enforced at full-execution time by
 # oracle_utils.compare inside the complete catalog gate. Measured

@@ -567,6 +567,36 @@ ORDER BY channel
 """
 
 
+def _undirected_persisted(edges: DataFrame) -> DataFrame:
+    """Symmetric, deduped, persisted edge frame for the iterative graph
+    loops. Persisted because every round's message/frontier join re-reads
+    it (without the persist each round re-runs the full upstream edge
+    build); edge-domain sized; CALLERS unpersist when their loop exits."""
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .coalesce(8)
+        .persist()
+    )
+
+
+def _star_edges(members: DataFrame, keys: list[str]) -> DataFrame:
+    """Star edges (member -> group min) per co-occurrence group: O(group)
+    edges with the same connectivity as the quadratic clique — the
+    lossless-blocking discipline shared by the WCC and BFS fixture
+    graphs. ``members`` carries user_id + the grouping columns."""
+    from pyspark.sql import Window as W
+
+    mu = F.min("user_id").over(W.partitionBy(*keys))
+    return (
+        members.select("user_id", mu.alias("mu"))
+        .filter(F.col("user_id") != F.col("mu"))
+        .select(F.col("user_id").alias("src"), F.col("mu").alias("dst"))
+        .distinct()
+    )
+
+
 WCC_MAX_ITERS = 30  # rounds bound = graph diameter; raise for path-like graphs
 
 
@@ -595,18 +625,9 @@ def weakly_connected_components(
     sound because ``improved`` is computed against the round's FINAL
     label, message- or jump-sourced alike.
     """
-    # Every round's message join re-reads the edge list; without the
-    # persist each round would recompute the full upstream edge build
-    # (scan + distinct + window at the catalog call site). Edge-domain
-    # sized; unpersisted before return — the returned labels are
-    # checkpointed, so nothing downstream re-reads it.
-    und = (
-        edges.select(F.col("src"), F.col("dst"))
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .coalesce(8)
-        .persist()
-    )
+    # Unpersisted before return — the returned labels are checkpointed,
+    # so nothing downstream re-reads the edge frame.
+    und = _undirected_persisted(edges)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -668,8 +689,6 @@ def _wcc_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic clique: O(group) edges with identical connectivity —
     the same lossless-blocking discipline as the LSH band join."""
     ev = load_tables(spark, sf_dir)["events"]
-    from pyspark.sql import Window as W
-
     members = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -680,13 +699,7 @@ def _wcc_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    mu = F.min("user_id").over(W.partitionBy("d", "h", "k"))
-    return (
-        members.select("user_id", mu.alias("mu"))
-        .filter(F.col("user_id") != F.col("mu"))
-        .select(F.col("user_id").alias("src"), F.col("mu").alias("dst"))
-        .distinct()
-    )
+    return _star_edges(members, ["d", "h", "k"])
 
 
 def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,7 +775,7 @@ ORDER BY user_id
 """
 
 
-BFS_MAX_HOPS = 30  # frontier rounds bound = eccentricity of the source
+BFS_MAX_HOPS = 30  # max representable hop distance (oracle CTE depth bound)
 
 
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,14 +802,14 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash sensitive to the full level structure.
 
     The oracle walks the same graph with a bounded recursive CTE
-    ((node, depth) states, depth < BFS_MAX_HOPS, then MIN(depth) per
-    node) — correct whenever the true eccentricity fits the bound, which
-    the Spark side's convergence (frontier empties before BFS_MAX_HOPS)
-    proves on every run.
+    ((node, depth) states, depth < BFS_MAX_HOPS — so hops up to and
+    INCLUDING BFS_MAX_HOPS are representable, then MIN(depth) per node).
+    The Spark loop runs one extra confirming round past the bound: a
+    node at exactly BFS_MAX_HOPS hops is fine (the oracle covers it);
+    only a frontier still alive BEYOND the bound raises, because the
+    oracle could no longer represent those nodes.
     """
     from pyspark.sql import Window as W
-
-    from pyspark.sql import Window as WW
 
     ev = load_tables(spark, sf_dir)["events"]
     members = (
@@ -808,50 +821,42 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    mu = F.min("user_id").over(WW.partitionBy("d", "h", "t"))
-    edges = (
-        members.select("user_id", mu.alias("mu"))
-        .filter(F.col("user_id") != F.col("mu"))
-        .select(F.col("user_id").alias("src"), F.col("mu").alias("dst"))
-        .distinct()
-    )
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .coalesce(8)
-        .persist()
-    )
-    # min edge-bearing user; on an edge-free fixture fall back to the
-    # min user so the result is the source alone at hop 0 rather than a
-    # crash/NULL divergence
-    src_row = und.agg(F.min("src").alias("s")).collect()[0]
-    if src_row["s"] is not None:
-        source = int(src_row["s"])
-    else:
-        source = int(ev.agg(F.min("user_id").alias("s")).collect()[0]["s"])
+    und = _undirected_persisted(_star_edges(members, ["d", "h", "t"]))
+    try:
+        # min edge-bearing user; on an edge-free fixture fall back to the
+        # min user so the result is the source alone at hop 0 rather than
+        # a crash/NULL divergence
+        src_row = und.agg(F.min("src").alias("s")).collect()[0]
+        if src_row["s"] is not None:
+            source = int(src_row["s"])
+        else:
+            source = int(ev.agg(F.min("user_id").alias("s")).collect()[0]["s"])
 
-    visited = spark.createDataFrame(
-        [(source, 0)], "node long, hops int"
-    ).localCheckpoint()
-    frontier = visited.select("node")
-    for d in range(1, BFS_MAX_HOPS + 1):
-        nxt = (
-            und.join(frontier.toDF("f_node"), und.src == F.col("f_node"))
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(d).cast("int").alias("hops"))
-            .coalesce(8)
-            .localCheckpoint()
-        )
-        if nxt.count() == 0:
-            break
-        visited = visited.union(nxt).coalesce(8).localCheckpoint()
-        frontier = nxt.select("node")
-    else:
-        raise RuntimeError(f"BFS frontier alive after {BFS_MAX_HOPS} rounds")
-    und.unpersist()
+        visited = spark.createDataFrame(
+            [(source, 0)], "node long, hops int"
+        ).localCheckpoint()
+        frontier = visited.select("node")
+        for d in range(1, BFS_MAX_HOPS + 2):
+            nxt = (
+                und.join(frontier.toDF("f_node"), und.src == F.col("f_node"))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .select("node", F.lit(d).cast("int").alias("hops"))
+                .coalesce(8)
+                .localCheckpoint()
+            )
+            if nxt.count() == 0:
+                break
+            if d > BFS_MAX_HOPS:
+                raise RuntimeError(
+                    f"BFS frontier alive beyond {BFS_MAX_HOPS} hops — "
+                    "outside the oracle's CTE depth bound"
+                )
+            visited = visited.union(nxt).coalesce(8).localCheckpoint()
+            frontier = nxt.select("node")
+    finally:
+        und.unpersist()
     return (
         visited.select(
             F.col("node").alias("user_id"),

@@ -711,7 +711,11 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centers.append((r, int(nxt["vec_id"])))
 
-    final = nearest()
+    from ..cache import track_persist
+
+    # the assignment frame is read twice (radius agg + output); persist,
+    # tracked — the harness releases after the consuming action
+    final = track_persist(nearest())
     radius = final.agg(F.max("best.d6").alias("coreset_radius"))
     return (
         final.crossJoin(F.broadcast(radius))

@@ -190,6 +190,18 @@ def release_query_caches() -> None:
 
 
 def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    # release on EVERY exit (including the early type-gate failures): an
+    # eager-constructed entry has already materialized its tracked
+    # persists by the time compare() is called
+    try:
+        return _compare_inner(spark_df, conn, sql)
+    finally:
+        release_query_caches()
+
+
+def _compare_inner(
+    spark_df, conn: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[bool, str]:
     huge = hugeint_columns(conn, sql)
     if huge:
         return False, (
@@ -204,10 +216,7 @@ def compare(spark_df, conn: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, 
             "pandas canonicalization renders these differently (e.g. "
             "'32869' vs '32869.0') and the hash flips; CAST one side"
         )
-    try:
-        s_pdf = spark_df.toPandas()
-    finally:
-        release_query_caches()
+    s_pdf = spark_df.toPandas()
     s_cols = list(s_pdf.columns)
     s_rows = list(s_pdf.itertuples(index=False, name=None))
     odf = conn.execute(sql).df()
