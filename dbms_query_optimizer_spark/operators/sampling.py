@@ -647,14 +647,18 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to representatives), the 2-approximation of the k-center
     objective.
 
-    Seed = min vec_id; each round broadcasts the chosen centers (≤ K
-    tiny rows + vectors), computes every vector's distance to its
-    nearest center in ONE map-side pass (no shuffle — the aggregate is
-    per-row over K broadcast candidates), and takes the argmax as the
-    next center via a distributed TakeOrdered (never a global sort).
-    Total work O(N·K²·dim) map-side; the only driver traffic is one
-    1-row collect per round. At 100 TB this is exactly the plan you
-    want: K scans, zero shuffles, K-1 scalar collects.
+    Seed = min vec_id; the per-vector nearest-center state
+    (d6, rank, id) evolves INCREMENTALLY — each round broadcasts only
+    the NEWEST center and folds one distance into the running
+    struct-min (least over structs is the lexicographic min, so
+    evolving the min one candidate at a time is exactly the batch
+    struct-min over all candidates), then takes the argmax as the next
+    center via a distributed TakeOrdered (never a global sort). Total
+    work O(N·K·dim) map-side — the incremental Gonzalez, not the
+    O(N·K²) all-centers recompute — with no per-round groupBy shuffle
+    at all; the only driver traffic is one 1-row collect per round. At
+    100 TB: K map passes over a checkpointed node-domain state frame,
+    zero shuffles, K-1 scalar collects.
 
     Determinism: distances are the module-shared IEEE fold (index
     order, float32→double exact — bit-identical to DuckDB's
@@ -668,54 +672,52 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (argmax inside recursion is not expressible; the unroll is the
     portable formulation, same as graph_pagerank's power iteration).
     """
+    from ..cache import track_persist
     from .similarity import _l2_expr
 
-    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
-    seed = e.agg(F.min("vec_id")).collect()[0][0]
-    centers: list[tuple[int, int]] = [(1, int(seed))]
+    # vectors are re-read every round — persist for the loop, tracked
+    e = track_persist(
+        load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    )
+    seed = int(e.agg(F.min("vec_id")).collect()[0][0])
 
-    def center_frame():
-        cdf = spark.createDataFrame(centers, "crank int, cid long")
-        return F.broadcast(
-            cdf.join(
-                e.select(
-                    F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cvec"),
-                ),
-                "cid",
+    def fold_center(state: DataFrame | None, crank: int, cid: int) -> DataFrame:
+        """Fold ONE new center into the running (d6, crank, cid)
+        struct-min. The checkpointed state is (vec_id, best) ONLY —
+        node-domain scalars, the documented iteration exception — while
+        the vectors stay in the loop-persisted ``e`` and are re-read
+        per round (at cluster scale, co-partition e and the state by
+        vec_id once and the per-round join never reshuffles)."""
+        cvec = F.broadcast(
+            e.filter(F.col("vec_id") == cid).select(
+                F.col("embedding").alias("cvec")
             )
         )
-
-    def nearest():
-        # per-vector struct-min over the broadcast centers: (d6, crank, cid)
-        return (
-            e.crossJoin(center_frame())
-            .select(
-                "vec_id",
-                F.struct(
-                    F.round(_l2_expr("embedding", "cvec"), 6).alias("d6"),
-                    F.col("crank").alias("crank"),
-                    F.col("cid").alias("cid"),
-                ).alias("s"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("s").alias("best"))
+        cand_struct = F.struct(
+            F.round(_l2_expr("embedding", "cvec"), 6).alias("d6"),
+            F.lit(crank).cast("int").alias("crank"),
+            F.lit(cid).cast("long").alias("cid"),
         )
+        cand = e.crossJoin(cvec).select("vec_id", cand_struct.alias("cand"))
+        if state is None:
+            new = cand.select("vec_id", F.col("cand").alias("best"))
+        else:
+            new = state.join(cand, "vec_id").select(
+                "vec_id", F.least("best", "cand").alias("best")
+            )
+        return new.coalesce(8).localCheckpoint()
 
+    state = fold_center(None, 1, seed)
     for r in range(2, KCENTER_K + 1):
         nxt = (
-            nearest()
-            .orderBy(F.col("best.d6").desc(), F.col("vec_id").asc())
+            state.orderBy(F.col("best.d6").desc(), F.col("vec_id").asc())
+            .select("vec_id")
             .limit(1)
             .collect()[0]
         )
-        centers.append((r, int(nxt["vec_id"])))
+        state = fold_center(state, r, int(nxt["vec_id"]))
 
-    from ..cache import track_persist
-
-    # the assignment frame is read twice (radius agg + output); persist,
-    # tracked — the harness releases after the consuming action
-    final = track_persist(nearest())
+    final = state
     radius = final.agg(F.max("best.d6").alias("coreset_radius"))
     return (
         final.crossJoin(F.broadcast(radius))
