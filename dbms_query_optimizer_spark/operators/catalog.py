@@ -630,10 +630,27 @@ for _name, (_fn, _sql) in GEO.oracles().items():
 # full-catalog gate (tests/test_queries_oracle.py — the identical DuckDB
 # hash check over every oracled entry).
 
-# Names with a hash-checked driver row in rounds 1-6 (union of
-# CORRECTNESS_r0{1..6}.json greens minus the no_oracle rows-only
+# Names with a hash-checked driver row in rounds 1-7 (union of
+# CORRECTNESS_r0{1..7}.json greens minus the no_oracle rows-only
 # entries).
 DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
+    # round-7 greens (50/50 window, CORRECTNESS_r07.json; the four
+    # sentinels listed in their original round groups below)
+    "activity_islands", "approx_hll_mergeable", "approx_topk_terms",
+    "argmax_per_group", "autocorr_lags", "bh_fdr_report",
+    "contrastive_pairs", "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_simhash", "embedding_drift", "embedding_outliers",
+    "embedding_pca_project", "embedding_pq_adc", "event_trigram_mining",
+    "events_funnel", "events_retention", "geo_grid_density",
+    "geo_nearest_facility", "geo_trajectory_length", "grouping_sets",
+    "knn_brute_force", "knn_ivf", "l_diversity_audit", "lateral_topk",
+    "linear_attribution", "lsh_recall_report", "quality_gopher_rules",
+    "sample_stratified", "text_quality", "text_tfidf_top_terms",
+    "time_decay_attribution", "trend_per_group", "txn_clone",
+    "txn_cluster_evolution", "txn_compact_scan", "txn_constraint_gate",
+    "txn_delete_where", "txn_erase_keys", "txn_history",
+    "txn_incremental_mv", "txn_replace_where", "txn_retention_delete",
+    "txn_schema_evolution", "txn_vacuum_report", "window_analytics",
     # round-6 greens (50/50 window, CORRECTNESS_r06.json; sentinels and
     # twap_daily — red in r5 on an oracle-side epoch() cast, re-proven
     # green in r6 — listed in their original round groups below)
@@ -766,56 +783,26 @@ DRIVER_SENTINELS = [
     "tpch_q1",            # pure scan + partial-agg baseline
 ]
 
-# Round-7 window (the r6 verdict's prescribed rotation, applied as the
-# first commit of round 7): sentinels + 46 first-time names — (a) every
-# round-6 catalog addition, (b) the full txn lifecycle surface
-# (scheduled by the r5/r6 verdicts), (c) the three queries converted
-# from rows-only to hash-checkable audits in r6 (embedding_pq_adc,
-# approx_topk_terms, embedding_pca_project), (d) the three names whose
-# latest driver row is a stale r2-r4 `no_oracle` err and which have
-# since gained oracles (knn_ivf, dedup_semantic, approx_hll_mergeable),
-# (e) the never-checked round-5 leftovers the r6 plan named, and (f)
-# family-representative fill from the never-checked backlog (dedup
-# bitwise variants, brute-force KNN + LSH recall, events funnel /
-# retention, text quality, stratified sampling, grouping sets, lateral
-# top-k).
+# Round-8 window (the r7 verdict's prescribed rotation, applied as the
+# first commit of round 8): sentinels + 46 first-time names — the
+# written r8 plan from round 7, with the four round-7 operators
+# (graph_wcc, graph_bfs_hops, geo_position_asof,
+# sample_kcenter_coreset) slotted in per the plan's own note,
+# displacing four sampling/stats names (approx_counts_sampled,
+# sample_reservoir_per_group, sample_weighted,
+# sample_weighted_reservoir) to r9. Every name below passed the full
+# driver-contract drive at BOTH sf0.01 and sf0.1 in round 7, so the
+# window is de-risked. After this window lands, exactly 32 catalog
+# names have never had a driver row; the r9 window below closes the
+# backlog to zero. The split is machine-checked against CATALOG minus
+# DRIVER_CHECKED_PRIOR_ROUNDS minus this window
+# (tests/test_catalog_order.py).
 #
-# PLANNED r8/r9 endgame (verdict task 4): after this window lands, 74
-# pre-round-7 catalog names have never had a driver row, plus the four
-# round-7 additions (graph_wcc, graph_bfs_hops, geo_position_asof,
-# sample_kcenter_coreset) and the now-oracled streaming_sessionized —
-# slot the four new operators into the r8 window in place of four
-# sampling/stats names, which slide to r9. Every name below passed the
-# full driver-contract drive at BOTH sf0.01 and sf0.1 this round, so
-# the remaining windows are de-risked. The exact
-# split (machine-checked against CATALOG minus
-# DRIVER_CHECKED_PRIOR_ROUNDS minus this window):
-#
-# r8 window = sentinels + these 46 —
-#   events/time-series (13): conversion_lag_percentiles,
-#     date_dim_generate, events_anomaly_zscore, events_dow_hour_profile,
-#     events_gapfill_locf, events_ohlc_bars, events_resample_interp,
-#     events_rollup_multires, events_session_window_native,
-#     event_transition_matrix, heartbeat_gaps, sliding_distinct_users,
-#     interval_coverage;
-#   text (13): ccnet_ppl_buckets, chunk_documents, doc_repeat_removal,
-#     explode_tokens, span_corruption_mask, text_bigram_logprob,
-#     text_entropy, text_fingerprint, text_lang_confusion,
-#     text_lang_quality_summary, text_mixed_language,
-#     text_rolling_fingerprint, text_unigram_logprob;
-#   dedup/similarity (8): dedup_cdc_chunks, dedup_incremental_lsh,
-#     dedup_simhash_pairs, dedup_span_duplication, contrastive_pairs_lsh,
-#     fuzzy_join_blocked, market_basket_pairs, skyline_pareto;
-#   embeddings/sketches (6): embedding_centroids, embedding_norms,
-#     embedding_quantize_int8, embedding_truncate_renorm,
-#     audience_overlap_sketch, quantile_sketch_mergeable;
-#   sampling/stats (6): approx_counts_sampled, percentile_exact,
+# r9 window = sentinels + the remaining 32 —
+#   sampling/stats (7): stats_equidepth_histogram, stats_moments,
+#     stratified_neyman_alloc, approx_counts_sampled,
 #     sample_reservoir_per_group, sample_weighted,
-#     sample_weighted_reservoir, shard_assignment_balanced;
-#
-# r9 window = sentinels + the remaining 28 —
-#   sampling/stats (3): stats_equidepth_histogram, stats_moments,
-#     stratified_neyman_alloc;
+#     sample_weighted_reservoir;
 #   streaming (6): streaming_foreachbatch_ingest, streaming_manifest_tail,
 #     streaming_static_join, streaming_stream_stream_left_join,
 #     streaming_upsert_ingest, streaming_sessionized (hash-checkable
@@ -825,66 +812,85 @@ DRIVER_SENTINELS = [
 #     incremental_join_view, interval_overlap_join, join_shuffle_hash,
 #     k_anonymity_audit, late_supplier_blame, source_python_datasink,
 #     try_safe_arithmetic, udf_price_score;
-#   multimodal (5, rows-only by design): multimodal_audio_features,
-#     multimodal_features, multimodal_frame_sample,
-#     multimodal_image_dhash_dedup, multimodal_resize;
+#   multimodal (5): multimodal_frame_sample (oracled — hash-checked
+#     slot) + the 4 rows-only-by-design decode planes
+#     multimodal_audio_features, multimodal_features,
+#     multimodal_image_dhash_dedup, multimodal_resize (fresh rows-only
+#     driver rows replace their stale r3 `no_oracle` entries);
 #   quality (1): quality_classifier_score;
-# plus ~18 re-check slots for any names the r7/r8 windows leave red,
+# plus 14 re-check slots for any names the r8 window leaves red,
 # closing the never-checked backlog to zero by end of r9.
+R9_PLANNED_WINDOW = [
+    "stats_equidepth_histogram", "stats_moments",
+    "stratified_neyman_alloc", "approx_counts_sampled",
+    "sample_reservoir_per_group", "sample_weighted",
+    "sample_weighted_reservoir",
+    "streaming_foreachbatch_ingest", "streaming_manifest_tail",
+    "streaming_static_join", "streaming_stream_stream_left_join",
+    "streaming_upsert_ingest", "streaming_sessionized",
+    "cbo_vs_dp_report", "dataset_card_report", "functions_variant",
+    "graph_degree_distribution", "graph_triangle_count",
+    "incremental_join_view", "interval_overlap_join",
+    "join_shuffle_hash", "k_anonymity_audit", "late_supplier_blame",
+    "source_python_datasink", "try_safe_arithmetic", "udf_price_score",
+    "multimodal_frame_sample", "multimodal_audio_features",
+    "multimodal_features", "multimodal_image_dhash_dedup",
+    "multimodal_resize",
+    "quality_classifier_score",
+]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
-    # (d) stale no_oracle rows from r2-r4 — all three gained oracles
-    # since and pass the local DuckDB gate; prove them at the driver
-    "knn_ivf",
-    "dedup_semantic",
-    "approx_hll_mergeable",
-    # (c) converted from rows-only to hash-checkable audits in r6
-    "embedding_pq_adc",
-    "approx_topk_terms",
-    "embedding_pca_project",
-    # (b) txn lifecycle surface
-    "txn_compact_scan",
-    "txn_history",
-    "txn_clone",
-    "txn_erase_keys",
-    "txn_replace_where",
-    "txn_retention_delete",
-    "txn_incremental_mv",
-    "txn_constraint_gate",
-    "txn_schema_evolution",
-    "txn_delete_where",
-    # (a) round-6 catalog additions
-    "geo_nearest_facility",
-    "geo_grid_density",
-    "geo_trajectory_length",
-    "autocorr_lags",
-    "activity_islands",
-    "time_decay_attribution",
-    "event_trigram_mining",
-    "bh_fdr_report",
-    "l_diversity_audit",
-    "txn_cluster_evolution",
-    "txn_vacuum_report",
-    # (e) never-checked round-5 leftovers
-    "linear_attribution",
-    "embedding_drift",
-    "embedding_outliers",
-    "contrastive_pairs",
-    "argmax_per_group",
-    "trend_per_group",
-    "window_analytics",
-    "text_tfidf_top_terms",
-    # (f) family-representative fill from the never-checked backlog
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "knn_brute_force",
-    "lsh_recall_report",
-    "events_funnel",
-    "events_retention",
-    "text_quality",
-    "quality_gopher_rules",
-    "sample_stratified",
-    "grouping_sets",
-    "lateral_topk",
+    # events/time-series (13)
+    "conversion_lag_percentiles",
+    "date_dim_generate",
+    "events_anomaly_zscore",
+    "events_dow_hour_profile",
+    "events_gapfill_locf",
+    "events_ohlc_bars",
+    "events_resample_interp",
+    "events_rollup_multires",
+    "events_session_window_native",
+    "event_transition_matrix",
+    "heartbeat_gaps",
+    "sliding_distinct_users",
+    "interval_coverage",
+    # text (13)
+    "ccnet_ppl_buckets",
+    "chunk_documents",
+    "doc_repeat_removal",
+    "explode_tokens",
+    "span_corruption_mask",
+    "text_bigram_logprob",
+    "text_entropy",
+    "text_fingerprint",
+    "text_lang_confusion",
+    "text_lang_quality_summary",
+    "text_mixed_language",
+    "text_rolling_fingerprint",
+    "text_unigram_logprob",
+    # dedup/similarity (8)
+    "dedup_cdc_chunks",
+    "dedup_incremental_lsh",
+    "dedup_simhash_pairs",
+    "dedup_span_duplication",
+    "contrastive_pairs_lsh",
+    "fuzzy_join_blocked",
+    "market_basket_pairs",
+    "skyline_pareto",
+    # embeddings/sketches (6)
+    "embedding_centroids",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "embedding_truncate_renorm",
+    "audience_overlap_sketch",
+    "quantile_sketch_mergeable",
+    # sampling/stats (2; the other four slid to r9 for the round-7 ops)
+    "percentile_exact",
+    "shard_assignment_balanced",
+    # round-7 operators (slotted per the r7 plan note)
+    "graph_wcc",
+    "graph_bfs_hops",
+    "geo_position_asof",
+    "sample_kcenter_coreset",
 ]
 
 

@@ -36,6 +36,32 @@ def test_window_mostly_oracled():
     assert len(no_oracle) <= 4, no_oracle
 
 
+def test_r9_plan_partitions_the_backlog():
+    """The written r9 window (R9_PLANNED_WINDOW) plus the current r8
+    window must cover the never-checked backlog EXACTLY — no overlap, no
+    name missing from the registry, nothing left over — so the plan
+    comments that drive the final window's composition are
+    machine-consistent with CATALOG (r7 verdict task 5)."""
+    r8 = set(C.DRIVER_PRIORITY) - set(C.DRIVER_SENTINELS)
+    r9 = set(C.R9_PLANNED_WINDOW)
+    assert len(C.R9_PLANNED_WINDOW) == len(r9), "duplicates in r9 plan"
+    missing = r9 - set(C.CATALOG)
+    assert not missing, f"r9 plan names not registered: {sorted(missing)}"
+    assert not (r8 & r9), f"r8/r9 overlap: {sorted(r8 & r9)}"
+    backlog = set(C.CATALOG) - C.DRIVER_CHECKED_PRIOR_ROUNDS - set(C.DRIVER_SENTINELS)
+    assert r8 | r9 == backlog, (
+        f"uncovered: {sorted(backlog - r8 - r9)}; extra: {sorted((r8 | r9) - backlog)}"
+    )
+    # rows-only-by-design is exactly the 4 multimodal decode planes; all
+    # of them sit in the r9 window so each gets a fresh driver row.
+    rows_only = {n for n, (_, sql) in C.CATALOG.items() if sql is None}
+    assert rows_only == {
+        "multimodal_audio_features", "multimodal_features",
+        "multimodal_image_dhash_dedup", "multimodal_resize",
+    }
+    assert rows_only <= r9
+
+
 def test_catalog_intact_after_reorder():
     # reorder must not drop or duplicate entries
     names = list(C.CATALOG)
