@@ -792,17 +792,22 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transitive closure then per-node min) — full value parity for an
     operator SQL alone cannot express without recursion.
     """
+    from ..session import state_width
+
     edges = q_dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").cache()
+    width = state_width(edges)
     # the union doubles the cached pair frame's partition count; without
     # the coalesce every round's message join scans 64 near-empty map
     # partitions — per-round task-launch overhead, not data, dominated
-    # the loop's wall time.
+    # the loop's wall time. Width derives from the session's shuffle
+    # parallelism (session.state_width) so the loop never pins to a
+    # constant at cluster scale.
     und = (
         edges.union(
             edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
         .toDF("src", "dst")
-        .coalesce(8)
+        .coalesce(width)
     )
     labels = (
         edges.select(F.col("id_a").alias("node"))
@@ -838,8 +843,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 64 union/shuffle partitions; eager localCheckpoint would
             # materialize (and every later round re-scan) 64 near-empty
             # cached partitions per round. coalesce folds the checkpoint
-            # to 8 reduce tasks without an extra shuffle.
-            .coalesce(8)
+            # to the derived state width without an extra shuffle.
+            .coalesce(width)
             .localCheckpoint()
         )
         frontier = new_labels.filter("improved").select("node", "label")
@@ -1552,9 +1557,11 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b")
         .cache()
     )
+    from ..session import state_width
+
     und = pairs.union(
         pairs.select(F.col("name_b"), F.col("name_a"))
-    ).toDF("src", "dst").coalesce(4)
+    ).toDF("src", "dst").coalesce(state_width(pairs))
     labels = (
         pairs.select(F.col("name_a").alias("node"))
         .union(pairs.select("name_b"))

@@ -572,11 +572,13 @@ def _undirected_persisted(edges: DataFrame) -> DataFrame:
     loops. Persisted because every round's message/frontier join re-reads
     it (without the persist each round re-runs the full upstream edge
     build); edge-domain sized; CALLERS unpersist when their loop exits."""
+    from ..session import state_width
+
     return (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .coalesce(8)
+        .coalesce(state_width(edges))
         .persist()
     )
 
@@ -625,9 +627,12 @@ def weakly_connected_components(
     sound because ``improved`` is computed against the round's FINAL
     label, message- or jump-sourced alike.
     """
+    from ..session import state_width
+
     # Unpersisted before return — the returned labels are checkpointed,
     # so nothing downstream re-reads the edge frame.
     und = _undirected_persisted(edges)
+    width = state_width(edges)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -663,7 +668,7 @@ def weakly_connected_components(
                 F.col("new_label").alias("label"),
                 (F.col("new_label") < F.col("label")).alias("improved"),
             )
-            .coalesce(8)
+            .coalesce(width)
             .localCheckpoint()
         )
         frontier = new_labels.filter("improved").select("node", "label")
@@ -821,7 +826,10 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from ..session import state_width
+
     und = _undirected_persisted(_star_edges(members, ["d", "h", "t"]))
+    width = state_width(ev)
     try:
         # min edge-bearing user; on an edge-free fixture fall back to the
         # min user so the result is the source alone at hop 0 rather than
@@ -843,7 +851,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
                 .join(visited.select("node"), "node", "left_anti")
                 .select("node", F.lit(d).cast("int").alias("hops"))
-                .coalesce(8)
+                .coalesce(width)
                 .localCheckpoint()
             )
             if nxt.count() == 0:
@@ -853,7 +861,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"BFS frontier alive beyond {BFS_MAX_HOPS} hops — "
                     "outside the oracle's CTE depth bound"
                 )
-            visited = visited.union(nxt).coalesce(8).localCheckpoint()
+            visited = visited.union(nxt).coalesce(width).localCheckpoint()
             frontier = nxt.select("node")
     finally:
         und.unpersist()

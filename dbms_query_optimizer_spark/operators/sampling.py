@@ -673,6 +673,7 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable formulation, same as graph_pagerank's power iteration).
     """
     from ..cache import track_persist
+    from ..session import state_width
     from .similarity import _l2_expr
 
     # vectors are re-read every round — persist for the loop, tracked
@@ -705,7 +706,7 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             new = state.join(cand, "vec_id").select(
                 "vec_id", F.least("best", "cand").alias("best")
             )
-        return new.coalesce(8).localCheckpoint()
+        return new.coalesce(state_width(e)).localCheckpoint()
 
     state = fold_center(None, 1, seed)
     for r in range(2, KCENTER_K + 1):

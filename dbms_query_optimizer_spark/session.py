@@ -85,3 +85,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def state_width(df: "DataFrame") -> int:
+    """Partition width for node-domain loop-state frames (labels,
+    frontiers, nearest-center structs) and the small persisted edge
+    frames the iterative loops re-join every round.
+
+    These frames are tiny relative to the corpus (a few scalars per
+    node), so materializing them at full shuffle width leaves most
+    cached partitions near-empty and per-round task-launch overhead
+    dominates the loop (measured on local[32]: the dedup-components
+    loop at width 64 vs 8). But a CONSTANT width is the opposite
+    failure at cluster scale: with shuffle.partitions=2000 and 10^9
+    nodes, a hard-coded 8 serializes every round onto 8 tasks carrying
+    100M+ rows each. Derive the width from the session's configured
+    shuffle parallelism instead — a quarter of
+    spark.sql.shuffle.partitions, floored at 8: on local[32]
+    (partitions=32) that reproduces the measured-optimal 8, and on a
+    1000-executor cluster it tracks the configured parallelism.
+    """
+    spark = df.sparkSession
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # "auto" or unset — fall back to the cluster's task parallelism
+        sp = spark.sparkContext.defaultParallelism
+    return max(sp // 4, 8)
