@@ -573,6 +573,24 @@ COMMENTARY = {
         "aggregate, and the component_size Window — corpus never "
         "re-enters the plan after the star-edge build."
     ),
+    "graph_bfs_hops": (
+        "Frontier BFS from the min edge-bearing user. The lazy tail "
+        "after the loop: Expect a scan of the checkpointed visited state "
+        "(node-domain (node, hops) rows — each edge was traversed at "
+        "most twice over the whole run) feeding the n_at_hop Window "
+        "partitioned by hops, then the user_id sort — no join and no "
+        "corpus scan in the returned plan; the edge frame was persisted "
+        "for the loop and unpersisted before return."
+    ),
+    "sample_kcenter_coreset": (
+        "Incremental Gonzalez k-center. The lazy tail after K-1 folds: "
+        "Expect a scan of the checkpointed (vec_id, best) struct state — "
+        "per round the plan was one broadcast of the single newest "
+        "center vector crossed into a map-side struct-min, ZERO "
+        "groupBy/shuffle — joined only against the broadcast 1-row "
+        "coreset-radius aggregate (BroadcastNestedLoopJoin over one "
+        "row), then the vec_id sort."
+    ),
 }
 
 
