@@ -379,14 +379,20 @@ def _l2_expr(a: str, b: str) -> F.Column:
     )
 
 
-# Mean-recall floor for the PQ-ADC probe vs the exact L2 top-k: measured
-# With the 4x ADC shortlist + exact rerank: measured 0.82/0.84/0.60 at
-# sf0.001/0.01/0.1 (raw ADC top-k alone degraded 0.44 -> 0.29 as the
-# corpus densified — found by the sf0.1 full-catalog drive in r7). The
-# floor sits below the measurements because centroid means are float
-# sums whose partial-aggregation order varies with partitioning (same
-# floor as tests/test_similarity.py::test_pq_adc_recall_vs_exact_l2).
-PQ_RECALL_FLOOR = 0.35
+# Mean-recall floor for the PQ-ADC probe vs the exact L2 top-k. With the
+# density-aware build (codebook k and rerank shortlist both grow with
+# sqrt(corpus), _pq_k/_pq_shortlist): measured 0.82/0.84/0.86 at
+# sf0.001/0.01/0.1 (n=500/500/2000, k=32/32/64, shortlist=40/40/80).
+# History: the fixed k=32 + 4x shortlist measured 0.60 at sf0.1, and raw
+# ADC top-k without the rerank degraded 0.44 -> 0.29 as the corpus
+# densified — both found by the r7/r8 sf0.1 full-catalog drives; the
+# density scaling is what made the trend flat. The floor sits below the
+# measurements because centroid means are float sums whose
+# partial-aggregation order varies with partitioning (same floor as
+# tests/test_similarity.py::test_pq_adc_recall_vs_exact_l2). Re-measure
+# the three-SF trend with scripts/pq_recall_sweep.py whenever the PQ
+# constants or a new sf-max changes the corpus density.
+PQ_RECALL_FLOOR = 0.6
 
 
 def q_embedding_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,8 +466,43 @@ ORACLE_EMBEDDING_PQ_ADC_AUDIT = f"""
 
 PQ_M = 16  # subspaces (codes per vector)
 PQ_SUBDIM = 4  # dims per subspace (PQ_M * PQ_SUBDIM = EMB_DIM)
-PQ_K = 32  # centroids per subspace codebook
+PQ_K_BASE = 32  # centroids per subspace at/below the reference corpus
+PQ_K_CAP = 256  # 8-bit codes — the production PQ code width ceiling
+PQ_N_REF = 500  # corpus size the base constants were tuned at (sf0.01)
 PQ_ITERS = 6  # Lloyd's iterations
+
+
+def _pq_k(n: int) -> int:
+    """Centroids per subspace codebook, derived from corpus size at BUILD
+    time. With a fixed codebook, corpus densification shrinks the gap
+    between the k-th true neighbor and its distractors below the
+    quantization error, and ADC ordering degrades (measured r7: raw ADC
+    recall 0.44 -> 0.29 going sf0.01 -> sf0.1 under fixed K=32). Growing
+    cell resolution with sqrt(N) keeps quantization error falling as the
+    neighbor gaps do; the power-of-two rounding keeps codes byte-packable
+    and the cap at 256 is the industry 8-bit code width — past the cap,
+    capacity comes from sharding the corpus (the IVF coarse quantizer,
+    q_knn_ivf), not from wider codes."""
+    import math
+
+    if n <= PQ_N_REF:
+        return PQ_K_BASE
+    k = PQ_K_BASE * math.sqrt(n / PQ_N_REF)
+    return int(min(PQ_K_CAP, 2 ** math.ceil(math.log2(k))))
+
+
+def _pq_shortlist(n: int) -> int:
+    """ADC shortlist size (rows per query) for the exact rerank, derived
+    from corpus size at PROBE time. Rerank recall equals shortlist
+    recall, and with quantization error held ~flat by _pq_k the residual
+    ordering noise still grows slowly with density — grow the shortlist
+    with sqrt(N/N_REF) on top of the tuned base (4 x TOP_K at the
+    reference corpus). Rerank cost stays O(shortlist x dim) per query:
+    sublinear in N, and always a vanishing fraction of the O(N) ADC
+    stage it refines."""
+    import math
+
+    return int(TOP_K * PQ_SHORTLIST_MULT * max(1.0, math.sqrt(n / PQ_N_REF)))
 
 
 def _pq_sq_l2() -> F.Column:
@@ -525,7 +566,8 @@ def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str
     """Train the PQ codebooks ONCE and persist codebook + code table.
 
     Build: the 64-dim embedding splits into PQ_M=16 subvectors and each
-    subspace trains a PQ_K=32-centroid codebook — but NOT as M separate
+    subspace trains a _pq_k(N)-centroid codebook (32 at the reference
+    corpus, growing with sqrt(N) to the 8-bit cap) — but NOT as M separate
     fits: all subspaces run Lloyd's iterations TOGETHER, the subspace id
     being just another group key. Init is deterministic random-partition
     (code = xxhash64(vec_id) mod K, so every cell starts non-empty);
@@ -540,19 +582,31 @@ def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str
     compressed table is what serves. Idempotent via a _BUILT marker —
     the same build-once/probe-many split as build_ivf_index.
     """
+    import json
     import os
 
     root = pq_index_dir(sf_dir)
     marker = os.path.join(root, "_BUILT")
     if os.path.exists(marker) and not force:
-        return root
+        # reuse only if the on-disk index was built with the parameters
+        # the current derivation would pick — a marker from an older
+        # build (pre-density-aware, or a changed corpus) forces rebuild
+        try:
+            meta = json.load(open(marker))
+            if meta.get("k") == _pq_k(meta["n"]) and meta.get("m") == PQ_M:
+                return root
+        except (ValueError, KeyError):
+            pass  # legacy plain-text marker — rebuild
 
     t = load_tables(spark, sf_dir)
-    sub = _pq_subvectors(t["embeddings"].select("vec_id", "embedding")).cache()
+    emb = t["embeddings"].select("vec_id", "embedding")
+    n_corpus = emb.count()
+    k = _pq_k(n_corpus)
+    sub = _pq_subvectors(emb).cache()
     d2 = _pq_sq_l2()
 
     codebook = _pq_mean_centroids(
-        sub.withColumn("code", F.pmod(F.xxhash64("vec_id"), F.lit(PQ_K)).cast("int"))
+        sub.withColumn("code", F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int"))
     ).localCheckpoint(eager=True)
     for _ in range(PQ_ITERS):
         assigned = (
@@ -580,11 +634,11 @@ def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str
     codebook.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
     sub.unpersist()
     with open(marker, "w") as fh:
-        fh.write(sf_dir)
+        json.dump({"sf_dir": sf_dir, "n": n_corpus, "k": k, "m": PQ_M}, fh)
     return root
 
 
-PQ_SHORTLIST_MULT = 4  # ADC shortlist size = MULT × TOP_K per query
+PQ_SHORTLIST_MULT = 4  # base shortlist multiplier at the reference corpus
 
 
 def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,16 +659,23 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall — quantization error costs candidates, never ordering. Raw
     ADC top-k recall degrades as the corpus densifies (measured
     0.44 → 0.29 from sf0.01 to sf0.1 under fixed M=16/K=32: neighbors
-    pack closer while cell resolution stays put); the rerank restores
-    the contract scale-independently at O(MULT·k·dim) extra work per
-    query. Recall vs the exact baseline is hash-audited in
-    q_embedding_pq_adc_audit and asserted in tests/test_similarity.py.
+    pack closer while cell resolution stays put), so BOTH knobs are
+    density-aware: the codebook grows with sqrt(N) at build time
+    (_pq_k, capped at 8-bit codes) and the rerank shortlist grows with
+    sqrt(N) at probe time (_pq_shortlist, reading the corpus size from
+    the index marker — no extra job). Recall vs the exact baseline is
+    hash-audited in q_embedding_pq_adc_audit and asserted in
+    tests/test_similarity.py; the measured recall-vs-SF trend lives
+    next to PQ_RECALL_FLOOR above.
     """
+    import json
     import os
 
     root = build_pq_index(spark, sf_dir)
     codebook = spark.read.parquet(os.path.join(root, "codebook"))
     codes = spark.read.parquet(os.path.join(root, "codes"))
+    n_corpus = json.load(open(os.path.join(root, "_BUILT")))["n"]
+    shortlist_size = _pq_shortlist(n_corpus)
     d2 = _pq_sq_l2()
 
     t = load_tables(spark, sf_dir)
@@ -638,7 +699,7 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist = (
         adc.withColumn("srank", F.row_number().over(w))
-        .filter(F.col("srank") <= TOP_K * PQ_SHORTLIST_MULT)
+        .filter(F.col("srank") <= shortlist_size)
         .select("query_id", "neighbor_id", "adc_d2")
     )
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Measure PQ-ADC mean recall@TOP_K vs the exact L2 top-k at each SF.
+
+The recall-vs-density trend is the contract this measures: with the
+density-aware build (similarity._pq_k / _pq_shortlist) the trend must be
+FLAT-or-rising as the corpus grows; a falling trend means the scaling
+law stopped keeping pace and PQ_RECALL_FLOOR will silently decay at the
+next scale jump (the r7 failure class: fixed k=32 + 4x shortlist fell
+0.84 -> 0.60 going sf0.01 -> sf0.1). Run per round alongside the sf-max
+full-catalog drive, and after any change to the PQ constants:
+
+    python scripts/pq_recall_sweep.py [sf0.001 sf0.01 sf0.1]
+
+Exits nonzero if any SF's mean recall is below PQ_RECALL_FLOOR or the
+trend falls by more than 0.1 across consecutive SFs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from dbms_query_optimizer_spark.operators import similarity as S
+
+
+def mean_recall(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
+    S.build_pq_index(spark, sf_dir, force=True)
+    got = S.q_embedding_pq_adc(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    recalls = []
+    for qid in range(S.N_QUERIES):
+        d = sorted(
+            (float(np.linalg.norm(vecs[qid] - v)), i)
+            for i, v in vecs.items()
+            if i != qid
+        )
+        truth = {i for _, i in d[: S.TOP_K]}
+        mine = {r["neighbor_id"] for r in got if r["query_id"] == qid}
+        recalls.append(len(mine & truth) / S.TOP_K)
+    return len(vecs), sum(recalls) / len(recalls)
+
+
+def main() -> int:
+    sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rc = 0
+    prev = None
+    for sf in sfs:
+        n, r = mean_recall(spark, f"/root/testdata/{sf}")
+        print(
+            f"{sf}: n={n} k={S._pq_k(n)} shortlist={S._pq_shortlist(n)} "
+            f"mean_recall={r:.3f}"
+        )
+        if r < S.PQ_RECALL_FLOOR:
+            print(f"  FAIL: below PQ_RECALL_FLOOR={S.PQ_RECALL_FLOOR}")
+            rc = 1
+        if prev is not None and r < prev - 0.1:
+            print(f"  FAIL: recall fell {prev:.3f} -> {r:.3f} with density")
+            rc = 1
+        prev = r
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

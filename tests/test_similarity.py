@@ -137,13 +137,15 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
         assert all(r["neighbor_id"] != qid for r in rs)
         recalls.append(len({r["neighbor_id"] for r in rs} & exact[qid]) / TOP_K)
     mean_recall = sum(recalls) / len(recalls)
-    # With the 4x shortlist + exact rerank: measured 0.82/0.84/0.60 at
-    # sf0.001/0.01/0.1 (vs 0.44->0.29 raw-ADC before the rerank, and
-    # 0.02 by chance). Floor sits below the measurements because
-    # centroid means are float sums whose partial-aggregation order
-    # varies with partitioning — a borderline assignment may flip
-    # between cluster layouts.
-    assert mean_recall >= 0.35, f"mean recall {mean_recall:.2f}, per-query {recalls}"
+    # With the density-aware build (codebook k and rerank shortlist both
+    # grow with sqrt(corpus)): measured 0.82/0.84/0.86 at
+    # sf0.001/0.01/0.1 (vs 0.60 at sf0.1 under the old fixed 4x
+    # shortlist, 0.44->0.29 raw-ADC before the rerank, and 0.02 by
+    # chance). Floor sits below the measurements because centroid means
+    # are float sums whose partial-aggregation order varies with
+    # partitioning — a borderline assignment may flip between cluster
+    # layouts. Keep in lockstep with similarity.PQ_RECALL_FLOOR.
+    assert mean_recall >= 0.6, f"mean recall {mean_recall:.2f}, per-query {recalls}"
 
 
 def test_dedup_semantic_properties(spark, sf_dir):
