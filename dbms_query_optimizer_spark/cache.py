@@ -29,7 +29,15 @@ _TRACKED: list[DataFrame] = []
 
 def track_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` (default MEMORY_AND_DISK) and register it for
-    release by the harness once the consuming action has run."""
+    release by the harness once the consuming action has run.
+
+    ONE-QUERY-IN-FLIGHT contract: the registry is a single global list,
+    so harnesses must fully evaluate (and then ``release_tracked()``)
+    one query before CONSTRUCTING the next. Interleaving — build B,
+    consume A, release — would unpersist B's tracked frames early
+    (recompute cost downstream, never wrong results). Wrap the per-query
+    body in try/finally release_tracked() so a failing entry cannot
+    leak its frames into the rest of a sweep."""
     df.persist()
     _TRACKED.append(df)
     return df

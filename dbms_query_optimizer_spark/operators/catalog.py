@@ -739,10 +739,12 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
 # their type agreement is still enforced at full-execution time by
 # oracle_utils.compare inside the complete catalog gate. Measured
 # empirically: construct every oracled entry under a job group on a warm
-# session and flag any that ran >= 1 job (2026-08-15 sweep); the type
-# test self-enforces the inverse (an unflagged entry that starts running
-# jobs at construction fails loudly rather than silently re-executing
-# the catalog).
+# session and flag any that ran >= 1 job (2026-08-15 sweep). BOTH
+# directions are enforced: the type test fails an unflagged entry that
+# starts running jobs at construction, and scripts/check_eager_flags.py
+# (run per round) reports any FLAGGED entry that has become lazy — a
+# stale flag would otherwise silently skip the cheap authoring-time
+# type gate forever.
 EAGER_CONSTRUCTION = frozenset({
     "asof_join_salted", "bh_fdr_report", "bucketed_colocated_join",
     "cbo_ordered_join", "cbo_vs_dp_report", "cluster_key_advisor",

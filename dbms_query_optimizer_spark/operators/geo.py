@@ -270,9 +270,12 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_lon",
             "n_events",
             "n_users",
-            # exact integer floor of avg·1e4, then an exact int→double
-            # conversion and one correctly-rounded division — no float
-            # summation anywhere
+            # exact truncating integer division of avg·1e4 (Spark DIV
+            # and DuckDB // both truncate toward zero; == floor here
+            # because value, hence sum_cents, is non-negative in the
+            # events fixture), then an exact int→double conversion and
+            # one correctly-rounded division — no float summation
+            # anywhere
             (
                 F.expr("(sum_cents * 100) DIV n_events").cast("double")
                 / 10000.0
