@@ -578,6 +578,7 @@ register(
 )
 
 register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, R.ORACLE_CBO_VS_DP_REPORT)
+register("cbo_plan_memo", R.q_cbo_plan_memo, R.ORACLE_CBO_PLAN_MEMO)
 
 register("market_basket_pairs", R.q_market_basket_pairs, R.ORACLE_MARKET_BASKET_PAIRS)
 register("recsys_item_cosine", R.q_recsys_item_cosine, R.ORACLE_RECSYS_ITEM_COSINE)
@@ -747,7 +748,8 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
 # type gate forever.
 EAGER_CONSTRUCTION = frozenset({
     "asof_join_salted", "bh_fdr_report", "bucketed_colocated_join",
-    "cbo_ordered_join", "cbo_vs_dp_report", "cluster_key_advisor",
+    "cbo_ordered_join", "cbo_plan_memo", "cbo_vs_dp_report",
+    "cluster_key_advisor",
     "column_profile", "curriculum_bins", "dedup_components",
     "dedup_incremental_lsh", "dedup_semantic", "dpp_join_pruned",
     "embedding_pca_project", "embedding_pq_adc", "entity_resolution",
@@ -794,13 +796,14 @@ DRIVER_SENTINELS = [
 # sample_reservoir_per_group, sample_weighted,
 # sample_weighted_reservoir) to r9. Every name below passed the full
 # driver-contract drive at BOTH sf0.01 and sf0.1 in round 7, so the
-# window is de-risked. After this window lands, exactly 32 catalog
-# names have never had a driver row; the r9 window below closes the
-# backlog to zero. The split is machine-checked against CATALOG minus
+# window is de-risked. After this window lands, exactly 33 catalog
+# names have never had a driver row (32 backlog + the round-8 addition
+# cbo_plan_memo); the r9 window below closes the backlog to zero. The
+# split is machine-checked against CATALOG minus
 # DRIVER_CHECKED_PRIOR_ROUNDS minus this window
 # (tests/test_catalog_order.py).
 #
-# r9 window = sentinels + the remaining 32 —
+# r9 window = sentinels + the remaining 33 —
 #   sampling/stats (7): stats_equidepth_histogram, stats_moments,
 #     stratified_neyman_alloc, approx_counts_sampled,
 #     sample_reservoir_per_group, sample_weighted,
@@ -809,7 +812,8 @@ DRIVER_SENTINELS = [
 #     streaming_static_join, streaming_stream_stream_left_join,
 #     streaming_upsert_ingest, streaming_sessionized (hash-checkable
 #     since r7: the closure-predicate sandwich oracle);
-#   relational/misc (13): cbo_vs_dp_report, dataset_card_report,
+#   relational/misc (14): cbo_plan_memo (the r8 Selinger memo-dump
+#     addition), cbo_vs_dp_report, dataset_card_report,
 #     functions_variant, graph_degree_distribution, graph_triangle_count,
 #     incremental_join_view, interval_overlap_join, join_shuffle_hash,
 #     k_anonymity_audit, late_supplier_blame, source_python_datasink,
@@ -830,7 +834,8 @@ R9_PLANNED_WINDOW = [
     "streaming_foreachbatch_ingest", "streaming_manifest_tail",
     "streaming_static_join", "streaming_stream_stream_left_join",
     "streaming_upsert_ingest", "streaming_sessionized",
-    "cbo_vs_dp_report", "dataset_card_report", "functions_variant",
+    "cbo_plan_memo", "cbo_vs_dp_report", "dataset_card_report",
+    "functions_variant",
     "graph_degree_distribution", "graph_triangle_count",
     "incremental_join_view", "interval_overlap_join",
     "join_shuffle_hash", "k_anonymity_audit", "late_supplier_blame",

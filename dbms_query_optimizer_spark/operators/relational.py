@@ -1572,6 +1572,115 @@ ORACLE_CBO_VS_DP_REPORT = """
 """
 
 
+def q_cbo_plan_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN surface for the Selinger DP: the full PlanCache memo as a
+    table — one row per enumerated join subset with the winning
+    subplan's order, its modeled output cardinality, and the DP's
+    monotonicity invariant (a subset's best cost can never undercut the
+    prefix subplan it extends). The reference keeps its memo internal to
+    the search (join_optimizer.h:64-112 PlanCache, populated at
+    join_optimizer.cc:108-137); this dump makes the core artifact
+    inspectable, not just exercised — the per-subset view a
+    human reads to see WHY the final order won, including the
+    cross-product-rejected subset the DP refuses to cache
+    (join_optimizer.cc:262-266).
+
+    Fixture: the same 3-join graph as ``cbo_ordered_join`` (7 subsets,
+    one of them disconnected). Hash contract (the ``cbo_vs_dp_report``
+    discipline — pin only what the repo controls): subset labels, the
+    winning ORDER per subset, and the monotonicity bit are deterministic
+    functions of the seeded testdata's relative table sizes (verified
+    stable across sf0.001/0.01/0.1); the cardinalities are exact model
+    outputs the oracle recomputes from COUNT(*) via the PK-aware
+    cardinality rules (PK side collapses to the other side's count —
+    join_optimizer.cc:76-92). Raw modeled COSTS are page-geometry
+    dependent (parquet byte sizes) and deliberately NOT in the hash;
+    their invariant rides in ``cost_ge_prefix`` instead. Stats are the
+    distributed two-job build; the DP itself is driver-side
+    microseconds, O(2^n) in joins, never in data.
+    """
+    from ..engine import TABLES
+    from ..plans.cbo_compare import table_order_of_plan
+    from ..plans.planner import JoinOptimizer, LogicalJoinNode
+    from ..plans.stats import PredicateType as P
+    from ..plans.stats import TableStats
+
+    joins = [
+        LogicalJoinNode("customer", "orders", "c_custkey", "o_custkey", P.EQ),
+        LogicalJoinNode("orders", "lineitem", "o_orderkey", "l_orderkey", P.EQ),
+        LogicalJoinNode("customer", "nation", "c_nationkey", "n_nationkey", P.EQ),
+    ]
+    involved = ["customer", "orders", "lineitem", "nation"]
+    t = load_tables(spark, sf_dir)
+    stats = {n: TableStats.from_dataframe(t[n], columns=[]) for n in involved}
+    sels = {n: 1.0 for n in involved}
+
+    opt = JoinOptimizer(joins, TABLES)
+    opt.order_joins(stats, sels)
+    memo = opt.last_plan_cache
+
+    rows = []
+    for size in range(1, len(joins) + 1):
+        for subset in opt.enumerate_subsets(joins, size):
+            key = " & ".join(
+                sorted(f"{j.left_table}={j.right_table}" for j in subset)
+            )
+            cc = memo.get(subset)
+            if cc is None:
+                rows.append((key, size, "cross-product-rejected", None, None))
+                continue
+            # the plan's last join may be the swapped orientation of an
+            # original; map it back to recover the prefix subset it extends
+            last = cc.plan[-1]
+            orig_last = next(
+                j for j in subset if j == last or j.swap_inner_outer() == last
+            )
+            prefix = frozenset(subset - {orig_last})
+            if prefix:
+                pcc = memo.get(prefix)
+                ge = bool(pcc is not None and cc.cost >= pcc.cost)
+            else:
+                ge = True  # size-1: extends a base-relation scan
+            rows.append(
+                (key, size, " -> ".join(table_order_of_plan(cc.plan)), cc.card, ge)
+            )
+    return spark.createDataFrame(
+        rows,
+        "subset string, n_joins int, best_order string, "
+        "est_card long, cost_ge_prefix boolean",
+    ).orderBy("n_joins", "subset")
+
+
+# The memo's structure (orders, the rejected subset, monotonicity) is
+# pinned literally; cardinalities are recomputed from COUNT(*) through
+# the same PK-aware model the DP uses, so the oracle stays correct at
+# every SF.
+ORACLE_CBO_PLAN_MEMO = """
+    SELECT subset, n_joins, best_order, est_card, cost_ge_prefix
+    FROM (VALUES
+        ('customer=nation', 1, 'nation -> customer',
+         (SELECT COUNT(*) FROM customer), TRUE),
+        ('customer=orders', 1, 'customer -> orders',
+         (SELECT COUNT(*) FROM orders), TRUE),
+        ('orders=lineitem', 1, 'orders -> lineitem',
+         (SELECT COUNT(*) FROM lineitem), TRUE),
+        ('customer=nation & customer=orders', 2,
+         'nation -> customer -> orders',
+         (SELECT COUNT(*) FROM orders), TRUE),
+        ('customer=nation & orders=lineitem', 2,
+         'cross-product-rejected', CAST(NULL AS BIGINT),
+         CAST(NULL AS BOOLEAN)),
+        ('customer=orders & orders=lineitem', 2,
+         'customer -> orders -> lineitem',
+         (SELECT COUNT(*) FROM lineitem), TRUE),
+        ('customer=nation & customer=orders & orders=lineitem', 3,
+         'nation -> customer -> orders -> lineitem',
+         (SELECT COUNT(*) FROM lineitem), TRUE)
+    ) AS t(subset, n_joins, best_order, est_card, cost_ge_prefix)
+    ORDER BY n_joins, subset
+"""
+
+
 CARD_BUCKETS = 64  # histogram resolution for the bucketized join estimate
 
 

@@ -86,6 +86,11 @@ class PlanCache:
     def get(self, s: frozenset[LogicalJoinNode]) -> CostCard | None:
         return self._best.get(s)
 
+    def items(self):
+        """Iterate (subset, CostCard) memo entries — the EXPLAIN surface
+        (q_cbo_plan_memo dumps this per-subset table)."""
+        return self._best.items()
+
 
 class JoinOptimizer:
     """Left-deep Selinger DP over a list of join predicates."""
@@ -178,8 +183,13 @@ class JoinOptimizer:
                     pc.add_plan(subset, best)
                     if size == n:
                         best_overall = best
-        # the winning plan's modeled cost, observable for tests/comparisons
+        # the winning plan's modeled cost and the full DP memo, observable
+        # for tests/comparisons and the EXPLAIN-style memo dump
+        # (q_cbo_plan_memo) — the reference keeps its PlanCache internal;
+        # surfacing it makes the core artifact inspectable, not just
+        # exercised.
         self.last_plan_cost = best_overall.cost if best_overall else 0.0
+        self.last_plan_cache = pc
         return best_overall.plan if best_overall else []
 
     def order_joins_greedy(

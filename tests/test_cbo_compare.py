@@ -57,3 +57,24 @@ def test_catalyst_order_is_connected(spark, sf_dir, stats):
     cat_order = catalyst_join_order(spark, sf_dir, JOINS)
     sels = {name: 1.0 for name in INVOLVED}
     assert reference_cost_of_order(cat_order, JOINS, stats, sels, TABLES) < float("inf")
+
+
+def test_plan_memo_dump_invariants(spark, sf_dir):
+    """The memo dump (cbo_plan_memo) must cover every enumerable subset:
+    2^n - 1 rows, exactly one cross-product rejection (the disconnected
+    {customer=nation, orders=lineitem} pair), and cost monotonicity on
+    every cached subset — the invariant the DP's pruning relies on."""
+    from dbms_query_optimizer_spark.operators.relational import q_cbo_plan_memo
+
+    rows = {r["subset"]: r for r in q_cbo_plan_memo(spark, sf_dir).collect()}
+    assert len(rows) == 7  # 2^3 - 1 subsets of the 3-join fixture
+    rejected = [k for k, r in rows.items() if r["best_order"] == "cross-product-rejected"]
+    assert rejected == ["customer=nation & orders=lineitem"]
+    assert rows[rejected[0]]["est_card"] is None
+    for k, r in rows.items():
+        if k in rejected:
+            continue
+        assert r["cost_ge_prefix"] is True, k
+        assert r["est_card"] > 0, k
+        # the winning order must name n_joins + 1 tables
+        assert len(r["best_order"].split(" -> ")) == r["n_joins"] + 1, k
