@@ -551,6 +551,25 @@ def _pq_subvectors(e: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.subvec").alias("subvec"))
 
 
+def _pq_source_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the embeddings source (total bytes + max mtime
+    over the parquet file or directory) — lets the index marker detect a
+    regenerated corpus without running a Spark job."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in sorted(os.listdir(path))
+            if not f.startswith((".", "_"))
+        ]
+    else:
+        files = [path]
+    total = sum(os.path.getsize(f) for f in files)
+    mtime = max((int(os.path.getmtime(f)) for f in files), default=0)
+    return f"{total}:{mtime}"
+
+
 _PQ_INDEX_ROOT = None  # default resolved lazily (tempdir)
 
 
@@ -587,13 +606,21 @@ def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str
 
     root = pq_index_dir(sf_dir)
     marker = os.path.join(root, "_BUILT")
+    src_fp = _pq_source_fingerprint(sf_dir)
     if os.path.exists(marker) and not force:
         # reuse only if the on-disk index was built with the parameters
-        # the current derivation would pick — a marker from an older
-        # build (pre-density-aware, or a changed corpus) forces rebuild
+        # the current derivation would pick AND from the same source
+        # files — a marker from an older build (pre-density-aware) or a
+        # regenerated corpus (the source fingerprint is bytes+mtime of
+        # the embeddings parquet, checked without a Spark job) forces
+        # rebuild
         try:
             meta = json.load(open(marker))
-            if meta.get("k") == _pq_k(meta["n"]) and meta.get("m") == PQ_M:
+            if (
+                meta.get("k") == _pq_k(meta["n"])
+                and meta.get("m") == PQ_M
+                and meta.get("src") == src_fp
+            ):
                 return root
         except (ValueError, KeyError):
             pass  # legacy plain-text marker — rebuild
@@ -634,7 +661,10 @@ def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str
     codebook.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
     sub.unpersist()
     with open(marker, "w") as fh:
-        json.dump({"sf_dir": sf_dir, "n": n_corpus, "k": k, "m": PQ_M}, fh)
+        json.dump(
+            {"sf_dir": sf_dir, "n": n_corpus, "k": k, "m": PQ_M, "src": src_fp},
+            fh,
+        )
     return root
 
 

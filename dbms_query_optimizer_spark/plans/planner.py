@@ -86,11 +86,6 @@ class PlanCache:
     def get(self, s: frozenset[LogicalJoinNode]) -> CostCard | None:
         return self._best.get(s)
 
-    def items(self):
-        """Iterate (subset, CostCard) memo entries — the EXPLAIN surface
-        (q_cbo_plan_memo dumps this per-subset table)."""
-        return self._best.items()
-
 
 class JoinOptimizer:
     """Left-deep Selinger DP over a list of join predicates."""

@@ -40,7 +40,7 @@ def main() -> int:
     for df in load_tables(spark, SF_DIR).values():
         df.schema  # warm footers, same as the type gate's autouse fixture
 
-    stale = []
+    stale, raised = [], []
     flagged = sorted(catalog.EAGER_CONSTRUCTION)
     missing = [n for n in flagged if n not in catalog.CATALOG]
     for name in flagged:
@@ -52,7 +52,10 @@ def main() -> int:
         try:
             fn(spark, SF_DIR)
         except Exception as exc:
-            print(f"{name}: construction RAISED ({str(exc)[:90]}) — eager enough")
+            # a raise means the flag was NOT validated this run — count
+            # it, don't silently shrink the sweep's coverage
+            print(f"{name}: construction RAISED ({str(exc)[:90]}) — UNVERIFIED")
+            raised.append(name)
             continue
         finally:
             sc.setJobGroup("", "")
@@ -65,10 +68,13 @@ def main() -> int:
 
     if missing:
         print(f"\nflags for unregistered names: {missing}")
+    if raised:
+        print(f"\n{len(raised)} flag(s) unverifiable (construction raised) — "
+              f"fix the construction or the fixture:\n  {raised}")
     if stale:
         print(f"\n{len(stale)} stale flag(s) — remove from EAGER_CONSTRUCTION "
               f"to restore their authoring-time type gate:\n  {stale}")
-    return 1 if (stale or missing) else 0
+    return 1 if (stale or missing or raised) else 0
 
 
 if __name__ == "__main__":

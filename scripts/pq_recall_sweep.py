@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import SparkSession
 
 from dbms_query_optimizer_spark.operators import similarity as S
+from dbms_query_optimizer_spark.session import get_spark
 
 
 def mean_recall(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
@@ -48,17 +49,14 @@ def mean_recall(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
 
 def main() -> int:
     sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    # repo-standard session (AQE/Arrow/driver-memory/code-cache knobs)
+    spark = get_spark(
+        app_name="pq_recall_sweep", master="local[8]", shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     rc = 0
-    prev = None
+    measured = []
     for sf in sfs:
         n, r = mean_recall(spark, f"/root/testdata/{sf}")
         print(
@@ -68,10 +66,14 @@ def main() -> int:
         if r < S.PQ_RECALL_FLOOR:
             print(f"  FAIL: below PQ_RECALL_FLOOR={S.PQ_RECALL_FLOOR}")
             rc = 1
-        if prev is not None and r < prev - 0.1:
-            print(f"  FAIL: recall fell {prev:.3f} -> {r:.3f} with density")
+        measured.append((n, sf, r))
+    # trend check in CORPUS-SIZE order, independent of CLI arg order
+    measured.sort()
+    for (n0, sf0, r0), (n1, sf1, r1) in zip(measured, measured[1:]):
+        if r1 < r0 - 0.1:
+            print(f"  FAIL: recall fell {r0:.3f} ({sf0}, n={n0}) -> "
+                  f"{r1:.3f} ({sf1}, n={n1}) with density")
             rc = 1
-        prev = r
     return rc
 
 

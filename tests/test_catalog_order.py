@@ -69,3 +69,23 @@ def test_catalog_intact_after_reorder():
     assert len(names) >= 161
     # entry()'s flagship query must stay first
     assert names[0] == "flagship_join_agg"
+
+
+def test_state_width_tracks_shuffle_partitions(spark):
+    """state_width must reproduce the measured-optimal 8 at every local
+    test width AND actually grow with cluster-scale configs — the
+    derivation exists for partitions >> 32, so exercise that regime
+    directly (no local drive can)."""
+    from dbms_query_optimizer_spark.session import state_width
+
+    df = spark.range(1)
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        for parts, want in [("5", 8), ("8", 8), ("32", 8), ("256", 64), ("2000", 500)]:
+            spark.conf.set(key, parts)
+            assert state_width(df) == want, (parts, want)
+        # (the non-numeric fallback inside state_width can't be induced
+        # here: Spark validates the conf value at set() time)
+    finally:
+        spark.conf.set(key, orig)
