@@ -753,7 +753,8 @@ EAGER_CONSTRUCTION = frozenset({
     "column_profile", "curriculum_bins", "dedup_components",
     "dedup_incremental_lsh", "dedup_semantic", "dpp_join_pruned",
     "embedding_pca_project", "embedding_pq_adc", "entity_resolution",
-    "global_row_number", "graph_bfs_hops", "graph_pagerank", "graph_wcc",
+    "global_row_number", "graph_bfs_hops", "graph_kcore",
+    "graph_pagerank", "graph_wcc",
     "ks_test_drift", "lsh_recall_report", "markov_attribution",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
@@ -844,6 +845,9 @@ R9_PLANNED_WINDOW = [
     "multimodal_features", "multimodal_image_dhash_dedup",
     "multimodal_resize",
     "quality_classifier_score",
+    # round-8 additions (registered after the r8 window was installed;
+    # cbo_plan_memo is slotted in the relational/misc group above)
+    "graph_kcore", "cumulative_distinct_users",
 ]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # events/time-series (13)

@@ -565,6 +565,58 @@ ORDER BY day
 """
 
 
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users EVER seen, per calendar day — the
+    growth-curve complement of the trailing window above.
+
+    The naive form is COUNT(DISTINCT) OVER an UNBOUNDED PRECEDING frame:
+    not a scalable primitive (the expanding set state is corpus-sized).
+    The distributed formulation is the FIRST-SEEN collapse: a user
+    contributes to the cumulative count exactly on their first-event
+    day, so (1) one grouped min(day) per user — the only corpus-sized
+    shuffle, map-side combined; (2) count first-seen users per day —
+    user-domain; (3) one cumulative-sum window over the tiny distinct-
+    day calendar (~tens of rows, the documented day-domain
+    single-partition exception). Days with events but no new users
+    appear with new_users = 0 via the day-spine left join.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    first = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("day"))
+    )
+    newu = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        days.join(newu, "day", "left")
+        .select(
+            "day",
+            F.coalesce("new_users", F.lit(0).cast("long")).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
+ORACLE_CUMULATIVE_DISTINCT_USERS = """
+WITH days AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+), first AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), newu AS (
+    SELECT day, COUNT(*) AS new_users FROM first GROUP BY day
+)
+SELECT d.day,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+            ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM days d LEFT JOIN newu n USING (day)
+ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # 8. TPC-H Q21 shape: late suppliers in multi-supplier orders
 # ---------------------------------------------------------------------------
@@ -3081,6 +3133,10 @@ def oracles() -> dict[str, tuple]:
         "sliding_distinct_users": (
             q_sliding_distinct_users,
             ORACLE_SLIDING_DISTINCT_USERS,
+        ),
+        "cumulative_distinct_users": (
+            q_cumulative_distinct_users,
+            ORACLE_CUMULATIVE_DISTINCT_USERS,
         ),
         "late_supplier_blame": (q_late_supplier_blame, ORACLE_LATE_SUPPLIER_BLAME),
         "event_transition_matrix": (

@@ -906,11 +906,166 @@ ORDER BY user_id
 """
 
 
+KCORE_K = 3  # minimum in-core degree
+KCORE_QTY_MIN = 48  # fixture edge filter: supply links with quantity >= 48
+# Oracle unroll depth == the Spark loop's round bound (handshake, the
+# BFS_MAX_HOPS pattern): a cascade still shedding nodes beyond this
+# raises Spark-side because the unrolled oracle could no longer follow.
+# Measured cascade depth on the fixture is 1 round at every SF; crafted
+# multi-round graphs are covered in tests/test_graph_wcc.py.
+KCORE_MAX_ROUNDS = 8
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """Generic k-core over an edge list (``src``/``dst``, any
+    orientation): the maximal subgraph where every node keeps >= k
+    neighbors — the standard graph-curation primitive (dense-community
+    seeds, spam/bot subgraph mining, coauthor-core extraction).
+
+    DELTA-DECREMENT peeling, not recompute-all: degrees are computed
+    ONCE, then each round joins only the just-dropped nodes against
+    their incident edges and decrements the survivors' counts — an edge
+    fires at most once per direction over the whole run (the round its
+    endpoint drops), so total message volume is O(E) regardless of
+    cascade depth, the same discipline as the BFS frontier and the WCC
+    delta messaging. State is the node-domain (node, deg) frame,
+    checkpointed per round at the derived width; the peel set is the
+    frontier. Simultaneous-peel semantics (all deg<k nodes drop
+    together), which is what makes the result order-independent and the
+    unrolled oracle exact.
+
+    Returns (node, core_degree) for surviving nodes; core_degree is the
+    node's degree WITHIN the core (original degree minus every fired
+    decrement). Raises if the cascade outlives ``max_rounds``.
+    """
+    from ..session import state_width
+
+    und = _undirected_persisted(edges)
+    width = state_width(edges)
+    try:
+        deg = (
+            und.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("int").alias("deg"))
+            .coalesce(width)
+            .localCheckpoint()
+        )
+        dropped = deg.filter(F.col("deg") < k).select("node")
+        for _ in range(max_rounds + 1):
+            if dropped.count() == 0:
+                break
+            alive = deg.filter(F.col("deg") >= k)
+            dec = (
+                und.join(dropped.toDF("d_node"), und.src == F.col("d_node"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.count(F.lit(1)).cast("int").alias("dec"))
+            )
+            deg = (
+                alive.join(dec, "node", "left")
+                .select(
+                    "node",
+                    (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
+                )
+                .coalesce(width)
+                .localCheckpoint()
+            )
+            dropped = deg.filter(F.col("deg") < k).select("node")
+        else:
+            raise RuntimeError(
+                f"k-core cascade still shedding nodes after {max_rounds} "
+                "rounds — outside the oracle's unroll bound"
+            )
+    finally:
+        und.unpersist()
+    return deg.select("node", F.col("deg").alias("core_degree"))
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the bipartite part–supplier supply graph (edges =
+    distinct high-quantity lineitem links, quantity >= KCORE_QTY_MIN):
+    parts and suppliers that remain after everything with fewer than
+    KCORE_K strong supply relationships is iteratively peeled — the
+    "dense trading core" of the supply network. Parts encode as
+    2*partkey, suppliers as 2*suppkey+1 (disjoint node domains in one
+    long id); output decodes back to (node_type, node_key) plus the
+    in-core degree and the core size.
+
+    The DuckDB oracle unrolls KCORE_MAX_ROUNDS simultaneous-peel steps
+    (each recomputes degrees within the surviving set — the naive
+    formulation; fixpoint is idempotent so extra unrolls are harmless)
+    and emits the same decoded assignment — full value parity for an
+    operator SQL cannot express without recursion over aggregates.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = (
+        li.filter(F.col("l_quantity") >= KCORE_QTY_MIN)
+        .select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    core = kcore(edges)
+    return (
+        core.select(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node DIV 2").alias("node_key"),
+            "core_degree",
+            F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("core_size"),
+        )
+        .orderBy("node_type", "node_key")
+    )
+
+
+def _oracle_kcore() -> str:
+    steps = [
+        "a0 AS (SELECT DISTINCT src AS node FROM und)",
+    ]
+    for r in range(1, KCORE_MAX_ROUNDS + 1):
+        p = r - 1
+        steps.append(
+            f"""a{r} AS (
+    SELECT u.src AS node
+    FROM und u
+    JOIN a{p} x ON u.src = x.node
+    JOIN a{p} y ON u.dst = y.node
+    GROUP BY u.src
+    HAVING COUNT(*) >= {KCORE_K}
+)"""
+        )
+    last = f"a{KCORE_MAX_ROUNDS}"
+    return f"""
+WITH e AS (
+    SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM lineitem WHERE l_quantity >= {KCORE_QTY_MIN}
+),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+{", ".join(steps)},
+final AS (
+    SELECT u.src AS node, CAST(COUNT(*) AS INT) AS core_degree
+    FROM und u
+    JOIN {last} x ON u.src = x.node
+    JOIN {last} y ON u.dst = y.node
+    GROUP BY u.src
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       node // 2 AS node_key,
+       core_degree,
+       COUNT(*) OVER () AS core_size
+FROM final
+ORDER BY node_type, node_key
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
         "graph_wcc": (q_graph_wcc, ORACLE_GRAPH_WCC),
         "graph_bfs_hops": (q_graph_bfs_hops, ORACLE_GRAPH_BFS_HOPS),
+        "graph_kcore": (q_graph_kcore, _oracle_kcore()),
         "markov_attribution": (
             q_markov_attribution,
             _oracle_markov_attribution(),

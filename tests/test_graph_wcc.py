@@ -45,3 +45,43 @@ def test_max_iters_raises_on_long_chain(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         weakly_connected_components(df, max_iters=2)
+
+
+def _core(spark, edges, k=2, max_rounds=8):
+    from dbms_query_optimizer_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["core_degree"]
+        for r in kcore(df, k=k, max_rounds=max_rounds).collect()
+    }
+
+
+def test_kcore_cascade_peels_multi_round(spark):
+    # triangle 1-2-3 with a tail 3-4-5: node 5 (deg 1) drops round 0,
+    # node 4 cascades round 1; the surviving 2-core is exactly the
+    # triangle with in-core degree 2 everywhere
+    got = _core(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_whole_graph_can_dissolve(spark):
+    # a path has no 2-core: endpoints peel inward until nothing is left
+    got = _core(spark, [(1, 2), (2, 3), (3, 4)], k=2)
+    assert got == {}
+
+
+def test_kcore_k1_keeps_every_edged_node(spark):
+    got = _core(spark, [(1, 2), (3, 4)], k=1)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_kcore_raises_past_round_bound(spark):
+    # a 12-node path cascades ~6 rounds under k=2; max_rounds=2 must
+    # fail loudly rather than return a half-peeled "core"
+    edges = [(i, i + 1) for i in range(1, 12)]
+    from dbms_query_optimizer_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="shedding"):
+        kcore(df, k=2, max_rounds=2).collect()
