@@ -591,6 +591,24 @@ COMMENTARY = {
         "coreset-radius aggregate (BroadcastNestedLoopJoin over one "
         "row), then the vec_id sort."
     ),
+    "graph_kcore": (
+        "Delta-decrement k-core peeling. The lazy tail after "
+        "convergence: Expect a scan of the checkpointed (node, deg) "
+        "state — per round the plan joined only the dropped frontier "
+        "against the persisted edge frame, each edge firing at most "
+        "once per direction — feeding the decode projection and the "
+        "core_size Window; the lineitem scan (quantity filter pushed, "
+        "ReadSchema pruned to partkey/suppkey/quantity) appears only "
+        "in the one-time edge build, never per round."
+    ),
+    "cumulative_distinct_users": (
+        "First-seen collapse for cumulative distinct. Expect: ONE "
+        "corpus-sized shuffle (the per-user min(day) hash aggregate, "
+        "partial_-combined), a day-domain count, and the cumulative "
+        "sum as a single-partition Window over the tiny day calendar "
+        "(the documented day-domain exception) — no expanding-frame "
+        "COUNT(DISTINCT), no corpus re-scan."
+    ),
 }
 
 
