@@ -825,8 +825,18 @@ DRIVER_SENTINELS = [
 #     multimodal_image_dhash_dedup, multimodal_resize (fresh rows-only
 #     driver rows replace their stale r3 `no_oracle` entries);
 #   quality (1): quality_classifier_score;
-# plus 14 re-check slots for any names the r8 window leaves red,
-# closing the never-checked backlog to zero by end of r9.
+# plus re-check slots for any names the r8 window leaves red, closing
+# the never-checked backlog to zero by end of r9.
+#
+# r10+ policy (once the backlog is zero): evidence freshness. Every
+# oracled name then has >= 1 green driver row, but the oldest rows date
+# to round 1 — code those names has flowed past for 9 rounds. Rotate
+# the window through the OLDEST-green cohort first (the rounds-1-3
+# group inside DRIVER_CHECKED_PRIOR_ROUNDS, ~77 names -> two windows),
+# then rounds 4-5, keeping the 4 sentinels pinned; any round's new
+# operators take slots ahead of re-checks, exactly as in r8. The
+# cohort listing stays machine-derivable from the round-group comments
+# in DRIVER_CHECKED_PRIOR_ROUNDS.
 R9_PLANNED_WINDOW = [
     "stats_equidepth_histogram", "stats_moments",
     "stratified_neyman_alloc", "approx_counts_sampled",

@@ -85,3 +85,40 @@ def test_kcore_raises_past_round_bound(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="shedding"):
         kcore(df, k=2, max_rounds=2).collect()
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_kcore_matches_python_reference_on_random_graphs(spark, seed):
+    """Randomized cross-check: the distributed delta-decrement peel must
+    equal a direct Python simultaneous-peel on the same graph — cores,
+    AND in-core degrees. Seeded (not hypothesis) so each example's
+    Spark loop cost is paid a bounded number of times."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(1, 25))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(40)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+
+    # python reference: simultaneous peel to fixpoint
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    k = 2
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {n: len(adj[n] & alive) for n in alive}
+
+    got = _core(spark, edges, k=k)
+    assert got == want, f"seed={seed}"
