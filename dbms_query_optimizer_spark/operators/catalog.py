@@ -579,6 +579,11 @@ register(
 
 register("cbo_vs_dp_report", R.q_cbo_vs_dp_report, R.ORACLE_CBO_VS_DP_REPORT)
 register("cbo_plan_memo", R.q_cbo_plan_memo, R.ORACLE_CBO_PLAN_MEMO)
+register(
+    "stats_histogram_dump",
+    R.q_stats_histogram_dump,
+    R.ORACLE_STATS_HISTOGRAM_DUMP,
+)
 
 register("market_basket_pairs", R.q_market_basket_pairs, R.ORACLE_MARKET_BASKET_PAIRS)
 register("recsys_item_cosine", R.q_recsys_item_cosine, R.ORACLE_RECSYS_ITEM_COSINE)
@@ -764,7 +769,8 @@ EAGER_CONSTRUCTION = frozenset({
     "source_orc_scan", "source_partitioned_scan",
     "source_python_datasink", "source_schema_evolution",
     "source_zorder_scan", "spearman_rank_corr",
-    "stats_equidepth_histogram", "stats_selectivity_report",
+    "stats_equidepth_histogram", "stats_histogram_dump",
+    "stats_selectivity_report",
     "streaming_dedup", "streaming_foreachbatch_ingest",
     "streaming_manifest_tail", "streaming_quantile_sketch",
     "streaming_sessionized", "streaming_static_join",
@@ -857,7 +863,7 @@ R9_PLANNED_WINDOW = [
     "quality_classifier_score",
     # round-8 additions (registered after the r8 window was installed;
     # cbo_plan_memo is slotted in the relational/misc group above)
-    "graph_kcore", "cumulative_distinct_users",
+    "graph_kcore", "cumulative_distinct_users", "stats_histogram_dump",
 ]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # events/time-series (13)

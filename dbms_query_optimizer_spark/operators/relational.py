@@ -1961,6 +1961,87 @@ ORDER BY col_name, op, constant
 """
 
 
+HIST_DUMP_COLUMNS = ["o_custkey", "o_totalprice"]  # one int, one double
+
+
+def q_stats_histogram_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN surface for IntHistogram — the reference's other core
+    artifact (table_stats.cc:15-56, tested at optimizer_test.cc:146-365)
+    made inspectable the way cbo_plan_memo exposes the PlanCache: every
+    bucket of the stats build over two orders columns (one integral, one
+    double — the floor path), as (col, bucket, lo, cnt) rows.
+
+    The Spark side runs the REAL distributed two-job TableStats build
+    (plans/stats.py) and dumps the resulting driver-side histograms (the
+    reference's O(1)-space contract: 100 counters per column, so the
+    dump is a 200-row createDataFrame, not a query over data). The
+    DuckDB oracle recomputes every bucket from scratch with the same
+    §4.1 semantics — span = max(1.0, (1 + max - min)/buckets) over
+    floored values, bucket = least(floor((v - min)/span), buckets-1) —
+    so the hash check certifies the distributed bucket assignment
+    bit-for-bit against an independent engine. ``lo`` (the bucket's
+    left edge, min + bucket*span) is emitted UNROUNDED: both engines
+    compute it with the identical IEEE ops in the same order, and no
+    summation is involved, so the doubles are bit-identical by
+    construction.
+    """
+    from ..plans.stats import NUM_HIST_BINS, TableStats
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    stats = TableStats.from_dataframe(orders, columns=HIST_DUMP_COLUMNS)
+    rows = []
+    for c in HIST_DUMP_COLUMNS:
+        h = stats.histograms[c]
+        for b in range(NUM_HIST_BINS):
+            rows.append((c, b, h.min_v + b * h.span, h.counts[b]))
+    return spark.createDataFrame(
+        rows, "col string, bucket int, lo double, cnt long"
+    ).orderBy("col", "bucket")
+
+
+def _oracle_histogram_dump() -> str:
+    from ..plans.stats import NUM_HIST_BINS
+
+    nb = NUM_HIST_BINS
+    parts = []
+    for c in HIST_DUMP_COLUMNS:
+        parts.append(
+            f"""
+SELECT '{c}' AS col, CAST(s.bucket AS INT) AS bucket,
+       m.mn + s.bucket * m.span AS lo,
+       CAST(COALESCE(c_{c}.cnt, 0) AS BIGINT) AS cnt
+FROM (SELECT range AS bucket FROM range({nb})) s
+CROSS JOIN (
+    SELECT mn, GREATEST(1.0, (1.0 + mx - mn) / {nb}) AS span
+    FROM (SELECT MIN(CAST(FLOOR({c}) AS BIGINT)) AS mn,
+                 MAX(CAST(FLOOR({c}) AS BIGINT)) AS mx
+          FROM orders WHERE {c} IS NOT NULL)
+) m
+LEFT JOIN (
+    SELECT LEAST(CAST(FLOOR((CAST(FLOOR({c}) AS BIGINT) - t.mn) / t.span)
+                      AS BIGINT), {nb - 1}) AS bucket,
+           COUNT(*) AS cnt
+    FROM orders
+    CROSS JOIN (
+        SELECT mn, GREATEST(1.0, (1.0 + mx - mn) / {nb}) AS span
+        FROM (SELECT MIN(CAST(FLOOR({c}) AS BIGINT)) AS mn,
+                     MAX(CAST(FLOOR({c}) AS BIGINT)) AS mx
+              FROM orders WHERE {c} IS NOT NULL)
+    ) t
+    WHERE {c} IS NOT NULL
+    GROUP BY 1
+) c_{c} ON c_{c}.bucket = s.bucket"""
+        )
+    return (
+        "SELECT col, bucket, lo, cnt FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY col, bucket"
+    )
+
+
+ORACLE_STATS_HISTOGRAM_DUMP = _oracle_histogram_dump()
+
+
 def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup against the SCD2 dimension: every click event
     is priced with the purchase value VALID AT ITS TIMESTAMP
