@@ -609,6 +609,15 @@ COMMENTARY = {
         "(the documented day-domain exception) — no expanding-frame "
         "COUNT(DISTINCT), no corpus re-scan."
     ),
+    "stats_histogram_dump": (
+        "IntHistogram dump. The distributed work happened in the "
+        "TableStats build (two jobs: min/max/count aggregate + one "
+        "posexplode bucket count, both partial_-combined); the returned "
+        "frame is the driver-side 200-row createDataFrame of the "
+        "resulting counters (the reference's O(1)-space contract), so "
+        "Expect: a bare Scan ExistingRDD + Sort and NOTHING else — any "
+        "parquet scan in this tail would mean the dump re-read data."
+    ),
 }
 
 
