@@ -477,8 +477,14 @@ def build_lsh_store(spark: SparkSession, sf_dir: str, force: bool = False) -> st
     docs = load_tables(spark, sf_dir)["documents"].filter(
         F.col("doc_id") % INCR_MOD != 0
     )
+    from ..session import state_width
+
+    # key-partitioned store layout: width tracks the session's shuffle
+    # parallelism (the state_width discipline), not a constant — at
+    # cluster scale the band store is the probe join's build side and a
+    # fixed 8 files would pin its read parallelism
     bands = _sig_bands(_minhash_sig(_doc_shingles(docs)))
-    bands.repartition(8, "key").write.mode("overwrite").parquet(
+    bands.repartition(state_width(bands), "key").write.mode("overwrite").parquet(
         os.path.join(root, "bands")
     )
     with open(marker, "w") as fh:
