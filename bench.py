@@ -227,6 +227,15 @@ HEADLINE = [
     # round 7: greedy k-center diversity coreset (K map-side scans, zero
     # shuffles, one 1-row collect per round)
     "sample_kcenter_coreset",
+    # round 8: k-core peeling (delta-decrement, each edge fires <= once
+    # per direction) and the first-seen cumulative-distinct collapse
+    "graph_kcore",
+    "cumulative_distinct_users",
+    # round 8: optimizer observability — the Selinger memo dump (stats
+    # build + driver DP) and the IntHistogram bucket dump (the two-job
+    # distributed TableStats build)
+    "cbo_plan_memo",
+    "stats_histogram_dump",
 ]
 
 
