@@ -2900,6 +2900,137 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+# --------------------------------------------------- t-closeness audit
+
+T_CLOSENESS = 0.20  # max EMD between class and global sensitive dists
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy-release trio
+    (``q_k_anonymity_audit`` sizes, ``q_l_diversity_audit`` variety,
+    this one SHAPE): a class can be large and varied yet still leak if
+    its sensitive-value distribution differs sharply from the global
+    one (e.g. a class where 90% of orders are URGENT when globally 20%
+    are). Each quasi-identifier class (nation, market segment) must sit
+    within EMD ≤ t of the global order-priority distribution, where EMD
+    over the m ordered priority values is the Mallows/Wasserstein-1
+    distance Σᵢ|cumᵢ(p−q)| / (m−1).
+
+    Numerics: the cumulative differences are computed as EXACT integers
+    — num_j = n_j·N − g_j·N_c on DECIMAL(38,0) / HUGEINT, so partial-sum
+    order can't perturb them (the round-7 geo half-boundary lesson) —
+    and only the final EMD takes one double division, rounded 6 dp on
+    identical operands in both engines. The ≤-t flag compares the
+    already-rounded value, so it can't straddle an ulp.
+
+    Scale: the corpus collapses to |classes|·|priorities| counts in one
+    map-side-combined aggregate (125·5 here; bounded by the QI-grid
+    cardinality, not row count). The grid completion (classes × the
+    m global priorities, so zero-count cells exist for the cumsum) and
+    the 1-row totals frame are broadcast cross joins of already-tiny
+    aggregates; the windowed cumsum partitions by class over ≤ m rows.
+    Nothing after the first shuffle is row-scale.
+    """
+    t = load_tables(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    joined = t["customer"].select("c_custkey", "c_nationkey", "c_mktsegment").join(
+        t["orders"].select("o_custkey", "o_orderpriority"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    per = joined.groupBy("c_nationkey", "c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = track_persist(per)  # three downstream aggregates share it
+    glob = per.groupBy("o_orderpriority").agg(F.sum("n").alias("g"))
+    classes = per.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("n_class")
+    )
+    totals = glob.agg(F.sum("g").alias("n_total"), F.count(F.lit(1)).alias("m"))
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(
+            per, ["c_nationkey", "c_mktsegment", "o_orderpriority"], "left"
+        )
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+    )
+    w_cum = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("o_orderpriority")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.withColumn(
+        "cum_num",
+        F.sum(dec("n") * dec("n_total") - dec("g") * dec("n_class")).over(w_cum),
+    )
+    emd = F.round(
+        F.sum(F.abs(F.col("cum_num"))).cast("double")
+        / (
+            F.col("n_class").cast("double")
+            * F.col("n_total").cast("double")
+            * (F.col("m") - F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment", "n_class", "n_total", "m")
+        .agg(emd.alias("emd"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_class").alias("n_orders"),
+            "emd",
+            (F.col("emd") <= F.lit(T_CLOSENESS)).alias("t_ok"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+ORACLE_T_CLOSENESS_AUDIT = f"""
+WITH per AS (
+    SELECT c_nationkey, c_mktsegment, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1, 2, 3
+), gdist AS (
+    SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS g FROM per GROUP BY 1
+), classes AS (
+    SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_class
+    FROM per GROUP BY 1, 2
+), totals AS (
+    SELECT CAST(SUM(g) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM gdist
+), grid AS (
+    SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_class,
+           gl.o_orderpriority, gl.g, COALESCE(p.n, 0) AS n,
+           t.n_total, t.m
+    FROM classes cl CROSS JOIN gdist gl CROSS JOIN totals t
+    LEFT JOIN per p
+      ON p.c_nationkey = cl.c_nationkey
+     AND p.c_mktsegment = cl.c_mktsegment
+     AND p.o_orderpriority = gl.o_orderpriority
+), cum AS (
+    SELECT c_nationkey, c_mktsegment, n_class, n_total, m,
+           SUM(CAST(n AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class)
+               OVER (PARTITION BY c_nationkey, c_mktsegment
+                     ORDER BY o_orderpriority) AS cum_num
+    FROM grid
+)
+SELECT c_nationkey, c_mktsegment,
+       n_class AS n_orders,
+       ROUND(CAST(SUM(ABS(cum_num)) AS DOUBLE) /
+             (CAST(n_class AS DOUBLE) * CAST(n_total AS DOUBLE)
+              * CAST(m - 1 AS DOUBLE)), 6) AS emd,
+       ROUND(CAST(SUM(ABS(cum_num)) AS DOUBLE) /
+             (CAST(n_class AS DOUBLE) * CAST(n_total AS DOUBLE)
+              * CAST(m - 1 AS DOUBLE)), 6) <= {T_CLOSENESS!r} AS t_ok
+FROM cum
+GROUP BY c_nationkey, c_mktsegment, n_class, n_total, m
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 # ------------------------------------- Benjamini–Hochberg FDR control
 
 BH_Q = 0.10  # target false-discovery rate
@@ -3110,6 +3241,7 @@ def oracles() -> dict[str, tuple]:
         "drift_psi": (q_drift_psi, ORACLE_DRIFT_PSI),
         "drift_welch_t": (q_drift_welch_t, ORACLE_DRIFT_WELCH_T),
         "l_diversity_audit": (q_l_diversity_audit, ORACLE_L_DIVERSITY_AUDIT),
+        "t_closeness_audit": (q_t_closeness_audit, ORACLE_T_CLOSENESS_AUDIT),
         "bh_fdr_report": (q_bh_fdr_report, ORACLE_BH_FDR_REPORT),
         "dataset_card_report": (q_dataset_card_report, _oracle_dataset_card()),
         "column_profile": (q_column_profile, _oracle_column_profile()),
