@@ -3092,6 +3092,99 @@ ORDER BY event_type, day
 """
 
 
+# ------------------------------------------- M4 series downsampling
+
+
+def q_events_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep only the ORIGINAL rows that realize the
+    four extremes — first ts, last ts, min value, max value — the
+    provably error-free point set for line-chart rendering at a fixed
+    pixel width. Unlike ``q_events_ohlc_bars`` (which emits one
+    SUMMARY row per bar) this returns actual source rows, ≤ 4 per
+    bucket after dedup, so downstream consumers keep event identity.
+
+    The four argext selections are lexicographic struct MIN/MAX —
+    ordinary mergeable aggregates with map-side combine, never a
+    rank-1 window over raw partitions. The corpus collapses to
+    |series|·|buckets| rows in one shuffle; the explode + distinct
+    that flattens the ≤4 candidate structs runs on that already-tiny
+    frame. Output size is bounded by 4·buckets regardless of input
+    row count — the property that makes M4 the standard first pass
+    before shipping series to a renderer at 100 TB.
+
+    Determinism: value ties break on (ts, event_id) inside the struct
+    ordering; event_id is unique so every extreme is a single row.
+    Values are exact integer cents (the events-family contract).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = base.groupBy("event_type", "bucket").agg(
+        F.min(F.struct("ts", "event_id", "cents")).alias("_first"),
+        F.max(F.struct("ts", "event_id", "cents")).alias("_last"),
+        F.min(F.struct("cents", "ts", "event_id")).alias("_vmin"),
+        F.max(F.struct("cents", "ts", "event_id")).alias("_vmax"),
+    )
+
+    def _pt(src: str) -> F.Column:
+        return F.struct(
+            F.col(f"{src}.ts").alias("ts"),
+            F.col(f"{src}.event_id").alias("event_id"),
+            F.col(f"{src}.cents").alias("cents"),
+        )
+
+    return (
+        agg.select(
+            "event_type",
+            "bucket",
+            F.explode(
+                F.array(_pt("_first"), _pt("_last"), _pt("_vmin"), _pt("_vmax"))
+            ).alias("p"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.col("p.ts").alias("ts"),
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.cents").alias("cents"),
+        )
+        .distinct()
+        .orderBy("event_type", "bucket", "ts", "event_id")
+    )
+
+
+ORACLE_EVENTS_DOWNSAMPLE_M4 = """
+WITH base AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                              ORDER BY ts, event_id, cents) AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                              ORDER BY ts DESC, event_id DESC, cents DESC
+                             ) AS rn_last,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                              ORDER BY cents, ts, event_id) AS rn_vmin,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                              ORDER BY cents DESC, ts DESC, event_id DESC
+                             ) AS rn_vmax
+    FROM base
+)
+SELECT DISTINCT event_type, bucket, ts, event_id, cents
+FROM ranked
+WHERE 1 IN (rn_first, rn_last, rn_vmin, rn_vmax)
+ORDER BY event_type, bucket, ts, event_id
+"""
+
+
 # ------------------------------------------- time-decay attribution
 
 def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3466,6 +3559,10 @@ ORDER BY user_id
 def oracles() -> dict[str, tuple]:
     return {
         "events_ohlc_bars": (q_events_ohlc_bars, ORACLE_EVENTS_OHLC_BARS),
+        "events_downsample_m4": (
+            q_events_downsample_m4,
+            ORACLE_EVENTS_DOWNSAMPLE_M4,
+        ),
         "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
         "seasonal_anomaly_flags": (
             q_seasonal_anomaly_flags,
