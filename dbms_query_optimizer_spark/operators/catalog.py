@@ -864,7 +864,7 @@ R9_PLANNED_WINDOW = [
     # round-8 additions (registered after the r8 window was installed;
     # cbo_plan_memo is slotted in the relational/misc group above)
     "graph_kcore", "cumulative_distinct_users", "stats_histogram_dump",
-    "t_closeness_audit", "events_downsample_m4",
+    "t_closeness_audit", "events_downsample_m4", "shapley_attribution",
 ]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # events/time-series (13)

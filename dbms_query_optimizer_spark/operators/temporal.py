@@ -3302,6 +3302,196 @@ ORDER BY channel
 """
 
 
+# --------------------------------------------- Shapley attribution
+
+# Fixed channel order defines the coalition bitmask (bit i = channel i
+# touched); conversion = purchase, as in the rest of the family.
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+SHAPLEY_CONV = "purchase"
+
+
+def _shapley_grid_rows() -> list[tuple[str, int, int, int]]:
+    """(channel, mask_without, mask_with, weight·n!) for every channel i
+    and coalition S ⊆ U∖{i}: weight = |S|!·(n−1−|S|)! — the exact
+    INTEGER numerator of the Shapley kernel (denominator n! applied
+    once at the end). 2ⁿ⁻¹ rows per channel; n=4 → 32 rows total."""
+    import math as _m
+
+    n = len(SHAPLEY_CHANNELS)
+    rows = []
+    for i, c in enumerate(SHAPLEY_CHANNELS):
+        for smask in range(2**n):
+            if smask & (1 << i):
+                continue
+            s = bin(smask).count("1")
+            rows.append(
+                (c, smask, smask | (1 << i), _m.factorial(s) * _m.factorial(n - 1 - s))
+            )
+    return rows
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution — the game-theoretic member of the
+    family (first-touch / linear / time-decay / Markov removal-effect
+    already shipped; Shapley is the other standard data-driven model,
+    Zhao et al. 2018): each channel's credit is its average marginal
+    contribution to the conversion rate across all orderings of the
+    channel coalition. Worth function v(S) = conversion rate of users
+    whose touched-channel set is exactly S (0 for unobserved sets).
+
+    Exact-integer core: v is integer parts-per-million via DIV, the
+    Shapley kernel weight is the integer |S|!·(n−1−|S|)!, so φ's
+    numerator is an exact integer sum — summation order can't move it —
+    and the single n!·10⁶ division happens once, rounded 6 dp on
+    identical operands (ties round away from zero in BOTH engines, so
+    even an exactly-representable boundary agrees).
+
+    Scale shape: the corpus collapses to ≤ 2ⁿ coalition rows in ONE
+    map-side-combined per-user aggregate + one tiny regroup; the
+    2ⁿ⁻¹·n subset/weight grid is driver-enumerated metadata (n = 4
+    channels → 32 rows, the ``markov_attribution`` precedent) and every
+    join after the first shuffle is broadcast-tiny. Growing n keeps the
+    corpus pass unchanged; only the metadata grid doubles per channel.
+    """
+    import math as _m
+
+    ev = load_tables(spark, sf_dir)["events"]
+    n = len(SHAPLEY_CHANNELS)
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == c, 1).otherwise(0)).alias(f"has_{i}")
+            for i, c in enumerate(SHAPLEY_CHANNELS)
+        ],
+        F.max(
+            F.when(F.col("event_type") == SHAPLEY_CONV, 1).otherwise(0)
+        ).alias("converted"),
+    )
+    mask = sum(
+        (F.col(f"has_{i}") * F.lit(2**i) for i in range(n)), F.lit(0)
+    ).cast("long")
+    coal = (
+        per_user.withColumn("mask", mask)
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_conv"),
+        )
+        .withColumn("v_ppm", F.expr("(n_conv * 1000000) DIV n_users"))
+    )
+    grid = spark.createDataFrame(
+        _shapley_grid_rows(),
+        "channel string, mask_without long, mask_with long, w long",
+    )
+    joined = (
+        grid.join(
+            F.broadcast(
+                coal.select(F.col("mask").alias("mask_with"), F.col("v_ppm").alias("v_with"))
+            ),
+            "mask_with",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                coal.select(
+                    F.col("mask").alias("mask_without"),
+                    F.col("v_ppm").alias("v_without"),
+                )
+            ),
+            "mask_without",
+            "left",
+        )
+        .fillna(0, ["v_with", "v_without"])
+    )
+    phi = joined.groupBy("channel").agg(
+        F.sum(F.col("w") * (F.col("v_with") - F.col("v_without"))).alias("phi_num")
+    )
+    chan_bits = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(SHAPLEY_CHANNELS)],
+        "channel string, bit long",
+    )
+    touched = (
+        chan_bits.join(F.broadcast(coal), F.expr("(mask & bit) <> 0"))
+        .groupBy("channel")
+        .agg(F.sum("n_users").alias("n_users"))
+    )
+    denom = float(_m.factorial(n) * 1_000_000)
+    return (
+        phi.join(touched, "channel", "left")
+        .fillna(0, ["n_users"])
+        .select(
+            "channel",
+            "n_users",
+            "phi_num",
+            F.round(F.col("phi_num").cast("double") / F.lit(denom), 6).alias(
+                "shapley"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+def _shapley_oracle() -> str:
+    import math as _m
+
+    n = len(SHAPLEY_CHANNELS)
+    has_cols = ",\n           ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS has_{i}"
+        for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    mask_expr = " + ".join(f"has_{i} * {2**i}" for i in range(n))
+    grid_vals = ",\n           ".join(
+        f"('{c}', {mw}, {mwi}, {w})" for c, mw, mwi, w in _shapley_grid_rows()
+    )
+    bit_vals = ", ".join(
+        f"('{c}', {1 << i})" for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    denom = _m.factorial(n) * 1_000_000
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           {has_cols},
+           MAX(CASE WHEN event_type = '{SHAPLEY_CONV}' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+), coal AS (
+    SELECT CAST({mask_expr} AS BIGINT) AS mask,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_conv
+    FROM per_user GROUP BY 1
+), vppm AS (
+    SELECT mask, n_users, (n_conv * 1000000) // n_users AS v_ppm FROM coal
+), grid(channel, mask_without, mask_with, w) AS (
+    VALUES {grid_vals}
+), joined AS (
+    SELECT g.channel, g.w,
+           COALESCE(a.v_ppm, 0) AS v_with,
+           COALESCE(b.v_ppm, 0) AS v_without
+    FROM grid g
+    LEFT JOIN vppm a ON a.mask = g.mask_with
+    LEFT JOIN vppm b ON b.mask = g.mask_without
+), phi AS (
+    SELECT channel,
+           CAST(SUM(w * (v_with - v_without)) AS BIGINT) AS phi_num
+    FROM joined GROUP BY channel
+), bits(channel, bit) AS (
+    VALUES {bit_vals}
+), touched AS (
+    SELECT c.channel, CAST(SUM(v.n_users) AS BIGINT) AS n_users
+    FROM bits c JOIN vppm v ON (v.mask & c.bit) <> 0
+    GROUP BY c.channel
+)
+SELECT p.channel,
+       COALESCE(t.n_users, 0) AS n_users,
+       p.phi_num,
+       ROUND(CAST(p.phi_num AS DOUBLE) / {denom}, 6) AS shapley
+FROM phi p LEFT JOIN touched t ON p.channel = t.channel
+ORDER BY p.channel
+"""
+
+
+ORACLE_SHAPLEY_ATTRIBUTION = _shapley_oracle()
+
+
 # ------------------------------------------------- autocorrelation
 
 ACF_MAX_LAG = 7
@@ -3562,6 +3752,10 @@ def oracles() -> dict[str, tuple]:
         "events_downsample_m4": (
             q_events_downsample_m4,
             ORACLE_EVENTS_DOWNSAMPLE_M4,
+        ),
+        "shapley_attribution": (
+            q_shapley_attribution,
+            ORACLE_SHAPLEY_ATTRIBUTION,
         ),
         "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
         "seasonal_anomaly_flags": (
