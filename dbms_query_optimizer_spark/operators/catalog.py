@@ -865,6 +865,7 @@ R9_PLANNED_WINDOW = [
     # cbo_plan_memo is slotted in the relational/misc group above)
     "graph_kcore", "cumulative_distinct_users", "stats_histogram_dump",
     "t_closeness_audit", "events_downsample_m4", "shapley_attribution",
+    "embedding_kmeans_lloyd",
 ]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # events/time-series (13)

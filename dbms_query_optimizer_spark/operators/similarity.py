@@ -1531,6 +1531,177 @@ ORDER BY anchor_id
 """
 
 
+# --------------------------------------- integer-exact Lloyd k-means
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # fixed Lloyd updates; both engines unroll exactly these
+KMEANS_Q = 1000  # vector quantization: milli-units
+
+
+def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable Lloyd k-means over the embedding corpus — the
+    DataFrame-native training loop the IVF index delegates to MLlib
+    (``q_knn_ivf_recall_audit``), re-expressed so every state is exact:
+    vectors quantize to integer milli-units, centroids live as integer
+    micro-unit vectors via truncating DIV, and assignment d² is an
+    integer fold — so unlike float k-means the full iteration is
+    bit-identical in any engine / partitioning / summation order, and
+    the DuckDB oracle can unroll the SAME fixed iterations as CTEs.
+
+    Shape per iteration (the canonical distributed-k-means plan):
+    assignment is a BROADCAST of the k-row centroid frame against the
+    vector corpus (map-side argmin via struct-MIN groupBy — no shuffle
+    of the ×k expansion), the update is one map-side-combined
+    (cluster, dim) sum. Init = the first K vec_ids (deterministic
+    seeding; k-means++ would add one more broadcast round per center).
+    Cost per iteration is O(N·k·d) map work + a k·d-row shuffle,
+    independent of iteration count — the 100 TB shape. Output: one row
+    per (cluster, dim) with the centroid, member count, and exact
+    integer inertia.
+    """
+    from ..cache import track_persist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vecs = track_persist(  # reused by KMEANS_ITERS+1 assignment passes
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * KMEANS_Q + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ).alias("qv"),
+        )
+    )
+    cent = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.transform("qv", lambda x: x * F.lit(KMEANS_Q)).alias("cv"),
+    )
+
+    d2_expr = F.aggregate(
+        F.zip_with(
+            "qv",
+            "cv",
+            lambda a, b: (a * KMEANS_Q - b) * (a * KMEANS_Q - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(c))  # k-row centroid frame
+            .withColumn("d2", d2_expr)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster_id")).alias("_a"))
+            .select(
+                "vec_id",
+                F.col("_a.cluster_id").alias("cluster_id"),
+                F.col("_a.d2").alias("d2"),
+            )
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        sums = (
+            assigned.join(vecs, "vec_id")
+            .select("cluster_id", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("m"))
+            .withColumn("c", F.expr(f"(s * {KMEANS_Q}) DIV m"))
+        )
+        return sums.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x.getField("c"),
+            ).alias("cv")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        cent = update(assign(cent))
+    final = assign(cent)
+    stats = final.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("inertia")
+    )
+    cent_rows = cent.select(
+        "cluster_id", F.posexplode("cv").alias("dim", "centroid_micro")
+    )
+    return (
+        cent_rows.join(stats, "cluster_id")
+        .select("cluster_id", "dim", "centroid_micro", "n_members", "inertia")
+        .orderBy("cluster_id", "dim")
+    )
+
+
+def _kmeans_oracle() -> str:
+    qv = (
+        "list_transform(embedding, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q} + 0.5) AS BIGINT))"
+    )
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out}_d AS (
+    SELECT v.vec_id, c.cluster_id,
+           SUM((v.qv[g.i + 1] * {KMEANS_Q} - c.cv[g.i + 1])
+               * (v.qv[g.i + 1] * {KMEANS_Q} - c.cv[g.i + 1])) AS d2
+    FROM qvec v CROSS JOIN {cent} c
+    CROSS JOIN (SELECT UNNEST(range({EMB_DIM})) AS i) g
+    GROUP BY 1, 2
+), {out} AS (
+    SELECT vec_id, cluster_id, d2 FROM (
+        SELECT vec_id, cluster_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster_id) AS rn
+        FROM {out}_d
+    ) WHERE rn = 1
+)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""{out}_rows AS (
+    SELECT a.cluster_id, g.i AS dim,
+           (SUM(v.qv[g.i + 1]) * {KMEANS_Q}) // COUNT(*) AS c
+    FROM {assigned} a JOIN qvec v USING (vec_id)
+    CROSS JOIN (SELECT UNNEST(range({EMB_DIM})) AS i) g
+    GROUP BY 1, 2
+), {out} AS (
+    SELECT cluster_id, list(c ORDER BY dim) AS cv
+    FROM {out}_rows GROUP BY cluster_id
+)"""
+
+    parts = [
+        f"""qvec AS (
+    SELECT vec_id, {qv} AS qv FROM embeddings
+), c0 AS (
+    SELECT CAST(vec_id AS INT) AS cluster_id,
+           list_transform(qv, x -> x * {KMEANS_Q}) AS cv
+    FROM qvec WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    cent = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(assign(cent, f"a{it}"))
+        parts.append(update(f"a{it}", f"c{it}"))
+        cent = f"c{it}"
+    parts.append(assign(cent, "afinal"))
+    parts.append(
+        """stats AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM afinal GROUP BY cluster_id
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT r.cluster_id, r.dim, CAST(r.c AS BIGINT) AS centroid_micro,
+       s.n_members, s.inertia
+FROM c{KMEANS_ITERS}_rows r JOIN stats s ON r.cluster_id = s.cluster_id
+ORDER BY r.cluster_id, r.dim
+"""
+
+
+ORACLE_EMBEDDING_KMEANS_LLOYD = _kmeans_oracle()
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
@@ -1558,4 +1729,8 @@ def oracles() -> dict[str, tuple]:
         ),
         "embedding_outliers": (q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
         "embedding_drift": (q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
+        "embedding_kmeans_lloyd": (
+            q_embedding_kmeans_lloyd,
+            ORACLE_EMBEDDING_KMEANS_LLOYD,
+        ),
     }
