@@ -225,6 +225,12 @@ register(
 )
 
 register(
+    "join_null_aware_anti",
+    R.q_join_null_aware_anti,
+    R.SQL_NULL_AWARE_ANTI,
+)
+
+register(
     "distinct",
     R.q_distinct,
     """
@@ -760,7 +766,8 @@ EAGER_CONSTRUCTION = frozenset({
     "embedding_pca_project", "embedding_pq_adc", "entity_resolution",
     "global_row_number", "graph_bfs_hops", "graph_kcore",
     "graph_pagerank", "graph_wcc",
-    "ks_test_drift", "lsh_recall_report", "markov_attribution",
+    "ks_test_drift", "lsh_recall_report", "mann_whitney_u",
+    "markov_attribution",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
     "sample_kcenter_coreset", "sample_systematic",
@@ -865,7 +872,8 @@ R9_PLANNED_WINDOW = [
     # cbo_plan_memo is slotted in the relational/misc group above)
     "graph_kcore", "cumulative_distinct_users", "stats_histogram_dump",
     "t_closeness_audit", "events_downsample_m4", "shapley_attribution",
-    "embedding_kmeans_lloyd",
+    "embedding_kmeans_lloyd", "mann_whitney_u", "max_drawdown",
+    "join_null_aware_anti",
 ]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # events/time-series (13)

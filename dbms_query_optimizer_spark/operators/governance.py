@@ -2464,6 +2464,152 @@ GROUP BY n_a, n_b
 """
 
 
+# --------------------------------------------- Mann–Whitney U test
+
+MWU_Z_CRIT_05 = 1.959964  # two-sided normal 5% critical value
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test — the
+    rank-based member of the two-sample family (``q_drift_welch_t``
+    compares means and assumes near-normality; ``q_ks_test_drift``
+    bounds the whole CDF; MWU tests stochastic dominance and is the
+    standard robust A/B primitive when values are heavy-tailed). Here:
+    do click and view events draw their values from the same
+    distribution?
+
+    Exact-rank construction without ranking anything: with per-distinct-
+    value counts c1, c2 (t = c1+c2) and the EXCLUSIVE prefix sum
+    ``less`` of t in value order, the doubled tie-averaged rank sum is
+    the exact integer 2R₁ = Σ c1·(2·less + t + 1), so 2U₁ = 2R₁ −
+    n₁(n₁+1) and the tie correction T = Σ(t³−t) are exact DECIMAL(38,0)
+    / HUGEINT (t³ fits 38 digits to N ≈ 4.6·10¹²; beyond that the tie
+    sum needs a per-bucket pre-division). z then takes ONE identical
+    double pipeline on both engines — (2U₁ − n₁n₂) / (2σ) with σ² =
+    n₁n₂·((N+1)·N·(N−1) − T) / (12·N·(N−1)) — emitted rounded 4 dp (the
+    ``drift_welch_t`` contract).
+
+    Scale shape: one map-side-combined groupBy collapses the corpus to
+    the distinct-value domain (bounded by the cents range, not row
+    count), the prefix scan is the DISTRIBUTED one
+    (``relational.distributed_prefix_agg`` — no single-partition
+    window), and everything after is a 1-row aggregate.
+    """
+    from .relational import distributed_prefix_agg, range_bucket
+
+    ev = load_tables(spark, sf_dir)["events"]
+    per_val = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("in_1"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("in_1").alias("c1"),
+            F.sum(F.lit(1) - F.col("in_1")).alias("c2"),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+        .localCheckpoint()  # reused: bucket cuts + prefix scan + totals
+    )
+    pid = range_bucket(per_val, "cents", 8)
+    less = distributed_prefix_agg(
+        per_val, "cents", "t", pid, 8, kind="sum", out_col="less"
+    )
+    d38 = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    terms = less.select(
+        (d38("c1") * (F.lit(2) * d38("less") + d38("t") + F.lit(1))).alias(
+            "r1_term"
+        ),
+        (d38("t") * d38("t") * d38("t") - d38("t")).alias("tie_term"),
+        "c1",
+        "c2",
+    )
+    agg = terms.agg(
+        F.sum("r1_term").alias("r1_x2"),
+        F.sum("tie_term").alias("tie_t"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u_x2 = F.col("r1_x2") - F.col("n1").cast("decimal(20,0)") * (
+        F.col("n1").cast("decimal(20,0)") + F.lit(1)
+    )
+    inner = (
+        (F.col("n1") + F.col("n2") + F.lit(1)).cast("decimal(20,0)")
+        * (F.col("n1") + F.col("n2")).cast("decimal(20,0)")
+        * (F.col("n1") + F.col("n2") - F.lit(1)).cast("decimal(20,0)")
+        - F.col("tie_t")
+    ).cast("double")
+    sigma2 = n1d * n2d * inner / (F.lit(12.0) * nd * (nd - F.lit(1.0)))
+    z = F.round(
+        (u_x2.cast("double") - n1d * n2d) / (F.lit(2.0) * F.sqrt(sigma2)), 4
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u_x2.cast("long").alias("u1_x2"),
+        F.col("tie_t").cast("long").alias("tie_term"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(MWU_Z_CRIT_05)).alias("reject_05"),
+    )
+
+
+ORACLE_MANN_WHITNEY_U = f"""
+WITH per_val AS (
+    SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+), cum AS (
+    SELECT c1, c2, c1 + c2 AS t,
+           CAST(COALESCE(SUM(c1 + c2) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS less
+    FROM per_val
+), agg AS (
+    SELECT CAST(SUM(CAST(c1 AS HUGEINT) * (2 * less + t + 1)) AS HUGEINT)
+               AS r1_x2,
+           CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie_t,
+           CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(c2) AS BIGINT) AS n2
+    FROM cum
+)
+SELECT n1, n2,
+       CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(tie_t AS BIGINT) AS tie_term,
+       ROUND(
+           (CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           / (2.0 * sqrt(
+               CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               * CAST(CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+                      * (n1 + n2 - 1) - tie_t AS DOUBLE)
+               / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(n1 + n2 AS DOUBLE) - 1.0))
+           )), 4) AS z,
+       ABS(ROUND(
+           (CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           / (2.0 * sqrt(
+               CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               * CAST(CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+                      * (n1 + n2 - 1) - tie_t AS DOUBLE)
+               / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(n1 + n2 AS DOUBLE) - 1.0))
+           )), 4)) > {MWU_Z_CRIT_05!r} AS reject_05
+FROM agg
+"""
+
+
 def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Spearman rank correlation (average-rank tie handling) between
     line-item quantity and extended price — the robust, monotone-
@@ -3209,6 +3355,7 @@ def oracles() -> dict[str, tuple]:
         "ab_test_cuped": (q_ab_test_cuped, ORACLE_AB_TEST_CUPED),
         "source_loo_vocab": (q_source_loo_vocab, ORACLE_SOURCE_LOO_VOCAB),
         "ks_test_drift": (q_ks_test_drift, ORACLE_KS_TEST_DRIFT),
+        "mann_whitney_u": (q_mann_whitney_u, ORACLE_MANN_WHITNEY_U),
         "mutual_information_features": (
             q_mutual_information_features,
             ORACLE_MUTUAL_INFORMATION_FEATURES,

@@ -323,6 +323,63 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by the Spark side and the DuckDB oracle verbatim: the whole
+# point is that BOTH engines implement the same three-valued logic.
+# "risky" suppliers report their nation only below the -100 dead-band;
+# mildly-negative suppliers yield NULL — so NOT IN silently returns
+# ZERO rows whenever any NULL is present (x <> NULL is UNKNOWN), while
+# the null-safe formulations keep matching. The four variants over
+# identical data pin that contrast as data, not prose.
+SQL_NULL_AWARE_ANTI = """
+WITH risky AS (
+    SELECT CASE WHEN s_acctbal > -100 THEN NULL ELSE s_nationkey END
+               AS bad_nation
+    FROM supplier WHERE s_acctbal < 0
+)
+SELECT 'anti_join_left' AS variant, COUNT(*) AS n_rows
+FROM customer c
+LEFT JOIN (SELECT DISTINCT bad_nation FROM risky
+           WHERE bad_nation IS NOT NULL) r
+  ON c.c_nationkey = r.bad_nation
+WHERE r.bad_nation IS NULL
+UNION ALL
+SELECT 'not_exists' AS variant, COUNT(*) AS n_rows
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM risky r
+                  WHERE r.bad_nation = c.c_nationkey)
+UNION ALL
+SELECT 'not_in' AS variant, COUNT(*) AS n_rows
+FROM customer
+WHERE c_nationkey NOT IN (SELECT bad_nation FROM risky)
+UNION ALL
+SELECT 'not_in_guarded' AS variant, COUNT(*) AS n_rows
+FROM customer
+WHERE c_nationkey NOT IN (SELECT bad_nation FROM risky
+                          WHERE bad_nation IS NOT NULL)
+ORDER BY variant
+"""
+
+
+def q_join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join — the three-valued-logic corner of the join
+    family that plain ``left_anti`` (``q_join_anti``) never exercises:
+    ``NOT IN`` over a subquery that can produce NULL. One NULL in the
+    set makes every ``x NOT IN`` predicate UNKNOWN, so the variant
+    returns zero rows, while NOT EXISTS / guarded NOT IN / left-join-
+    is-null keep their (identical) counts. Returns all four variant
+    counts side by side; Spark and the oracle run the SAME SQL text,
+    so the hash match certifies both engines implement the standard.
+
+    Physical-plan note: Spark compiles the unguarded NOT IN to a
+    null-aware anti join (BroadcastHashJoin ... isNullAwareAntiJoin /
+    BroadcastNestedLoopJoin fallback) — the build side must broadcast,
+    which is fine at any scale because it is an already-aggregated
+    nation-domain set, not the supplier corpus.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(SQL_NULL_AWARE_ANTI)
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT (hash aggregate without aggregates) — SURVEY §2.2."""
     t = load_tables(spark, sf_dir)

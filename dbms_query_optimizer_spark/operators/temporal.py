@@ -3302,6 +3302,96 @@ ORDER BY channel
 """
 
 
+# --------------------------------------------------- max drawdown
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type — the canonical risk statistic of
+    a cumulative series (largest peak-to-trough drop of the running
+    total), the path-dependent sibling of ``q_twap_daily``/
+    ``q_events_ohlc_bars``: those summarize levels, drawdown summarizes
+    the worst excursion an account holder actually lived through.
+
+    Exact integers end to end: daily net cents (one map-side-combined
+    aggregate — the only corpus-scale shuffle), then running sum /
+    running max / drawdown as windows PARTITIONED BY event_type over
+    the day calendar — bounded by the date range, not row count, the
+    ``cumulative_distinct_users`` day-domain discipline. Final value is
+    a struct-MAX argext on (day, cum), not a rank window.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    series = (
+        daily.withColumn("cum", F.sum("day_cents").over(w))
+        .withColumn("peak", F.max("cum").over(w))
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+    )
+    return (
+        series.groupBy("event_type")
+        .agg(
+            F.max("peak").alias("peak_cents"),
+            F.max(
+                F.struct(F.col("day").alias("d"), F.col("cum").alias("c"))
+            ).alias("_last"),
+            F.max("dd").alias("max_drawdown_cents"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "peak_cents",
+            F.col("_last.c").alias("final_cents"),
+            "max_drawdown_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MAX_DRAWDOWN = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+    FROM events GROUP BY 1, 2
+), cumser AS (
+    SELECT event_type, day,
+           CAST(SUM(day_cents) OVER w AS BIGINT) AS cum
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), peaks AS (
+    SELECT event_type, day, cum,
+           CAST(MAX(cum) OVER w AS BIGINT) AS peak,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY day DESC) AS rn_d
+    FROM cumser
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cum END) AS BIGINT) AS final_cents,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents
+FROM peaks
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------- Shapley attribution
 
 # Fixed channel order defines the coalition bitmask (bit i = channel i
@@ -3757,6 +3847,7 @@ def oracles() -> dict[str, tuple]:
             q_shapley_attribution,
             ORACLE_SHAPLEY_ATTRIBUTION,
         ),
+        "max_drawdown": (q_max_drawdown, ORACLE_MAX_DRAWDOWN),
         "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
         "seasonal_anomaly_flags": (
             q_seasonal_anomaly_flags,
