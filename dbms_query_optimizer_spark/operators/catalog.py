@@ -591,6 +591,12 @@ register(
     R.ORACLE_STATS_HISTOGRAM_DUMP,
 )
 
+register(
+    "stats_histogram_2d_dump",
+    R.q_stats_histogram_2d_dump,
+    R.ORACLE_STATS_HISTOGRAM_2D_DUMP,
+)
+
 register("market_basket_pairs", R.q_market_basket_pairs, R.ORACLE_MARKET_BASKET_PAIRS)
 register("recsys_item_cosine", R.q_recsys_item_cosine, R.ORACLE_RECSYS_ITEM_COSINE)
 
@@ -776,7 +782,8 @@ EAGER_CONSTRUCTION = frozenset({
     "source_orc_scan", "source_partitioned_scan",
     "source_python_datasink", "source_schema_evolution",
     "source_zorder_scan", "spearman_rank_corr",
-    "stats_equidepth_histogram", "stats_histogram_dump",
+    "stats_equidepth_histogram", "stats_histogram_2d_dump",
+    "stats_histogram_dump",
     "stats_selectivity_report",
     "streaming_dedup", "streaming_foreachbatch_ingest",
     "streaming_manifest_tail", "streaming_quantile_sketch",
@@ -873,7 +880,7 @@ R9_PLANNED_WINDOW = [
     "graph_kcore", "cumulative_distinct_users", "stats_histogram_dump",
     "t_closeness_audit", "events_downsample_m4", "shapley_attribution",
     "embedding_kmeans_lloyd", "mann_whitney_u", "max_drawdown",
-    "join_null_aware_anti",
+    "join_null_aware_anti", "stats_histogram_2d_dump", "pad_waste_report",
 ]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # events/time-series (13)

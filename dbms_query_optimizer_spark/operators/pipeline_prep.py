@@ -1006,8 +1006,92 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- padding-waste report
+
+# Fixed power-of-two batch-length ladder. A literal CASE ladder instead
+# of 2^ceil(log2 n): LOG2 at exact powers of two sits on a float
+# boundary both engines must round identically — a contract we refuse
+# to depend on when the integer CASE costs nothing.
+PAD_LADDER = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def _pad_cap_spark() -> F.Column:
+    expr = F.lit(PAD_LADDER[-1] * 2)  # catch-all top bucket
+    for cap in reversed(PAD_LADDER):
+        expr = F.when(F.col("n_tokens") <= cap, F.lit(cap)).otherwise(expr)
+    return expr
+
+
+def _pad_cap_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} <= {cap} THEN {cap}" for cap in PAD_LADDER
+    )
+    return f"CASE {branches} ELSE {PAD_LADDER[-1] * 2} END"
+
+
+def q_pad_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching — the sizing
+    report a training pipeline runs BEFORE choosing batch shapes: round
+    every document up to its power-of-two length bucket and report, per
+    bucket, how many tokens the padding burns. (Packing —
+    ``q_pack_sequences`` — eliminates the waste; this quantifies what
+    naive per-document batching would cost, which is the number that
+    justifies packing in a dataset card.)
+
+    Exact integers end to end: whitespace token counts, a literal CASE
+    ladder for the bucket cap (no float log2), padded = cap·n_docs −
+    Σtokens, and waste in basis points via integer DIV. One map-side-
+    combined aggregate over one scan; output is ≤ |ladder|+1 rows.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(token_count_ws("text").alias("n_tokens")).withColumn(
+        "bucket_cap", _pad_cap_spark()
+    )
+    return (
+        d.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_sum"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "token_sum",
+            (F.col("bucket_cap") * F.col("n_docs") - F.col("token_sum")).alias(
+                "padded_tokens"
+            ),
+            F.expr(
+                "((bucket_cap * n_docs - token_sum) * 10000)"
+                " DIV (bucket_cap * n_docs)"
+            ).alias("waste_bp"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+ORACLE_PAD_WASTE_REPORT = f"""
+WITH d AS (
+    SELECT {_pad_cap_sql(SQL_TOKENS_WS)} AS bucket_cap,
+           {SQL_TOKENS_WS} AS n_tokens
+    FROM documents
+), agg AS (
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+    FROM d GROUP BY bucket_cap
+)
+SELECT bucket_cap, n_docs, token_sum,
+       bucket_cap * n_docs - token_sum AS padded_tokens,
+       ((bucket_cap * n_docs - token_sum) * 10000)
+           // (bucket_cap * n_docs) AS waste_bp
+FROM agg
+ORDER BY bucket_cap
+"""
+
+
 def oracles():
     return {
+        "pad_waste_report": (q_pad_waste_report, ORACLE_PAD_WASTE_REPORT),
         "dsir_importance_weights": (
             q_dsir_importance_weights,
             ORACLE_DSIR_IMPORTANCE_WEIGHTS,

@@ -2099,6 +2099,90 @@ LEFT JOIN (
 ORACLE_STATS_HISTOGRAM_DUMP = _oracle_histogram_dump()
 
 
+HIST2D_BINS = 16  # 16×16 grid → 256 dump rows
+
+
+def q_stats_histogram_2d_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN surface for Int2DHistogram — the joint-distribution grid
+    this engine adds beyond the reference's per-column histograms
+    (``plans/stats.py:149``; the reference's independence assumption
+    ``sel(A∧B)=sel(A)·sel(B)`` is exactly what the grid corrects). Dumps
+    every (bucket_x, bucket_y) cell of the (o_custkey, o_totalprice)
+    grid with its left edges and count, zero cells included — the raw
+    material for a conjunctive-selectivity audit.
+
+    The Spark side runs the real two-job distributed build (min/max
+    aggregate + a cell groupBy whose shuffle is ≤ buckets² rows after
+    map-side combine — row-count independent, the TableStats O(1)-space
+    contract), then dumps the driver-side counters as a 256-row
+    createDataFrame. The DuckDB oracle recomputes every cell from
+    scratch with the identical span/clamp semantics; ``lo_x``/``lo_y``
+    are emitted UNROUNDED because both engines derive them with the
+    same IEEE ops in the same order (the ``stats_histogram_dump``
+    contract).
+    """
+    from ..plans.stats import Int2DHistogram
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    h = Int2DHistogram.from_dataframe(
+        orders, "o_custkey", "o_totalprice", buckets=HIST2D_BINS
+    )
+    rows = []
+    for bx in range(HIST2D_BINS):
+        for by in range(HIST2D_BINS):
+            rows.append(
+                (
+                    bx,
+                    by,
+                    h.min_x + bx * h.span_x,
+                    h.min_y + by * h.span_y,
+                    h.counts.get((bx, by), 0),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "bucket_x int, bucket_y int, lo_x double, lo_y double, cnt long"
+    ).orderBy("bucket_x", "bucket_y")
+
+
+def _oracle_histogram_2d_dump() -> str:
+    nb = HIST2D_BINS
+    return f"""
+WITH m AS (
+    SELECT mnx, mxx, mny, mxy,
+           GREATEST(1.0, (1.0 + mxx - mnx) / {nb}) AS span_x,
+           GREATEST(1.0, (1.0 + mxy - mny) / {nb}) AS span_y
+    FROM (SELECT MIN(CAST(FLOOR(o_custkey) AS BIGINT)) AS mnx,
+                 MAX(CAST(FLOOR(o_custkey) AS BIGINT)) AS mxx,
+                 MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS mny,
+                 MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS mxy
+          FROM orders)
+), cells AS (
+    SELECT LEAST(CAST(FLOOR((CAST(FLOOR(o_custkey) AS BIGINT) - m.mnx)
+                            / m.span_x) AS BIGINT), {nb - 1}) AS bucket_x,
+           LEAST(CAST(FLOOR((CAST(FLOOR(o_totalprice) AS BIGINT) - m.mny)
+                            / m.span_y) AS BIGINT), {nb - 1}) AS bucket_y,
+           COUNT(*) AS cnt
+    FROM orders CROSS JOIN m
+    GROUP BY 1, 2
+), grid AS (
+    SELECT gx.range AS bucket_x, gy.range AS bucket_y
+    FROM range({nb}) gx CROSS JOIN range({nb}) gy
+)
+SELECT CAST(g.bucket_x AS INT) AS bucket_x,
+       CAST(g.bucket_y AS INT) AS bucket_y,
+       m.mnx + g.bucket_x * m.span_x AS lo_x,
+       m.mny + g.bucket_y * m.span_y AS lo_y,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+FROM grid g CROSS JOIN m
+LEFT JOIN cells c
+  ON c.bucket_x = g.bucket_x AND c.bucket_y = g.bucket_y
+ORDER BY bucket_x, bucket_y
+"""
+
+
+ORACLE_STATS_HISTOGRAM_2D_DUMP = _oracle_histogram_2d_dump()
+
+
 def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup against the SCD2 dimension: every click event
     is priced with the purchase value VALID AT ITS TIMESTAMP
