@@ -236,6 +236,17 @@ HEADLINE = [
     # distributed TableStats build)
     "cbo_plan_memo",
     "stats_histogram_dump",
+    # round 8 (second batch): privacy-trio EMD, M4 downsampling,
+    # Shapley attribution, integer-exact Lloyd k-means
+    "t_closeness_audit",
+    "events_downsample_m4",
+    "shapley_attribution",
+    "embedding_kmeans_lloyd",
+    "mann_whitney_u",
+    "max_drawdown",
+    "join_null_aware_anti",
+    "stats_histogram_2d_dump",
+    "pad_waste_report",
 ]
 
 

@@ -618,6 +618,76 @@ COMMENTARY = {
         "Expect: a bare Scan ExistingRDD + Sort and NOTHING else — any "
         "parquet scan in this tail would mean the dump re-read data."
     ),
+    "t_closeness_audit": (
+        "Privacy-trio EMD audit. Expect: ONE corpus-scale shuffle (the "
+        "customer⋈orders join — orders side streamed, then the "
+        "(class, priority) partial_-combined hash aggregate); everything "
+        "after runs on the ≤125·5-row grid — two BroadcastExchanges "
+        "(global priority dist + 1-row totals), a class-partitioned "
+        "window cumsum, and a final tiny aggregate. No row-scale window."
+    ),
+    "events_downsample_m4": (
+        "M4 downsampling. Expect: one partial_-combined hash aggregate "
+        "collapsing events to (type, hour) struct-extremes — min/max "
+        "structs, NOT rank windows over raw partitions — then explode + "
+        "HashAggregate(distinct) on the 4·buckets-row frame. Output "
+        "bounded by 4 rows/bucket regardless of input size."
+    ),
+    "shapley_attribution": (
+        "Shapley channel credit. Expect: ONE corpus shuffle (per-user "
+        "has-channel bitmask aggregate, partial_-combined), then the "
+        "≤2ⁿ-row coalition regroup and two BroadcastHashJoins of the "
+        "32-row driver-enumerated subset grid against the broadcast "
+        "coalition frame. The ×2ⁿ work never touches the corpus."
+    ),
+    "embedding_kmeans_lloyd": (
+        "Integer-exact Lloyd loop. Expect: per assignment pass a "
+        "BroadcastNestedLoopJoin of the k-row centroid frame against "
+        "the (persisted) quantized-vector corpus feeding a struct-MIN "
+        "groupBy (map-side argmin — the ×k expansion is never "
+        "shuffled), per update one partial_-combined (cluster, dim) "
+        "sum; the InMemoryTableScan of the quantized vectors appears "
+        "once per pass instead of a parquet re-read."
+    ),
+    "mann_whitney_u": (
+        "Rank-sum test without ranking. Expect: ONE corpus-scale "
+        "shuffle (the per-distinct-cents groupBy, partial_-combined, "
+        "ReadSchema pruned to (event_type, value)), the distributed "
+        "prefix scan's bucket-offset machinery on the value-domain "
+        "frame (no SinglePartition window), and a 1-row final "
+        "aggregate. No corpus-sized window or join anywhere."
+    ),
+    "max_drawdown": (
+        "Path risk statistic. Expect: one partial_-combined (type, "
+        "day) aggregate as the only corpus shuffle; the running "
+        "sum/max/drawdown windows and the final struct-MAX argext run "
+        "over the bounded day calendar (≤31 rows per type), so the "
+        "Window operators sit above a tiny Exchange."
+    ),
+    "join_null_aware_anti": (
+        "Three-valued-logic corner. Expect: four parallel aggregate "
+        "branches UNION ALL'd; the unguarded NOT IN branch compiles to "
+        "a BroadcastHashJoin LeftAnti with NULL-aware semantics (build "
+        "side = the already-aggregated nation-domain set, broadcastable "
+        "at any scale), the guarded/NOT EXISTS branches to ordinary "
+        "LeftAnti, the left-join variant to LeftOuter + IsNull filter."
+    ),
+    "stats_histogram_2d_dump": (
+        "Joint-grid dump. The distributed work is the two-job "
+        "Int2DHistogram build (min/max aggregate + a cell groupBy whose "
+        "shuffle is ≤ buckets² rows after map-side combine); the "
+        "returned frame is the 256-row driver createDataFrame of the "
+        "counters, so Expect: a bare Scan ExistingRDD + Sort and "
+        "NOTHING else — any parquet scan here would mean the dump "
+        "re-read data."
+    ),
+    "pad_waste_report": (
+        "Batch-sizing audit. Expect: one scan of documents with "
+        "ReadSchema pruned to (text), the token count and CASE ladder "
+        "fused into the scan projection inside WholeStageCodegen, one "
+        "partial_-combined hash aggregate over ≤ ladder-size groups — "
+        "a map-only pass plus a constant-size shuffle."
+    ),
 }
 
 
