@@ -817,14 +817,16 @@ DRIVER_SENTINELS = [
 # sample_reservoir_per_group, sample_weighted,
 # sample_weighted_reservoir) to r9. Every name below passed the full
 # driver-contract drive at BOTH sf0.01 and sf0.1 in round 7, so the
-# window is de-risked. After this window lands, exactly 33 catalog
-# names have never had a driver row (32 backlog + the round-8 addition
-# cbo_plan_memo); the r9 window below closes the backlog to zero. The
+# window is de-risked. After this window lands, exactly 45 catalog
+# names have never had a driver row (32 backlog + the 13 round-8
+# additions listed at the bottom of R9_PLANNED_WINDOW); the r9 window
+# below closes the backlog to zero at 45/46 slots — FULL: any round-9
+# operator addition must displace a re-check or spill to r10. The
 # split is machine-checked against CATALOG minus
 # DRIVER_CHECKED_PRIOR_ROUNDS minus this window
 # (tests/test_catalog_order.py).
 #
-# r9 window = sentinels + the remaining 33 —
+# r9 window = sentinels + the remaining 45 —
 #   sampling/stats (7): stats_equidepth_histogram, stats_moments,
 #     stratified_neyman_alloc, approx_counts_sampled,
 #     sample_reservoir_per_group, sample_weighted,
@@ -833,7 +835,7 @@ DRIVER_SENTINELS = [
 #     streaming_static_join, streaming_stream_stream_left_join,
 #     streaming_upsert_ingest, streaming_sessionized (hash-checkable
 #     since r7: the closure-predicate sandwich oracle);
-#   relational/misc (14): cbo_plan_memo (the r8 Selinger memo-dump
+#   relational/misc (13 + cbo_plan_memo): cbo_plan_memo (the r8 Selinger memo-dump
 #     addition), cbo_vs_dp_report, dataset_card_report,
 #     functions_variant, graph_degree_distribution, graph_triangle_count,
 #     incremental_join_view, interval_overlap_join, join_shuffle_hash,
