@@ -1007,14 +1007,20 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     core = kcore(edges)
+    # core_size as a 1-row aggregate broadcast back — NOT a
+    # partitionBy(lit(1)) window, which would funnel the node-domain
+    # core through a SinglePartition exchange (the scale trap every
+    # sibling global scalar here avoids the same way).
+    size = core.agg(F.count(F.lit(1)).alias("core_size"))
     return (
-        core.select(
+        core.crossJoin(F.broadcast(size))
+        .select(
             F.when(F.col("node") % 2 == 0, F.lit("part"))
             .otherwise(F.lit("supplier"))
             .alias("node_type"),
             F.expr("node DIV 2").alias("node_key"),
             "core_degree",
-            F.count(F.lit(1)).over(W.partitionBy(F.lit(1))).alias("core_size"),
+            "core_size",
         )
         .orderBy("node_type", "node_key")
     )

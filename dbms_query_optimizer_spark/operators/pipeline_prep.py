@@ -1038,25 +1038,36 @@ def q_pad_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive per-document batching would cost, which is the number that
     justifies packing in a dataset card.)
 
+    Documents longer than the top ladder rung are TRUNCATED to it —
+    the real pipeline behavior for over-long sequences — and the lost
+    tokens are reported separately, so padded_tokens is non-negative
+    by construction (a document can never "pad" a bucket it overflows;
+    review finding, round 8).
+
     Exact integers end to end: whitespace token counts, a literal CASE
-    ladder for the bucket cap (no float log2), padded = cap·n_docs −
-    Σtokens, and waste in basis points via integer DIV. One map-side-
-    combined aggregate over one scan; output is ≤ |ladder|+1 rows.
+    ladder for the bucket cap (no float log2), kept = min(tokens, cap),
+    padded = cap·n_docs − Σkept, and waste in basis points via integer
+    DIV. One map-side-combined aggregate over one scan; output is ≤
+    |ladder|+1 rows.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    d = docs.select(token_count_ws("text").alias("n_tokens")).withColumn(
-        "bucket_cap", _pad_cap_spark()
+    d = (
+        docs.select(token_count_ws("text").alias("n_tokens"))
+        .withColumn("bucket_cap", _pad_cap_spark())
+        .withColumn("kept", F.least("n_tokens", "bucket_cap"))
     )
     return (
         d.groupBy("bucket_cap")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("token_sum"),
+            F.sum("kept").alias("token_sum"),
+            F.sum(F.col("n_tokens") - F.col("kept")).alias("truncated_tokens"),
         )
         .select(
             "bucket_cap",
             "n_docs",
             "token_sum",
+            "truncated_tokens",
             (F.col("bucket_cap") * F.col("n_docs") - F.col("token_sum")).alias(
                 "padded_tokens"
             ),
@@ -1077,10 +1088,12 @@ WITH d AS (
 ), agg AS (
     SELECT bucket_cap,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+           CAST(SUM(LEAST(n_tokens, bucket_cap)) AS BIGINT) AS token_sum,
+           CAST(SUM(n_tokens - LEAST(n_tokens, bucket_cap)) AS BIGINT)
+               AS truncated_tokens
     FROM d GROUP BY bucket_cap
 )
-SELECT bucket_cap, n_docs, token_sum,
+SELECT bucket_cap, n_docs, token_sum, truncated_tokens,
        bucket_cap * n_docs - token_sum AS padded_tokens,
        ((bucket_cap * n_docs - token_sum) * 10000)
            // (bucket_cap * n_docs) AS waste_bp

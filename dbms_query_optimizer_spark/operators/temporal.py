@@ -3306,18 +3306,26 @@ ORDER BY channel
 
 
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum drawdown per event type — the canonical risk statistic of
-    a cumulative series (largest peak-to-trough drop of the running
-    total), the path-dependent sibling of ``q_twap_daily``/
+    """Maximum drawdown per event type — the canonical path-dependent
+    risk statistic: the largest drop of the daily-turnover LEVEL series
+    from its running peak. The sibling of ``q_twap_daily``/
     ``q_events_ohlc_bars``: those summarize levels, drawdown summarizes
-    the worst excursion an account holder actually lived through.
+    the worst decline a dashboard reader actually lived through.
 
-    Exact integers end to end: daily net cents (one map-side-combined
-    aggregate — the only corpus-scale shuffle), then running sum /
-    running max / drawdown as windows PARTITIONED BY event_type over
-    the day calendar — bounded by the date range, not row count, the
+    Drawdown is taken on the daily-total LEVEL, not a cumulative sum —
+    event values are non-negative, so a cumulative series is monotone
+    and its drawdown is identically zero at every scale: a formulation
+    no gate could falsify (review finding, round 8). On the level
+    series every below-peak day produces a strictly positive drawdown,
+    which the tests pin (the statistic must be non-degenerate on the
+    fixture).
+
+    Exact integers end to end: daily cents (one map-side-combined
+    aggregate — the only corpus-scale shuffle), then running max /
+    drawdown as windows PARTITIONED BY event_type over the day
+    calendar — bounded by the date range, not row count, the
     ``cumulative_distinct_users`` day-domain discipline. Final value is
-    a struct-MAX argext on (day, cum), not a rank window.
+    a struct-MAX argext on (day, level), not a rank window.
     """
     ev = load_tables(spark, sf_dir)["events"]
     daily = (
@@ -3327,24 +3335,22 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
         .groupBy("event_type", "day")
-        .agg(F.sum("cents").alias("day_cents"))
+        .agg(F.sum("cents").alias("level"))
     )
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    series = (
-        daily.withColumn("cum", F.sum("day_cents").over(w))
-        .withColumn("peak", F.max("cum").over(w))
-        .withColumn("dd", F.col("peak") - F.col("cum"))
+    series = daily.withColumn("peak", F.max("level").over(w)).withColumn(
+        "dd", F.col("peak") - F.col("level")
     )
     return (
         series.groupBy("event_type")
         .agg(
             F.max("peak").alias("peak_cents"),
             F.max(
-                F.struct(F.col("day").alias("d"), F.col("cum").alias("c"))
+                F.struct(F.col("day").alias("d"), F.col("level").alias("c"))
             ).alias("_last"),
             F.max("dd").alias("max_drawdown_cents"),
             F.count(F.lit(1)).alias("n_days"),
@@ -3364,28 +3370,22 @@ ORACLE_MAX_DRAWDOWN = """
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-               AS day_cents
+               AS level
     FROM events GROUP BY 1, 2
-), cumser AS (
-    SELECT event_type, day,
-           CAST(SUM(day_cents) OVER w AS BIGINT) AS cum
-    FROM daily
-    WINDOW w AS (PARTITION BY event_type ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), peaks AS (
-    SELECT event_type, day, cum,
-           CAST(MAX(cum) OVER w AS BIGINT) AS peak,
+    SELECT event_type, day, level,
+           CAST(MAX(level) OVER w AS BIGINT) AS peak,
            ROW_NUMBER() OVER (PARTITION BY event_type
                               ORDER BY day DESC) AS rn_d
-    FROM cumser
+    FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_days,
        CAST(MAX(peak) AS BIGINT) AS peak_cents,
-       CAST(MAX(CASE WHEN rn_d = 1 THEN cum END) AS BIGINT) AS final_cents,
-       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents
+       CAST(MAX(CASE WHEN rn_d = 1 THEN level END) AS BIGINT) AS final_cents,
+       CAST(MAX(peak - level) AS BIGINT) AS max_drawdown_cents
 FROM peaks
 GROUP BY event_type
 ORDER BY event_type

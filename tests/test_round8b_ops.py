@@ -52,40 +52,45 @@ def test_max_drawdown_invariants(spark):
     dd = q_max_drawdown(spark, SF_DIR).toPandas()
     assert (dd["max_drawdown_cents"] >= 0).all()
     assert (dd["peak_cents"] >= dd["final_cents"]).all()
-    # drawdown can never exceed the peak-to-zero distance... it CAN if the
-    # series goes negative; the hard invariant is peak - min(cum) >= dd is
-    # not recoverable from this projection, so pin the numpy recompute:
+    # NON-DEGENERACY: the level series fluctuates on every fixture, so a
+    # formulation whose drawdown is identically zero (the cumulative-sum
+    # bug class this query was rewritten away from) fails here.
+    assert (dd["max_drawdown_cents"] > 0).any()
     ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
     ev["day"] = ev["ts"].dt.date
     ev["cents"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
     for et, grp in ev.groupby("event_type"):
-        daily = grp.groupby("day")["cents"].sum().sort_index()
-        cum = daily.cumsum()
-        peak = cum.cummax()
-        want = int((peak - cum).max())
+        level = grp.groupby("day")["cents"].sum().sort_index()
+        peak = level.cummax()
+        want = int((peak - level).max())
         row = dd[dd["event_type"] == et].iloc[0]
         assert int(row["max_drawdown_cents"]) == want, et
-        assert int(row["final_cents"]) == int(cum.iloc[-1]), et
+        assert int(row["max_drawdown_cents"]) > 0, et
+        assert int(row["final_cents"]) == int(level.iloc[-1]), et
         assert int(row["peak_cents"]) == int(peak.max()), et
 
 
 def test_null_aware_anti_three_valued_logic(spark):
+    """Runs at sf0.01, NOT the usual sf0.001: the smallest fixture has no
+    negative-balance suppliers at all, so the NULL-bearing branch this
+    operator exists to pin would never execute (review finding, r8)."""
     from dbms_query_optimizer_spark.operators.relational import (
         q_join_null_aware_anti,
     )
 
+    sf = "/root/testdata/sf0.01"
     out = (
-        q_join_null_aware_anti(spark, SF_DIR)
+        q_join_null_aware_anti(spark, sf)
         .toPandas()
         .set_index("variant")["n_rows"]
     )
     # the three null-safe formulations always agree
     assert out["anti_join_left"] == out["not_exists"] == out["not_in_guarded"]
-    # NOT IN is zero iff a NULL is present in the subquery, else equal
-    sup = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    # the fixture must actually exercise the NULL branch at this SF...
+    sup = pd.read_parquet(f"{sf}/supplier.parquet")
     neg = sup[sup["s_acctbal"] < 0]
-    has_null = bool((neg["s_acctbal"] > -100).any())
-    if has_null:
-        assert out["not_in"] == 0
-    else:
-        assert out["not_in"] == out["not_exists"]
+    assert (neg["s_acctbal"] > -100).any(), "fixture lost its NULL trigger"
+    # ...and under a NULL-bearing set, NOT IN returns zero rows while the
+    # null-safe variants keep a non-vacuous positive count
+    assert out["not_in"] == 0
+    assert 0 < out["not_exists"] < len(pd.read_parquet(f"{sf}/customer.parquet"))
