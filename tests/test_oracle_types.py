@@ -55,6 +55,20 @@ def _warm_footers(spark, sf_dir):
         df.schema  # forces the footer read without an action
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _warm_ivf_index(spark, sf_dir):
+    """Pre-build the persisted IVF index. ``knn_ivf``'s construction is
+    build-once/probe-many: on a machine whose tempdir has never seen this
+    sf_dir it TRAINS the quantizer (eager, ~19 jobs) and on every later
+    construction it is lazy — so without this warmup the type gate's
+    zero-jobs assertion is a coin flip on host state (failed on a fresh
+    /tmp, round 8). Building here pins the gate to the steady-state
+    serving path, which is what it is meant to type-check."""
+    from dbms_query_optimizer_spark.operators.similarity import build_ivf_index
+
+    build_ivf_index(spark, sf_dir)
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_has_no_hugeint_columns(name, conn):
     sql = catalog.CATALOG[name][1]
