@@ -503,6 +503,53 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # LOO vocabulary: distinct (token, source) + per-token aggregate;
     # no Python plane, no nested loop beyond the 1-row totals broadcast
     "source_loo_vocab": ["tree:HashAggregate", "partial_", "!MapInPandas"],
+    # k-core peel runs at construction (localCheckpoint'd); the returned
+    # tail is the checkpointed core + a 1-row broadcast size — no sort-
+    # merge join, no Python plane
+    "graph_kcore": ["!tree:SortMergeJoin", "!MapInPandas"],
+    # first-seen collapse: map-side-combined per-user min(day), then the
+    # cumulative sum over the tiny day calendar (the documented day-
+    # domain Window exception)
+    "cumulative_distinct_users": ["tree:HashAggregate", "partial_", "tree:Window"],
+    # the three EXPLAIN-dump queries return driver-side createDataFrames
+    # (the distributed work happened in the stats/DP build): a parquet
+    # scan in the returned tail would mean the dump re-read data
+    "cbo_plan_memo": ["!Scan parquet"],
+    "stats_histogram_dump": ["!Scan parquet"],
+    "stats_histogram_2d_dump": ["!Scan parquet"],
+    # privacy-trio EMD: one corpus join+agg shuffle, then grid-sized work
+    # behind broadcasts; the cumsum window partitions by class
+    "t_closeness_audit": [
+        "tree:HashAggregate", "partial_", "tree:Window", "BroadcastExchange",
+    ],
+    # M4: struct-extreme aggregates + explode — argext must NOT be a
+    # rank window over raw event partitions
+    "events_downsample_m4": [
+        "tree:HashAggregate", "partial_", "tree:Generate", "!tree:Window",
+    ],
+    # Shapley: per-user bitmask aggregate is the only corpus shuffle;
+    # the subset grid joins are broadcast
+    "shapley_attribution": [
+        "tree:HashAggregate", "partial_", "BroadcastExchange", "!MapInPandas",
+    ],
+    # Lloyd loop: k-row centroid frame broadcast against the PERSISTED
+    # quantized corpus (InMemoryTableScan, not a parquet re-read per pass)
+    "embedding_kmeans_lloyd": [
+        "tree:BroadcastNestedLoopJoin", "tree:InMemoryTableScan", "!MapInPandas",
+    ],
+    # rank-sum without ranking: domain collapse + distributed prefix scan
+    "mann_whitney_u": ["tree:HashAggregate", "partial_", "!MapInPandas"],
+    # drawdown windows run over the bounded day calendar
+    "max_drawdown": ["tree:Window", "tree:HashAggregate", "partial_"],
+    # NOT IN must compile to broadcast anti joins (null-aware on the
+    # unguarded branch), never a sort-merge fallback
+    "join_null_aware_anti": [
+        "BroadcastHashJoin", "tree:Union", "!tree:SortMergeJoin",
+    ],
+    # padding audit: scan-fused projection + one constant-size aggregate
+    "pad_waste_report": [
+        "tree:HashAggregate", "partial_", "!tree:Join", "!MapInPandas",
+    ],
 }
 
 
