@@ -659,8 +659,8 @@ COMMENTARY = {
     ),
     "max_drawdown": (
         "Path risk statistic. Expect: one partial_-combined (type, "
-        "day) aggregate as the only corpus shuffle; the running "
-        "sum/max/drawdown windows and the final struct-MAX argext run "
+        "day) aggregate as the only corpus shuffle; the running-max/"
+        "drawdown windows and the final struct-MAX argext run "
         "over the bounded day calendar (≤31 rows per type), so the "
         "Window operators sit above a tiny Exchange."
     ),
