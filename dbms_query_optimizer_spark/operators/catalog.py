@@ -820,8 +820,9 @@ DRIVER_SENTINELS = [
 # window is de-risked. After this window lands, exactly 45 catalog
 # names have never had a driver row (32 backlog + the 13 round-8
 # additions listed at the bottom of R9_PLANNED_WINDOW); the r9 window
-# below closes the backlog to zero at 45/46 slots — FULL: any round-9
-# operator addition must displace a re-check or spill to r10. The
+# below closes the backlog to zero at 45/46 slots — ONE slot of
+# headroom: a single round-9 operator can take it; any more must
+# displace a re-check or spill to r10. The
 # split is machine-checked against CATALOG minus
 # DRIVER_CHECKED_PRIOR_ROUNDS minus this window
 # (tests/test_catalog_order.py).
