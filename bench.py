@@ -247,6 +247,7 @@ HEADLINE = [
     "join_null_aware_anti",
     "stats_histogram_2d_dump",
     "pad_waste_report",
+    "text_readability",
 ]
 
 

@@ -817,17 +817,16 @@ DRIVER_SENTINELS = [
 # sample_reservoir_per_group, sample_weighted,
 # sample_weighted_reservoir) to r9. Every name below passed the full
 # driver-contract drive at BOTH sf0.01 and sf0.1 in round 7, so the
-# window is de-risked. After this window lands, exactly 45 catalog
-# names have never had a driver row (32 backlog + the 13 round-8
+# window is de-risked. After this window lands, exactly 46 catalog
+# names have never had a driver row (32 backlog + the 14 round-8
 # additions listed at the bottom of R9_PLANNED_WINDOW); the r9 window
-# below closes the backlog to zero at 45/46 slots — ONE slot of
-# headroom: a single round-9 operator can take it; any more must
-# displace a re-check or spill to r10. The
+# below closes the backlog to zero at 46/46 slots — FULL: any round-9
+# operator addition must displace a re-check or spill to r10. The
 # split is machine-checked against CATALOG minus
 # DRIVER_CHECKED_PRIOR_ROUNDS minus this window
 # (tests/test_catalog_order.py).
 #
-# r9 window = sentinels + the remaining 45 —
+# r9 window = sentinels + the remaining 46 —
 #   sampling/stats (7): stats_equidepth_histogram, stats_moments,
 #     stratified_neyman_alloc, approx_counts_sampled,
 #     sample_reservoir_per_group, sample_weighted,
@@ -884,6 +883,7 @@ R9_PLANNED_WINDOW = [
     "t_closeness_audit", "events_downsample_m4", "shapley_attribution",
     "embedding_kmeans_lloyd", "mann_whitney_u", "max_drawdown",
     "join_null_aware_anti", "stats_histogram_2d_dump", "pad_waste_report",
+    "text_readability",
 ]
 DRIVER_PRIORITY = DRIVER_SENTINELS + [
     # events/time-series (13)

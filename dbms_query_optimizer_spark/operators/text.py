@@ -2133,8 +2133,119 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- Flesch readability
+
+SENT_WINDOW_WORDS = 20  # pseudo-sentence width when no [.!?] exists
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability axis of the
+    quality family (``q_text_quality`` scores surface statistics,
+    ``q_quality_gopher_rules`` gates structure, ``q_ccnet_ppl_buckets``
+    scores LM fit; edu-value filters à la FineWeb-Edu add READABILITY):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), banded
+    into the standard interpretation classes.
+
+    Syllables are the classic vowel-group heuristic (runs of
+    [aeiouy]+ — whitespace breaks groups, so the whole-text regexp
+    count equals the per-word sum). Sentences split on [.!?]+ runs;
+    the fixture has no sentence punctuation, so the count falls back
+    to 20-word pseudo-sentence windows (the ``boilerplate_strip``
+    no-newlines precedent) via GREATEST — on real corpora the
+    punctuation count dominates, and BOTH terms are exercised by the
+    expression. All inputs are exact integers; the score is one
+    identical double pipeline rounded 4 dp, and the band compares the
+    already-rounded value.
+
+    Scale: map-only — three regexp counts fused into the scan
+    projection inside WholeStageCodegen, no shuffle before the
+    presentation sort. The 100 TB form of a per-document scorer.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.col("n_words").cast("double")
+    n = F.col("n_sentences").cast("double")
+    s = F.col("n_syllables").cast("double")
+    flesch = F.round(
+        F.lit(206.835) - F.lit(1.015) * w / n - F.lit(84.6) * s / w, 4
+    )
+    feats = docs.select(
+        "doc_id",
+        F.regexp_count(F.concat(F.lit(" "), F.trim("text")), F.lit("\\s+")).alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.expr(
+                "(regexp_count(' ' || trim(text), '\\\\s+')"
+                f" + {SENT_WINDOW_WORDS - 1}) DIV {SENT_WINDOW_WORDS}"
+            ),
+            F.regexp_count("text", F.lit("[.!?]+")),
+            F.lit(1).cast("long"),
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).alias(
+            "n_syllables"
+        ),
+    )
+    return (
+        feats.select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            flesch.alias("flesch"),
+            F.when(flesch >= 90, "very_easy")
+            .when(flesch >= 60, "standard")
+            .when(flesch >= 30, "difficult")
+            .otherwise("very_confusing")
+            .alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_READABILITY = f"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(' ' || trim(text), '\\s+'))
+                AS BIGINT) AS n_words,
+           GREATEST(
+               (CAST(len(regexp_extract_all(' ' || trim(text), '\\s+'))
+                     AS BIGINT) + {SENT_WINDOW_WORDS - 1})
+                   // {SENT_WINDOW_WORDS},
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+               CAST(1 AS BIGINT)) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835 - 1.015 * CAST(n_words AS DOUBLE)
+                              / CAST(n_sentences AS DOUBLE)
+                     - 84.6 * CAST(n_syllables AS DOUBLE)
+                             / CAST(n_words AS DOUBLE), 4) AS flesch,
+       CASE WHEN ROUND(206.835 - 1.015 * CAST(n_words AS DOUBLE)
+                                        / CAST(n_sentences AS DOUBLE)
+                               - 84.6 * CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE), 4) >= 90
+                THEN 'very_easy'
+            WHEN ROUND(206.835 - 1.015 * CAST(n_words AS DOUBLE)
+                                        / CAST(n_sentences AS DOUBLE)
+                               - 84.6 * CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE), 4) >= 60
+                THEN 'standard'
+            WHEN ROUND(206.835 - 1.015 * CAST(n_words AS DOUBLE)
+                                        / CAST(n_sentences AS DOUBLE)
+                               - 84.6 * CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE), 4) >= 30
+                THEN 'difficult'
+            ELSE 'very_confusing' END AS band
+FROM feats
+ORDER BY doc_id
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "text_readability": (q_text_readability, ORACLE_TEXT_READABILITY),
         "model_auc_roc": (q_model_auc_roc, _oracle_model_auc_roc()),
         "model_pr_auc": (q_model_pr_auc, _oracle_model_pr_auc()),
         "model_confusion_report": (

@@ -688,6 +688,13 @@ COMMENTARY = {
         "partial_-combined hash aggregate over ≤ ladder-size groups — "
         "a map-only pass plus a constant-size shuffle."
     ),
+    "text_readability": (
+        "Per-document scorer. Expect: ReadSchema pruned to "
+        "(doc_id, text), all three regexp counts and the score/band "
+        "CASE fused into one Project inside WholeStageCodegen — no "
+        "join, no aggregate, no Python; the only exchange is the "
+        "presentation sort."
+    ),
 }
 
 

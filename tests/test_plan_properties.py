@@ -550,6 +550,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "pad_waste_report": [
         "tree:HashAggregate", "partial_", "!tree:Join", "!MapInPandas",
     ],
+    # readability: map-only scorer — regexp counts fused into the scan,
+    # nothing but the presentation sort after
+    "text_readability": ["!tree:Join", "!tree:HashAggregate", "!MapInPandas"],
 }
 
 
