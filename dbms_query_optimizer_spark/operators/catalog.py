@@ -648,12 +648,39 @@ for _name, (_fn, _sql) in GEO.oracles().items():
 # full-catalog gate (tests/test_queries_oracle.py — the identical DuckDB
 # hash check over every oracled entry).
 
-# Names with a hash-checked driver row in rounds 1-7 (union of
-# CORRECTNESS_r0{1..7}.json greens minus the no_oracle rows-only
-# entries).
-DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
-    # round-7 greens (50/50 window, CORRECTNESS_r07.json; the four
-    # sentinels listed in their original round groups below)
+# Names with a hash-checked driver row, grouped into per-round cohorts
+# by the round whose CORRECTNESS_r0N.json recorded the green (minus the
+# no_oracle rows-only entries; the four sentinels are listed once, in
+# their original rounds-1-3 cohort, and re-checked every round
+# regardless). The cohort split is load-bearing, not decorative: the
+# r10+ freshness policy rotates re-check windows through the
+# OLDEST-green cohort first, and r10_window() derives that schedule
+# from these constants directly — a comment-only grouping would drift.
+DRIVER_GREENS_R8 = frozenset({
+    # round-8 greens (50/50 window, CORRECTNESS_r08.json)
+    "audience_overlap_sketch", "ccnet_ppl_buckets", "chunk_documents",
+    "contrastive_pairs_lsh", "conversion_lag_percentiles",
+    "date_dim_generate", "dedup_cdc_chunks", "dedup_incremental_lsh",
+    "dedup_simhash_pairs", "dedup_span_duplication",
+    "doc_repeat_removal", "embedding_centroids", "embedding_norms",
+    "embedding_quantize_int8", "embedding_truncate_renorm",
+    "event_transition_matrix", "events_anomaly_zscore",
+    "events_dow_hour_profile", "events_gapfill_locf",
+    "events_ohlc_bars", "events_resample_interp",
+    "events_rollup_multires", "events_session_window_native",
+    "explode_tokens", "fuzzy_join_blocked", "geo_position_asof",
+    "graph_bfs_hops", "graph_wcc", "heartbeat_gaps",
+    "interval_coverage", "market_basket_pairs", "percentile_exact",
+    "quantile_sketch_mergeable", "sample_kcenter_coreset",
+    "shard_assignment_balanced", "skyline_pareto",
+    "sliding_distinct_users", "span_corruption_mask",
+    "text_bigram_logprob", "text_entropy", "text_fingerprint",
+    "text_lang_confusion", "text_lang_quality_summary",
+    "text_mixed_language", "text_rolling_fingerprint",
+    "text_unigram_logprob",
+})
+DRIVER_GREENS_R7 = frozenset({
+    # round-7 greens (50/50 window, CORRECTNESS_r07.json)
     "activity_islands", "approx_hll_mergeable", "approx_topk_terms",
     "argmax_per_group", "autocorr_lags", "bh_fdr_report",
     "contrastive_pairs", "dedup_ngram_jaccard", "dedup_semantic",
@@ -669,9 +696,11 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
     "txn_delete_where", "txn_erase_keys", "txn_history",
     "txn_incremental_mv", "txn_replace_where", "txn_retention_delete",
     "txn_schema_evolution", "txn_vacuum_report", "window_analytics",
-    # round-6 greens (50/50 window, CORRECTNESS_r06.json; sentinels and
+})
+DRIVER_GREENS_R6 = frozenset({
+    # round-6 greens (50/50 window, CORRECTNESS_r06.json; includes
     # twap_daily — red in r5 on an oracle-side epoch() cast, re-proven
-    # green in r6 — listed in their original round groups below)
+    # green in r6)
     "ab_test_cuped", "benford_audit", "bloom_membership_audit",
     "bootstrap_ci_mean", "bpe_pair_merge", "cluster_key_advisor",
     "count_min_sketch_audit", "cusum_changepoint",
@@ -691,6 +720,8 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
     "spearman_rank_corr", "survival_km", "target_encode_kfold",
     "text_collocations", "text_keyphrase_rake", "theil_sen_trend",
     "twap_daily", "woe_binning",
+})
+DRIVER_GREENS_R5 = frozenset({
     # round-5 greens
     "arrow_map_stats", "asof_join_left", "audience_overlap_bitmap",
     "boilerplate_strip", "chi_square_independence", "cogroup_reconcile",
@@ -708,6 +739,8 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
     "table_checksum", "tpch_q12", "txn_changes", "txn_delete_mor",
     "txn_restore", "txn_scd2_apply", "txn_wap_publish",
     "vocab_coverage", "weighted_median",
+})
+DRIVER_GREENS_R4 = frozenset({
     # round-4 greens
     "approx_aggs", "asof_join_forward", "asof_join_salted",
     "bucketed_colocated_join", "curriculum_bins",
@@ -722,7 +755,10 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q22", "txn_merge_upsert",
     "txn_point_lookup", "txn_time_travel", "txn_zonemap_scan",
     "zipf_token_rank",
-    # rounds 1-3
+})
+DRIVER_GREENS_R1_3 = frozenset({
+    # rounds 1-3 (the oldest cohort; first in line for r10+ freshness
+    # re-checks). Includes the four DRIVER_SENTINELS.
     "agg_array_ordered", "agg_filtered", "agg_global", "agg_grouped",
     "asof_join", "band_join_lookup", "bm25_score", "cbo_ordered_join",
     "conform_union", "corpus_prep", "correlated_scalar_subquery", "cube",
@@ -746,6 +782,14 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset({
     "values_inline", "window_range_frame", "window_running",
     "window_share_of_total",
 })
+# Cohorts ordered oldest-first: the r10+ freshness rotation walks this
+# list front to back. Kept as an explicit tuple (not dict) so iteration
+# order is the policy, visibly.
+DRIVER_GREEN_COHORTS = (
+    DRIVER_GREENS_R1_3, DRIVER_GREENS_R4, DRIVER_GREENS_R5,
+    DRIVER_GREENS_R6, DRIVER_GREENS_R7, DRIVER_GREENS_R8,
+)
+DRIVER_CHECKED_PRIOR_ROUNDS = frozenset().union(*DRIVER_GREEN_COHORTS)
 
 # Entries whose QUERY CONSTRUCTION (fn(spark, sf_dir), before any action
 # on the returned frame) already runs Spark jobs or mutates state: the
@@ -808,23 +852,18 @@ DRIVER_SENTINELS = [
     "tpch_q1",            # pure scan + partial-agg baseline
 ]
 
-# Round-8 window (the r7 verdict's prescribed rotation, applied as the
-# first commit of round 8): sentinels + 46 first-time names — the
-# written r8 plan from round 7, with the four round-7 operators
-# (graph_wcc, graph_bfs_hops, geo_position_asof,
-# sample_kcenter_coreset) slotted in per the plan's own note,
-# displacing four sampling/stats names (approx_counts_sampled,
-# sample_reservoir_per_group, sample_weighted,
-# sample_weighted_reservoir) to r9. Every name below passed the full
-# driver-contract drive at BOTH sf0.01 and sf0.1 in round 7, so the
-# window is de-risked. After this window lands, exactly 46 catalog
-# names have never had a driver row (32 backlog + the 14 round-8
-# additions listed at the bottom of R9_PLANNED_WINDOW); the r9 window
-# below closes the backlog to zero at 46/46 slots — FULL: any round-9
-# operator addition must displace a re-check or spill to r10. The
-# split is machine-checked against CATALOG minus
-# DRIVER_CHECKED_PRIOR_ROUNDS minus this window
-# (tests/test_catalog_order.py).
+# Round-9 window (the r8 verdict's prescribed rotation, applied as the
+# first commit of round 9): sentinels + the 46 names that, after the
+# r8 window's 50/50 green (CORRECTNESS_r08.json, folded into
+# DRIVER_GREENS_R8 above), have NEVER had a driver row — this closes
+# the never-checked backlog to ZERO. The window is FULL at 46/46
+# non-sentinel slots (machine-checked: test_catalog_order.py asserts
+# len(DRIVER_SENTINELS + R9_PLANNED_WINDOW) == 50 and set-equality
+# against CATALOG − DRIVER_CHECKED_PRIOR_ROUNDS − sentinels), so any
+# round-9 operator addition spills to the FRONT of the r10 window —
+# r10_window() below gives new never-checked names slots ahead of
+# freshness re-checks automatically. Every name below passed the full
+# driver-contract drive at BOTH sf0.01 and sf0.1 in round 8.
 #
 # r9 window = sentinels + the remaining 46 —
 #   sampling/stats (7): stats_equidepth_histogram, stats_moments,
@@ -847,18 +886,19 @@ DRIVER_SENTINELS = [
 #     multimodal_image_dhash_dedup, multimodal_resize (fresh rows-only
 #     driver rows replace their stale r3 `no_oracle` entries);
 #   quality (1): quality_classifier_score;
-# plus re-check slots for any names the r8 window leaves red, closing
-# the never-checked backlog to zero by end of r9.
+# (The r8 window left zero reds — CORRECTNESS_r08.json is 50/50 — so
+# no re-check slots were needed and the list above is exactly the
+# never-checked remainder.)
 #
-# r10+ policy (once the backlog is zero): evidence freshness. Every
-# oracled name then has >= 1 green driver row, but the oldest rows date
-# to round 1 — code those names has flowed past for 9 rounds. Rotate
-# the window through the OLDEST-green cohort first (the rounds-1-3
-# group inside DRIVER_CHECKED_PRIOR_ROUNDS, ~77 names -> two windows),
-# then rounds 4-5, keeping the 4 sentinels pinned; any round's new
-# operators take slots ahead of re-checks, exactly as in r8. The
-# cohort listing stays machine-derivable from the round-group comments
-# in DRIVER_CHECKED_PRIOR_ROUNDS.
+# r10+ policy (the backlog is zero once this window lands): evidence
+# freshness. Every oracled name then has >= 1 green driver row, but the
+# oldest rows date to round 1 — code those names has flowed past for 9
+# rounds. Rotate the window through the OLDEST-green cohort first
+# (DRIVER_GREENS_R1_3, 77 names incl. sentinels -> two windows), then
+# r4, r5, ..., keeping the 4 sentinels pinned; any round's NEW
+# operators take slots ahead of re-checks, exactly as in r8/r9.
+# r10_window() below derives the next window from the cohort constants
+# so the schedule cannot drift from the sets it samples.
 R9_PLANNED_WINDOW = [
     "stats_equidepth_histogram", "stats_moments",
     "stratified_neyman_alloc", "approx_counts_sampled",
@@ -885,60 +925,36 @@ R9_PLANNED_WINDOW = [
     "join_null_aware_anti", "stats_histogram_2d_dump", "pad_waste_report",
     "text_readability",
 ]
-DRIVER_PRIORITY = DRIVER_SENTINELS + [
-    # events/time-series (13)
-    "conversion_lag_percentiles",
-    "date_dim_generate",
-    "events_anomaly_zscore",
-    "events_dow_hour_profile",
-    "events_gapfill_locf",
-    "events_ohlc_bars",
-    "events_resample_interp",
-    "events_rollup_multires",
-    "events_session_window_native",
-    "event_transition_matrix",
-    "heartbeat_gaps",
-    "sliding_distinct_users",
-    "interval_coverage",
-    # text (13)
-    "ccnet_ppl_buckets",
-    "chunk_documents",
-    "doc_repeat_removal",
-    "explode_tokens",
-    "span_corruption_mask",
-    "text_bigram_logprob",
-    "text_entropy",
-    "text_fingerprint",
-    "text_lang_confusion",
-    "text_lang_quality_summary",
-    "text_mixed_language",
-    "text_rolling_fingerprint",
-    "text_unigram_logprob",
-    # dedup/similarity (8)
-    "dedup_cdc_chunks",
-    "dedup_incremental_lsh",
-    "dedup_simhash_pairs",
-    "dedup_span_duplication",
-    "contrastive_pairs_lsh",
-    "fuzzy_join_blocked",
-    "market_basket_pairs",
-    "skyline_pareto",
-    # embeddings/sketches (6)
-    "embedding_centroids",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "embedding_truncate_renorm",
-    "audience_overlap_sketch",
-    "quantile_sketch_mergeable",
-    # sampling/stats (2; the other four slid to r9 for the round-7 ops)
-    "percentile_exact",
-    "shard_assignment_balanced",
-    # round-7 operators (slotted per the r7 plan note)
-    "graph_wcc",
-    "graph_bfs_hops",
-    "geo_position_asof",
-    "sample_kcenter_coreset",
-]
+DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW
+
+
+def r10_window(window: int = 50) -> list[str]:
+    """Derive the round-10 driver window from the cohort constants.
+
+    Slots go, in order: (1) the pinned sentinels; (2) any catalog name
+    with NO driver row yet (i.e. operators added in round 9 after this
+    rotation landed — new evidence always outranks freshness); (3)
+    freshness re-checks walking DRIVER_GREEN_COHORTS oldest-first
+    (rounds 1-3 cohort first), alphabetical within a cohort, skipping
+    sentinels (pinned anyway). Deterministic, so the r10 rotation
+    commit is a one-liner: DRIVER_PRIORITY = r10_window().
+    """
+    sentinels = list(DRIVER_SENTINELS)
+    taken = set(sentinels)
+    out = list(sentinels)
+    never = [n for n in CATALOG
+             if n not in DRIVER_CHECKED_PRIOR_ROUNDS
+             and n not in set(R9_PLANNED_WINDOW) and n not in taken]
+    for name in never + [n for cohort in DRIVER_GREEN_COHORTS
+                         for n in sorted(cohort)]:
+        if len(out) >= window:
+            break
+        if name not in taken:
+            taken.add(name)
+            out.append(name)
+    return out
+
+
 
 
 def _apply_driver_priority() -> None:

@@ -36,21 +36,21 @@ def test_window_mostly_oracled():
     assert len(no_oracle) <= 4, no_oracle
 
 
-def test_r9_plan_partitions_the_backlog():
-    """The written r9 window (R9_PLANNED_WINDOW) plus the current r8
-    window must cover the never-checked backlog EXACTLY — no overlap, no
-    name missing from the registry, nothing left over — so the plan
-    comments that drive the final window's composition are
-    machine-consistent with CATALOG (r7 verdict task 5)."""
-    r8 = set(C.DRIVER_PRIORITY) - set(C.DRIVER_SENTINELS)
+def test_r9_window_closes_the_backlog_exactly():
+    """The installed r9 window must BE the never-checked backlog — no
+    overlap with checked names, nothing registered left over — so the
+    backlog reaches zero this round (r8 verdict task 1). Includes the
+    headroom reconciliation the r8 verdict asked for (task 6): the
+    window is exactly 50 wide, so its fullness can't drift in comments."""
     r9 = set(C.R9_PLANNED_WINDOW)
     assert len(C.R9_PLANNED_WINDOW) == len(r9), "duplicates in r9 plan"
+    assert len(C.DRIVER_SENTINELS) + len(C.R9_PLANNED_WINDOW) == WINDOW
+    assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R9_PLANNED_WINDOW
     missing = r9 - set(C.CATALOG)
     assert not missing, f"r9 plan names not registered: {sorted(missing)}"
-    assert not (r8 & r9), f"r8/r9 overlap: {sorted(r8 & r9)}"
     backlog = set(C.CATALOG) - C.DRIVER_CHECKED_PRIOR_ROUNDS - set(C.DRIVER_SENTINELS)
-    assert r8 | r9 == backlog, (
-        f"uncovered: {sorted(backlog - r8 - r9)}; extra: {sorted((r8 | r9) - backlog)}"
+    assert r9 == backlog, (
+        f"uncovered: {sorted(backlog - r9)}; extra: {sorted(r9 - backlog)}"
     )
     # rows-only-by-design is exactly the 4 multimodal decode planes; all
     # of them sit in the r9 window so each gets a fresh driver row.
@@ -60,6 +60,43 @@ def test_r9_plan_partitions_the_backlog():
         "multimodal_image_dhash_dedup", "multimodal_resize",
     }
     assert rows_only <= r9
+
+
+def test_cohorts_partition_the_checked_set():
+    """Per-round cohorts must be pairwise disjoint (a name's cohort is
+    the round of its FIRST green; sentinels live only in rounds 1-3) so
+    the r10+ freshness walk visits each name exactly once."""
+    seen = set()
+    for cohort in C.DRIVER_GREEN_COHORTS:
+        dup = seen & cohort
+        assert not dup, f"name in two cohorts: {sorted(dup)}"
+        seen |= cohort
+    assert seen == C.DRIVER_CHECKED_PRIOR_ROUNDS
+    assert set(C.DRIVER_SENTINELS) <= C.DRIVER_GREEN_COHORTS[0]
+    # r8 cohort == the r8 window's 46 non-sentinel names (50/50 green)
+    assert len(C.DRIVER_GREENS_R8) == 46
+
+
+def test_r10_window_is_well_formed():
+    """The pre-staged r10 freshness window (r8 verdict task 4):
+    sentinels first, then any never-checked round-9 additions, then
+    oldest-cohort (rounds 1-3) re-checks — deterministic and exactly
+    window-sized."""
+    w = C.r10_window()
+    assert len(w) == WINDOW
+    assert len(set(w)) == WINDOW
+    assert w[: len(C.DRIVER_SENTINELS)] == C.DRIVER_SENTINELS
+    rest = w[len(C.DRIVER_SENTINELS):]
+    new_ops = [n for n in rest if n not in C.DRIVER_CHECKED_PRIOR_ROUNDS]
+    rechecks = [n for n in rest if n in C.DRIVER_CHECKED_PRIOR_ROUNDS]
+    # new never-checked operators (if any were added mid-round-9) must
+    # all come before any freshness re-check
+    assert rest[: len(new_ops)] == new_ops
+    # r9-window names are NOT eligible (they get their row this round)
+    assert not (set(new_ops) & set(C.R9_PLANNED_WINDOW))
+    # re-checks come from the oldest cohort, alphabetically
+    oldest = sorted(C.DRIVER_GREEN_COHORTS[0] - set(C.DRIVER_SENTINELS))
+    assert rechecks == oldest[: len(rechecks)]
 
 
 def test_catalog_intact_after_reorder():
