@@ -251,7 +251,61 @@ HEADLINE = [
 ]
 
 
+def _reap_stray_spark_jvms() -> None:
+    """Refuse to measure next to a leftover Spark JVM.
+
+    A timed-out earlier invocation (e.g. `timeout N python bench.py`)
+    kills the Python driver but the py4j-launched SparkSubmit child can
+    survive long enough to poison the NEXT bench with CPU contention —
+    round 8 recorded a whole run inflated ~1.4× this way. Scan /proc for
+    java processes running org.apache.spark.deploy.SparkSubmit that are
+    not our own (we haven't started ours yet), terminate them, and log
+    what was reaped so the artifact records the intervention instead of
+    silently absorbing the noise. SIGTERM first, escalate to SIGKILL
+    only if the JVM lingers past a short grace window.
+    """
+    import signal
+
+    me = os.getpid()
+    strays: list[int] = []
+    for pid_dir in os.listdir("/proc"):
+        if not pid_dir.isdigit() or int(pid_dir) == me:
+            continue
+        try:
+            with open(f"/proc/{pid_dir}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"org.apache.spark.deploy.SparkSubmit" in cmd:
+            strays.append(int(pid_dir))
+    if not strays:
+        return
+    print(
+        f"bench: reaping {len(strays)} stray Spark JVM(s) {strays} before "
+        "measuring (leftover from a killed earlier run; they would poison "
+        "the timings with CPU contention)",
+        file=sys.stderr,
+    )
+    for pid in strays:
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    deadline = time.monotonic() + 10.0
+    alive = set(strays)
+    while alive and time.monotonic() < deadline:
+        time.sleep(0.25)
+        alive = {p for p in alive if os.path.exists(f"/proc/{p}")}
+    for pid in alive:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SKIP_JVM_GUARD") != "1":
+        _reap_stray_spark_jvms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

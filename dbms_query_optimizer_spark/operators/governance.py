@@ -2482,9 +2482,17 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     value counts c1, c2 (t = c1+c2) and the EXCLUSIVE prefix sum
     ``less`` of t in value order, the doubled tie-averaged rank sum is
     the exact integer 2R₁ = Σ c1·(2·less + t + 1), so 2U₁ = 2R₁ −
-    n₁(n₁+1) and the tie correction T = Σ(t³−t) are exact DECIMAL(38,0)
-    / HUGEINT (t³ fits 38 digits to N ≈ 4.6·10¹²; beyond that the tie
-    sum needs a per-bucket pre-division). z then takes ONE identical
+    n₁(n₁+1) and the tie correction T = Σ(t³−t) are exact: operands
+    are cast DECIMAL(20,0) and Spark widens their products/sums to
+    DECIMAL(38,0) (t³ fits 38 digits to N ≈ 4.6·10¹²; beyond that the
+    tie sum needs a per-bucket pre-division). The OUTPUT columns
+    u1_x2/tie_term are then down-cast BIGINT for a stable
+    cross-engine schema, which caps the REPORTABLE range at ~9.2·10¹⁸
+    (all-tied worst case ≈ N³ → N ≈ 2·10⁶; realistic cents-domain ties
+    keep t per value small and push the ceiling far beyond any test
+    SF) — and the overflow failure MODES differ (non-ANSI Spark
+    nulls, DuckDB errors), so a deployment past that range should keep
+    the decimals in the output instead. z then takes ONE identical
     double pipeline on both engines — (2U₁ − n₁n₂) / (2σ) with σ² =
     n₁n₂·((N+1)·N·(N−1) − T) / (12·N·(N−1)) — emitted rounded 4 dp (the
     ``drift_welch_t`` contract).
@@ -2518,12 +2526,12 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     less = distributed_prefix_agg(
         per_val, "cents", "t", pid, 8, kind="sum", out_col="less"
     )
-    d38 = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    d20 = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
     terms = less.select(
-        (d38("c1") * (F.lit(2) * d38("less") + d38("t") + F.lit(1))).alias(
+        (d20("c1") * (F.lit(2) * d20("less") + d20("t") + F.lit(1))).alias(
             "r1_term"
         ),
-        (d38("t") * d38("t") * d38("t") - d38("t")).alias("tie_term"),
+        (d20("t") * d20("t") * d20("t") - d20("t")).alias("tie_term"),
         "c1",
         "c2",
     )

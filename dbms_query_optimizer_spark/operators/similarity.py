@@ -1573,9 +1573,16 @@ def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qv"),
         )
     )
-    cent = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster_id"),
-        F.transform("qv", lambda x: x * F.lit(KMEANS_Q)).alias("cv"),
+    # Seed = the K smallest vec_ids (TakeOrdered top-K — distributed,
+    # no assumption that ids 0..K-1 exist; a corpus whose ids start at
+    # 10^9 still gets exactly K centroids, labeled by seed vec_id).
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster_id"),
+            F.transform("qv", lambda x: x * F.lit(KMEANS_Q)).alias("cv"),
+        )
     )
 
     d2_expr = F.aggregate(
@@ -1673,7 +1680,7 @@ def _kmeans_oracle() -> str:
 ), c0 AS (
     SELECT CAST(vec_id AS INT) AS cluster_id,
            list_transform(qv, x -> x * {KMEANS_Q}) AS cv
-    FROM qvec WHERE vec_id < {KMEANS_K}
+    FROM qvec ORDER BY vec_id LIMIT {KMEANS_K}
 )"""
     ]
     cent = "c0"

@@ -2149,11 +2149,13 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Syllables are the classic vowel-group heuristic (runs of
     [aeiouy]+ — whitespace breaks groups, so the whole-text regexp
     count equals the per-word sum). Sentences split on [.!?]+ runs;
-    the fixture has no sentence punctuation, so the count falls back
-    to 20-word pseudo-sentence windows (the ``boilerplate_strip``
-    no-newlines precedent) via GREATEST — on real corpora the
-    punctuation count dominates, and BOTH terms are exercised by the
-    expression. All inputs are exact integers; the score is one
+    ONLY when a document has zero sentence punctuation (the fixture's
+    case) does the count fall back to 20-word pseudo-sentence windows
+    (the ``boilerplate_strip`` no-newlines precedent) — a CASE, not a
+    GREATEST, so a real punctuation count is authoritative even for
+    long-sentence prose whose average sentence exceeds the window
+    (the r8 ADVICE finding: a GREATEST floor would silently inflate
+    Flesch there). All inputs are exact integers; the score is one
     identical double pipeline rounded 4 dp, and the band compares the
     already-rounded value.
 
@@ -2173,14 +2175,20 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.concat(F.lit(" "), F.trim("text")), F.lit("\\s+")).alias(
             "n_words"
         ),
-        F.greatest(
-            F.expr(
-                "(regexp_count(' ' || trim(text), '\\\\s+')"
-                f" + {SENT_WINDOW_WORDS - 1}) DIV {SENT_WINDOW_WORDS}"
-            ),
-            F.regexp_count("text", F.lit("[.!?]+")),
-            F.lit(1).cast("long"),
-        ).alias("n_sentences"),
+        F.when(
+            F.regexp_count("text", F.lit("[.!?]+")) > 0,
+            F.regexp_count("text", F.lit("[.!?]+")).cast("long"),
+        )
+        .otherwise(
+            F.greatest(
+                F.expr(
+                    "(regexp_count(' ' || trim(text), '\\\\s+')"
+                    f" + {SENT_WINDOW_WORDS - 1}) DIV {SENT_WINDOW_WORDS}"
+                ),
+                F.lit(1).cast("long"),
+            )
+        )
+        .alias("n_sentences"),
         F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).alias(
             "n_syllables"
         ),
@@ -2207,12 +2215,14 @@ WITH feats AS (
     SELECT doc_id,
            CAST(len(regexp_extract_all(' ' || trim(text), '\\s+'))
                 AS BIGINT) AS n_words,
-           GREATEST(
-               (CAST(len(regexp_extract_all(' ' || trim(text), '\\s+'))
-                     AS BIGINT) + {SENT_WINDOW_WORDS - 1})
-                   // {SENT_WINDOW_WORDS},
-               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
-               CAST(1 AS BIGINT)) AS n_sentences,
+           CASE WHEN len(regexp_extract_all(text, '[.!?]+')) > 0
+                THEN CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                ELSE GREATEST(
+                    (CAST(len(regexp_extract_all(' ' || trim(text), '\\s+'))
+                          AS BIGINT) + {SENT_WINDOW_WORDS - 1})
+                        // {SENT_WINDOW_WORDS},
+                    CAST(1 AS BIGINT))
+                END AS n_sentences,
            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
                 AS BIGINT) AS n_syllables
     FROM documents

@@ -141,29 +141,74 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate to the batch sessionization (module docstring), so the
     driver hash-checks the emitted set exactly.
     """
+    import math
+    import os
+
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Batch the replay into a FIXED small number of micro-batches
+    # instead of one per source file: per-batch cost is fixed machinery
+    # (state-store load/commit x partitions + an Arrow worker round), so
+    # wall time scales with batch COUNT, not data. ceil(n/3) keeps the
+    # replay multi-batch whenever the source has >=3 files — sessions
+    # still close both ways (successor-event mid-stream and event-time
+    # timeout across batch boundaries), which is what the sandwich
+    # oracle's closure predicate certifies — while bounding the
+    # fixed-overhead multiplier at ~3 regardless of file count. The
+    # testdata table is a single file (1 data batch + 1 timer batch);
+    # multi-batch state evolution is pinned independently by
+    # tests/test_stateful_streaming.py's chunked replays.
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    n_files = (
+        sum(1 for f in os.listdir(ev_path) if f.endswith(".parquet"))
+        if os.path.isdir(ev_path)
+        else 1
+    )
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max(1, math.ceil(n_files / 3))))
         .parquet(sf_dir)
     )
     stream = norm_stream_ts(spark, stream)
 
+    # The stateful operator's state-store instance count is frozen to
+    # spark.sql.shuffle.partitions at query start, and the replay's wall
+    # time is dominated by PER-PARTITION fixed machinery (state-store
+    # setup/commit + one Arrow Python-worker round per partition PER
+    # micro-batch), not by data volume — state is one tiny tuple per
+    # active user, the same node-domain-state class session.state_width
+    # governs in the iterative loops. At the bench's width 32 that fixed
+    # cost ran 2 batches x 32 stores and made the recorded number
+    # maximally sensitive to host contention (r8: 3.99 s -> 10.97 s with
+    # zero code change). Derive the width from configured parallelism
+    # instead: 8 on local[32] (4x less fixed overhead), growing with
+    # shuffle.partitions on a real cluster where 10^8 active users need
+    # the state sharded wide. Emitted SET is width-invariant (proven by
+    # the SPARK_GRAFT_PARTS=5 re-drive), so the oracle hash is unchanged.
+    from ..session import state_width
+
+    part_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, str(state_width(stream)))
+
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
-        # one more empty micro-batch so timers fire against the final watermark
-        q.processAllAvailable()
+        q = (
+            sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # one more empty micro-batch so timers fire against the final
+            # watermark
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(part_key, orig_parts)
     return spark.table(name).orderBy("user_id", "session_start")
 
 
