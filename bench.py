@@ -248,6 +248,9 @@ HEADLINE = [
     "stats_histogram_2d_dump",
     "pad_waste_report",
     "text_readability",
+    # round 9: CDF-fed incremental maintenance of the persisted
+    # cell-partitioned ANN index (refresh = O(churn + affected cells))
+    "index_refresh",
 ]
 
 

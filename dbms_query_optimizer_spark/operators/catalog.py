@@ -816,6 +816,7 @@ EAGER_CONSTRUCTION = frozenset({
     "embedding_pca_project", "embedding_pq_adc", "entity_resolution",
     "global_row_number", "graph_bfs_hops", "graph_kcore",
     "graph_pagerank", "graph_wcc",
+    "index_refresh",
     "ks_test_drift", "lsh_recall_report", "mann_whitney_u",
     "markov_attribution",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
@@ -925,6 +926,13 @@ R9_PLANNED_WINDOW = [
     "join_null_aware_anti", "stats_histogram_2d_dump", "pad_waste_report",
     "text_readability",
 ]
+# Operators ADDED during round 9, after the (full) r9 window was
+# installed: no driver row yet, not in the window — r10_window() puts
+# them at the front of the next rotation, ahead of freshness re-checks.
+R9_ADDITIONS = [
+    "index_refresh",
+]
+
 DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW
 
 

@@ -48,9 +48,12 @@ def test_r9_window_closes_the_backlog_exactly():
     assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R9_PLANNED_WINDOW
     missing = r9 - set(C.CATALOG)
     assert not missing, f"r9 plan names not registered: {sorted(missing)}"
+    adds = set(C.R9_ADDITIONS)
+    assert not (adds & r9) and not (adds & C.DRIVER_CHECKED_PRIOR_ROUNDS)
     backlog = set(C.CATALOG) - C.DRIVER_CHECKED_PRIOR_ROUNDS - set(C.DRIVER_SENTINELS)
-    assert r9 == backlog, (
-        f"uncovered: {sorted(backlog - r9)}; extra: {sorted(r9 - backlog)}"
+    assert r9 | adds == backlog, (
+        f"uncovered: {sorted(backlog - r9 - adds)}; "
+        f"extra: {sorted((r9 | adds) - backlog)}"
     )
     # rows-only-by-design is exactly the 4 multimodal decode planes; all
     # of them sit in the r9 window so each gets a fresh driver row.

@@ -553,6 +553,13 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # readability: map-only scorer — regexp counts fused into the scan,
     # nothing but the presentation sort after
     "text_readability": ["!tree:Join", "!tree:HashAggregate", "!MapInPandas"],
+    # CDF-fed index maintenance runs at construction (manifest commits +
+    # dynamic-overwrite cell rewrite); the returned tail is one
+    # map-side-combined per-cell aggregate over the refreshed inverted
+    # file — no join, no Python plane
+    "index_refresh": [
+        "tree:HashAggregate", "partial_", "!tree:Join", "!MapInPandas",
+    ],
 }
 
 
