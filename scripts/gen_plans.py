@@ -695,6 +695,16 @@ COMMENTARY = {
         "join, no aggregate, no Python; the only exchange is the "
         "presentation sort."
     ),
+    "index_refresh": (
+        "CDF-fed ANN-index maintenance. The manifest commits, delta "
+        "assignment, and dynamic-overwrite cell rewrite all run at "
+        "construction (EAGER_CONSTRUCTION); this is the returned "
+        "audit tail. Expect: one parquet scan of the refreshed "
+        "cell-partitioned inverted file, the qnorm² fold fused into "
+        "the scan projection, one partial+final HashAggregate per "
+        "cell — no join, no Python plane, nothing but the "
+        "presentation sort after."
+    ),
 }
 
 
