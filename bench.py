@@ -251,6 +251,12 @@ HEADLINE = [
     # round 9: CDF-fed incremental maintenance of the persisted
     # cell-partitioned ANN index (refresh = O(churn + affected cells))
     "index_refresh",
+    # round 9: hybrid lexical+vector retrieval fused by reciprocal-rank
+    # (distributed global ranks, depth-bounded fusion join)
+    "rrf_hybrid_search",
+    # round 9: split-conformal prediction intervals (group-conditional
+    # order-statistic calibration + test-split coverage audit)
+    "conformal_intervals",
 ]
 
 

@@ -821,6 +821,7 @@ EAGER_CONSTRUCTION = frozenset({
     "markov_attribution",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
+    "rrf_hybrid_search",
     "sample_kcenter_coreset", "sample_systematic",
     "shard_assignment_balanced", "skyline_pareto",
     "source_binaryfile_scan", "source_csv_scan", "source_json_scan",
@@ -931,6 +932,8 @@ R9_PLANNED_WINDOW = [
 # them at the front of the next rotation, ahead of freshness re-checks.
 R9_ADDITIONS = [
     "index_refresh",
+    "rrf_hybrid_search",
+    "conformal_intervals",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW

@@ -3355,6 +3355,187 @@ ORDER BY p_rank
 """
 
 
+# ------------------------------- split-conformal prediction intervals
+
+CONF_BUCKETS = 10  # md5 split: 0-7 train, 8 calibration, 9 test
+CONF_CAL_BUCKET = 8
+CONF_TEST_BUCKET = 9
+# coverage level 1-alpha = 9/10, kept as integers so the finite-sample
+# index k = ceil((n+1) * 9/10) is exact integer arithmetic
+CONF_COV_NUM, CONF_COV_DEN = 9, 10
+
+
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with GROUP-CONDITIONAL
+    (Mondrian) calibration — the distribution-free uncertainty
+    quantification every model-eval stack needs next to its point
+    metrics (AUC/PR/calibration report): for any point predictor, the
+    interval ŷ ± q̂ covers the true value with probability ≥ 1−α on
+    exchangeable data, with NO assumptions on the model or noise.
+
+    Pipeline (leakage-safe by the ``hash_split_train`` /
+    ``feature_standardize`` discipline): a deterministic md5 bucket
+    splits orders into train (80%), calibration (10%), test (10%).
+    The predictor — per-orderpriority mean total price, fit on TRAIN
+    ONLY with exact decimal sums — is deliberately simple: conformal
+    wraps ANY predictor, and the audit's subject is the interval, not
+    the model. On CALIBRATION, q̂ per group is the k-th smallest
+    absolute residual with k = ceil((n_cal+1)·(1−α)) — the
+    finite-sample-valid order statistic, exact integer k, never an
+    interpolated quantile. On TEST, coverage = fraction of rows whose
+    residual ≤ q̂ — the number the 1−α guarantee is checked against.
+
+    Scale shape: fit is one map-side-combined aggregate; the order
+    statistic sorts only the CALIBRATION SLICE (10%, and a production
+    deployment caps the calibration sample — the guarantee needs
+    thousands of points, not the corpus) within each of the 5 groups;
+    coverage is one aggregate over test with two broadcast joins
+    (5-row fit + 5-row q̂). Residuals are rounded 4 dp on BOTH engines
+    before ranking and comparison, so ties and the coverage boundary
+    are engine-exact.
+    """
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % CONF_BUCKETS
+    )
+    split = orders.withColumn("_b", bucket)
+    fit = (
+        split.filter(
+            (F.col("_b") != CONF_CAL_BUCKET) & (F.col("_b") != CONF_TEST_BUCKET)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("y_hat")
+        )
+    )
+    resid = (
+        split.filter(F.col("_b") == CONF_CAL_BUCKET)
+        .join(F.broadcast(fit), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.abs(F.col("o_totalprice") - F.col("y_hat")), 4).alias("r"),
+        )
+    )
+    ncal = resid.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_cal"))
+    # k = ceil((n+1) * 9/10) via integer arithmetic; capped at n (k > n
+    # means the finite-sample interval is infinite — can't happen at
+    # these calibration sizes, but the cap keeps tiny groups defined
+    # identically on both engines)
+    k_expr = F.least(
+        F.expr(
+            f"(({CONF_COV_NUM} * (n_cal + 1)) + {CONF_COV_DEN - 1}) "
+            f"DIV {CONF_COV_DEN}"
+        ),
+        F.col("n_cal"),
+    ).alias("k")
+    kdf = ncal.select("o_orderpriority", "n_cal", k_expr)
+    ranked = resid.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("o_orderpriority").orderBy("r", "o_orderkey")
+        ),
+    )
+    qhat = (
+        ranked.join(F.broadcast(kdf), "o_orderpriority")
+        .filter(F.col("_rn") == F.col("k"))
+        .select("o_orderpriority", "n_cal", F.col("r").alias("q_hat"))
+    )
+    test = (
+        split.filter(F.col("_b") == CONF_TEST_BUCKET)
+        .join(F.broadcast(fit), "o_orderpriority")
+        .join(F.broadcast(qhat), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("q_hat").alias("q_hat"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.round(F.abs(F.col("o_totalprice") - F.col("y_hat")), 4)
+                    <= F.col("q_hat")
+                ).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(fit), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "y_hat",
+            "n_cal",
+            "q_hat",
+            "n_test",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_test"), 4).alias("coverage"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_CONFORMAL_INTERVALS = f"""
+WITH split AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % {CONF_BUCKETS} AS _b
+    FROM orders
+), fit AS (
+    SELECT o_orderpriority,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS y_hat
+    FROM split
+    WHERE _b <> {CONF_CAL_BUCKET} AND _b <> {CONF_TEST_BUCKET}
+    GROUP BY o_orderpriority
+), resid AS (
+    SELECT s.o_orderpriority, s.o_orderkey,
+           ROUND(ABS(s.o_totalprice - f.y_hat), 4) AS r
+    FROM split s JOIN fit f USING (o_orderpriority)
+    WHERE s._b = {CONF_CAL_BUCKET}
+), kdf AS (
+    SELECT o_orderpriority, COUNT(*) AS n_cal,
+           LEAST((({CONF_COV_NUM} * (COUNT(*) + 1)) + {CONF_COV_DEN - 1})
+                     // {CONF_COV_DEN},
+                 COUNT(*)) AS k
+    FROM resid GROUP BY o_orderpriority
+), ranked AS (
+    SELECT o_orderpriority, r,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY r, o_orderkey) AS _rn
+    FROM resid
+), qhat AS (
+    SELECT k.o_orderpriority, k.n_cal, rk.r AS q_hat
+    FROM kdf k JOIN ranked rk
+      ON rk.o_orderpriority = k.o_orderpriority AND rk._rn = k.k
+), test AS (
+    SELECT s.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN ROUND(ABS(s.o_totalprice - f.y_hat), 4)
+                              <= q.q_hat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+    FROM split s
+    JOIN fit f USING (o_orderpriority)
+    JOIN qhat q USING (o_orderpriority)
+    WHERE s._b = {CONF_TEST_BUCKET}
+    GROUP BY s.o_orderpriority
+)
+SELECT t.o_orderpriority, f.y_hat, CAST(q.n_cal AS BIGINT) AS n_cal,
+       q.q_hat, t.n_test, t.n_covered,
+       ROUND(CAST(t.n_covered AS DOUBLE) / t.n_test, 4) AS coverage
+FROM test t
+JOIN fit f USING (o_orderpriority)
+JOIN qhat q ON q.o_orderpriority = t.o_orderpriority
+ORDER BY t.o_orderpriority
+"""
+
+
 def oracles() -> dict[str, tuple]:
     from .text import SQL_QUALITY  # local import: text also imports engine
 
@@ -3429,5 +3610,9 @@ def oracles() -> dict[str, tuple]:
         "event_transition_matrix": (
             q_event_transition_matrix,
             ORACLE_EVENT_TRANSITION_MATRIX,
+        ),
+        "conformal_intervals": (
+            q_conformal_intervals,
+            ORACLE_CONFORMAL_INTERVALS,
         ),
     }

@@ -1939,6 +1939,151 @@ def refresh_index(spark, table, cent: DataFrame, idx_dir: str) -> int:
     return latest
 
 
+# ---------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_C = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_DEPTH = 50  # per-leg candidate-list depth
+RRF_TOPK = 20
+RRF_QUERY_VEC = 0  # the query: doc 0's embedding + the BM25 term set
+
+
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the fusion stage of
+    every modern lexical+vector search stack (RAG retrieval, hybrid
+    search in OpenSearch/Vespa), tying the text family's BM25 leg to
+    the similarity family's cosine leg: each leg ranks the corpus
+    independently, the fused score is Σ 1/(C + rank) over the legs a
+    document appears in (RRF needs only RANKS, so the two legs'
+    incomparable score scales never need calibration), and the top-k of
+    the fused list is returned with both leg ranks for attribution.
+
+    Exactness: both legs rank their ROUNDED 6-dp scores (the bm25 /
+    knn contracts) with doc_id tie-break, so ranks are engine-exact;
+    the RRF score is a TWO-term double sum in fixed expression order —
+    no summation-order freedom — rounded 9 dp.
+
+    Scale shape: each leg's global rank is ``distributed_row_number``
+    over descending range buckets (no single-partition window — the
+    bh_fdr_report discipline); the depth cut bounds the fusion join to
+    2·DEPTH rows, so the full-outer fuse + final top-k are constant-
+    size regardless of corpus. Leg cost is the legs' own (BM25's
+    term-filtered aggregate; one broadcast query row against the
+    corpus for cosine). The query side generalizes to a query TABLE by
+    adding query_id to the rank keys.
+    """
+    from ..session import state_width
+    from .relational import distributed_row_number, range_bucket
+    from .text import q_bm25_score
+
+    lex = q_bm25_score(spark, sf_dir).filter(F.col("doc_id") != RRF_QUERY_VEC)
+    npart = state_width(lex)
+    lexr = (
+        distributed_row_number(
+            lex,
+            [F.col("bm25").desc(), F.col("doc_id").asc()],
+            range_bucket(lex, "bm25", npart, descending=True),
+            npart,
+            rn_col="r_lex",
+        )
+        .filter(F.col("r_lex") <= RRF_DEPTH)
+        .select("doc_id", "r_lex")
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("vq")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vc"))
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", F.round(cosine_expr("vq", "vc"), 6).alias("cosine"))
+    )
+    vecr = (
+        distributed_row_number(
+            cos,
+            [F.col("cosine").desc(), F.col("doc_id").asc()],
+            range_bucket(cos, "cosine", npart, descending=True),
+            npart,
+            rn_col="r_vec",
+        )
+        .filter(F.col("r_vec") <= RRF_DEPTH)
+        .select("doc_id", "r_vec")
+    )
+
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_vec")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOPK)
+
+
+_RRF_DUCK_COS = (
+    "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+ORACLE_RRF_HYBRID_SEARCH = f"""
+WITH toks AS (
+    SELECT doc_id, t.token
+    FROM documents,
+         UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> len(x) >= 1)) AS t(token)
+), dl AS (
+    SELECT doc_id, COUNT(*) AS n_dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT AVG(n_dl) FROM dl) AS avgdl
+), tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM toks
+    WHERE token IN ('join', 'table', 'query')
+    GROUP BY doc_id, token
+), dfreq AS (
+    SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+), bm AS (
+    SELECT doc_id,
+           ROUND(SUM(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * n_dl / avgdl))), 6)
+               AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token)
+    CROSS JOIN stats
+    WHERE doc_id <> {RRF_QUERY_VEC}
+    GROUP BY doc_id
+), lexr AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+    FROM bm
+), cos AS (
+    SELECT c.vec_id AS doc_id, {_RRF_DUCK_COS} AS cosine
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = {RRF_QUERY_VEC}
+), vecr AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+    FROM cos
+), fused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+           ROUND(COALESCE(1.0 / ({RRF_C} + l.r_lex), 0.0)
+                 + COALESCE(1.0 / ({RRF_C} + v.r_vec), 0.0), 9) AS rrf
+    FROM (SELECT * FROM lexr WHERE r_lex <= {RRF_DEPTH}) l
+    FULL OUTER JOIN (SELECT * FROM vecr WHERE r_vec <= {RRF_DEPTH}) v
+      ON l.doc_id = v.doc_id
+)
+SELECT doc_id, r_lex, r_vec, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOPK}
+"""
+
+
 def _ivfr_oracle() -> str:
     qv = (
         "list_transform(embedding, x -> "
@@ -2018,4 +2163,5 @@ def oracles() -> dict[str, tuple]:
             ORACLE_EMBEDDING_KMEANS_LLOYD,
         ),
         "index_refresh": (q_index_refresh, ORACLE_INDEX_REFRESH),
+        "rrf_hybrid_search": (q_rrf_hybrid_search, ORACLE_RRF_HYBRID_SEARCH),
     }

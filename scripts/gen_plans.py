@@ -705,6 +705,22 @@ COMMENTARY = {
         "cell — no join, no Python plane, nothing but the "
         "presentation sort after."
     ),
+    "rrf_hybrid_search": (
+        "Hybrid lexical+vector fusion. Expect: each leg's global rank "
+        "as a Window partitioned by the range-bucket _pid "
+        "(distributed_row_number — never a single-partition window), "
+        "BroadcastNestedLoopJoin ONLY on the 1-row broadcasts (query "
+        "vector, corpus stats), the depth-cut legs fused by a "
+        "full-outer SortMergeJoin over ≤2·DEPTH rows, and "
+        "TakeOrderedAndProject for the final top-k."
+    ),
+    "conformal_intervals": (
+        "Split-conformal calibration. Expect: the order-statistic "
+        "Window partitioned by o_orderpriority over the 10% "
+        "calibration slice only; every join a BroadcastHashJoin "
+        "(5-row fit and q-hat frames); partial+final HashAggregates "
+        "for fit and coverage; no Python, no nested loop."
+    ),
 }
 
 

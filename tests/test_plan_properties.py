@@ -560,6 +560,20 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "index_refresh": [
         "tree:HashAggregate", "partial_", "!tree:Join", "!MapInPandas",
     ],
+    # hybrid RRF fusion: per-leg global ranks are _pid-partitioned
+    # windows (distributed_row_number — never a single-partition
+    # window), the fused top-k is a TakeOrdered, and the only nested
+    # loops are the 1-row broadcasts (query vector, corpus stats)
+    "rrf_hybrid_search": [
+        "tree:TakeOrderedAndProject", "tree:Window", "!MapInPandas",
+    ],
+    # conformal calibration: the order-statistic window partitions by
+    # the group key over the calibration slice only; fit/q-hat rejoin
+    # as 5-row broadcasts; coverage is one map-side-combined aggregate
+    "conformal_intervals": [
+        "tree:Window", "BroadcastHashJoin", "tree:HashAggregate",
+        "partial_", "!MapInPandas",
+    ],
 }
 
 

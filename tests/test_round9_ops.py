@@ -1,0 +1,109 @@
+"""Structural invariants for the round-9 additions beyond the DuckDB
+parity gate: RRF fusion arithmetic/ranks and the conformal order
+statistic (recomputed independently in pandas)."""
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rrf(spark):
+    from dbms_query_optimizer_spark.operators.similarity import (
+        q_rrf_hybrid_search,
+    )
+
+    return q_rrf_hybrid_search(spark, SF_DIR).toPandas()
+
+
+@pytest.fixture(scope="module")
+def conf(spark):
+    from dbms_query_optimizer_spark.operators.governance import (
+        q_conformal_intervals,
+    )
+
+    return q_conformal_intervals(spark, SF_DIR).toPandas()
+
+
+def test_rrf_score_is_the_rank_formula(rrf):
+    from dbms_query_optimizer_spark.operators.similarity import RRF_C
+
+    for _, row in rrf.iterrows():
+        want = 0.0
+        if pd.notna(row["r_lex"]):
+            want += 1.0 / (RRF_C + row["r_lex"])
+        if pd.notna(row["r_vec"]):
+            want += 1.0 / (RRF_C + row["r_vec"])
+        assert abs(row["rrf"] - round(want, 9)) < 1e-12
+
+
+def test_rrf_shape_and_order(rrf):
+    from dbms_query_optimizer_spark.operators.similarity import (
+        RRF_DEPTH,
+        RRF_QUERY_VEC,
+        RRF_TOPK,
+    )
+
+    assert 0 < len(rrf) <= RRF_TOPK
+    assert rrf["doc_id"].is_unique
+    assert (rrf["doc_id"] != RRF_QUERY_VEC).all()  # no self-retrieval
+    # fused list is sorted by score desc (doc_id tiebreak)
+    assert (rrf["rrf"].values[:-1] >= rrf["rrf"].values[1:]).all()
+    # leg ranks respect the depth cut and are unique within a leg
+    for col in ("r_lex", "r_vec"):
+        ranks = rrf[col].dropna()
+        assert (ranks >= 1).all() and (ranks <= RRF_DEPTH).all()
+        assert ranks.is_unique
+    # a doc ranked high in BOTH legs must outscore a doc in one leg at
+    # the same ranks — monotonicity of the fusion
+    both = rrf[rrf["r_lex"].notna() & rrf["r_vec"].notna()]
+    one = rrf[rrf["r_lex"].isna() | rrf["r_vec"].isna()]
+    if len(both) and len(one):
+        assert both["rrf"].max() > one["rrf"].min()
+
+
+def test_conformal_qhat_is_kth_order_statistic(spark, conf):
+    """Recompute the calibration order statistic independently (pandas
+    over the same md5 split) — the invariant the SQL rank implements."""
+    import hashlib
+    import math
+
+    from dbms_query_optimizer_spark.operators.governance import (
+        CONF_BUCKETS,
+        CONF_CAL_BUCKET,
+        CONF_COV_DEN,
+        CONF_COV_NUM,
+        CONF_TEST_BUCKET,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ]
+    orders["_b"] = orders["o_orderkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        % CONF_BUCKETS
+    )
+    train = orders[~orders["_b"].isin([CONF_CAL_BUCKET, CONF_TEST_BUCKET])]
+    fit = train.groupby("o_orderpriority")["o_totalprice"].agg(
+        lambda s: round(float(s.sum()) / len(s), 4)
+    )
+    cal = orders[orders["_b"] == CONF_CAL_BUCKET].copy()
+    cal["r"] = (cal["o_totalprice"] - cal["o_orderpriority"].map(fit)).abs().round(4)
+    for _, row in conf.iterrows():
+        rs = sorted(cal[cal["o_orderpriority"] == row["o_orderpriority"]]["r"])
+        n = len(rs)
+        assert n == row["n_cal"]
+        k = min(math.ceil(CONF_COV_NUM * (n + 1) / CONF_COV_DEN), n)
+        assert rs[k - 1] == pytest.approx(row["q_hat"], abs=1e-9)
+
+
+def test_conformal_counts_consistent(conf):
+    assert (conf["n_covered"] <= conf["n_test"]).all()
+    assert (conf["coverage"] >= 0).all() and (conf["coverage"] <= 1).all()
+    assert (conf["q_hat"] >= 0).all()
+    # split-conformal at alpha=0.1 should land near 0.9 on exchangeable
+    # data; a wide tolerance still catches an off-by-one k or a leaked
+    # split (which push coverage toward 0.5 or 1.0 systematically)
+    pooled = conf["n_covered"].sum() / conf["n_test"].sum()
+    assert 0.75 <= pooled <= 1.0
