@@ -257,6 +257,9 @@ HEADLINE = [
     # round 9: split-conformal prediction intervals (group-conditional
     # order-statistic calibration + test-split coverage audit)
     "conformal_intervals",
+    # round 9: continuous ANN-index maintenance — manifest tail streamed
+    # through an idempotent foreachBatch cell-fold (exactly-once = hash)
+    "streaming_index_upsert",
 ]
 
 

@@ -832,6 +832,7 @@ EAGER_CONSTRUCTION = frozenset({
     "stats_histogram_dump",
     "stats_selectivity_report",
     "streaming_dedup", "streaming_foreachbatch_ingest",
+    "streaming_index_upsert",
     "streaming_manifest_tail", "streaming_quantile_sketch",
     "streaming_sessionized", "streaming_static_join",
     "streaming_stream_stream_join",
@@ -934,6 +935,7 @@ R9_ADDITIONS = [
     "index_refresh",
     "rrf_hybrid_search",
     "conformal_intervals",
+    "streaming_index_upsert",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW

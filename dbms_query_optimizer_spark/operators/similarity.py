@@ -2084,7 +2084,10 @@ LIMIT {RRF_TOPK}
 """
 
 
-def _ivfr_oracle() -> str:
+def _ivfr_oracle(final_sql: str, cent_src: str) -> str:
+    """Per-cell rebuild-equivalence stats under the frozen quantizer:
+    ``final_sql`` defines the final corpus membership (CTE body over
+    ``qvec``), ``cent_src`` the FROM clause the K seed rows come from."""
     qv = (
         "list_transform(embedding, x -> "
         f"CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q} + 0.5) AS BIGINT))"
@@ -2095,12 +2098,10 @@ WITH qvec AS (
 ), v1 AS (
     SELECT * FROM qvec WHERE {IVFR_V1_PRED}
 ), final AS (
-    SELECT * FROM v1 WHERE NOT ({IVFR_DEL_PRED})
-    UNION ALL
-    SELECT * FROM qvec WHERE {IVFR_INS_PRED}
+    {final_sql}
 ), cent AS (
     SELECT CAST(vec_id AS INT) AS cell, qv AS cqv
-    FROM v1 ORDER BY vec_id LIMIT {IVFR_K}
+    FROM {cent_src} ORDER BY vec_id LIMIT {IVFR_K}
 ), d AS (
     SELECT f.vec_id, c.cell,
            SUM((f.qv[g.i + 1] - c.cqv[g.i + 1])
@@ -2128,7 +2129,108 @@ ORDER BY cell
 """
 
 
-ORACLE_INDEX_REFRESH = _ivfr_oracle()
+ORACLE_INDEX_REFRESH = _ivfr_oracle(
+    f"""SELECT * FROM v1 WHERE NOT ({IVFR_DEL_PRED})
+    UNION ALL
+    SELECT * FROM qvec WHERE {IVFR_INS_PRED}""",
+    "v1",
+)
+
+
+def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ANN-index maintenance — ``q_index_refresh``'s batch
+    CDF fold driven as a real stream: the transactional table's commit
+    log is tailed by the manifest streaming source
+    (sources/manifest_stream.py — offsets are manifest versions, each
+    micro-batch reads exactly the files its versions added), and every
+    micro-batch is assigned to the frozen coarse-quantizer cells and
+    folded into the index through an IDEMPOTENT foreachBatch sink:
+    each batch overwrites its own ``batch=<id>`` directory
+    (streaming/sinks.py discipline), partitioned by cell inside it, so
+    an at-least-once redelivery replaces identical bytes instead of
+    duplicating vectors and the inverted lists stay cell-prunable.
+
+    Three insert commits stream through (the %4==3 quarter is never
+    committed, keeping membership non-trivial); the returned frame is
+    the same per-cell stats contract as ``index_refresh``, and the
+    DuckDB oracle rebuilds them from the final membership under the
+    same frozen centroids — a lost or doubled micro-batch flips
+    n_members/sums, so the value hash IS the exactly-once check.
+    Quantizer seeds come from the full corpus (the pre-trained-offline
+    convention; geometry only, membership plays no part).
+
+    Scale: per-batch work is O(batch·k·d) assignment + one write of
+    the batch's cells; nothing rescans the table or the index. The
+    batch directories double as compaction bookkeeping, exactly as in
+    the foreachBatch ingest path.
+    """
+    import os
+    import shutil
+
+    from ..sources.manifest import TransactionalTable
+    from ..sources.manifest_stream import register
+    from .sources_queries import _roundtrip_dir
+
+    root = _roundtrip_dir(sf_dir, "txn_ivf_stream", "embeddings")
+    shutil.rmtree(root, ignore_errors=True)
+    table_root = os.path.join(root, "table")
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    table = TransactionalTable.create(table_root, emb.schema)
+    for m in (0, 1, 2):
+        t = table.begin()
+        t.insert(emb.filter(F.col("vec_id") % 4 == m).repartition(2))
+        t.commit()
+
+    cent = (
+        _ivfr_quantize(emb)
+        .orderBy("vec_id")
+        .limit(IVFR_K)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cqv"))
+        .localCheckpoint()
+    )
+
+    register(spark)
+    out_dir = os.path.join(root, "index_stream")
+    ckpt = os.path.join(root, "ckpt")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = _ivfr_assign(_ivfr_quantize(batch_df), cent)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.format("manifesttail")
+        .option("path", table_root)
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx = spark.read.parquet(out_dir)  # partition cols: batch, cell
+    qnorm2 = F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return (
+        idx.select("cell", "vec_id", qnorm2.alias("_q2"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("_q2").alias("sum_qnorm2"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cell")
+    )
+
+
+ORACLE_STREAMING_INDEX_UPSERT = _ivfr_oracle(
+    "SELECT * FROM qvec WHERE vec_id % 4 <> 3", "qvec"
+)
 
 
 def oracles() -> dict[str, tuple]:
@@ -2164,4 +2266,8 @@ def oracles() -> dict[str, tuple]:
         ),
         "index_refresh": (q_index_refresh, ORACLE_INDEX_REFRESH),
         "rrf_hybrid_search": (q_rrf_hybrid_search, ORACLE_RRF_HYBRID_SEARCH),
+        "streaming_index_upsert": (
+            q_streaming_index_upsert,
+            ORACLE_STREAMING_INDEX_UPSERT,
+        ),
     }

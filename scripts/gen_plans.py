@@ -721,6 +721,14 @@ COMMENTARY = {
         "(5-row fit and q-hat frames); partial+final HashAggregates "
         "for fit and coverage; no Python, no nested loop."
     ),
+    "streaming_index_upsert": (
+        "Streamed ANN-index fold (manifest tail -> idempotent "
+        "foreachBatch cell assignment) runs at construction; this is "
+        "the audit tail. Expect: one parquet scan over the "
+        "batch=*/cell=* partition layout, qnorm² fused into the scan "
+        "projection, partial+final HashAggregate per cell — no join, "
+        "no Python plane."
+    ),
 }
 
 

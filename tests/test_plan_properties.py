@@ -574,6 +574,11 @@ HEADLINE_PROPS: dict[str, list[str]] = {
         "tree:Window", "BroadcastHashJoin", "tree:HashAggregate",
         "partial_", "!MapInPandas",
     ],
+    # the streamed fold runs at construction; the returned tail is the
+    # same per-cell aggregate over the batch=*/cell=* inverted file
+    "streaming_index_upsert": [
+        "tree:HashAggregate", "partial_", "!tree:Join", "!MapInPandas",
+    ],
 }
 
 
