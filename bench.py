@@ -260,6 +260,9 @@ HEADLINE = [
     # round 9: continuous ANN-index maintenance — manifest tail streamed
     # through an idempotent foreachBatch cell-fold (exactly-once = hash)
     "streaming_index_upsert",
+    # round 9: MMR diversified rerank over the RRF candidates (the
+    # retrieve -> fuse -> diversify stack's last stage)
+    "mmr_diversify_topk",
 ]
 
 

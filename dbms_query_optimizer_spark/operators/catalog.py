@@ -818,7 +818,7 @@ EAGER_CONSTRUCTION = frozenset({
     "graph_pagerank", "graph_wcc",
     "index_refresh",
     "ks_test_drift", "lsh_recall_report", "mann_whitney_u",
-    "markov_attribution",
+    "markov_attribution", "mmr_diversify_topk",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
     "rrf_hybrid_search",
@@ -936,6 +936,7 @@ R9_ADDITIONS = [
     "rrf_hybrid_search",
     "conformal_intervals",
     "streaming_index_upsert",
+    "mmr_diversify_topk",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW

@@ -2233,6 +2233,138 @@ ORACLE_STREAMING_INDEX_UPSERT = _ivfr_oracle(
 )
 
 
+# ------------------------- MMR diversified rerank over RRF candidates
+
+MMR_K = 5  # diversified shortlist size
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10  # λ = 0.7 relevance weight
+
+
+def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank — the DIVERSIFY stage that
+    completes the retrieval stack (BM25/cosine legs → ``rrf_hybrid_
+    search`` fusion → this): from the RRF top-k, greedily select MMR_K
+    documents maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected, so near-duplicate hits can't crowd the shortlist (the
+    classic Carbonell–Goldstein criterion; RAG context assembly and
+    search-result diversification both ship exactly this step).
+
+    Exactness: relevance is the 9-dp RRF score, pairwise similarity the
+    6-dp cosine, and each greedy step's objective is ROUND(0.7·rel −
+    0.3·maxsim, 9) with doc_id tie-break — identical IEEE pipeline both
+    engines, and the first pick is the pure-relevance argmax (maxsim
+    over an empty set defined as 0). The DuckDB oracle embeds the full
+    RRF query and unrolls the same MMR_K−1 greedy steps as CTEs (the
+    ``sample_kcenter_coreset`` discipline).
+
+    Scale shape: the candidate pool is depth-bounded by RRF (TOPK rows)
+    BEFORE any pairwise work, so the similarity matrix is TOPK² ≈ 400
+    broadcast rows regardless of corpus, and each greedy round is one
+    1-row argmax (the k-center per-round-collect discipline, K·1-row
+    driver traffic total). The corpus-scale cost lives in the legs,
+    already bounded by rrf_hybrid_search's plan.
+    """
+    cand = q_rrf_hybrid_search(spark, sf_dir).select("doc_id", "rrf")
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vecs = cand.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).localCheckpoint()  # TOPK rows; reused every greedy round
+
+    a = vecs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("rrf").alias("a_rel"),
+        F.col("embedding").alias("va"),
+    )
+    b = vecs.select(F.col("doc_id").alias("b_id"), F.col("embedding").alias("vb"))
+    sim = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.round(cosine_expr("va", "vb"), 6).alias("sim")
+        )
+        .localCheckpoint()  # TOPK² rows
+    )
+    rel = vecs.select("doc_id", "rrf")
+    lam = MMR_LAMBDA_NUM / MMR_LAMBDA_DEN
+
+    selected: list[tuple[int, int, float]] = []  # (rank, doc_id, mmr)
+    first = rel.orderBy(F.col("rrf").desc(), "doc_id").limit(1).collect()[0]
+    selected.append((1, first["doc_id"], round(first["rrf"], 9)))
+    for step in range(2, MMR_K + 1):
+        chosen = [d for _, d, _ in selected]
+        maxsim = (
+            sim.filter(F.col("b_id").isin(chosen))
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        score = F.round(
+            F.lit(lam) * F.col("rrf") - F.lit(1 - lam) * F.col("maxsim"), 9
+        )
+        nxt = (
+            rel.filter(~F.col("doc_id").isin(chosen))
+            .join(maxsim, rel.doc_id == maxsim.a_id)
+            .select("doc_id", score.alias("mmr"))
+            .orderBy(F.col("mmr").desc(), "doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((step, nxt["doc_id"], nxt["mmr"]))
+    return spark.createDataFrame(
+        selected, "rank int, doc_id bigint, mmr double"
+    ).orderBy("rank")
+
+
+def _mmr_oracle() -> str:
+    lam_n, lam_d = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN
+    lam, one_m = lam_n / lam_d, 1 - lam_n / lam_d
+    steps = []
+    prev_sel = "s1"
+    for step in range(2, MMR_K + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{i}" for i in range(1, step)
+        )
+        steps.append(
+            f"""sel{step} AS ({sel_union}),
+s{step} AS (
+    SELECT r.doc_id,
+           ROUND({lam} * r.rrf - {one_m} * (
+               SELECT MAX(sim) FROM simm
+               WHERE a_id = r.doc_id
+                 AND b_id IN (SELECT doc_id FROM sel{step})
+           ), 9) AS mmr, {step} AS rank
+    FROM cand r
+    WHERE r.doc_id NOT IN (SELECT doc_id FROM sel{step})
+    ORDER BY mmr DESC, r.doc_id
+    LIMIT 1
+)"""
+        )
+        prev_sel = f"s{step}"
+    body = ",\n".join(steps)
+    rrf_sub = ORACLE_RRF_HYBRID_SEARCH.strip().rstrip()
+    return f"""
+WITH cand AS (
+    SELECT doc_id, rrf FROM ({rrf_sub})
+), simm AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(list_cosine_similarity(
+               CAST(ea.embedding AS DOUBLE[]),
+               CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+    FROM cand a JOIN embeddings ea ON ea.vec_id = a.doc_id
+    CROSS JOIN cand b JOIN embeddings eb ON eb.vec_id = b.doc_id
+    WHERE a.doc_id <> b.doc_id
+), s1 AS (
+    SELECT doc_id, ROUND(rrf, 9) AS mmr, 1 AS rank
+    FROM cand ORDER BY rrf DESC, doc_id LIMIT 1
+),
+{body}
+SELECT CAST(rank AS INT) AS rank, doc_id, mmr
+FROM ({" UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))})
+ORDER BY rank
+"""
+
+
+ORACLE_MMR_DIVERSIFY_TOPK = _mmr_oracle()
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
@@ -2270,4 +2402,5 @@ def oracles() -> dict[str, tuple]:
             q_streaming_index_upsert,
             ORACLE_STREAMING_INDEX_UPSERT,
         ),
+        "mmr_diversify_topk": (q_mmr_diversify_topk, ORACLE_MMR_DIVERSIFY_TOPK),
     }

@@ -729,6 +729,12 @@ COMMENTARY = {
         "projection, partial+final HashAggregate per cell — no join, "
         "no Python plane."
     ),
+    "mmr_diversify_topk": (
+        "MMR greedy rerank runs at construction (TOPK-bounded "
+        "candidate pool, K 1-row argmax rounds); the returned frame "
+        "is the K-row shortlist as driver metadata. Expect: "
+        "LocalTableScan only — no parquet scan, no join, no shuffle."
+    ),
 }
 
 

@@ -579,6 +579,10 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "streaming_index_upsert": [
         "tree:HashAggregate", "partial_", "!tree:Join", "!MapInPandas",
     ],
+    # the greedy selection ran at construction (K 1-row argmax rounds,
+    # k-center discipline); the returned frame is driver metadata — a
+    # parquet scan here would mean the rerank re-read the corpus
+    "mmr_diversify_topk": ["!Scan parquet"],
 }
 
 

@@ -107,3 +107,54 @@ def test_conformal_counts_consistent(conf):
     # split (which push coverage toward 0.5 or 1.0 systematically)
     pooled = conf["n_covered"].sum() / conf["n_test"].sum()
     assert 0.75 <= pooled <= 1.0
+
+
+def test_mmr_greedy_invariant(spark):
+    """Each selected doc must maximize the MMR objective at its step,
+    recomputed independently in pandas from the RRF frame + cosines."""
+    import numpy as np
+
+    from dbms_query_optimizer_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA_DEN,
+        MMR_LAMBDA_NUM,
+        q_mmr_diversify_topk,
+        q_rrf_hybrid_search,
+    )
+
+    out = q_mmr_diversify_topk(spark, SF_DIR).toPandas()
+    assert list(out["rank"]) == list(range(1, MMR_K + 1))
+    assert out["doc_id"].is_unique
+
+    cand = q_rrf_hybrid_search(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").set_index("vec_id")
+    vec = {
+        d: np.asarray(emb.loc[d, "embedding"], dtype=np.float64)
+        for d in cand["doc_id"]
+    }
+
+    def cos(a, b):
+        va, vb = vec[a], vec[b]
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6
+        )
+
+    rel = dict(zip(cand["doc_id"], cand["rrf"]))
+    lam = MMR_LAMBDA_NUM / MMR_LAMBDA_DEN
+    chosen: list[int] = []
+    for _, row in out.iterrows():
+        if not chosen:
+            want = max(sorted(rel), key=lambda d: (rel[d], -d))
+        else:
+            scores = {
+                d: round(
+                    lam * rel[d] - (1 - lam) * max(cos(d, s) for s in chosen),
+                    9,
+                )
+                for d in rel
+                if d not in chosen
+            }
+            want = max(sorted(scores), key=lambda d: (scores[d], -d))
+            assert abs(row["mmr"] - scores[want]) < 1e-9
+        assert row["doc_id"] == want
+        chosen.append(want)
