@@ -2317,7 +2317,6 @@ def _mmr_oracle() -> str:
     lam_n, lam_d = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN
     lam, one_m = lam_n / lam_d, 1 - lam_n / lam_d
     steps = []
-    prev_sel = "s1"
     for step in range(2, MMR_K + 1):
         sel_union = " UNION ALL ".join(
             f"SELECT doc_id FROM s{i}" for i in range(1, step)
@@ -2337,7 +2336,6 @@ s{step} AS (
     LIMIT 1
 )"""
         )
-        prev_sel = f"s{step}"
     body = ",\n".join(steps)
     rrf_sub = ORACLE_RRF_HYBRID_SEARCH.strip().rstrip()
     return f"""
