@@ -263,6 +263,9 @@ HEADLINE = [
     # round 9: MMR diversified rerank over the RRF candidates (the
     # retrieve -> fuse -> diversify stack's last stage)
     "mmr_diversify_topk",
+    # round 9: ranking-quality metrics (nDCG/MRR/recall per leg vs the
+    # exact-cosine ground truth) — the retrieval family's eval harness
+    "retrieval_ndcg_report",
 ]
 
 

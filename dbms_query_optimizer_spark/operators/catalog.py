@@ -820,7 +820,8 @@ EAGER_CONSTRUCTION = frozenset({
     "ks_test_drift", "lsh_recall_report", "mann_whitney_u",
     "markov_attribution", "mmr_diversify_topk",
     "model_auc_roc", "model_gains_table", "model_pr_auc",
-    "pipeline_funnel_report", "quantile_normalize", "rfm_segmentation",
+    "pipeline_funnel_report", "quantile_normalize",
+    "retrieval_ndcg_report", "rfm_segmentation",
     "rrf_hybrid_search",
     "sample_kcenter_coreset", "sample_systematic",
     "shard_assignment_balanced", "skyline_pareto",
@@ -937,6 +938,7 @@ R9_ADDITIONS = [
     "conformal_intervals",
     "streaming_index_upsert",
     "mmr_diversify_topk",
+    "retrieval_ndcg_report",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW

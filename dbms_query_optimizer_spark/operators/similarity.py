@@ -1947,30 +1947,13 @@ RRF_TOPK = 20
 RRF_QUERY_VEC = 0  # the query: doc 0's embedding + the BM25 term set
 
 
-def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval via reciprocal-rank fusion — the fusion stage of
-    every modern lexical+vector search stack (RAG retrieval, hybrid
-    search in OpenSearch/Vespa), tying the text family's BM25 leg to
-    the similarity family's cosine leg: each leg ranks the corpus
-    independently, the fused score is Σ 1/(C + rank) over the legs a
-    document appears in (RRF needs only RANKS, so the two legs'
-    incomparable score scales never need calibration), and the top-k of
-    the fused list is returned with both leg ranks for attribution.
-
-    Exactness: both legs rank their ROUNDED 6-dp scores (the bm25 /
-    knn contracts) with doc_id tie-break, so ranks are engine-exact;
-    the RRF score is a TWO-term double sum in fixed expression order —
-    no summation-order freedom — rounded 9 dp.
-
-    Scale shape: each leg's global rank is ``distributed_row_number``
-    over descending range buckets (no single-partition window — the
-    bh_fdr_report discipline); the depth cut bounds the fusion join to
-    2·DEPTH rows, so the full-outer fuse + final top-k are constant-
-    size regardless of corpus. Leg cost is the legs' own (BM25's
-    term-filtered aggregate; one broadcast query row against the
-    corpus for cosine). The query side generalizes to a query TABLE by
-    adding query_id to the rank keys.
-    """
+def _rrf_leg_ranks(spark: SparkSession, sf_dir: str):
+    """The two retrieval legs as depth-cut global rank frames
+    (doc_id, r_lex) / (doc_id, r_vec): BM25 and exact cosine, each
+    ranked by ``distributed_row_number`` over descending range buckets
+    (no single-partition window) on the ROUNDED 6-dp score with doc_id
+    tie-break — engine-exact ranks. Shared by the RRF fusion and the
+    retrieval-quality report."""
     from ..session import state_width
     from .relational import distributed_row_number, range_bucket
     from .text import q_bm25_score
@@ -2010,7 +1993,34 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_vec") <= RRF_DEPTH)
         .select("doc_id", "r_vec")
     )
+    return lexr, vecr
 
+
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the fusion stage of
+    every modern lexical+vector search stack (RAG retrieval, hybrid
+    search in OpenSearch/Vespa), tying the text family's BM25 leg to
+    the similarity family's cosine leg: each leg ranks the corpus
+    independently, the fused score is Σ 1/(C + rank) over the legs a
+    document appears in (RRF needs only RANKS, so the two legs'
+    incomparable score scales never need calibration), and the top-k of
+    the fused list is returned with both leg ranks for attribution.
+
+    Exactness: both legs rank their ROUNDED 6-dp scores (the bm25 /
+    knn contracts) with doc_id tie-break, so ranks are engine-exact;
+    the RRF score is a TWO-term double sum in fixed expression order —
+    no summation-order freedom — rounded 9 dp.
+
+    Scale shape: each leg's global rank is ``distributed_row_number``
+    over descending range buckets (no single-partition window — the
+    bh_fdr_report discipline); the depth cut bounds the fusion join to
+    2·DEPTH rows, so the full-outer fuse + final top-k are constant-
+    size regardless of corpus. Leg cost is the legs' own (BM25's
+    term-filtered aggregate; one broadcast query row against the
+    corpus for cosine). The query side generalizes to a query TABLE by
+    adding query_id to the rank keys.
+    """
+    lexr, vecr = _rrf_leg_ranks(spark, sf_dir)
     fused = lexr.join(vecr, "doc_id", "full_outer").select(
         "doc_id",
         "r_lex",
@@ -2029,8 +2039,9 @@ _RRF_DUCK_COS = (
     "CAST(c.embedding AS DOUBLE[])), 6)"
 )
 
-ORACLE_RRF_HYBRID_SEARCH = f"""
-WITH toks AS (
+# the shared leg + fusion CTE block (used by the RRF query, the MMR
+# rerank via subquery embedding, and the retrieval-quality report)
+_RRF_CTES = f"""toks AS (
     SELECT doc_id, t.token
     FROM documents,
          UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -2076,7 +2087,10 @@ WITH toks AS (
     FROM (SELECT * FROM lexr WHERE r_lex <= {RRF_DEPTH}) l
     FULL OUTER JOIN (SELECT * FROM vecr WHERE r_vec <= {RRF_DEPTH}) v
       ON l.doc_id = v.doc_id
-)
+)"""
+
+ORACLE_RRF_HYBRID_SEARCH = f"""
+WITH {_RRF_CTES}
 SELECT doc_id, r_lex, r_vec, rrf
 FROM fused
 ORDER BY rrf DESC, doc_id
@@ -2363,6 +2377,149 @@ ORDER BY rank
 ORACLE_MMR_DIVERSIFY_TOPK = _mmr_oracle()
 
 
+# ------------------------------ retrieval quality report (nDCG / MRR)
+
+NDCG_K = 10  # evaluation cutoff
+
+
+def q_retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the retrieval stack — the offline
+    metric harness a search/RAG pipeline runs per release: nDCG@10,
+    MRR@10, recall@10 and hit counts for each leg (BM25, cosine, RRF
+    fusion) against the exact-cosine top-10 as graded ground truth.
+    The cosine row scores 1.0 by construction — the sanity anchor; the
+    BM25 row measures lexical–semantic agreement; the RRF row shows
+    what fusion recovers. Completes the retrieval family the way
+    ``model_auc_roc``/``model_pr_auc`` complete the classifier family:
+    the RANKERS themselves become the evaluated artifacts.
+
+    Exactness: all three rank tables are engine-exact (rounded-score
+    ordering with doc_id tie-break; the RRF list is re-ranked by a
+    better-row count over the broadcast TOPK-row frame — no window at
+    all). Binary relevance makes DCG a ≤10-term sum of 1/log2(r+1)
+    terms; both engines sum the identical term multiset and the result
+    rounds 6 dp (the bm25 ln-sum precedent). MRR = max(1/r over hits)
+    — an exact reciprocal, no sum.
+
+    Scale shape: ground truth and every leg list are depth-bounded
+    BEFORE the metric joins (≤10 rows each, broadcast), so the report
+    costs the legs' own rank plans plus constant-size arithmetic.
+    """
+    lexr, vecr = _rrf_leg_ranks(spark, sf_dir)
+    lexr = lexr.localCheckpoint()  # depth-50; reused by fusion + metrics
+    vecr = vecr.localCheckpoint()
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_vec")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    top = (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .localCheckpoint()
+    )
+    # rank-in-list as a better-row count over the broadcast TOPK frame:
+    # rank(a) = 1 + |{b : b.rrf > a.rrf or (==, b.doc_id < a.doc_id)}|
+    a = top.select(F.col("doc_id").alias("a_id"), F.col("rrf").alias("a_s"))
+    b = top.select(F.col("doc_id").alias("b_id"), F.col("rrf").alias("b_s"))
+    better = (F.col("b_s") > F.col("a_s")) | (
+        (F.col("b_s") == F.col("a_s")) & (F.col("b_id") < F.col("a_id"))
+    )
+    rrfr = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy("a_id")
+        .agg((F.sum(better.cast("int")) + 1).alias("r_rrf"))
+        .select(F.col("a_id").alias("doc_id"), "r_rrf")
+    )
+
+    gt = (
+        vecr.filter(F.col("r_vec") <= NDCG_K)
+        .select("doc_id")
+        .withColumn("is_rel", F.lit(1))
+    )
+    idcg = F.expr(
+        f"aggregate(transform(sequence(1, {NDCG_K}), "
+        "i -> 1.0 / log2(i + 1)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+    def leg(name: str, ranks: DataFrame, rcol: str) -> DataFrame:
+        j = ranks.filter(F.col(rcol) <= NDCG_K).join(
+            F.broadcast(gt), "doc_id", "left"
+        )
+        rel = F.col("is_rel") == 1
+        return (
+            j.agg(
+                F.sum(F.when(rel, F.lit(1.0) / F.log2(F.col(rcol) + 1))).alias(
+                    "_dcg"
+                ),
+                F.max(F.when(rel, F.lit(1.0) / F.col(rcol))).alias("_mrr"),
+                F.sum(F.coalesce("is_rel", F.lit(0))).alias("_hits"),
+            )
+            .select(
+                F.lit(name).alias("leg"),
+                F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6).alias(
+                    "ndcg_at_10"
+                ),
+                F.round(F.coalesce(F.col("_mrr"), F.lit(0.0)), 6).alias(
+                    "mrr_at_10"
+                ),
+                F.round(
+                    F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(NDCG_K), 4
+                ).alias("recall_at_10"),
+                F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            )
+        )
+
+    return (
+        leg("bm25", lexr, "r_lex")
+        .unionByName(leg("cosine", vecr, "r_vec"))
+        .unionByName(leg("rrf", rrfr, "r_rrf"))
+        .orderBy("leg")
+    )
+
+
+def _ndcg_leg_sql(name: str, src: str, rcol: str) -> str:
+    return f"""
+SELECT '{name}' AS leg,
+       ROUND(COALESCE(SUM(CASE WHEN g.doc_id IS NOT NULL
+                                THEN 1.0 / log2(l.{rcol} + 1) END), 0.0)
+             / (SELECT v FROM idcg), 6) AS ndcg_at_10,
+       ROUND(COALESCE(MAX(CASE WHEN g.doc_id IS NOT NULL
+                                THEN 1.0 / l.{rcol} END), 0.0), 6)
+           AS mrr_at_10,
+       ROUND(CAST(COUNT(g.doc_id) AS DOUBLE) / {NDCG_K}, 4) AS recall_at_10,
+       CAST(COUNT(g.doc_id) AS BIGINT) AS n_hits
+FROM (SELECT * FROM {src} WHERE {rcol} <= {NDCG_K}) l
+LEFT JOIN gt g USING (doc_id)"""
+
+
+ORACLE_RETRIEVAL_NDCG_REPORT = f"""
+WITH {_RRF_CTES}, top AS (
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+), rrfr AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS r_rrf
+    FROM top
+), gt AS (
+    SELECT doc_id FROM vecr WHERE r_vec <= {NDCG_K}
+), idcg AS (
+    SELECT SUM(1.0 / log2(i + 1)) AS v
+    FROM (SELECT UNNEST(range(1, {NDCG_K} + 1)) AS i)
+)
+SELECT * FROM (
+{_ndcg_leg_sql("bm25", "lexr", "r_lex")}
+UNION ALL
+{_ndcg_leg_sql("cosine", "vecr", "r_vec")}
+UNION ALL
+{_ndcg_leg_sql("rrf", "rrfr", "r_rrf")}
+)
+ORDER BY leg
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
@@ -2401,4 +2558,8 @@ def oracles() -> dict[str, tuple]:
             ORACLE_STREAMING_INDEX_UPSERT,
         ),
         "mmr_diversify_topk": (q_mmr_diversify_topk, ORACLE_MMR_DIVERSIFY_TOPK),
+        "retrieval_ndcg_report": (
+            q_retrieval_ndcg_report,
+            ORACLE_RETRIEVAL_NDCG_REPORT,
+        ),
     }

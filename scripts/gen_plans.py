@@ -735,6 +735,15 @@ COMMENTARY = {
         "is the K-row shortlist as driver metadata. Expect: "
         "LocalTableScan only — no parquet scan, no join, no shuffle."
     ),
+    "retrieval_ndcg_report": (
+        "Retrieval-quality metrics per leg. The corpus rank legs run "
+        "at construction and are localCheckpoint'd (their windows are "
+        "pinned by rrf_hybrid_search); expect here: metric joins as "
+        "broadcasts against the ≤10-row ground-truth frame, the RRF "
+        "list re-ranked by a better-row count over the broadcast "
+        "TOPK frame (no window), three 1-row aggregates unioned — "
+        "and NO parquet scan (nothing re-reads the corpus)."
+    ),
 }
 
 

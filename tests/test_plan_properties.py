@@ -583,6 +583,13 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # k-center discipline); the returned frame is driver metadata — a
     # parquet scan here would mean the rerank re-read the corpus
     "mmr_diversify_topk": ["!Scan parquet"],
+    # the rank legs are localCheckpoint'd at construction (their own
+    # plans carry the _pid-partitioned windows — rrf_hybrid_search pins
+    # them); the returned tail is metric joins + 1-row aggregates over
+    # the checkpointed depth-bounded frames — no parquet re-read
+    "retrieval_ndcg_report": [
+        "tree:HashAggregate", "!Scan parquet", "!MapInPandas",
+    ],
 }
 
 

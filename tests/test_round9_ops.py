@@ -158,3 +158,29 @@ def test_mmr_greedy_invariant(spark):
             assert abs(row["mmr"] - scores[want]) < 1e-9
         assert row["doc_id"] == want
         chosen.append(want)
+
+
+def test_ndcg_report_sanity(spark):
+    """The cosine leg IS the ground truth (nDCG/MRR/recall exactly 1);
+    every metric is bounded; hit counts cannot exceed the cutoff."""
+    from dbms_query_optimizer_spark.operators.similarity import (
+        NDCG_K,
+        q_retrieval_ndcg_report,
+    )
+
+    rep = q_retrieval_ndcg_report(spark, SF_DIR).toPandas().set_index("leg")
+    assert set(rep.index) == {"bm25", "cosine", "rrf"}
+    cos = rep.loc["cosine"]
+    assert cos["ndcg_at_10"] == 1.0
+    assert cos["mrr_at_10"] == 1.0
+    assert cos["recall_at_10"] == 1.0
+    assert cos["n_hits"] == NDCG_K
+    for leg in ("bm25", "rrf"):
+        row = rep.loc[leg]
+        for m in ("ndcg_at_10", "mrr_at_10", "recall_at_10"):
+            assert 0.0 <= row[m] <= 1.0, (leg, m)
+        assert 0 <= row["n_hits"] <= NDCG_K
+    # fusion includes the full cosine top-10 among its candidates, so
+    # its recall can never fall below what rank-60 damping preserves:
+    # at minimum it must register at least one ground-truth hit
+    assert rep.loc["rrf", "n_hits"] >= 1
