@@ -266,6 +266,9 @@ HEADLINE = [
     # round 9: ranking-quality metrics (nDCG/MRR/recall per leg vs the
     # exact-cosine ground truth) — the retrieval family's eval harness
     "retrieval_ndcg_report",
+    # round 9: checksum-validated PAN detection (Luhn lambda algebra,
+    # map-only at scan bandwidth)
+    "pii_luhn_audit",
 ]
 
 

@@ -939,6 +939,7 @@ R9_ADDITIONS = [
     "streaming_index_upsert",
     "mmr_diversify_topk",
     "retrieval_ndcg_report",
+    "pii_luhn_audit",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW

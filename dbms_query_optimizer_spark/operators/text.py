@@ -2253,9 +2253,145 @@ ORDER BY doc_id
 """
 
 
+# --------------------------- Luhn-validated PAN audit (checksum PII)
+
+PAN_MIN_LEN, PAN_MAX_LEN = 13, 19
+
+
+def q_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated payment-card detection — the layer above
+    regex PII (``q_pii_redact``) that a production scrubber needs to
+    keep false positives out: a 13–19-digit run is only a PAN if it
+    passes the Luhn check, so order ids / timestamps / hashes that
+    merely look card-shaped don't get redacted (and don't get a doc
+    quarantined).
+
+    Salting (the ``pii_redact`` discipline — the corpus has no card
+    numbers, so plant deterministic ones with the identical expression
+    on both engines): doc_id % 3 == 0 docs get a VALID 16-digit PAN
+    (15 payload digits derived from md5(doc_id), check digit computed
+    by the same Luhn arithmetic the detector runs), % 3 == 1 docs get
+    the INVALID twin (check digit shifted +5 mod 10 — guaranteed to
+    fail), % 3 == 2 docs get nothing. The audit then reports, per doc,
+    candidate runs / Luhn-valid count / the first valid PAN's last4 —
+    every number cross-checked by DuckDB running the same digit
+    arithmetic.
+
+    Implementation is pure integer lambda algebra over split tokens
+    (no lookbehind, deliberately: candidate boundaries come from a
+    non-digit split, which RE2-based engines can also express —
+    regex lookaround is the portability trap here). Map-only, zero
+    shuffles before the presentation sort: scan-bandwidth at 100 TB.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    # 15 deterministic payload digits from the md5 hex (letters dropped,
+    # zero-padded), then the Luhn check digit: payload digit k-th FROM
+    # RIGHT is doubled iff k is odd (it lands at even position once the
+    # check digit is appended)
+    payload = "substring(rpad(translate(md5(cast(doc_id as string)), 'abcdef', ''), 15, '0'), 1, 15)"
+    paysum = (
+        "aggregate(transform(sequence(1, 15), k -> CASE WHEN k % 2 = 1 "
+        f"THEN IF(CAST(substring({payload}, 16 - k, 1) AS INT) * 2 > 9, "
+        f"CAST(substring({payload}, 16 - k, 1) AS INT) * 2 - 9, "
+        f"CAST(substring({payload}, 16 - k, 1) AS INT) * 2) "
+        f"ELSE CAST(substring({payload}, 16 - k, 1) AS INT) END), "
+        "0, (a, x) -> a + x)"
+    )
+    check = f"(10 - {paysum} % 10) % 10"
+    salted = docs.select(
+        "doc_id",
+        F.expr(
+            f"""concat(text, CASE
+                WHEN doc_id % 3 = 0 THEN concat(' card ', {payload},
+                                                cast({check} as string))
+                WHEN doc_id % 3 = 1 THEN concat(' card ', {payload},
+                                                cast(({check} + 5) % 10 as string))
+                ELSE '' END)"""
+        ).alias("t"),
+    )
+    # candidate PANs: digit runs bounded by ANY non-digit (split-based
+    # boundaries, RE2-portable), length-filtered
+    cands = (
+        f"filter(split(t, '[^0-9]+'), x -> length(x) >= {PAN_MIN_LEN} "
+        f"AND length(x) <= {PAN_MAX_LEN})"
+    )
+    # full-string Luhn: digit j-th FROM RIGHT doubled iff j is even
+    luhn = (
+        "aggregate(transform(sequence(1, length(x)), j -> CASE WHEN j % 2 = 0 "
+        "THEN IF(CAST(substring(x, length(x) - j + 1, 1) AS INT) * 2 > 9, "
+        "CAST(substring(x, length(x) - j + 1, 1) AS INT) * 2 - 9, "
+        "CAST(substring(x, length(x) - j + 1, 1) AS INT) * 2) "
+        "ELSE CAST(substring(x, length(x) - j + 1, 1) AS INT) END), "
+        "0, (a, y) -> a + y) % 10 = 0"
+    )
+    valids = f"filter({cands}, x -> {luhn})"
+    return (
+        salted.select(
+            "doc_id",
+            F.expr(f"cast(size({cands}) as bigint)").alias("n_pan_candidates"),
+            F.expr(f"cast(size({valids}) as bigint)").alias("n_luhn_valid"),
+            F.expr(f"size({valids}) > 0").alias("has_valid_pan"),
+            F.expr(
+                f"substring(try_element_at({valids}, 1), "
+                f"length(try_element_at({valids}, 1)) - 3, 4)"
+            ).alias("first_valid_last4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _luhn_oracle() -> str:
+    payload = (
+        "substring(rpad(translate(md5(CAST(doc_id AS VARCHAR)), "
+        "'abcdef', ''), 15, '0'), 1, 15)"
+    )
+    def dbl(d: str) -> str:
+        return f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END"
+
+    pd_ = f"CAST(substring({payload}, 16 - k, 1) AS INT)"
+    paysum = (
+        f"list_sum(list_transform(range(1, 16), k -> CASE WHEN k % 2 = 1 "
+        f"THEN {dbl(pd_)} ELSE {pd_} END))"
+    )
+    check = f"(10 - {paysum} % 10) % 10"
+    xd = "CAST(substring(x, len(x) - j + 1, 1) AS INT)"
+    luhn = (
+        f"list_sum(list_transform(range(1, len(x) + 1), j -> "
+        f"CASE WHEN j % 2 = 0 THEN {dbl(xd)} ELSE {xd} END)) % 10 = 0"
+    )
+    cands = (
+        "list_filter(string_split_regex(t, '[^0-9]+'), "
+        f"x -> len(x) >= {PAN_MIN_LEN} AND len(x) <= {PAN_MAX_LEN})"
+    )
+    valids = f"list_filter({cands}, x -> {luhn})"
+    return f"""
+WITH salted AS (
+    SELECT doc_id,
+           concat(text, CASE
+               WHEN doc_id % 3 = 0 THEN concat(' card ', {payload},
+                                               CAST({check} AS VARCHAR))
+               WHEN doc_id % 3 = 1 THEN concat(' card ', {payload},
+                                               CAST(({check} + 5) % 10 AS VARCHAR))
+               ELSE '' END) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len({cands}) AS BIGINT) AS n_pan_candidates,
+       CAST(len({valids}) AS BIGINT) AS n_luhn_valid,
+       len({valids}) > 0 AS has_valid_pan,
+       substring({valids}[1], len({valids}[1]) - 3, 4) AS first_valid_last4
+FROM salted
+ORDER BY doc_id
+"""
+
+
+ORACLE_PII_LUHN_AUDIT = _luhn_oracle()
+
+
 def oracles() -> dict[str, tuple]:
     return {
         "text_readability": (q_text_readability, ORACLE_TEXT_READABILITY),
+        "pii_luhn_audit": (q_pii_luhn_audit, ORACLE_PII_LUHN_AUDIT),
         "model_auc_roc": (q_model_auc_roc, _oracle_model_auc_roc()),
         "model_pr_auc": (q_model_pr_auc, _oracle_model_pr_auc()),
         "model_confusion_report": (

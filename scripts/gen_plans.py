@@ -744,6 +744,13 @@ COMMENTARY = {
         "TOPK frame (no window), three 1-row aggregates unioned — "
         "and NO parquet scan (nothing re-reads the corpus)."
     ),
+    "pii_luhn_audit": (
+        "Checksum-validated PAN audit. Expect: one documents scan "
+        "with the deterministic salting concat, the non-digit split, "
+        "and both Luhn lambda folds fused into a single Project "
+        "inside WholeStageCodegen — no join, no aggregate, no "
+        "Python; the only exchange is the presentation sort."
+    ),
 }
 
 

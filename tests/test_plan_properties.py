@@ -590,6 +590,9 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "retrieval_ndcg_report": [
         "tree:HashAggregate", "!Scan parquet", "!MapInPandas",
     ],
+    # Luhn audit: salting + candidate split + checksum lambdas all fuse
+    # into the scan projection — map-only, like the other PII/text pins
+    "pii_luhn_audit": ["!tree:Join", "!tree:HashAggregate", "!MapInPandas"],
 }
 
 

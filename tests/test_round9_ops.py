@@ -184,3 +184,46 @@ def test_ndcg_report_sanity(spark):
     # its recall can never fall below what rank-60 damping preserves:
     # at minimum it must register at least one ground-truth hit
     assert rep.loc["rrf", "n_hits"] >= 1
+
+
+def test_luhn_audit_salting_classes(spark):
+    """The deterministic salting must put every doc in its designed
+    class: %3==0 has exactly one Luhn-VALID candidate, %3==1 exactly
+    one INVALID candidate, %3==2 whatever the raw text had (no plant).
+    Also recompute Luhn independently for every reported last4 doc."""
+    from dbms_query_optimizer_spark.operators.text import q_pii_luhn_audit
+
+    out = q_pii_luhn_audit(spark, SF_DIR).toPandas()
+    m0 = out[out.doc_id % 3 == 0]
+    m1 = out[out.doc_id % 3 == 1]
+    assert (m0["n_luhn_valid"] >= 1).all()
+    assert m0["has_valid_pan"].all()
+    assert (m0["first_valid_last4"].str.len() == 4).all()
+    # the invalid twin never validates (check digit shifted +5 mod 10)
+    assert (m1["n_pan_candidates"] >= 1).all()
+    assert (m1["n_luhn_valid"] == 0).all()
+    assert (~m1["has_valid_pan"]).all()
+    assert m1["first_valid_last4"].isna().all()
+
+    # independent Luhn recompute of the planted PAN for a sample of docs
+    import hashlib
+
+    def luhn_ok(s: str) -> bool:
+        total = 0
+        for j, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            total += (d * 2 - 9 if d * 2 > 9 else d * 2) if j % 2 == 0 else d
+        return total % 10 == 0
+
+    for doc_id in m0["doc_id"].head(20):
+        digits = "".join(
+            c for c in hashlib.md5(str(doc_id).encode()).hexdigest()
+            if c.isdigit()
+        )
+        payload = (digits + "0" * 15)[:15]
+        # brute the check digit the way the query's arithmetic defines it
+        check = next(d for d in range(10) if luhn_ok(payload + str(d)))
+        assert (
+            out.loc[out.doc_id == doc_id, "first_valid_last4"].iloc[0]
+            == (payload + str(check))[-4:]
+        )
