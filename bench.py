@@ -278,12 +278,15 @@ def _reap_stray_spark_jvms() -> None:
     A timed-out earlier invocation (e.g. `timeout N python bench.py`)
     kills the Python driver but the py4j-launched SparkSubmit child can
     survive long enough to poison the NEXT bench with CPU contention —
-    round 8 recorded a whole run inflated ~1.4× this way. Scan /proc for
-    java processes running org.apache.spark.deploy.SparkSubmit that are
-    not our own (we haven't started ours yet), terminate them, and log
-    what was reaped so the artifact records the intervention instead of
-    silently absorbing the noise. SIGTERM first, escalate to SIGKILL
-    only if the JVM lingers past a short grace window.
+    round 8 recorded a whole run inflated ~1.4× this way. The stray
+    class is precisely identifiable: a JVM whose launching driver died
+    is reparented to PID 1, while a LIVE Spark job (a verify drive, a
+    pytest session) still has its python parent — so only ORPHANED
+    SparkSubmit JVMs are reaped, and a concurrent legitimate job is
+    never touched. Terminate the orphans and log the reap so the
+    artifact records the intervention instead of silently absorbing the
+    noise. SIGTERM first, escalate to SIGKILL only if the JVM lingers
+    past a short grace window.
     """
     import signal
 
@@ -295,9 +298,11 @@ def _reap_stray_spark_jvms() -> None:
         try:
             with open(f"/proc/{pid_dir}/cmdline", "rb") as f:
                 cmd = f.read().replace(b"\0", b" ")
+            with open(f"/proc/{pid_dir}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
         except OSError:
             continue
-        if b"org.apache.spark.deploy.SparkSubmit" in cmd:
+        if b"org.apache.spark.deploy.SparkSubmit" in cmd and ppid == 1:
             strays.append(int(pid_dir))
     if not strays:
         return

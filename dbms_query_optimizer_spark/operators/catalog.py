@@ -949,19 +949,27 @@ def r10_window(window: int = 50) -> list[str]:
     """Derive the round-10 driver window from the cohort constants.
 
     Slots go, in order: (1) the pinned sentinels; (2) any catalog name
-    with NO driver row yet (i.e. operators added in round 9 after this
-    rotation landed — new evidence always outranks freshness); (3)
+    with NO green driver row — by GREEN-COHORT membership, not by
+    window membership, so an r9-window name whose round-9 drive comes
+    back RED re-enters here automatically instead of being dropped
+    forever (new/unproven evidence always outranks freshness); (3)
     freshness re-checks walking DRIVER_GREEN_COHORTS oldest-first
     (rounds 1-3 cohort first), alphabetical within a cohort, skipping
     sentinels (pinned anyway). Deterministic, so the r10 rotation
-    commit is a one-liner: DRIVER_PRIORITY = r10_window().
+    commit is: fold the r9 greens into a DRIVER_GREENS_R9 cohort, then
+    DRIVER_PRIORITY = r10_window(). (Called BEFORE that fold — e.g. by
+    this round's tests — the r9-window names have no cohort yet and
+    correctly front-load the list; the fold is what retires them.)
     """
     sentinels = list(DRIVER_SENTINELS)
     taken = set(sentinels)
     out = list(sentinels)
-    never = [n for n in CATALOG
-             if n not in DRIVER_CHECKED_PRIOR_ROUNDS
-             and n not in set(R9_PLANNED_WINDOW) and n not in taken]
+    ungreen = [n for n in CATALOG
+               if n not in DRIVER_CHECKED_PRIOR_ROUNDS and n not in taken]
+    # round-9 additions first: they will still be ungreen after the r9
+    # fold no matter what; current-window names are transient (the fold
+    # retires the greens, leaving only reds to claim slots here)
+    never = sorted(ungreen, key=lambda n: n in set(R9_PLANNED_WINDOW))
     for name in never + [n for cohort in DRIVER_GREEN_COHORTS
                          for n in sorted(cohort)]:
         if len(out) >= window:

@@ -1576,6 +1576,11 @@ def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seed = the K smallest vec_ids (TakeOrdered top-K — distributed,
     # no assumption that ids 0..K-1 exist; a corpus whose ids start at
     # 10^9 still gets exactly K centroids, labeled by seed vec_id).
+    # Label ceiling: cluster_id is INT, so seed ids past 2^31-1 need a
+    # wider label column first — and the failure MODES diverge there
+    # (non-ANSI Spark nulls the cast, DuckDB errors), the same
+    # documented boundary as mann_whitney_u's BIGINT outputs. The IVFR
+    # cell ids (_ivfr_centroids) share this ceiling.
     cent = (
         vecs.orderBy("vec_id")
         .limit(KMEANS_K)
@@ -1719,15 +1724,51 @@ IVFR_DEL_PRED = "vec_id % 5 = 0"
 IVFR_INS_PRED = "vec_id % 4 = 3"
 
 
-def _ivfr_quantize(df: DataFrame) -> DataFrame:
+def _ivfr_quantize(df: DataFrame, extra: tuple = ()) -> DataFrame:
     """vec_id + milli-unit integer vector (the kmeans/PQ quantization —
-    exact in both engines, so assignment d² is integer arithmetic)."""
+    exact in both engines, so assignment d² is integer arithmetic).
+    ``extra`` carries additional columns through (e.g. the change feed's
+    ``_change_type``) so every caller quantizes through THIS one lambda
+    — build and refresh can never drift apart on rounding or scale."""
     return df.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * KMEANS_Q + F.lit(0.5)).cast("long"),
         ).alias("qv"),
+        *extra,
+    )
+
+
+def _ivfr_centroids(qdf: DataFrame, k: int = IVFR_K) -> DataFrame:
+    """Frozen coarse quantizer: the k smallest vec_ids' quantized
+    vectors, labeled by seed vec_id (cell ids therefore share the INT
+    ceiling documented on the kmeans seeder: seeds past 2^31 need a
+    wider label column). localCheckpoint'd — k rows, reused by every
+    assignment pass."""
+    return (
+        qdf.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cqv"))
+        .localCheckpoint()
+    )
+
+
+def _ivfr_cell_stats(idx: DataFrame) -> DataFrame:
+    """The per-cell audit contract both index entries share (and the
+    one frame _ivfr_oracle rebuilds): size, exact integer Σ‖qv‖², id
+    span — one map-side-combined aggregate over the inverted file."""
+    qnorm2 = F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return (
+        idx.select("cell", "vec_id", qnorm2.alias("_q2"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("_q2").alias("sum_qnorm2"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cell")
     )
 
 
@@ -1807,13 +1848,7 @@ def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen quantizer: trained (here: seeded) from the INDEXED version,
     # never from later data — refresh must not depend on re-reading the
     # table, only the change feed
-    v1q = _ivfr_quantize(table.read(spark, version=1))
-    cent = (
-        v1q.orderBy("vec_id")
-        .limit(IVFR_K)
-        .select(F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cqv"))
-        .localCheckpoint()  # k rows; reused by build + refresh assignment
-    )
+    cent = _ivfr_centroids(_ivfr_quantize(table.read(spark, version=1)))
 
     built = build_index(spark, table, cent, idx_dir, version=1)
     assert built == 1
@@ -1833,20 +1868,7 @@ def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = spark.read.schema("vec_id bigint, qv array<bigint>, cell int").parquet(
         os.path.join(idx_dir, "corpus")
     )
-    qnorm2 = F.aggregate(
-        "qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
-    return (
-        idx.select("cell", "vec_id", qnorm2.alias("_q2"))
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("_q2").alias("sum_qnorm2"),
-            F.min("vec_id").alias("min_vec_id"),
-            F.max("vec_id").alias("max_vec_id"),
-        )
-        .orderBy("cell")
-    )
+    return _ivfr_cell_stats(idx)
 
 
 def index_version(idx_dir: str) -> int | None:
@@ -1898,13 +1920,9 @@ def refresh_index(spark, table, cent: DataFrame, idx_dir: str) -> int:
     # assigning the DELETES too (their embeddings ride the change feed)
     # is what keeps the refresh O(churn): the frozen quantizer names a
     # deleted vector's cell without ever scanning the index for it
-    ch = table.changes(spark, idx_v, latest).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * KMEANS_Q + F.lit(0.5)).cast("long"),
-        ).alias("qv"),
-        F.col("_change_type").alias("_ct"),
+    ch = _ivfr_quantize(
+        table.changes(spark, idx_v, latest),
+        extra=(F.col("_change_type").alias("_ct"),),
     )
     delta = _ivfr_assign(ch, cent, keys=("vec_id", "_ct"))
     delta = delta.localCheckpoint()  # churn-sized; read 3× below
@@ -1996,6 +2014,24 @@ def _rrf_leg_ranks(spark: SparkSession, sf_dir: str):
     return lexr, vecr
 
 
+def _rrf_fuse(lexr: DataFrame, vecr: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of the two leg-rank frames: full-outer on
+    doc_id, score = Σ 1/(C + rank) over the legs a document appears in
+    (two-term double sum in fixed expression order), rounded 9 dp. ONE
+    definition — the fusion entry and the quality report must rank the
+    identical fused list."""
+    return lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_vec")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+
+
 def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion — the fusion stage of
     every modern lexical+vector search stack (RAG retrieval, hybrid
@@ -2021,16 +2057,7 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     adding query_id to the rank keys.
     """
     lexr, vecr = _rrf_leg_ranks(spark, sf_dir)
-    fused = lexr.join(vecr, "doc_id", "full_outer").select(
-        "doc_id",
-        "r_lex",
-        "r_vec",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_lex")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_vec")), F.lit(0.0)),
-            9,
-        ).alias("rrf"),
-    )
+    fused = _rrf_fuse(lexr, vecr)
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOPK)
 
 
@@ -2196,13 +2223,7 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.insert(emb.filter(F.col("vec_id") % 4 == m).repartition(2))
         t.commit()
 
-    cent = (
-        _ivfr_quantize(emb)
-        .orderBy("vec_id")
-        .limit(IVFR_K)
-        .select(F.col("vec_id").cast("int").alias("cell"), F.col("qv").alias("cqv"))
-        .localCheckpoint()
-    )
+    cent = _ivfr_centroids(_ivfr_quantize(emb))
 
     register(spark)
     out_dir = os.path.join(root, "index_stream")
@@ -2228,18 +2249,7 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     idx = spark.read.parquet(out_dir)  # partition cols: batch, cell
-    qnorm2 = F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    return (
-        idx.select("cell", "vec_id", qnorm2.alias("_q2"))
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("_q2").alias("sum_qnorm2"),
-            F.min("vec_id").alias("min_vec_id"),
-            F.max("vec_id").alias("max_vec_id"),
-        )
-        .orderBy("cell")
-    )
+    return _ivfr_cell_stats(idx)
 
 
 ORACLE_STREAMING_INDEX_UPSERT = _ivfr_oracle(
@@ -2297,31 +2307,41 @@ def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # TOPK² rows
     )
-    rel = vecs.select("doc_id", "rrf")
+    # the candidate pool and its similarity matrix are driver-sized BY
+    # CONSTRUCTION (TOPK rel rows, TOPK² sims, both pre-rounded JVM-side
+    # above), so the greedy selection runs in plain Python after ONE
+    # collect each — MMR_K−1 extra Spark jobs would buy nothing but
+    # scheduler round-trips. Rounding mirrors SQL ROUND (half away from
+    # zero over the exact binary value), not Python's banker's round.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round9(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
+        )
+
+    rel = {
+        r["doc_id"]: r["rrf"] for r in vecs.select("doc_id", "rrf").collect()
+    }
+    sims: dict[tuple[int, int], float] = {
+        (r["a_id"], r["b_id"]): r["sim"] for r in sim.collect()
+    }
     lam = MMR_LAMBDA_NUM / MMR_LAMBDA_DEN
 
     selected: list[tuple[int, int, float]] = []  # (rank, doc_id, mmr)
-    first = rel.orderBy(F.col("rrf").desc(), "doc_id").limit(1).collect()[0]
-    selected.append((1, first["doc_id"], round(first["rrf"], 9)))
+    first = max(sorted(rel), key=lambda d: (rel[d], -d))
+    selected.append((1, first, _round9(rel[first])))
     for step in range(2, MMR_K + 1):
         chosen = [d for _, d, _ in selected]
-        maxsim = (
-            sim.filter(F.col("b_id").isin(chosen))
-            .groupBy("a_id")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        score = F.round(
-            F.lit(lam) * F.col("rrf") - F.lit(1 - lam) * F.col("maxsim"), 9
-        )
-        nxt = (
-            rel.filter(~F.col("doc_id").isin(chosen))
-            .join(maxsim, rel.doc_id == maxsim.a_id)
-            .select("doc_id", score.alias("mmr"))
-            .orderBy(F.col("mmr").desc(), "doc_id")
-            .limit(1)
-            .collect()[0]
-        )
-        selected.append((step, nxt["doc_id"], nxt["mmr"]))
+        scores = {
+            d: _round9(
+                lam * rel[d] - (1 - lam) * max(sims[(d, c)] for c in chosen)
+            )
+            for d in rel
+            if d not in chosen
+        }
+        nxt = max(sorted(scores), key=lambda d: (scores[d], -d))
+        selected.append((step, nxt, scores[nxt]))
     return spark.createDataFrame(
         selected, "rank int, doc_id bigint, mmr double"
     ).orderBy("rank")
@@ -2408,14 +2428,7 @@ def q_retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexr, vecr = _rrf_leg_ranks(spark, sf_dir)
     lexr = lexr.localCheckpoint()  # depth-50; reused by fusion + metrics
     vecr = vecr.localCheckpoint()
-    fused = lexr.join(vecr, "doc_id", "full_outer").select(
-        "doc_id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_lex")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_vec")), F.lit(0.0)),
-            9,
-        ).alias("rrf"),
-    )
+    fused = _rrf_fuse(lexr, vecr).select("doc_id", "rrf")
     top = (
         fused.orderBy(F.col("rrf").desc(), "doc_id")
         .limit(RRF_TOPK)

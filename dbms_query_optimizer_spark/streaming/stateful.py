@@ -98,8 +98,18 @@ def _sessionize_group(
         if start_us is not None:
             state.update((start_us, end_us, n, cents))
             # close the open session once the event-time watermark passes
-            # its end by more than the gap (no further event can extend it)
-            state.setTimeoutTimestamp((end_us + GAP_US) // 1000 + 1)
+            # its end by more than the gap (no further event can extend
+            # it). CLAMPED to just past the current watermark: in a
+            # multi-file replay a later micro-batch can deliver rows
+            # OLDER than the already-advanced global watermark (file
+            # order is not time order), and Spark rejects a timeout set
+            # behind the watermark — the clamp fires such a session's
+            # timer at the earliest legal instant instead, emitting the
+            # same closure-predicate set (end + gap < final watermark).
+            timeout_ms = (end_us + GAP_US) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
 
     if closed:
         yield pd.DataFrame(
@@ -157,18 +167,27 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata table is a single file (1 data batch + 1 timer batch);
     # multi-batch state evolution is pinned independently by
     # tests/test_stateful_streaming.py's chunked replays.
+    # the source must match the layout: a directory-shaped
+    # events.parquet is streamed DIRECTLY (a pathGlobFilter of
+    # 'events.parquet' would match leaf-file NAMES — part-*.parquet —
+    # and silently read zero files), while the single-file testdata
+    # layout needs the glob to exclude the sibling tables in sf_dir
     ev_path = os.path.join(sf_dir, "events.parquet")
-    n_files = (
-        sum(1 for f in os.listdir(ev_path) if f.endswith(".parquet"))
-        if os.path.isdir(ev_path)
-        else 1
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", str(max(1, math.ceil(n_files / 3))))
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(ev_path):
+        n_files = sum(
+            1 for f in os.listdir(ev_path) if f.endswith(".parquet")
+        )
+        reader = spark.readStream.schema(raw_schema).option(
+            "maxFilesPerTrigger", str(max(1, math.ceil(n_files / 3)))
+        )
+        stream = reader.parquet(ev_path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sf_dir)
+        )
     stream = norm_stream_ts(spark, stream)
 
     # The stateful operator's state-store instance count is frozen to

@@ -82,7 +82,9 @@ def test_cohorts_partition_the_checked_set():
 
 def test_r10_window_is_well_formed():
     """The pre-staged r10 freshness window (r8 verdict task 4):
-    sentinels first, then any never-checked round-9 additions, then
+    sentinels first, then every name with no GREEN cohort row (so an
+    r9-window name left red re-enters automatically — cohort
+    membership, not window membership, is the eligibility test), then
     oldest-cohort (rounds 1-3) re-checks — deterministic and exactly
     window-sized."""
     w = C.r10_window()
@@ -92,14 +94,22 @@ def test_r10_window_is_well_formed():
     rest = w[len(C.DRIVER_SENTINELS):]
     new_ops = [n for n in rest if n not in C.DRIVER_CHECKED_PRIOR_ROUNDS]
     rechecks = [n for n in rest if n in C.DRIVER_CHECKED_PRIOR_ROUNDS]
-    # new never-checked operators (if any were added mid-round-9) must
+    # ungreen names (the whole r9 window until its greens are folded
+    # into a DRIVER_GREENS_R9 cohort, plus any round-9 additions) must
     # all come before any freshness re-check
     assert rest[: len(new_ops)] == new_ops
-    # r9-window names are NOT eligible (they get their row this round)
-    assert not (set(new_ops) & set(C.R9_PLANNED_WINDOW))
+    assert set(C.R9_ADDITIONS) <= set(new_ops)
     # re-checks come from the oldest cohort, alphabetically
     oldest = sorted(C.DRIVER_GREEN_COHORTS[0] - set(C.DRIVER_SENTINELS))
     assert rechecks == oldest[: len(rechecks)]
+
+    # simulate the r10 rotation's fold: with the whole r9 window green,
+    # the window spends its non-sentinel slots on the round-9 additions
+    # first, then rounds-1-3 re-checks — and a red name would re-enter
+    folded = C.DRIVER_CHECKED_PRIOR_ROUNDS | set(C.R9_PLANNED_WINDOW)
+    never = [n for n in C.CATALOG
+             if n not in folded and n not in set(C.DRIVER_SENTINELS)]
+    assert set(never) == set(C.R9_ADDITIONS)
 
 
 def test_catalog_intact_after_reorder():

@@ -76,3 +76,38 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     n_before = sunk.count()
     write_batch_idempotent(out)(batch0, 0)
     assert spark.read.parquet(f"{out}/batch=*").count() == n_before
+
+
+def test_directory_shaped_events_source(spark, sf_dir, tmp_path):
+    """A directory-shaped events.parquet (multiple TIME-SLICED part
+    files, the layout a continuously-ingesting table actually has) must
+    replay through the sessionizer identically to the single-file
+    layout — exercising the source-construction branch that streams the
+    directory directly (a pathGlobFilter would match part-file names
+    and read nothing) with maxFilesPerTrigger derived from the file
+    count, and the multi-batch watermark path (several data
+    micro-batches, not one). File mtimes are staggered in time order:
+    the 0-second-watermark contract assumes arrival order ≈ event-time
+    order across batches, exactly as a commit-ordered table delivers —
+    a deliberately scrambled file order is out of contract (its late
+    rows land behind the watermark; the operator clamps their timers
+    rather than crashing, but sessions split by design)."""
+    import os
+    import time
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    multi_dir = str(tmp_path / "sfdir")
+    os.makedirs(multi_dir)
+    ev_dir = os.path.join(multi_dir, "events.parquet")
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(
+        ev_dir
+    )
+    parts = sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))
+    assert len(parts) >= 4  # the multi-file branch is genuinely exercised
+    now = time.time()
+    for i, f in enumerate(parts):  # mtime order = time-slice order
+        os.utime(os.path.join(ev_dir, f), (now + i, now + i))
+
+    single = {_key(r) for r in q_streaming_sessionized(spark, sf_dir).collect()}
+    multi = {_key(r) for r in q_streaming_sessionized(spark, multi_dir).collect()}
+    assert multi == single
