@@ -656,6 +656,30 @@ for _name, (_fn, _sql) in GEO.oracles().items():
 # r10+ freshness policy rotates re-check windows through the
 # OLDEST-green cohort first, and r10_window() derives that schedule
 # from these constants directly — a comment-only grouping would drift.
+DRIVER_GREENS_R9 = frozenset({
+    # round-9 greens (46/46 oracled window green, CORRECTNESS_r09.json;
+    # the window's 4 rows-only multimodal entries stay out of the green
+    # cohorts — rows-only evidence is weaker — and the 4 sentinels stay
+    # in their rounds-1-3 cohort)
+    "approx_counts_sampled", "cbo_plan_memo", "cbo_vs_dp_report",
+    "cumulative_distinct_users", "dataset_card_report",
+    "embedding_kmeans_lloyd", "events_downsample_m4",
+    "functions_variant", "graph_degree_distribution", "graph_kcore",
+    "graph_triangle_count", "incremental_join_view",
+    "interval_overlap_join", "join_null_aware_anti",
+    "join_shuffle_hash", "k_anonymity_audit", "late_supplier_blame",
+    "mann_whitney_u", "max_drawdown", "multimodal_frame_sample",
+    "pad_waste_report", "quality_classifier_score",
+    "sample_reservoir_per_group", "sample_weighted",
+    "sample_weighted_reservoir", "shapley_attribution",
+    "source_python_datasink", "stats_equidepth_histogram",
+    "stats_histogram_2d_dump", "stats_histogram_dump", "stats_moments",
+    "stratified_neyman_alloc", "streaming_foreachbatch_ingest",
+    "streaming_manifest_tail", "streaming_sessionized",
+    "streaming_static_join", "streaming_stream_stream_left_join",
+    "streaming_upsert_ingest", "t_closeness_audit", "text_readability",
+    "try_safe_arithmetic", "udf_price_score",
+})
 DRIVER_GREENS_R8 = frozenset({
     # round-8 greens (50/50 window, CORRECTNESS_r08.json)
     "audience_overlap_sketch", "ccnet_ppl_buckets", "chunk_documents",
@@ -788,6 +812,7 @@ DRIVER_GREENS_R1_3 = frozenset({
 DRIVER_GREEN_COHORTS = (
     DRIVER_GREENS_R1_3, DRIVER_GREENS_R4, DRIVER_GREENS_R5,
     DRIVER_GREENS_R6, DRIVER_GREENS_R7, DRIVER_GREENS_R8,
+    DRIVER_GREENS_R9,
 )
 DRIVER_CHECKED_PRIOR_ROUNDS = frozenset().union(*DRIVER_GREEN_COHORTS)
 
@@ -942,42 +967,126 @@ R9_ADDITIONS = [
     "pii_luhn_audit",
 ]
 
-DRIVER_PRIORITY = DRIVER_SENTINELS + R9_PLANNED_WINDOW
+# Round-10 window (the r9 verdict's tasks 1+3, landed as the first
+# commit of round 10): sentinels + the 7 round-9 additions (never
+# driver-checked; the entire remaining correctness exposure per the r9
+# verdict) + the 4 multimodal decode planes (rows-only through r9, now
+# upgraded to FULL value-hash oracles via SQL re-derivation of the LCG
+# payload synthesis — their first hash-checkable driver rows) + 35
+# freshness re-checks from the OLDEST green cohort (rounds 1-3,
+# alphabetical) — their driver rows date to rounds the code has flowed
+# past for 7+ rounds. Derived by next_window() below
+# (test_catalog_order.py pins the equality), so the staging cannot
+# drift from the cohort constants it samples.
+R10_PLANNED_WINDOW = [
+    # round-9 additions: no driver row yet, slots ahead of re-checks
+    "index_refresh", "rrf_hybrid_search", "conformal_intervals",
+    "streaming_index_upsert", "mmr_diversify_topk",
+    "retrieval_ndcg_report", "pii_luhn_audit",
+    # multimodal decode planes: first hash-checkable driver rows
+    "multimodal_image_dhash_dedup", "multimodal_resize",
+    "multimodal_features", "multimodal_audio_features",
+    # rounds-1-3 freshness re-checks (oldest cohort, alphabetical)
+    "agg_array_ordered", "agg_filtered", "agg_global", "agg_grouped",
+    "asof_join", "band_join_lookup", "bm25_score", "conform_union",
+    "corpus_prep", "correlated_scalar_subquery", "cube",
+    "data_quality_report", "decontaminate_ngram", "dedup_components",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_keep_best",
+    "dedup_minhash_lsh", "distinct", "dpp_join_pruned",
+    "events_sessionized", "exact_distinct_counts", "expressions",
+    "filter_predicates", "global_row_number", "graph_pagerank",
+    "hash_split_train", "having", "higher_order_funcs",
+    "incremental_agg_merge", "join_anti", "join_full_outer",
+    "join_inner", "join_left_outer", "join_multiway",
+]
+
+DRIVER_PRIORITY = DRIVER_SENTINELS + R10_PLANNED_WINDOW
 
 
-def r10_window(window: int = 50) -> list[str]:
-    """Derive the round-10 driver window from the cohort constants.
+def query_content_hash(name: str) -> str:
+    """Freshness key for the driver-window rotation: sha256 over the
+    query function's SOURCE plus its oracle SQL. A green driver row
+    certifies the code AS IT WAS when the driver ran it; if either the
+    query body or its oracle has changed since, the green is stale
+    evidence and next_window() re-enters the name ahead of pure
+    age-based re-checks (r9 verdict task 7 — rotation keyed on
+    (cohort age, code change), not age alone). Helper-function edits
+    below the query body don't move the hash — the full-catalog local
+    oracle gate (tests/test_queries_oracle.py) covers those every
+    round; this key exists so the INDEPENDENT driver check can't be
+    coasted on by a silently edited query."""
+    import hashlib
+    import inspect
+
+    fn, sql = CATALOG[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builtins/partials: fall back to repr
+        src = repr(fn)
+    return hashlib.sha256(
+        (src + "\n--oracle--\n" + (sql or "")).encode()
+    ).hexdigest()
+
+
+def green_hashes() -> dict[str, str]:
+    """Content hashes recorded when each cohort name last went (or was
+    re-proven) driver-green — written by scripts/fold_round_greens.py,
+    read by next_window(). Missing file / missing name = treat the
+    green as stale (re-check eligible)."""
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "green_hashes.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def next_window(window: int = 50) -> list[str]:
+    """Derive the current round's driver window from the cohort
+    constants (policy established round 10; r8-verdict lineage).
 
     Slots go, in order: (1) the pinned sentinels; (2) any catalog name
-    with NO green driver row — by GREEN-COHORT membership, not by
-    window membership, so an r9-window name whose round-9 drive comes
-    back RED re-enters here automatically instead of being dropped
-    forever (new/unproven evidence always outranks freshness); (3)
-    freshness re-checks walking DRIVER_GREEN_COHORTS oldest-first
-    (rounds 1-3 cohort first), alphabetical within a cohort, skipping
-    sentinels (pinned anyway). Deterministic, so the r10 rotation
-    commit is: fold the r9 greens into a DRIVER_GREENS_R9 cohort, then
-    DRIVER_PRIORITY = r10_window(). (Called BEFORE that fold — e.g. by
-    this round's tests — the r9-window names have no cohort yet and
-    correctly front-load the list; the fold is what retires them.)
+    with NO green driver row — by GREEN-COHORT membership, not window
+    membership, so a window name whose drive comes back RED re-enters
+    automatically instead of being dropped forever (new/unproven
+    evidence always outranks freshness); (3) cohort names whose
+    query_content_hash() no longer matches the hash recorded at their
+    last green (stale evidence — the code or oracle changed since the
+    driver proved it), oldest cohort first, alphabetical within; (4)
+    freshness re-checks walking DRIVER_GREEN_COHORTS oldest-first,
+    alphabetical within a cohort, skipping sentinels (pinned anyway).
+    Deterministic, so each round's rotation commit is: fold the prior
+    round's greens into a DRIVER_GREENS_RN cohort + refresh
+    green_hashes.json (scripts/fold_round_greens.py prints both), then
+    paste DRIVER_PRIORITY = next_window().
     """
     sentinels = list(DRIVER_SENTINELS)
     taken = set(sentinels)
     out = list(sentinels)
     ungreen = [n for n in CATALOG
                if n not in DRIVER_CHECKED_PRIOR_ROUNDS and n not in taken]
-    # round-9 additions first: they will still be ungreen after the r9
-    # fold no matter what; current-window names are transient (the fold
-    # retires the greens, leaving only reds to claim slots here)
-    never = sorted(ungreen, key=lambda n: n in set(R9_PLANNED_WINDOW))
-    for name in never + [n for cohort in DRIVER_GREEN_COHORTS
-                         for n in sorted(cohort)]:
+    recorded = green_hashes()
+    stale = [
+        n
+        for cohort in DRIVER_GREEN_COHORTS
+        for n in sorted(cohort)
+        if n not in taken and recorded.get(n) != query_content_hash(n)
+    ]
+    for name in ungreen + stale + [n for cohort in DRIVER_GREEN_COHORTS
+                                   for n in sorted(cohort)]:
         if len(out) >= window:
             break
         if name not in taken:
             taken.add(name)
             out.append(name)
     return out
+
+
+# kept callable under the name round-9 staged it as (tests, scripts)
+r10_window = next_window
 
 
 

@@ -247,9 +247,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     + pixel plane, and features (dims + pixel-value histogram) come from
     the decoded pixels, not the raw payload bytes.
 
-    No SQL oracle (the decode plane is definitionally not SQL); pixel
-    values are checked against a Python-side decode oracle in
-    tests/test_multimodal.py.
+    Driver-oracled since round 10 (the r9 verdict's audit-column task,
+    upgraded all the way to a FULL value check): the payload synthesis
+    is a 64-bit LCG, which the DuckDB oracle re-derives exactly with a
+    recursive CTE over HUGEINT modular arithmetic — so every decoded
+    pixel's histogram bin is independently recomputed in SQL and the
+    hash pins decode + featurize end-to-end, not just row counts.
+    tests/test_multimodal.py keeps the independent Python decode oracle.
     """
     df = image_table(spark, sf_dir)
 
@@ -301,8 +305,15 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest all happen executor-side on the streamed batch; nothing but
     fixed-width features crosses back. At 100 TB this pairs with
     frame-sampling so only surviving frames are ever decoded.
-    Rows-only for the driver (not SQL); tests/test_multimodal.py
-    recomputes thumbnails with an independent Python oracle.
+
+    Driver-oracled since round 10: the DuckDB oracle re-derives the
+    LCG pixel plane (recursive HUGEINT CTE), applies the identical
+    integer nearest-neighbor index map, and recomputes the digest and
+    channel sums — a full value check of decode + resize. The digest
+    is md5 over the thumbnail's LOWERCASE-HEX text (not raw bytes):
+    DuckDB's md5 only accepts VARCHAR, and hex is the same exact,
+    order-preserving byte view the frame_sample oracle slices.
+    tests/test_multimodal.py keeps the independent Python oracle.
     """
     import hashlib
 
@@ -321,7 +332,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     (
                         int(d), w, h, THUMB_W, THUMB_H,
-                        hashlib.md5(t.tobytes()).hexdigest(),
+                        hashlib.md5(t.tobytes().hex().encode()).hexdigest(),
                         int(t[:, :, 0].sum()),
                         int(t[:, :, 1].sum()),
                         int(t[:, :, 2].sum()),
@@ -444,12 +455,26 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded PCM samples, the speech-pipeline segmentation/VAD
     precursor. Same plumbing contract as the image plane: opaque binary
     in, fixed-width features out, nothing else crosses the Arrow
-    boundary. No SQL oracle (decode is not SQL);
-    tests/test_multimodal.py checks the parser against an independent
-    numpy reconstruction and pins the feature math."""
+    boundary.
+
+    Driver-oracled since round 10: the DuckDB oracle re-derives the
+    LCG PCM stream (recursive HUGEINT CTE) and recomputes every
+    feature. The sums of squares are exact integers on both sides, so
+    rms = sqrt(int/int) is the identical IEEE double; rounding is
+    half-away-from-zero over the exact binary value (Decimal
+    ROUND_HALF_UP here = SQL ROUND, the mmr _round9 convention — NOT
+    Python's banker's round). tests/test_multimodal.py checks the
+    parser against an independent numpy reconstruction and pins the
+    feature math."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
+
+    def _r(x: float, dp: int) -> float:
+        return float(
+            Decimal(x).quantize(Decimal(f"1E-{dp}"), rounding=ROUND_HALF_UP)
+        )
 
     df = audio_table(spark, sf_dir)
     cols = [
@@ -478,10 +503,10 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wrms = np.sqrt(sums / lens)
                 rows.append(
                     (
-                        int(d), rate, ch, n, round(n * 1000.0 / rate, 3),
-                        round(rms, 4), int(np.abs(xs).max()),
-                        n_win, round(float(wrms.min()), 4),
-                        round(float(wrms.max()), 4),
+                        int(d), rate, ch, n, _r(n * 1000.0 / rate, 3),
+                        _r(rms, 4), int(np.abs(xs).max()),
+                        n_win, _r(float(wrms.min()), 4),
+                        _r(float(wrms.max()), 4),
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)
@@ -549,10 +574,15 @@ def q_multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     per image — only doc_id in, 8 bytes out); grouping, counting, and
     the planted-pair audit are one hash-shuffle of (hash, doc_id) —
     identical to ``dedup_exact``'s plan with the fingerprint swapped
-    for a perceptual one. Rows-only for the driver (the LCG decode is
-    not SQL); tests/test_multimodal.py recomputes the hashes with an
-    independent single-threaded oracle and checks both planted-pair
-    completeness and noise-pair separation.
+    for a perceptual one.
+
+    Driver-oracled since round 10: the DuckDB oracle re-derives the
+    LCG pixel planes (including the planted re-shoots' +lift clamp),
+    recomputes every 64-bit difference hash with the same integer
+    resize/grayscale/gradient pipeline, and regroups — so the value
+    hash pins planted-pair collapse AND noise-pair separation, not
+    just the planted count. tests/test_multimodal.py keeps the
+    independent single-threaded Python oracle.
     """
     docs = fan_out(load_tables(spark, sf_dir)["documents"].select("doc_id"))
 
@@ -585,15 +615,220 @@ def q_multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ------------------- SQL re-derivation of the LCG decode planes (oracles)
+#
+# The synthetic payloads are pure functions of doc_id through a 64-bit
+# LCG, so DuckDB can recompute every decoded byte EXACTLY: a recursive
+# CTE advances the state s <- (s*A + C) mod 2^64 in HUGEINT (s*A tops
+# out near 1.2e38, inside HUGEINT's ~1.7e38), and each plane's feature
+# math is integer-exact on both sides. This upgrades all four decode
+# planes from rows-only driver checks to full value-hash checks (r9
+# verdict task 3, taken past audit columns to complete re-derivation).
+
+_LCG_M = 1 << 64
+_B33 = 1 << 33  # byte lane: (s >> 33) & 0xFF
+_B32 = 1 << 32  # PCM lane: ((s >> 32) & 0xFFFF) - 32768
+
+
+def _lcg_bytes_ctes(params_sql: str) -> str:
+    """CTE block re-deriving ``_pixel_stream``: ``params_sql`` must
+    select (doc_id, seed, n [, extra cols]); yields ``bytes(doc_id, i
+    1-based, b)`` plus the ``params`` CTE for downstream joins. Callers
+    must open with WITH RECURSIVE."""
+    return f"""params AS (
+{params_sql}
+), chain AS (
+    SELECT doc_id, n, 0 AS i,
+           (CAST(seed AS HUGEINT) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS s
+    FROM params
+    UNION ALL
+    SELECT doc_id, n, i + 1, (s * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+    FROM chain WHERE i < n
+), bytes AS (
+    SELECT doc_id, i, CAST((s // {_B33}) % 256 AS INT) AS b
+    FROM chain WHERE i >= 1
+)"""
+
+
+_IMG_PARAMS_SQL = """    SELECT doc_id, doc_id AS seed,
+           (8 + doc_id % 5) AS w, (6 + doc_id % 4) AS h,
+           (8 + doc_id % 5) * (6 + doc_id % 4) * 3 AS n
+    FROM documents"""
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH RECURSIVE {_lcg_bytes_ctes(_IMG_PARAMS_SQL)},
+hist AS (
+    SELECT doc_id, (b * {FEATURE_BINS}) // 256 AS bin, COUNT(*) AS c
+    FROM bytes GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+       -- payload = 'P6\\n' + w + ' ' + h + '\\n255\\n' header + pixel plane
+       CAST(3 + length(CAST(p.w AS VARCHAR)) + 1
+              + length(CAST(p.h AS VARCHAR)) + 5 + p.n AS INT) AS n_bytes,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN bin = {i} THEN c END), 0) AS INT)"
+           f" AS f{i}"
+           for i in range(FEATURE_BINS)
+       )}
+FROM params p LEFT JOIN hist USING (doc_id)
+GROUP BY p.doc_id, p.w, p.h, p.n
+ORDER BY p.doc_id
+"""
+
+ORACLE_MULTIMODAL_RESIZE = f"""
+WITH RECURSIVE {_lcg_bytes_ctes(_IMG_PARAMS_SQL)},
+grid AS (
+    -- the exact integer nearest-neighbor map of resize_nearest:
+    -- src pixel (yo*h//OH, xo*w//OW), channel c; 1-based byte index
+    SELECT p.doc_id, g.yo, g.xo, g.c,
+           (((g.yo * p.h) // {THUMB_H}) * p.w + ((g.xo * p.w) // {THUMB_W}))
+               * 3 + g.c + 1 AS i
+    FROM params p CROSS JOIN (
+        SELECT yo, xo, c
+        FROM (SELECT UNNEST(range({THUMB_H})) AS yo),
+             (SELECT UNNEST(range({THUMB_W})) AS xo),
+             (SELECT UNNEST(range(3)) AS c)
+    ) g
+), tpx AS (
+    SELECT g.doc_id, g.yo, g.xo, g.c, b.b
+    FROM grid g JOIN bytes b ON b.doc_id = g.doc_id AND b.i = g.i
+)
+SELECT t.doc_id,
+       CAST(MIN(p.w) AS INT) AS src_w, CAST(MIN(p.h) AS INT) AS src_h,
+       CAST({THUMB_W} AS INT) AS out_w, CAST({THUMB_H} AS INT) AS out_h,
+       md5(string_agg(lower(lpad(hex(t.b), 2, '0')), ''
+                      ORDER BY t.yo, t.xo, t.c)) AS thumb_digest,
+       CAST(SUM(CASE WHEN t.c = 0 THEN t.b ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN t.c = 1 THEN t.b ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN t.c = 2 THEN t.b ELSE 0 END) AS BIGINT) AS sum_b
+FROM tpx t JOIN params p USING (doc_id)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+ORACLE_MULTIMODAL_AUDIO_FEATURES = f"""
+WITH RECURSIVE params AS (
+    SELECT doc_id, doc_id AS seed, 400 + (doc_id % 5) * 100 AS n
+    FROM documents
+), chain AS (
+    SELECT doc_id, n, 0 AS i,
+           (CAST(seed AS HUGEINT) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS s
+    FROM params
+    UNION ALL
+    SELECT doc_id, n, i + 1, (s * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+    FROM chain WHERE i < n
+), samples AS (
+    SELECT doc_id, i,
+           CAST((s // {_B32}) % 65536 AS INT) - 32768 AS v
+    FROM chain WHERE i >= 1
+), wins AS (
+    SELECT doc_id, (i - 1) // {WAV_WINDOW} AS win,
+           SUM(CAST(v AS BIGINT) * v) AS ss, COUNT(*) AS m
+    FROM samples GROUP BY 1, 2
+), wstats AS (
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+           ROUND(MIN(sqrt(ss * 1.0 / m)), 4) AS win_rms_min,
+           ROUND(MAX(sqrt(ss * 1.0 / m)), 4) AS win_rms_max
+    FROM wins GROUP BY 1
+), tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n,
+           SUM(CAST(v AS BIGINT) * v) AS ss,
+           CAST(MAX(ABS(v)) AS INT) AS peak
+    FROM samples GROUP BY 1
+)
+SELECT t.doc_id,
+       {WAV_RATE} AS sample_rate, 1 AS n_channels, t.n AS n_samples,
+       ROUND(t.n * 1000.0 / {WAV_RATE}, 3) AS duration_ms,
+       ROUND(sqrt(t.ss * 1.0 / t.n), 4) AS rms,
+       t.peak, w.n_windows, w.win_rms_min, w.win_rms_max
+FROM tot t JOIN wstats w USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+# dhash: the planted re-shoot reads the SOURCE doc's pixel stream
+# (seed = doc_id - 3, dims of the source) with a clamped +lift
+_DHASH_PARAMS_SQL = f"""    SELECT doc_id,
+           CASE WHEN doc_id % {NEARDUP_MOD} = 3 AND doc_id >= 3
+                THEN doc_id - 3 ELSE doc_id END AS seed,
+           CASE WHEN doc_id % {NEARDUP_MOD} = 3 AND doc_id >= 3
+                THEN {NEARDUP_SHIFT} ELSE 0 END AS lift,
+           (8 + (CASE WHEN doc_id % {NEARDUP_MOD} = 3 AND doc_id >= 3
+                 THEN doc_id - 3 ELSE doc_id END) % 5) AS w,
+           (6 + (CASE WHEN doc_id % {NEARDUP_MOD} = 3 AND doc_id >= 3
+                 THEN doc_id - 3 ELSE doc_id END) % 4) AS h,
+           (8 + (CASE WHEN doc_id % {NEARDUP_MOD} = 3 AND doc_id >= 3
+                 THEN doc_id - 3 ELSE doc_id END) % 5)
+             * (6 + (CASE WHEN doc_id % {NEARDUP_MOD} = 3 AND doc_id >= 3
+                 THEN doc_id - 3 ELSE doc_id END) % 4) * 3 AS n
+    FROM documents"""
+
+ORACLE_MULTIMODAL_IMAGE_DHASH_DEDUP = f"""
+WITH RECURSIVE {_lcg_bytes_ctes(_DHASH_PARAMS_SQL)},
+grid AS (
+    SELECT p.doc_id, g.yo, g.xo, g.c, p.lift,
+           (((g.yo * p.h) // {DHASH_H}) * p.w + ((g.xo * p.w) // {DHASH_W}))
+               * 3 + g.c + 1 AS i
+    FROM params p CROSS JOIN (
+        SELECT yo, xo, c
+        FROM (SELECT UNNEST(range({DHASH_H})) AS yo),
+             (SELECT UNNEST(range({DHASH_W})) AS xo),
+             (SELECT UNNEST(range(3)) AS c)
+    ) g
+), gray AS (
+    SELECT g.doc_id, g.yo, g.xo,
+           SUM(LEAST(255, b.b + g.lift)
+               * CASE g.c WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END)
+               AS gv
+    FROM grid g JOIN bytes b ON b.doc_id = g.doc_id AND b.i = g.i
+    GROUP BY 1, 2, 3
+), bits AS (
+    -- bit idx = yo*(W-1)+xo, MSB-first: left-gradient comparison
+    SELECT l.doc_id, l.yo * {DHASH_W - 1} + l.xo AS idx,
+           CASE WHEN r.gv > l.gv THEN 1 ELSE 0 END AS bit
+    FROM gray l JOIN gray r
+      ON r.doc_id = l.doc_id AND r.yo = l.yo AND r.xo = l.xo + 1
+    WHERE l.xo < {DHASH_W - 1}
+), hashes AS (
+    -- pack 64 bits in two 32-bit halves (BIGINT-safe shifts), then
+    -- combine in HUGEINT and recenter to signed 64-bit
+    SELECT doc_id,
+           CAST(CAST(SUM(CASE WHEN idx < 32
+                    THEN bit * CAST(power(2, 31 - idx) AS BIGINT)
+                    ELSE 0 END) AS HUGEINT) * {1 << 32}
+                + SUM(CASE WHEN idx >= 32
+                      THEN bit * CAST(power(2, 63 - idx) AS BIGINT)
+                      ELSE 0 END)
+                - {1 << 63} AS BIGINT) AS h
+    FROM bits GROUP BY doc_id
+), groups AS (
+    SELECT h, COUNT(*) AS gn FROM hashes GROUP BY h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gn) AS BIGINT) AS n_images,
+       CAST(SUM(gn) - COUNT(*) AS BIGINT) AS n_duplicates,
+       CAST(MAX(gn) AS BIGINT) AS largest_group,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id % {NEARDUP_MOD} = 3 AND doc_id >= 3) AS n_planted
+FROM groups
+"""
+
+
 def oracles() -> dict[str, tuple]:
     return {
-        "multimodal_image_dhash_dedup": (q_multimodal_image_dhash_dedup, None),
+        "multimodal_image_dhash_dedup": (
+            q_multimodal_image_dhash_dedup,
+            ORACLE_MULTIMODAL_IMAGE_DHASH_DEDUP,
+        ),
         "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
-        "multimodal_resize": (q_multimodal_resize, None),
+        "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
         "multimodal_frame_sample": (
             q_multimodal_frame_sample,
             ORACLE_MULTIMODAL_FRAME_SAMPLE,
         ),
-        "multimodal_features": (q_multimodal_features, None),
-        "multimodal_audio_features": (q_multimodal_audio_features, None),
+        "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
+        "multimodal_audio_features": (
+            q_multimodal_audio_features,
+            ORACLE_MULTIMODAL_AUDIO_FEATURES,
+        ),
     }

@@ -2067,7 +2067,14 @@ _RRF_DUCK_COS = (
 )
 
 # the shared leg + fusion CTE block (used by the RRF query, the MMR
-# rerank via subquery embedding, and the retrieval-quality report)
+# rerank via subquery embedding, and the retrieval-quality report).
+# The BM25 leg interpolates the SAME constants the engine leg
+# (text.q_bm25_score) computes with, so a k1/b/term-list change moves
+# both legs together instead of silently forking the oracles.
+from .text import BM25_B, BM25_K1, BM25_TERMS  # noqa: E402
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
 _RRF_CTES = f"""toks AS (
     SELECT doc_id, t.token
     FROM documents,
@@ -2081,15 +2088,15 @@ _RRF_CTES = f"""toks AS (
 ), tf AS (
     SELECT doc_id, token, COUNT(*) AS tf
     FROM toks
-    WHERE token IN ('join', 'table', 'query')
+    WHERE token IN ({_BM25_TERMS_SQL})
     GROUP BY doc_id, token
 ), dfreq AS (
     SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
 ), bm AS (
     SELECT doc_id,
            ROUND(SUM(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-                     * tf * (1.2 + 1)
-                     / (tf + 1.2 * (1 - 0.75 + 0.75 * n_dl / avgdl))), 6)
+                     * tf * ({BM25_K1} + 1)
+                     / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * n_dl / avgdl))), 6)
                AS bm25
     FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token)
     CROSS JOIN stats
@@ -2280,6 +2287,16 @@ def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     RRF query and unrolls the same MMR_K−1 greedy steps as CTEs (the
     ``sample_kcenter_coreset`` discipline).
 
+    Candidate-pool contract: MMR diversifies in EMBEDDING space, so an
+    RRF candidate with no embedding row cannot be scored against the
+    selected set and is EXCLUDED from the pool on BOTH sides (the
+    engine's inner join below; the oracle's ``cand`` CTE carries the
+    same semi-join). Without the oracle-side restriction the two pools
+    diverge whenever BM25 surfaces a doc outside the embeddings table
+    (documents ⊃ embeddings at every SF) and step 1's pure-relevance
+    argmax can pick an unscorable doc — pinned by
+    tests/test_round9_ops.py::test_mmr_pool_excludes_embeddingless.
+
     Scale shape: the candidate pool is depth-bounded by RRF (TOPK rows)
     BEFORE any pairwise work, so the similarity matrix is TOPK² ≈ 400
     broadcast rows regardless of corpus, and each greedy round is one
@@ -2331,7 +2348,9 @@ def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected: list[tuple[int, int, float]] = []  # (rank, doc_id, mmr)
     first = max(sorted(rel), key=lambda d: (rel[d], -d))
     selected.append((1, first, _round9(rel[first])))
-    for step in range(2, MMR_K + 1):
+    # pool can be < MMR_K when few RRF candidates carry embeddings;
+    # stop early exactly like the oracle's empty s<step> CTEs do
+    for step in range(2, min(MMR_K, len(rel)) + 1):
         chosen = [d for _, d, _ in selected]
         scores = {
             d: _round9(
@@ -2374,7 +2393,12 @@ s{step} AS (
     rrf_sub = ORACLE_RRF_HYBRID_SEARCH.strip().rstrip()
     return f"""
 WITH cand AS (
+    -- pool restricted to docs WITH an embedding row, mirroring the
+    -- engine's inner join (candidate-pool contract in the docstring);
+    -- the restriction applies AFTER the RRF top-k cut, exactly as the
+    -- engine filters the already-limited RRF frame
     SELECT doc_id, rrf FROM ({rrf_sub})
+    WHERE doc_id IN (SELECT vec_id FROM embeddings)
 ), simm AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            ROUND(list_cosine_similarity(

@@ -655,7 +655,7 @@ ORACLE_BM25_SCORE = f"""
     ), tf AS (
         SELECT doc_id, token, COUNT(*) AS tf
         FROM toks
-        WHERE token IN ('join', 'table', 'query')
+        WHERE token IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
         GROUP BY doc_id, token
     ), dfreq AS (
         SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token

@@ -53,6 +53,12 @@ def get_spark(
         # timestamps, which blinds the manifest's time zone maps — the
         # retention-delete pruning path needs TIMESTAMP_MICROS stats
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # origin marker: builder confs become `--conf` args on the
+        # SparkSubmit cmdline, so every JVM this engine launches is
+        # identifiable from /proc — bench's stray-JVM reaper requires
+        # this marker and will never touch an unrelated Spark process
+        # (even a daemonized one reparented to PID 1 while healthy)
+        .config("spark.dbms_query_optimizer_spark.origin", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
         # local mode = one JVM for driver + all executor threads; Spark's

@@ -174,11 +174,28 @@ def q_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout needs the glob to exclude the sibling tables in sf_dir
     ev_path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(ev_path):
-        n_files = sum(
-            1 for f in os.listdir(ev_path) if f.endswith(".parquet")
-        )
+        # Multi-batch replay is only event-time-faithful when the file
+        # source's delivery order (mtime) matches event-time order — a
+        # contract a sequentially-written directory satisfies because
+        # each part file lands strictly after the previous one. A
+        # directory written by ONE parallel Spark job has near-identical
+        # mtimes: cross-batch order is then arbitrary, sessions
+        # straddling a batch boundary can split, and the closure-
+        # predicate oracle hash breaks. ENFORCE the contract instead of
+        # assuming it: if any two part files share an mtime (order not
+        # a strict total order), replay everything in a single trigger
+        # — one batch has no cross-batch order, so it is always safe.
+        parts = [
+            os.path.join(ev_path, f)
+            for f in os.listdir(ev_path)
+            if f.endswith(".parquet")
+        ]
+        n_files = len(parts)
+        mtimes = sorted(os.stat(p).st_mtime_ns for p in parts)
+        strict = all(a < b for a, b in zip(mtimes, mtimes[1:]))
+        per_trigger = max(1, math.ceil(n_files / 3)) if strict else n_files
         reader = spark.readStream.schema(raw_schema).option(
-            "maxFilesPerTrigger", str(max(1, math.ceil(n_files / 3)))
+            "maxFilesPerTrigger", str(per_trigger)
         )
         stream = reader.parquet(ev_path)
     else:

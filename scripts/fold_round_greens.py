@@ -1,21 +1,31 @@
 #!/usr/bin/env python
 """Stage the next round's driver-window rotation from a CORRECTNESS file.
 
-Usage: python scripts/fold_round_greens.py CORRECTNESS_r09.json [round_no]
+Usage: python scripts/fold_round_greens.py CORRECTNESS_r10.json [round_no]
 
-Prints, ready to paste into operators/catalog.py:
-  1. the DRIVER_GREENS_R<N> frozenset literal — the file's hash-green
+Does two things:
+
+1. PRINTS, ready to paste into operators/catalog.py:
+   - the DRIVER_GREENS_R<N> frozenset literal — the file's hash-green
      names minus sentinels and minus rows-only entries (rows-only rows
      give weaker evidence and stay out of the green cohorts, exactly as
-     rounds 1-8 were folded);
-  2. the line to append to DRIVER_GREEN_COHORTS;
-  3. the next window via r10_window() recomputed AS IF the fold had
-     landed (reds re-enter automatically: eligibility is green-cohort
-     membership), so the rotation commit is mechanical and the
-     set-equality tests in tests/test_catalog_order.py stay the gate.
+     rounds 1-9 were folded);
+   - the line to append to DRIVER_GREEN_COHORTS;
+   - the next window via catalog.next_window() recomputed AS IF the
+     fold had landed (reds re-enter automatically: eligibility is
+     green-cohort membership; code-changed greens re-enter via the
+     content-hash freshness key), so the rotation commit is mechanical
+     and the set-equality tests in tests/test_catalog_order.py stay
+     the gate.
 
-Read-only: this script never edits catalog.py itself — the fold is a
-reviewed commit, not a side effect.
+2. UPDATES operators/green_hashes.json IN PLACE: every hash-green row
+   in the CORRECTNESS file (new fold AND freshness re-check alike)
+   records query_content_hash(name) as of the folding commit — the
+   code the driver actually proved. next_window() re-enters any cohort
+   name whose current hash has drifted from this record (r9 verdict
+   task 7: rotation keyed on (cohort age, code change), not age
+   alone). The json write is the ONLY side effect; catalog.py itself
+   is never edited — the fold is a reviewed commit, not a side effect.
 """
 
 from __future__ import annotations
@@ -25,7 +35,8 @@ import os
 import sys
 import textwrap
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from dbms_query_optimizer_spark.operators import catalog as C
 
@@ -41,18 +52,17 @@ def _fmt_set(names: list[str], indent: str = "    ") -> str:
 
 def main() -> None:
     path = sys.argv[1]
-    round_no = int(sys.argv[2]) if len(sys.argv) > 2 else 9
+    round_no = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     rows = json.load(open(path))
     sentinels = set(C.DRIVER_SENTINELS)
     rows_only = {n for n, (_, sql) in C.CATALOG.items() if sql is None}
-    greens = sorted(
+    all_greens = sorted(
         n
         for n, r in rows.items()
         if r.get("hash_match")
         and r.get("rows_match")
         and r.get("schema_match")
         and not r.get("err")
-        and n not in sentinels
         and n not in rows_only
     )
     reds = sorted(
@@ -69,11 +79,17 @@ def main() -> None:
             )
         )
     )
-    already = [n for n in greens if n in C.DRIVER_CHECKED_PRIOR_ROUNDS]
+    greens = [
+        n
+        for n in all_greens
+        if n not in sentinels and n not in C.DRIVER_CHECKED_PRIOR_ROUNDS
+    ]
+    rechecks = [n for n in all_greens if n not in greens]
     print(f"# {len(greens)} hash-greens to fold; reds/errs: {reds or 'none'}")
-    if already:
-        print(f"# NOTE: already in a cohort (re-checks, do NOT re-fold): {already}")
-        greens = [n for n in greens if n not in C.DRIVER_CHECKED_PRIOR_ROUNDS]
+    if rechecks:
+        print(
+            f"# re-proven greens (hash refreshed, not re-folded): {rechecks}"
+        )
     print(f"DRIVER_GREENS_R{round_no} = frozenset({{")
     if greens:
         print(_fmt_set(greens) + ",")
@@ -81,21 +97,44 @@ def main() -> None:
     print(
         f"# append to DRIVER_GREEN_COHORTS: ..., DRIVER_GREENS_R{round_no},"
     )
+
+    # refresh the content-hash record for EVERY name the driver just
+    # proved green (fold + re-check): the driver certified the code as
+    # it is NOW
+    hpath = os.path.join(
+        REPO, "dbms_query_optimizer_spark", "operators", "green_hashes.json"
+    )
+    recorded = C.green_hashes()
+    for n in all_greens:
+        recorded[n] = C.query_content_hash(n)
+    with open(hpath, "w") as f:
+        json.dump(dict(sorted(recorded.items())), f, indent=0, sort_keys=True)
+    print(f"# green_hashes.json: refreshed {len(all_greens)} entries")
+
+    # next window AS IF the fold had landed
     folded = C.DRIVER_CHECKED_PRIOR_ROUNDS | set(greens)
+    cohorts = list(C.DRIVER_GREEN_COHORTS) + [frozenset(greens)]
     sent = list(C.DRIVER_SENTINELS)
     taken = set(sent)
     out = list(sent)
     ungreen = [n for n in C.CATALOG if n not in folded and n not in taken]
-    cohorts = list(C.DRIVER_GREEN_COHORTS) + [frozenset(greens)]
-    for name in ungreen + [n for co in cohorts for n in sorted(co)]:
+    stale = [
+        n
+        for co in cohorts
+        for n in sorted(co)
+        if n not in taken and recorded.get(n) != C.query_content_hash(n)
+    ]
+    for name in ungreen + stale + [n for co in cohorts for n in sorted(co)]:
         if len(out) >= 50:
             break
         if name not in taken:
             taken.add(name)
             out.append(name)
-    print(f"\n# next window ({len(out)} names, sentinels first):")
+    print(f"\n# next window ({len(out)} names; sentinels first, then")
+    print("# never-green, then hash-stale greens, then oldest-cohort):")
     print(f"R{round_no + 1}_PLANNED_WINDOW = [")
-    print(_fmt_set(out[len(sent):]) + ",")
+    for n in out[len(sent):]:
+        print(f'    "{n}",')
     print("]")
 
 

@@ -20,49 +20,77 @@ def test_sentinels_pinned():
     assert set(C.DRIVER_SENTINELS) <= set(C.DRIVER_PRIORITY)
 
 
-def test_window_spends_slots_on_new_evidence():
-    """Every non-sentinel slot must go to a query with no hash-checked
-    driver row in any prior round (new, reworked-oracle, or simply never
-    sampled) — the rotation policy."""
-    fresh = set(C.DRIVER_PRIORITY) - set(C.DRIVER_SENTINELS)
-    stale = fresh & C.DRIVER_CHECKED_PRIOR_ROUNDS
-    assert not stale, f"window wastes slots on already-proven queries: {sorted(stale)}"
+def test_window_ungreen_names_come_first():
+    """Names with no green driver row (never checked, or red last time)
+    must claim slots ahead of freshness re-checks — new/unproven
+    evidence always outranks freshness (the r10+ rotation policy)."""
+    rest = C.DRIVER_PRIORITY[len(C.DRIVER_SENTINELS):]
+    ungreen = [n for n in rest if n not in C.DRIVER_CHECKED_PRIOR_ROUNDS]
+    assert rest[: len(ungreen)] == ungreen
 
 
-def test_window_mostly_oracled():
-    """Rows-only entries give weaker evidence; cap them so the window
-    stays dominated by full hash checks."""
-    no_oracle = [n for n in C.DRIVER_PRIORITY if C.CATALOG[n][1] is None]
-    assert len(no_oracle) <= 4, no_oracle
+def test_everything_oracled():
+    """Since round 10 every catalog entry carries a DuckDB value-hash
+    oracle — the 4 multimodal decode planes were the last rows-only
+    entries, upgraded via SQL re-derivation of the LCG payload
+    synthesis. Keep it that way: a new rows-only entry needs a
+    documented proof that nothing SQL-recomputable exists."""
+    no_oracle = [n for n in C.CATALOG if C.CATALOG[n][1] is None]
+    assert no_oracle == [], no_oracle
 
 
-def test_r9_window_closes_the_backlog_exactly():
-    """The installed r9 window must BE the never-checked backlog — no
-    overlap with checked names, nothing registered left over — so the
-    backlog reaches zero this round (r8 verdict task 1). Includes the
-    headroom reconciliation the r8 verdict asked for (task 6): the
-    window is exactly 50 wide, so its fullness can't drift in comments."""
-    r9 = set(C.R9_PLANNED_WINDOW)
-    assert len(C.R9_PLANNED_WINDOW) == len(r9), "duplicates in r9 plan"
-    assert len(C.DRIVER_SENTINELS) + len(C.R9_PLANNED_WINDOW) == WINDOW
-    assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R9_PLANNED_WINDOW
-    missing = r9 - set(C.CATALOG)
-    assert not missing, f"r9 plan names not registered: {sorted(missing)}"
-    adds = set(C.R9_ADDITIONS)
-    assert not (adds & r9) and not (adds & C.DRIVER_CHECKED_PRIOR_ROUNDS)
-    backlog = set(C.CATALOG) - C.DRIVER_CHECKED_PRIOR_ROUNDS - set(C.DRIVER_SENTINELS)
-    assert r9 | adds == backlog, (
-        f"uncovered: {sorted(backlog - r9 - adds)}; "
-        f"extra: {sorted((r9 | adds) - backlog)}"
+def test_r10_window_staging_matches_policy():
+    """The installed r10 window must BE next_window()'s derivation —
+    sentinels, then the 11 ungreen names (7 round-9 additions + the 4
+    newly-oracled multimodal planes), then rounds-1-3 freshness
+    re-checks — so the staging can't drift from the cohort constants
+    and green_hashes.json it samples. Editing a cohort query (or its
+    oracle) moves its content hash and re-enters it here: re-stage the
+    window in the same commit."""
+    assert len(C.DRIVER_PRIORITY) == WINDOW
+    assert len(set(C.DRIVER_PRIORITY)) == WINDOW
+    assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R10_PLANNED_WINDOW
+    derived = C.next_window()
+    assert C.DRIVER_PRIORITY == derived, (
+        "staged window drifted from policy; re-stage: "
+        f"missing={sorted(set(derived) - set(C.DRIVER_PRIORITY))} "
+        f"extra={sorted(set(C.DRIVER_PRIORITY) - set(derived))}"
     )
-    # rows-only-by-design is exactly the 4 multimodal decode planes; all
-    # of them sit in the r9 window so each gets a fresh driver row.
-    rows_only = {n for n, (_, sql) in C.CATALOG.items() if sql is None}
-    assert rows_only == {
+    ungreen = [
+        n for n in C.R10_PLANNED_WINDOW
+        if n not in C.DRIVER_CHECKED_PRIOR_ROUNDS
+    ]
+    assert set(C.R9_ADDITIONS) <= set(ungreen)
+    assert {
         "multimodal_audio_features", "multimodal_features",
         "multimodal_image_dhash_dedup", "multimodal_resize",
-    }
-    assert rows_only <= r9
+    } <= set(ungreen)
+
+
+def test_green_hashes_cover_the_cohorts():
+    """Every cohort member must have a recorded content hash (else the
+    freshness key degrades to age-only for that name) and every
+    recorded hash must match the current code — a mismatch means a
+    cohort query changed without being re-staged into the window."""
+    recorded = C.green_hashes()
+    missing = [
+        n
+        for cohort in C.DRIVER_GREEN_COHORTS
+        for n in cohort
+        if n not in recorded
+    ]
+    assert not missing, f"cohort names without a hash record: {missing}"
+    drifted = [
+        n
+        for cohort in C.DRIVER_GREEN_COHORTS
+        for n in cohort
+        if recorded[n] != C.query_content_hash(n)
+        and n not in C.DRIVER_PRIORITY
+    ]
+    assert not drifted, (
+        "cohort queries edited since their last driver green but not "
+        f"re-staged into the window: {drifted}"
+    )
 
 
 def test_cohorts_partition_the_checked_set():
@@ -76,40 +104,19 @@ def test_cohorts_partition_the_checked_set():
         seen |= cohort
     assert seen == C.DRIVER_CHECKED_PRIOR_ROUNDS
     assert set(C.DRIVER_SENTINELS) <= C.DRIVER_GREEN_COHORTS[0]
-    # r8 cohort == the r8 window's 46 non-sentinel names (50/50 green)
+    # r8/r9 cohorts == those windows' non-sentinel oracled greens
     assert len(C.DRIVER_GREENS_R8) == 46
+    assert len(C.DRIVER_GREENS_R9) == 42
 
 
-def test_r10_window_is_well_formed():
-    """The pre-staged r10 freshness window (r8 verdict task 4):
-    sentinels first, then every name with no GREEN cohort row (so an
-    r9-window name left red re-enters automatically — cohort
-    membership, not window membership, is the eligibility test), then
-    oldest-cohort (rounds 1-3) re-checks — deterministic and exactly
-    window-sized."""
-    w = C.r10_window()
-    assert len(w) == WINDOW
-    assert len(set(w)) == WINDOW
-    assert w[: len(C.DRIVER_SENTINELS)] == C.DRIVER_SENTINELS
-    rest = w[len(C.DRIVER_SENTINELS):]
-    new_ops = [n for n in rest if n not in C.DRIVER_CHECKED_PRIOR_ROUNDS]
+def test_rechecks_walk_oldest_cohort_alphabetically():
+    """Freshness re-checks (the slots left after ungreen names) must
+    come from the oldest cohort, alphabetical — deterministic, so two
+    rounds never silently sample the same freshness subset."""
+    rest = C.DRIVER_PRIORITY[len(C.DRIVER_SENTINELS):]
     rechecks = [n for n in rest if n in C.DRIVER_CHECKED_PRIOR_ROUNDS]
-    # ungreen names (the whole r9 window until its greens are folded
-    # into a DRIVER_GREENS_R9 cohort, plus any round-9 additions) must
-    # all come before any freshness re-check
-    assert rest[: len(new_ops)] == new_ops
-    assert set(C.R9_ADDITIONS) <= set(new_ops)
-    # re-checks come from the oldest cohort, alphabetically
     oldest = sorted(C.DRIVER_GREEN_COHORTS[0] - set(C.DRIVER_SENTINELS))
     assert rechecks == oldest[: len(rechecks)]
-
-    # simulate the r10 rotation's fold: with the whole r9 window green,
-    # the window spends its non-sentinel slots on the round-9 additions
-    # first, then rounds-1-3 re-checks — and a red name would re-enter
-    folded = C.DRIVER_CHECKED_PRIOR_ROUNDS | set(C.R9_PLANNED_WINDOW)
-    never = [n for n in C.CATALOG
-             if n not in folded and n not in set(C.DRIVER_SENTINELS)]
-    assert set(never) == set(C.R9_ADDITIONS)
 
 
 def test_catalog_intact_after_reorder():

@@ -104,7 +104,13 @@ def test_resize_matches_python_oracle(spark, sf_dir):
         t = resize_nearest(w, h, pixels, THUMB_W, THUMB_H)
         assert (r["src_w"], r["src_h"]) == (w, h)
         assert (r["out_w"], r["out_h"]) == (THUMB_W, THUMB_H)
-        assert r["thumb_digest"] == hashlib.md5(t.tobytes()).hexdigest()
+        # digest contract: md5 over the LOWERCASE-HEX text of the
+        # thumbnail bytes (DuckDB md5 takes VARCHAR only; hex is the
+        # exact order-preserving byte view both engines agree on)
+        assert (
+            r["thumb_digest"]
+            == hashlib.md5(t.tobytes().hex().encode()).hexdigest()
+        )
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
             int(t[:, :, 0].sum()),
             int(t[:, :, 1].sum()),

@@ -227,3 +227,87 @@ def test_luhn_audit_salting_classes(spark):
             out.loc[out.doc_id == doc_id, "first_valid_last4"].iloc[0]
             == (payload + str(check))[-4:]
         )
+
+
+def test_mmr_pool_excludes_embeddingless(spark, tmp_path):
+    """Candidate-pool contract (r9 ADVICE, medium): when the RRF top-k
+    contains docs with NO embedding row — documents outnumber
+    embeddings, the normal state of every SF — both the engine and the
+    DuckDB oracle must drop them from the MMR pool, even when such a
+    doc is the PURE-RELEVANCE argmax at step 1. The fixture engineers
+    exactly that: doc 1 is the sole lexical hit (r_lex=1, rrf=1/61,
+    tied-for-top with the best vector doc and winning the doc_id
+    tie-break) but has no embedding row."""
+    import shutil
+
+    import numpy as np
+
+    from dbms_query_optimizer_spark.operators.similarity import (
+        EMB_DIM,
+        MMR_K,
+        ORACLE_MMR_DIVERSIFY_TOPK,
+        q_mmr_diversify_topk,
+    )
+
+    from .oracle_utils import TABLE_NAMES, compare, duckdb_conn
+
+    fx = tmp_path / "mmr_fixture"
+    fx.mkdir()
+    for t in TABLE_NAMES:
+        if t not in ("documents", "embeddings"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", fx / f"{t}.parquet")
+
+    # doc 1: only doc containing the BM25 terms, NO embedding row.
+    # docs 10..19: term-free texts, each WITH an embedding. doc 0 is
+    # the query vector (excluded from both legs by construction).
+    texts = {1: "join table query join table query join"}
+    for d in range(10, 20):
+        texts[d] = f"alpha beta gamma delta {d}"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "fixture",
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    docs.to_parquet(fx / "documents.parquet")
+
+    rng = np.random.RandomState(7)
+    vec_ids = [0] + list(range(10, 20))
+    emb = pd.DataFrame(
+        {
+            "vec_id": vec_ids,
+            "embedding": [
+                rng.randn(EMB_DIM).astype(np.float32) for _ in vec_ids
+            ],
+            "label": 0,
+        }
+    )
+    emb["label"] = emb["label"].astype("int32")
+    emb.to_parquet(fx / "embeddings.parquet")
+
+    out = q_mmr_diversify_topk(spark, str(fx)).toPandas()
+    assert len(out) == MMR_K
+    assert 1 not in set(out["doc_id"]), (
+        "embedding-less lexical argmax leaked into the MMR shortlist"
+    )
+    conn = duckdb_conn(str(fx))
+    try:
+        ok, msg = compare(
+            q_mmr_diversify_topk(spark, str(fx)), conn, ORACLE_MMR_DIVERSIFY_TOPK
+        )
+        assert ok, msg
+        # the UNrestricted pool WOULD have picked doc 1 first — prove
+        # the fixture actually exercises the divergence the fix closes
+        naive = conn.execute(
+            "SELECT doc_id FROM ("
+            + ORACLE_MMR_DIVERSIFY_TOPK.replace(
+                "WHERE doc_id IN (SELECT vec_id FROM embeddings)", ""
+            )
+            + ") WHERE rank = 1"
+        ).fetchone()[0]
+        assert naive == 1
+    finally:
+        conn.close()
