@@ -280,6 +280,12 @@ HEADLINE = [
     # round 9: checksum-validated PAN detection (Luhn lambda algebra,
     # map-only at scan bandwidth)
     "pii_luhn_audit",
+    # round 10: MOSS winnowing near-dup pairs (fingerprint-blocked join
+    # with a stop cap, never doc x doc)
+    "dedup_winnowing",
+    # round 10: JL Rademacher projection 64->16 (literal codegen'd
+    # integer arithmetic, map-only)
+    "embedding_random_projection",
 ]
 
 

@@ -986,6 +986,8 @@ R10_PLANNED_WINDOW = [
     # multimodal decode planes: first hash-checkable driver rows
     "multimodal_image_dhash_dedup", "multimodal_resize",
     "multimodal_features", "multimodal_audio_features",
+    # round-10 additions: winnowing dedup + JL random projection
+    "dedup_winnowing", "embedding_random_projection",
     # rounds-1-3 freshness re-checks (oldest cohort, alphabetical)
     "agg_array_ordered", "agg_filtered", "agg_global", "agg_grouped",
     "asof_join", "band_join_lookup", "bm25_score", "conform_union",
@@ -997,7 +999,7 @@ R10_PLANNED_WINDOW = [
     "filter_predicates", "global_row_number", "graph_pagerank",
     "hash_split_train", "having", "higher_order_funcs",
     "incremental_agg_merge", "join_anti", "join_full_outer",
-    "join_inner", "join_left_outer", "join_multiway",
+    "join_inner",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R10_PLANNED_WINDOW

@@ -2167,8 +2167,136 @@ def _oracle_set_similarity_prefix() -> str:
     """
 
 
+# ----------------------------------------------------- winnowing dedup
+
+WINNOW_W = 16  # winnowing window: hashes per selection window
+WINNOW_T = 2  # shared selected fingerprints to call a candidate pair
+WINNOW_STOP_DF = 20  # fingerprints in more docs than this are boilerplate
+
+
+def winnow_fingerprints_arrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): each document's DISTINCT winnowing-selected
+    fingerprint values — min of every WINNOW_W consecutive Rabin-Karp
+    ROLL_K-char window hashes (Schleimer/Wilkerson/Aiken, SIGMOD 2003:
+    any shared substring of length >= WINNOW_W + ROLL_K - 1 guarantees a
+    shared selected fingerprint). Arrow/numpy like
+    text.rolling_fingerprint_arrow — identical Horner arithmetic, plus
+    one vectorized sliding-window min; documents with fewer than
+    WINNOW_W window hashes emit nothing (the oracle's empty
+    generate_series mirrors this)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import text as T
+
+    B, P, K, Wn = T.ROLL_BASE, T.ROLL_PRIME, T.ROLL_K, WINNOW_W
+
+    def roll(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for did, nrm in zip(pdf["doc_id"], pdf["nrm"]):
+                cp = np.frombuffer(
+                    nrm.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(cp) - K + 1
+                if n < Wn:
+                    continue
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(K):
+                    h = (h * B + cp[j : j + n]) % P
+                mins = np.lib.stride_tricks.sliding_window_view(h, Wn).min(
+                    axis=1
+                )
+                for v in np.unique(mins):
+                    ids.append(int(did))
+                    fps.append(int(v))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return docs.select("doc_id", norm_text("text").alias("nrm")).mapInPandas(
+        roll, schema="doc_id long, fp long"
+    )
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup candidate pairs — the MOSS algorithm as a
+    corpus-dedup stage: select each document's winnowed fingerprint set
+    (guaranteed to catch any shared run of >= WINNOW_W + ROLL_K - 1
+    chars), drop boilerplate fingerprints shared by more than
+    WINNOW_STOP_DF documents (the LSH stop-band discipline — a
+    super-common fingerprint is template text, and pairing inside its
+    bucket is quadratic noise), and report pairs sharing >= WINNOW_T
+    selected fingerprints with the shared count as evidence strength.
+
+    Complements the existing near-dup family: minhash/LSH estimates
+    SET-level Jaccard, span-duplication counts exact 8-token spans,
+    winnowing detects LOCAL verbatim runs with a positional guarantee —
+    the contract plagiarism/clone detection needs and sampling sketches
+    can't give.
+
+    Exactness: fingerprints are exact BIGINTs (Horner mod-prime rolling
+    hash + window min — same arithmetic both engines); the pair report
+    is integer counts. Scale shape: fingerprints per doc ~ 2n/WINNOW_W
+    (winnowing density), the pair join is blocked per fingerprint with
+    the stop cap bounding any bucket at WINNOW_STOP_DF docs, so the
+    shuffle carries (doc, fp) rows and never doc x doc.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    wf = winnow_fingerprints_arrow(_fan_out(docs.select("doc_id", "text")))
+    shared = (
+        wf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs").between(2, WINNOW_STOP_DF))
+        .select("fp")
+    )
+    keyed = wf.join(shared, "fp")
+    a = keyed.select(F.col("doc_id").alias("id_a"), "fp")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_T)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_dedup_winnowing() -> str:
+    from .text import sql_rolling_hash_ctes
+
+    return f"""
+    WITH {sql_rolling_hash_ctes()},
+    mins AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(h) - {WINNOW_W - 1}, 0)),
+                   i -> list_min(h[i:i+{WINNOW_W - 1}])) AS fps
+        FROM hs
+    ),
+    wf AS (
+        SELECT DISTINCT doc_id, t.fp
+        FROM mins, UNNEST(fps) AS t(fp)
+    ),
+    shared AS (
+        SELECT fp FROM wf GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {WINNOW_STOP_DF}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wf a
+    JOIN shared USING (fp)
+    JOIN wf b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_T}
+    ORDER BY 1, 2
+    """
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "dedup_winnowing": (q_dedup_winnowing, _oracle_dedup_winnowing()),
         "dedup_set_similarity_prefix": (
             q_dedup_set_similarity_prefix,
             _oracle_set_similarity_prefix(),

@@ -2557,8 +2557,128 @@ ORDER BY leg
 """
 
 
+# ------------------------------------------ random projection (JL) sketch
+
+RP_OUT_DIM = 16  # projected dimensionality (64 -> 16, 4x compression)
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 Rademacher matrix (RP_OUT_DIM x EMB_DIM), each
+    entry the parity of md5(f"rp_{i}_{j}") — seedable, engine-neutral
+    (the matrix is materialized in PYTHON once and inlined as literal
+    arithmetic on both sides, so there is no hash-function parity to
+    negotiate). Achlioptas (JACM 2003): ±1 entries satisfy the JL lemma
+    with the same distortion bounds as Gaussian projections."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{i}_{j}".encode()).hexdigest(), 16) % 2 == 0
+            else -1
+            for j in range(EMB_DIM)
+        ]
+        for i in range(RP_OUT_DIM)
+    ]
+
+
+def _rp_term_sql(i: int, signs: list[list[int]], arr: str, base: int) -> str:
+    """`+ arr[j] - arr[k] ...` literal sum for projected component i —
+    one sign structure, two index bases (Spark `[]` is 0-based,
+    DuckDB's 1-based; the sign at input position j is the SAME md5
+    parity on both sides, which is the equality that matters)."""
+    return " ".join(
+        f"{'+' if s > 0 else '-'} {arr}[{j + base}]"
+        for j, s in enumerate(signs[i])
+    )
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims — the cheap
+    dimensionality-reduction stage ANN/clustering pipelines run before
+    the expensive geometry (a 4x narrower vector cuts every downstream
+    distance evaluation 4x; the JL lemma bounds the pairwise-distance
+    distortion). Deterministic Rademacher ±1 matrix (no training, unlike
+    ``embedding_pca_project``), applied as pure codegen'd integer
+    arithmetic over the milli-unit quantized vectors (the kmeans/PQ
+    quantization contract) — projections are EXACT BIGINTs, so the full
+    result value-hashes, not just audit scalars.
+
+    Per vector: the first 4 projected components, the projected squared
+    norm over all 16, and the input squared norm. E[pnorm2] =
+    RP_OUT_DIM * qnorm2 under the Rademacher distribution — the JL
+    contract tests/test_similarity_extra.py asserts at corpus level.
+
+    Scale shape: map-only (one projection per row, no shuffle but the
+    final sort); 16 x 64 literal add/subtract terms stay inside
+    whole-stage codegen — no UDF, no matrix broadcast needed since the
+    matrix is compiled into the plan.
+    """
+    signs = _rp_signs()
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = _ivfr_quantize(emb)
+    comps = [
+        F.expr(f"CAST(0 AS BIGINT) {_rp_term_sql(i, signs, 'qv', 0)}").alias(
+            f"p{i}"
+        )
+        for i in range(RP_OUT_DIM)
+    ]
+    proj = qv.select("vec_id", *comps)
+    pnorm2 = sum(
+        (F.col(f"p{i}") * F.col(f"p{i}") for i in range(RP_OUT_DIM)),
+        F.lit(0).cast("long"),
+    )
+    qnorm2 = F.expr(
+        "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    return (
+        proj.join(qv.select("vec_id", qnorm2.alias("qnorm2")), "vec_id")
+        .select(
+            "vec_id",
+            "p0",
+            "p1",
+            "p2",
+            "p3",
+            pnorm2.alias("pnorm2"),
+            "qnorm2",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_embedding_random_projection() -> str:
+    signs = _rp_signs()
+    qv = (
+        "list_transform(embedding, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {KMEANS_Q} + 0.5) AS BIGINT))"
+    )
+    comps = ",\n           ".join(
+        f"CAST(0 AS BIGINT) {_rp_term_sql(i, signs, 'qv', 1)} AS p{i}"
+        for i in range(RP_OUT_DIM)
+    )
+    pn = " + ".join(f"p{i} * p{i}" for i in range(RP_OUT_DIM))
+    return f"""
+    WITH q AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+    proj AS (
+        SELECT vec_id,
+           {comps},
+           list_aggregate(list_transform(qv, x -> x * x), 'sum') AS qnorm2
+        FROM q
+    )
+    SELECT vec_id, p0, p1, p2, p3,
+           CAST({pn} AS BIGINT) AS pnorm2,
+           CAST(qnorm2 AS BIGINT) AS qnorm2
+    FROM proj
+    ORDER BY vec_id
+    """
+
+
 def oracles() -> dict[str, tuple]:
     return {
+        "embedding_random_projection": (
+            q_embedding_random_projection,
+            _oracle_embedding_random_projection(),
+        ),
         "knn_brute_force": (q_knn_brute_force, ORACLE_KNN_BRUTE_FORCE),
         "embedding_quantize_int8": (q_embedding_quantize_int8, ORACLE_EMBEDDING_QUANTIZE_INT8),
         "embedding_truncate_renorm": (

@@ -219,13 +219,17 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _sql_rolling_fingerprint() -> str:
+def sql_rolling_hash_ctes() -> str:
+    """CTE block (normd/cps/hs) deriving each document's Rabin-Karp
+    window-hash array ``h`` in DuckDB — the single definition shared by
+    the rolling-fingerprint oracle here and the winnowing-dedup oracle
+    in dedup.py (one definition per expression, the round-9 review
+    discipline). Mirrors functions/text.py::rolling_hashes exactly."""
     horner = "CAST(0 AS BIGINT)"
     for j in range(T.ROLL_K):
         ix = "i" if j == 0 else f"i+{j}"
         horner = f"(({horner} * {T.ROLL_BASE} + cp[{ix}]) % {T.ROLL_PRIME})"
-    return f"""
-    WITH normd AS (SELECT doc_id, {SQL_NORM} AS nrm FROM documents),
+    return f"""normd AS (SELECT doc_id, {SQL_NORM} AS nrm FROM documents),
     cps AS (
         SELECT doc_id,
                list_transform(generate_series(1, length(nrm)),
@@ -237,7 +241,12 @@ def _sql_rolling_fingerprint() -> str:
                list_transform(generate_series(1, greatest(len(cp) - {T.ROLL_K - 1}, 0)),
                               i -> {horner}) AS h
         FROM cps
-    )
+    )"""
+
+
+def _sql_rolling_fingerprint() -> str:
+    return f"""
+    WITH {sql_rolling_hash_ctes()}
     SELECT doc_id,
            len(h) AS n_windows,
            list_min(h) AS fp_min,

@@ -13,6 +13,12 @@ full-catalog drive, and after any change to the PQ constants:
 
 Exits nonzero if any SF's mean recall is below PQ_RECALL_FLOOR or the
 trend falls by more than 0.1 across consecutive SFs.
+
+Args may be testdata names (sf0.001) or PATHS to fixture dirs — e.g.
+the sf1 decade fixture from scripts/gen_scale_fixture.py:
+
+    python scripts/gen_scale_fixture.py
+    python scripts/pq_recall_sweep.py sf0.001 sf0.01 sf0.1 .scale_fixtures/sf1
 """
 
 from __future__ import annotations
@@ -58,7 +64,8 @@ def main() -> int:
     rc = 0
     measured = []
     for sf in sfs:
-        n, r = mean_recall(spark, f"/root/testdata/{sf}")
+        sf_dir = sf if os.sep in sf else f"/root/testdata/{sf}"
+        n, r = mean_recall(spark, sf_dir)
         print(
             f"{sf}: n={n} k={S._pq_k(n)} shortlist={S._pq_shortlist(n)} "
             f"mean_recall={r:.3f}"

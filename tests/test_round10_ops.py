@@ -1,0 +1,130 @@
+"""Structural invariants for the round-10 additions beyond the DuckDB
+parity gate: the winnowing guarantee (shared long substring => shared
+selected fingerprint) and the JL projection contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_winnow(text: str) -> set[int]:
+    """Independent single-threaded winnowing oracle (same constants)."""
+    from dbms_query_optimizer_spark.functions.text import (
+        ROLL_BASE,
+        ROLL_K,
+        ROLL_PRIME,
+    )
+    from dbms_query_optimizer_spark.operators.dedup import WINNOW_W
+    import re
+
+    nrm = re.sub(r"\s+", " ", text).lower()
+    cp = [ord(c) for c in nrm]
+    n = len(cp) - ROLL_K + 1
+    if n < WINNOW_W:
+        return set()
+    hs = []
+    for i in range(n):
+        h = 0
+        for j in range(ROLL_K):
+            h = (h * ROLL_BASE + cp[i + j]) % ROLL_PRIME
+        hs.append(h)
+    return {
+        min(hs[i : i + WINNOW_W]) for i in range(len(hs) - WINNOW_W + 1)
+    }
+
+
+def test_winnowing_guarantee_on_planted_pair(spark):
+    """Schleimer/Wilkerson/Aiken: two documents sharing a run of
+    >= WINNOW_W + ROLL_K - 1 characters MUST share a selected
+    fingerprint; unrelated random texts almost surely must not."""
+    from dbms_query_optimizer_spark.functions.text import ROLL_K
+    from dbms_query_optimizer_spark.operators.dedup import (
+        WINNOW_W,
+        winnow_fingerprints_arrow,
+    )
+
+    shared_run = "the quick brown fox jumps over the lazy dog tonight"
+    assert len(shared_run) >= WINNOW_W + ROLL_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha " + shared_run + " outro beta gamma delta"),
+            (2, "completely different opening text " + shared_run + " end"),
+            (3, "zx qv jk wp mn bt ld rc fs hg uy ie oa zeta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints_arrow(docs).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "planted shared run produced no shared fp"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert not (by_doc[2] & by_doc.get(3, set()))
+    # engine fingerprints == the independent python winnow, per doc
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, fps in by_doc.items():
+        assert fps == _py_winnow(rows[d])
+
+
+def test_dedup_winnowing_pairs_recompute(spark):
+    """Full-corpus pair report recomputed independently in Python at
+    sf0.001 (500 docs) — same fingerprints, stop cap, and threshold."""
+    from collections import defaultdict
+
+    from dbms_query_optimizer_spark.operators.dedup import (
+        WINNOW_STOP_DF,
+        WINNOW_T,
+        q_dedup_winnowing,
+    )
+
+    out = q_dedup_winnowing(spark, SF_DIR).toPandas()
+    assert (out["id_a"] < out["id_b"]).all()
+    assert (out["n_shared"] >= WINNOW_T).all()
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    doc_fps = {int(r.doc_id): _py_winnow(r.text) for r in docs.itertuples()}
+    df = defaultdict(set)
+    for d, fps in doc_fps.items():
+        for fp in fps:
+            df[fp].add(d)
+    live = {fp for fp, ds in df.items() if 2 <= len(ds) <= WINNOW_STOP_DF}
+    pair_n = defaultdict(int)
+    for fp in live:
+        ds = sorted(df[fp])
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                pair_n[(a, b)] += 1
+    want = {p: n for p, n in pair_n.items() if n >= WINNOW_T}
+    got = {
+        (int(r.id_a), int(r.id_b)): int(r.n_shared) for r in out.itertuples()
+    }
+    assert got == want
+
+
+def test_random_projection_jl_contract(spark):
+    """E[pnorm2] = RP_OUT_DIM * qnorm2 for Rademacher projections: the
+    corpus-mean ratio must sit near 1 (JL), and one vector's components
+    must equal an independent numpy recompute."""
+    from dbms_query_optimizer_spark.operators.similarity import (
+        KMEANS_Q,
+        RP_OUT_DIM,
+        _rp_signs,
+        q_embedding_random_projection,
+    )
+
+    out = q_embedding_random_projection(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    assert len(out) == len(emb)
+    ratio = out["pnorm2"] / (RP_OUT_DIM * out["qnorm2"])
+    assert 0.7 <= ratio.mean() <= 1.3
+    # exact recompute of the first 4 components for 5 vectors
+    signs = np.array(_rp_signs())
+    emb = emb.set_index("vec_id")
+    for vid in out["vec_id"].head(5):
+        v = np.asarray(emb.loc[vid, "embedding"], dtype=np.float64)
+        qv = np.floor(v * KMEANS_Q + 0.5).astype(np.int64)
+        p = signs @ qv
+        row = out[out["vec_id"] == vid].iloc[0]
+        assert [row.p0, row.p1, row.p2, row.p3] == list(p[:4])
+        assert row.pnorm2 == int((p.astype(object) ** 2).sum())
+        assert row.qnorm2 == int((qv.astype(object) ** 2).sum())
