@@ -2623,27 +2623,19 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         for i in range(RP_OUT_DIM)
     ]
-    proj = qv.select("vec_id", *comps)
+    qnorm2 = F.expr(
+        "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    # one projection computes components AND the input norm — qnorm2 in
+    # its own select (not a join-back) keeps the plan a single scan
+    proj = qv.select("vec_id", *comps, qnorm2.alias("qnorm2"))
     pnorm2 = sum(
         (F.col(f"p{i}") * F.col(f"p{i}") for i in range(RP_OUT_DIM)),
         F.lit(0).cast("long"),
     )
-    qnorm2 = F.expr(
-        "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
-    )
-    return (
-        proj.join(qv.select("vec_id", qnorm2.alias("qnorm2")), "vec_id")
-        .select(
-            "vec_id",
-            "p0",
-            "p1",
-            "p2",
-            "p3",
-            pnorm2.alias("pnorm2"),
-            "qnorm2",
-        )
-        .orderBy("vec_id")
-    )
+    return proj.select(
+        "vec_id", "p0", "p1", "p2", "p3", pnorm2.alias("pnorm2"), "qnorm2"
+    ).orderBy("vec_id")
 
 
 def _oracle_embedding_random_projection() -> str:

@@ -593,6 +593,18 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # Luhn audit: salting + candidate split + checksum lambdas all fuse
     # into the scan projection — map-only, like the other PII/text pins
     "pii_luhn_audit": ["!tree:Join", "!tree:HashAggregate", "!MapInPandas"],
+    # winnowing: the fingerprint stage is the Arrow map (one MapInPandas),
+    # the stop-cap filter is a partial-agg'd HashAggregate, and the pair
+    # stage is an EQUI join on fp — a nested-loop here would mean the
+    # blocking broke and the join went doc x doc
+    "dedup_winnowing": [
+        "MapInPandas", "tree:HashAggregate", "partial_",
+        "!tree:BroadcastNestedLoopJoin",
+    ],
+    # JL projection: 16 x 64 literal BIGINT terms in one projection over
+    # ONE scan — map-only + the output sort; a join here would mean the
+    # norm column went back to being a join-back (the round-10 review)
+    "embedding_random_projection": ["!tree:Join", "!MapInPandas"],
 }
 
 
