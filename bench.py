@@ -286,6 +286,9 @@ HEADLINE = [
     # round 10: JL Rademacher projection 64->16 (literal codegen'd
     # integer arithmetic, map-only)
     "embedding_random_projection",
+    # round 10: 4-round BPE tokenizer trainer (vocab-bounded explode +
+    # 1-row argmax per round, k-center discipline)
+    "bpe_train_steps",
 ]
 
 

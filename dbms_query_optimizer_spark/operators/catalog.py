@@ -833,7 +833,8 @@ DRIVER_CHECKED_PRIOR_ROUNDS = frozenset().union(*DRIVER_GREEN_COHORTS)
 # stale flag would otherwise silently skip the cheap authoring-time
 # type gate forever.
 EAGER_CONSTRUCTION = frozenset({
-    "asof_join_salted", "bh_fdr_report", "bucketed_colocated_join",
+    "asof_join_salted", "bh_fdr_report", "bpe_train_steps",
+    "bucketed_colocated_join",
     "cbo_ordered_join", "cbo_plan_memo", "cbo_vs_dp_report",
     "cluster_key_advisor",
     "column_profile", "curriculum_bins", "dedup_components",
@@ -986,8 +987,9 @@ R10_PLANNED_WINDOW = [
     # multimodal decode planes: first hash-checkable driver rows
     "multimodal_image_dhash_dedup", "multimodal_resize",
     "multimodal_features", "multimodal_audio_features",
-    # round-10 additions: winnowing dedup + JL random projection
-    "dedup_winnowing", "embedding_random_projection",
+    # round-10 additions: winnowing dedup, JL random projection, the
+    # multi-round BPE trainer
+    "dedup_winnowing", "embedding_random_projection", "bpe_train_steps",
     # rounds-1-3 freshness re-checks (oldest cohort, alphabetical)
     "agg_array_ordered", "agg_filtered", "agg_global", "agg_grouped",
     "asof_join", "band_join_lookup", "bm25_score", "conform_union",
@@ -999,7 +1001,6 @@ R10_PLANNED_WINDOW = [
     "filter_predicates", "global_row_number", "graph_pagerank",
     "hash_split_train", "having", "higher_order_funcs",
     "incremental_agg_merge", "join_anti", "join_full_outer",
-    "join_inner",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R10_PLANNED_WINDOW

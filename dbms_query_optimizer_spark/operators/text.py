@@ -1551,6 +1551,135 @@ LIMIT {BPE_TOP_K}
 """
 
 
+BPE_ROUNDS = 4  # unrolled training rounds for the multi-step trainer
+
+
+def _bpe_fold_sql(a: str, b: str) -> str:
+    """Left-to-right NON-OVERLAPPING merge of adjacent (a, b) symbol
+    pairs, as a string-encoded fold `done|pend` over the symbol array —
+    the same CASE expression interpreted by Spark's ``aggregate`` and
+    DuckDB's ``list_reduce`` (split_part/replace/trim agree on both).
+    ``a``/``b`` are SQL expressions (quoted literals on the Spark side,
+    correlated best-pair columns in the oracle)."""
+    return f"""CASE WHEN split_part(acc, '|', 2) = {a} AND x = {b}
+         THEN split_part(acc, '|', 1) || ' ' || {a} || {b} || '|'
+         ELSE split_part(acc, '|', 1) ||
+              CASE WHEN split_part(acc, '|', 2) = '' THEN ''
+                   ELSE ' ' || split_part(acc, '|', 2) END
+              || '|' || x END"""
+
+
+def q_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING LOOP (Sennrich et al. 2016) — BPE_ROUNDS
+    actual merge rounds, not just the first pair count: start from the
+    character segmentation of the corpus vocabulary, and per round (1)
+    count adjacent SYMBOL pairs weighted by word frequency, (2) take
+    the argmax pair (count desc, lexicographic tie-break), (3) merge
+    its left-to-right non-overlapping occurrences into a new symbol.
+    Returns the merge table — the artifact a tokenizer ships.
+
+    Exactness: counts are exact integers; the merge fold is the same
+    string-encoded ``done|pend`` CASE expression under Spark
+    ``aggregate`` and DuckDB ``list_reduce`` (non-overlap semantics
+    pinned by tests/test_round10_ops.py: 'aaaa' + (a,a) -> [aa, aa]);
+    the oracle unrolls the identical rounds as CTE chains (the
+    k-center/MMR unroll discipline).
+
+    Scale shape: the corpus collapses to the (word, freq) vocabulary in
+    one hash aggregate — every round's explode/count runs over the
+    VOCABULARY (O(vocab · word_len)), never the corpus; each round is
+    one shuffle + a 1-row argmax collect (k-center discipline), and the
+    re-segmented vocab is localCheckpoint'd so round plans don't nest.
+    This is why BPE training is feasible at 100 TB: corpus volume only
+    affects the first aggregate.
+    """
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        counted = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("total_count"))
+        )
+        best = counted.orderBy(
+            F.col("total_count").desc(), "a", "b"
+        ).limit(1).collect()[0]
+        merges.append((rnd, best["a"], best["b"], int(best["total_count"])))
+        fold = _bpe_fold_sql(f"'{best['a']}'", f"'{best['b']}'")
+        words = words.select(
+            "w",
+            "freq",
+            F.expr(
+                "split(trim(replace(aggregate(syms, '|', (acc, x) -> "
+                f"{fold}), '|', ' ')), ' ')"
+            ).alias("syms"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, sym_a string, sym_b string, total_count bigint"
+    ).orderBy("round")
+
+
+def _oracle_bpe_train_steps() -> str:
+    fold = _bpe_fold_sql("a", "b")
+    ctes = ["""words0 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+           list_transform(generate_series(1, length(w)),
+                          i -> substr(w, CAST(i AS INT), 1)) AS syms
+    FROM (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w
+          FROM documents)
+    WHERE length(w) >= 2
+    GROUP BY w
+)"""]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"""g{r} AS (
+    SELECT syms[i] AS a, syms[i + 1] AS b,
+           CAST(SUM(freq) AS BIGINT) AS total_count
+    FROM words{r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+    GROUP BY 1, 2
+), b{r} AS (
+    SELECT a, b, total_count FROM g{r}
+    ORDER BY total_count DESC, a, b LIMIT 1
+), words{r} AS (
+    SELECT w, freq,
+           string_split(trim(replace(list_reduce(
+               list_prepend('|', syms), (acc, x) -> {fold}),
+               '|', ' ')), ' ') AS syms
+    FROM words{r - 1} CROSS JOIN b{r}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, total_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT CAST(round AS INT) AS round,"
+        f" sym_a, sym_b, total_count FROM ({unions}) ORDER BY round"
+    )
+
+
 COLLOC_MIN_COUNT = 5  # bigram support floor
 COLLOC_TOP_K = 50
 
@@ -2410,6 +2539,7 @@ def oracles() -> dict[str, tuple]:
         "gbt_inference_sql": (q_gbt_inference_sql, _oracle_gbt_inference_sql()),
         "model_gains_table": (q_model_gains_table, _oracle_model_gains_table()),
         "bpe_pair_merge": (q_bpe_pair_merge, ORACLE_BPE_PAIR_MERGE),
+        "bpe_train_steps": (q_bpe_train_steps, _oracle_bpe_train_steps()),
         "text_collocations": (q_text_collocations, ORACLE_TEXT_COLLOCATIONS),
         "text_keyphrase_rake": (
             q_text_keyphrase_rake,

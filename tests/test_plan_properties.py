@@ -605,6 +605,10 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     # ONE scan — map-only + the output sort; a join here would mean the
     # norm column went back to being a join-back (the round-10 review)
     "embedding_random_projection": ["!tree:Join", "!MapInPandas"],
+    # BPE training ran at construction (4 vocab-bounded rounds, 1-row
+    # argmax collects); the returned merge table is driver metadata — a
+    # parquet scan here would mean a round re-read the corpus
+    "bpe_train_steps": ["!Scan parquet"],
 }
 
 

@@ -128,3 +128,72 @@ def test_random_projection_jl_contract(spark):
         assert [row.p0, row.p1, row.p2, row.p3] == list(p[:4])
         assert row.pnorm2 == int((p.astype(object) ** 2).sum())
         assert row.qnorm2 == int((qv.astype(object) ** 2).sum())
+
+
+def test_bpe_train_steps_matches_python_oracle(spark):
+    """The 4-round merge table recomputed by an independent Python BPE
+    (dict/Counter, no SQL), including the left-to-right non-overlap
+    merge semantics and the (count desc, pair asc) tie-break."""
+    import re
+    from collections import Counter
+
+    from dbms_query_optimizer_spark.operators.text import (
+        BPE_ROUNDS,
+        q_bpe_train_steps,
+    )
+
+    out = [
+        (int(r["round"]), r["sym_a"], r["sym_b"], int(r["total_count"]))
+        for r in q_bpe_train_steps(spark, SF_DIR).collect()
+    ]
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    vocab: Counter = Counter()
+    for t in docs["text"]:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    want = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pc: Counter = Counter()
+        for w, f in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        m = max(pc.values())
+        a, b = sorted(k for k, v in pc.items() if v == m)[0]
+        want.append((rnd, a, b, m))
+        for w, s in segs.items():
+            nxt, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    nxt.append(a + b)
+                    i += 2
+                else:
+                    nxt.append(s[i])
+                    i += 1
+            segs[w] = nxt
+    assert out == want
+
+
+def test_bpe_merge_fold_non_overlap(spark):
+    """'aaaa' + (a,a) must segment [aa, aa] (left-to-right
+    non-overlapping), 'abab' + (a,b) -> [ab, ab], 'banana' + (a,n) ->
+    [b, an, an, a] — the fold semantics both engines share."""
+    from dbms_query_optimizer_spark.operators.text import _bpe_fold_sql
+
+    def run(word: str, a: str, b: str) -> list[str]:
+        fold = _bpe_fold_sql(f"'{a}'", f"'{b}'")
+        return (
+            spark.sql(
+                "SELECT split(trim(replace(aggregate("
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+                f" '|', (acc, x) -> {fold}), '|', ' ')), ' ') AS s"
+                f" FROM (SELECT '{word}' AS w)"
+            ).collect()[0]["s"]
+        )
+
+    assert run("aaaa", "a", "a") == ["aa", "aa"]
+    assert run("abab", "a", "b") == ["ab", "ab"]
+    assert run("banana", "a", "n") == ["b", "an", "an", "a"]
