@@ -599,19 +599,23 @@ def q_multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
             )
 
     hashed = docs.mapInPandas(hash_images, schema="doc_id long, h long")
+    # the planted-doc count folds into the SAME aggregation pass (a
+    # per-group partial summed at the final agg) — one decode of the
+    # corpus, and construction stays lazy (no driver-side count job)
+    is_planted = (
+        (F.col("doc_id") % NEARDUP_MOD == 3) & (F.col("doc_id") >= 3)
+    ).cast("long")
     groups = hashed.groupBy("h").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("canonical_id"),
+        F.sum(is_planted).alias("npl"),
     )
-    planted = hashed.filter(
-        (F.col("doc_id") % NEARDUP_MOD == 3) & (F.col("doc_id") >= 3)
-    ).count()
     return groups.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n").alias("n_images"),
         (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_duplicates"),
         F.max("n").alias("largest_group"),
-        F.lit(planted).cast("long").alias("n_planted"),
+        F.sum("npl").cast("long").alias("n_planted"),
     )
 
 
