@@ -927,37 +927,13 @@ DRIVER_SENTINELS = [
 # (DRIVER_GREENS_R1_3, 77 names incl. sentinels -> two windows), then
 # r4, r5, ..., keeping the 4 sentinels pinned; any round's NEW
 # operators take slots ahead of re-checks, exactly as in r8/r9.
-# r10_window() below derives the next window from the cohort constants
+# next_window() below derives each window from the cohort constants
 # so the schedule cannot drift from the sets it samples.
-R9_PLANNED_WINDOW = [
-    "stats_equidepth_histogram", "stats_moments",
-    "stratified_neyman_alloc", "approx_counts_sampled",
-    "sample_reservoir_per_group", "sample_weighted",
-    "sample_weighted_reservoir",
-    "streaming_foreachbatch_ingest", "streaming_manifest_tail",
-    "streaming_static_join", "streaming_stream_stream_left_join",
-    "streaming_upsert_ingest", "streaming_sessionized",
-    "cbo_plan_memo", "cbo_vs_dp_report", "dataset_card_report",
-    "functions_variant",
-    "graph_degree_distribution", "graph_triangle_count",
-    "incremental_join_view", "interval_overlap_join",
-    "join_shuffle_hash", "k_anonymity_audit", "late_supplier_blame",
-    "source_python_datasink", "try_safe_arithmetic", "udf_price_score",
-    "multimodal_frame_sample", "multimodal_audio_features",
-    "multimodal_features", "multimodal_image_dhash_dedup",
-    "multimodal_resize",
-    "quality_classifier_score",
-    # round-8 additions (registered after the r8 window was installed;
-    # cbo_plan_memo is slotted in the relational/misc group above)
-    "graph_kcore", "cumulative_distinct_users", "stats_histogram_dump",
-    "t_closeness_audit", "events_downsample_m4", "shapley_attribution",
-    "embedding_kmeans_lloyd", "mann_whitney_u", "max_drawdown",
-    "join_null_aware_anti", "stats_histogram_2d_dump", "pad_waste_report",
-    "text_readability",
-]
+# (The r9 window's 46-name list was retired with the round-10 fold —
+# its greens live in DRIVER_GREENS_R9 above; git has the staging list.)
 # Operators ADDED during round 9, after the (full) r9 window was
-# installed: no driver row yet, not in the window — r10_window() puts
-# them at the front of the next rotation, ahead of freshness re-checks.
+# installed: no driver row until round 10 — next_window() put them at
+# the front of the r10 rotation, ahead of freshness re-checks.
 R9_ADDITIONS = [
     "index_refresh",
     "rrf_hybrid_search",
@@ -1086,10 +1062,6 @@ def next_window(window: int = 50) -> list[str]:
             taken.add(name)
             out.append(name)
     return out
-
-
-# kept callable under the name round-9 staged it as (tests, scripts)
-r10_window = next_window
 
 
 

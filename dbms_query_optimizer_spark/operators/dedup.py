@@ -2242,7 +2242,12 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (doc, fp) rows and never doc x doc.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    wf = winnow_fingerprints_arrow(_fan_out(docs.select("doc_id", "text")))
+    # cache: three readers (frequency agg + both pair-join sides) would
+    # otherwise re-run the corpus-wide Python fingerprint stage — the
+    # dominant cost — three times (the _doc_shingles .cache() pattern)
+    wf = winnow_fingerprints_arrow(
+        _fan_out(docs.select("doc_id", "text"))
+    ).cache()
     shared = (
         wf.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -2340,6 +2340,12 @@ def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = {
         r["doc_id"]: r["rrf"] for r in vecs.select("doc_id", "rrf").collect()
     }
+    out_schema = "rank int, doc_id bigint, mmr double"
+    if not rel:
+        # no RRF candidate carries an embedding: the oracle's s1 CTE
+        # yields zero rows, so return the empty frame instead of
+        # crashing on an empty argmax
+        return spark.createDataFrame([], out_schema)
     sims: dict[tuple[int, int], float] = {
         (r["a_id"], r["b_id"]): r["sim"] for r in sim.collect()
     }
@@ -2362,7 +2368,7 @@ def q_mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = max(sorted(scores), key=lambda d: (scores[d], -d))
         selected.append((step, nxt, scores[nxt]))
     return spark.createDataFrame(
-        selected, "rank int, doc_id bigint, mmr double"
+        selected, out_schema
     ).orderBy("rank")
 
 

@@ -1612,7 +1612,13 @@ def q_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, BPE_ROUNDS + 1):
         counted = (
-            words.select(
+            # a word whose segmentation collapsed to ONE symbol has no
+            # pairs — and Spark's sequence(1, 0) is [1, 0] (DESCENDING,
+            # not empty like DuckDB's generate_series), so element_at
+            # would throw on it: filter the pairless words out first,
+            # mirroring the oracle's empty series
+            words.filter(F.size("syms") >= 2)
+            .select(
                 "freq",
                 F.explode(
                     F.expr(
@@ -1629,6 +1635,8 @@ def q_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_count").desc(), "a", "b"
         ).limit(1).collect()[0]
         merges.append((rnd, best["a"], best["b"], int(best["total_count"])))
+        if rnd == BPE_ROUNDS:
+            break  # the last merge is never applied — nothing reads it
         fold = _bpe_fold_sql(f"'{best['a']}'", f"'{best['b']}'")
         words = words.select(
             "w",

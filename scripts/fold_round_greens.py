@@ -98,18 +98,36 @@ def main() -> None:
         f"# append to DRIVER_GREEN_COHORTS: ..., DRIVER_GREENS_R{round_no},"
     )
 
-    # refresh the content-hash record for EVERY name the driver just
-    # proved green (fold + re-check): the driver certified the code as
-    # it is NOW
+    # refresh the content-hash record for every name the driver just
+    # proved green (fold + re-check) — ONCE per CORRECTNESS file. The
+    # legitimate run happens at round start, on the same checkout the
+    # driver drove at round end; a LATER re-run (after edits) must not
+    # re-bless current code against an old green (that would clear
+    # staleness without a driver run and defeat the (cohort age,
+    # code change) rotation key). The ``__folded_files__`` dunder key
+    # records which CORRECTNESS files have already blessed hashes;
+    # cohort iteration in next_window()/tests touches names only.
     hpath = os.path.join(
         REPO, "dbms_query_optimizer_spark", "operators", "green_hashes.json"
     )
     recorded = C.green_hashes()
-    for n in all_greens:
-        recorded[n] = C.query_content_hash(n)
-    with open(hpath, "w") as f:
-        json.dump(dict(sorted(recorded.items())), f, indent=0, sort_keys=True)
-    print(f"# green_hashes.json: refreshed {len(all_greens)} entries")
+    folded_files = recorded.get("__folded_files__", [])
+    fname = os.path.basename(path)
+    if fname in folded_files:
+        print(
+            f"# green_hashes.json: {fname} already folded — hash refresh "
+            "SKIPPED (a re-run after edits must not bless undriven code; "
+            "edited names re-enter the window via next_window())"
+        )
+    else:
+        for n in all_greens:
+            recorded[n] = C.query_content_hash(n)
+        recorded["__folded_files__"] = folded_files + [fname]
+        with open(hpath, "w") as f:
+            json.dump(
+                dict(sorted(recorded.items())), f, indent=0, sort_keys=True
+            )
+        print(f"# green_hashes.json: refreshed {len(all_greens)} entries")
 
     # next window AS IF the fold had landed
     folded = C.DRIVER_CHECKED_PRIOR_ROUNDS | set(greens)

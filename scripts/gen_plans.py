@@ -751,6 +751,22 @@ COMMENTARY = {
         "inside WholeStageCodegen — no join, no aggregate, no "
         "Python; the only exchange is the presentation sort."
     ),
+    "dedup_winnowing": (
+        "MOSS winnowing near-dup pairs. Expect: one MapInPandas (the "
+        "Arrow fingerprint stage — Horner rolling hash + sliding "
+        "window min per doc), a partial-agg'd HashAggregate for the "
+        "stop-cap fingerprint frequencies, and the pair stage as an "
+        "EQUI join on fp (shuffled hash/sort-merge) — a nested loop "
+        "would mean the blocking broke and the join went doc × doc."
+    ),
+    "embedding_random_projection": (
+        "Johnson–Lindenstrauss 64→16 Rademacher projection. Expect: "
+        "ONE embeddings scan, the quantize transform and all 16 "
+        "literal ±BIGINT component sums fused into one Project (the "
+        "sign matrix is compiled into the plan — no broadcast, no "
+        "join, no Python), then only the presentation sort's range "
+        "exchange."
+    ),
 }
 
 

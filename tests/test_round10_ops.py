@@ -197,3 +197,52 @@ def test_bpe_merge_fold_non_overlap(spark):
     assert run("aaaa", "a", "a") == ["aa", "aa"]
     assert run("abab", "a", "b") == ["ab", "ab"]
     assert run("banana", "a", "n") == ["b", "an", "an", "a"]
+
+
+def test_bpe_train_survives_single_symbol_words(spark, tmp_path):
+    """Regression (round-10 review): a standalone word equal to an early
+    merge pair collapses to ONE symbol; Spark's sequence(1, 0) is
+    [1, 0] — descending, not empty like DuckDB's generate_series — so
+    the next round's pair explode crashed on element_at before the
+    size(syms) >= 2 filter. The fixture makes ('i','n') the round-1
+    argmax with 'in' itself in the vocabulary; all 4 rounds must run
+    and match the oracle."""
+    import shutil
+
+    from dbms_query_optimizer_spark.operators.text import (
+        BPE_ROUNDS,
+        _oracle_bpe_train_steps,
+        q_bpe_train_steps,
+    )
+
+    from .oracle_utils import TABLE_NAMES, compare, duckdb_conn
+
+    fx = tmp_path / "bpe_fixture"
+    fx.mkdir()
+    for t in TABLE_NAMES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", fx / f"{t}.parquet")
+    texts = ["in in in in in in in in in in", "abcdef abcdef abcdef"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "fixture",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(fx / "documents.parquet")
+
+    out = q_bpe_train_steps(spark, str(fx))
+    rows = out.collect()
+    assert len(rows) == BPE_ROUNDS
+    assert (rows[0]["sym_a"], rows[0]["sym_b"]) == ("i", "n")
+    conn = duckdb_conn(str(fx))
+    try:
+        ok, msg = compare(
+            q_bpe_train_steps(spark, str(fx)), conn, _oracle_bpe_train_steps()
+        )
+        assert ok, msg
+    finally:
+        conn.close()
