@@ -656,6 +656,20 @@ for _name, (_fn, _sql) in GEO.oracles().items():
 # r10+ freshness policy rotates re-check windows through the
 # OLDEST-green cohort first, and r10_window() derives that schedule
 # from these constants directly — a comment-only grouping would drift.
+DRIVER_GREENS_R10 = frozenset({
+    # round-10 greens (50/50 window green, CORRECTNESS_r10.json): the
+    # 7 round-9 additions, the 4 multimodal decode planes (first
+    # hash-checkable rows after the r10 LCG value-oracle upgrade), and
+    # the 3 round-10 additions. The window's other 36 rows were
+    # freshness re-checks of already-folded names — their hashes were
+    # refreshed in green_hashes.json, not re-folded.
+    "bpe_train_steps", "conformal_intervals", "dedup_winnowing",
+    "embedding_random_projection", "index_refresh",
+    "mmr_diversify_topk", "multimodal_audio_features",
+    "multimodal_features", "multimodal_image_dhash_dedup",
+    "multimodal_resize", "pii_luhn_audit", "retrieval_ndcg_report",
+    "rrf_hybrid_search", "streaming_index_upsert",
+})
 DRIVER_GREENS_R9 = frozenset({
     # round-9 greens (46/46 oracled window green, CORRECTNESS_r09.json;
     # the window's 4 rows-only multimodal entries stay out of the green
@@ -812,7 +826,7 @@ DRIVER_GREENS_R1_3 = frozenset({
 DRIVER_GREEN_COHORTS = (
     DRIVER_GREENS_R1_3, DRIVER_GREENS_R4, DRIVER_GREENS_R5,
     DRIVER_GREENS_R6, DRIVER_GREENS_R7, DRIVER_GREENS_R8,
-    DRIVER_GREENS_R9,
+    DRIVER_GREENS_R9, DRIVER_GREENS_R10,
 )
 DRIVER_CHECKED_PRIOR_ROUNDS = frozenset().union(*DRIVER_GREEN_COHORTS)
 
@@ -955,31 +969,42 @@ R9_ADDITIONS = [
 # past for 7+ rounds. Derived by next_window() below
 # (test_catalog_order.py pins the equality), so the staging cannot
 # drift from the cohort constants it samples.
-R10_PLANNED_WINDOW = [
-    # round-9 additions: no driver row yet, slots ahead of re-checks
-    "index_refresh", "rrf_hybrid_search", "conformal_intervals",
-    "streaming_index_upsert", "mmr_diversify_topk",
-    "retrieval_ndcg_report", "pii_luhn_audit",
-    # multimodal decode planes: first hash-checkable driver rows
-    "multimodal_image_dhash_dedup", "multimodal_resize",
-    "multimodal_features", "multimodal_audio_features",
-    # round-10 additions: winnowing dedup, JL random projection, the
-    # multi-round BPE trainer
-    "dedup_winnowing", "embedding_random_projection", "bpe_train_steps",
-    # rounds-1-3 freshness re-checks (oldest cohort, alphabetical)
-    "agg_array_ordered", "agg_filtered", "agg_global", "agg_grouped",
-    "asof_join", "band_join_lookup", "bm25_score", "conform_union",
-    "corpus_prep", "correlated_scalar_subquery", "cube",
-    "data_quality_report", "decontaminate_ngram", "dedup_components",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_keep_best",
-    "dedup_minhash_lsh", "distinct", "dpp_join_pruned",
-    "events_sessionized", "exact_distinct_counts", "expressions",
-    "filter_predicates", "global_row_number", "graph_pagerank",
-    "hash_split_train", "having", "higher_order_funcs",
-    "incremental_agg_merge", "join_anti", "join_full_outer",
+# Round-11 window (the r10 verdict's task 3, landed as the first
+# commit of round 11): sentinels + 46 freshness re-checks of the
+# STALEST driver evidence — ordered by last-green round ascending
+# (green_rounds.json, new this round: the r10 window re-proved 36
+# rounds-1-3 names, so age-of-FIRST-green alone would have re-sampled
+# exactly those and never advanced; last-green ordering walks onto the
+# names untouched since rounds 2-4 instead). No never-green names
+# remain (cumulative driver coverage is 358/358 per the r10 verdict)
+# and no cohort name is hash-stale at staging time, so the window is
+# pure freshness rotation. Derived by next_window() below
+# (test_catalog_order.py pins the equality), so the staging cannot
+# drift from the records it samples. Any operator ADDED during round
+# 11 has no driver row yet and spills to the front of the r12 window
+# automatically.
+R11_PLANNED_WINDOW = [
+    # last driver green: round 2
+    "join_multiway", "join_salted_skew", "latest_per_key",
+    "merge_upsert", "monthly_growth", "rollup_grouping_id",
+    "scd2_build", "set_ops", "subquery_not_exists", "unpivot_metrics",
+    "values_inline", "window_range_frame", "window_share_of_total",
+    # last driver green: round 3
+    "join_inner", "join_left_outer", "join_nonequi", "join_semi",
+    "knn_lsh_bucketed", "multimodal_meta", "pack_sequences", "pivot",
+    "projection", "range_join_bucketed", "recursive_cte_ancestors",
+    "robust_stats_mad", "rollup", "scan", "sort_limit",
+    "source_python_datasource", "streaming_dedup", "streaming_tumbling",
+    "subquery_in", "text_lang_id", "text_token_stats", "topk_per_group",
+    "tpch_q15", "udaf_geomean", "udtf_split_sentences",
+    "window_running",
+    # last driver green: round 4
+    "approx_aggs", "asof_join_forward",
+    "asof_join_salted", "bucketed_colocated_join", "curriculum_bins",
+    "dedup_embedding_cosine_lsh", "doc_length_histogram",
 ]
 
-DRIVER_PRIORITY = DRIVER_SENTINELS + R10_PLANNED_WINDOW
+DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW
 
 
 def query_content_hash(name: str) -> str:
@@ -1023,6 +1048,27 @@ def green_hashes() -> dict[str, str]:
         return {}
 
 
+def green_rounds() -> dict[str, int]:
+    """LAST round each name was driver-proven green (fold AND freshness
+    re-check alike) — written by scripts/fold_round_greens.py from each
+    round's CORRECTNESS file, backfilled from CORRECTNESS_r01..r10.
+    next_window() orders freshness re-checks by this, ascending, so the
+    walk visits the STALEST evidence first instead of re-sampling the
+    same alphabetical prefix of the oldest first-green cohort every
+    round (r10 verdict task 3: rotation must cover the stalest greens —
+    first-green cohort age alone cannot see re-checks). Missing file /
+    missing name = round 0 (maximally stale)."""
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "green_rounds.json")
+    try:
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except OSError:
+        return {}
+
+
 def next_window(window: int = 50) -> list[str]:
     """Derive the current round's driver window from the cohort
     constants (policy established round 10; r8-verdict lineage).
@@ -1035,12 +1081,17 @@ def next_window(window: int = 50) -> list[str]:
     query_content_hash() no longer matches the hash recorded at their
     last green (stale evidence — the code or oracle changed since the
     driver proved it), oldest cohort first, alphabetical within; (4)
-    freshness re-checks walking DRIVER_GREEN_COHORTS oldest-first,
-    alphabetical within a cohort, skipping sentinels (pinned anyway).
+    freshness re-checks ordered by LAST-green round ascending
+    (green_rounds.json — a round-10 re-check of a rounds-1-3 name moves
+    it to the back of the freshness queue, so the walk actually
+    advances onto the stalest evidence instead of re-sampling the same
+    alphabetical prefix of the oldest first-green cohort every round;
+    r10 verdict task 3), tie-broken by first-green cohort age then
+    name, skipping sentinels (pinned anyway).
     Deterministic, so each round's rotation commit is: fold the prior
     round's greens into a DRIVER_GREENS_RN cohort + refresh
-    green_hashes.json (scripts/fold_round_greens.py prints both), then
-    paste DRIVER_PRIORITY = next_window().
+    green_hashes.json/green_rounds.json (scripts/fold_round_greens.py
+    prints both), then paste DRIVER_PRIORITY = next_window().
     """
     sentinels = list(DRIVER_SENTINELS)
     taken = set(sentinels)
@@ -1054,8 +1105,13 @@ def next_window(window: int = 50) -> list[str]:
         for n in sorted(cohort)
         if n not in taken and recorded.get(n) != query_content_hash(n)
     ]
-    for name in ungreen + stale + [n for cohort in DRIVER_GREEN_COHORTS
-                                   for n in sorted(cohort)]:
+    last_green = green_rounds()
+    fresh_order = sorted(
+        (last_green.get(n, 0), ci, n)
+        for ci, cohort in enumerate(DRIVER_GREEN_COHORTS)
+        for n in cohort
+    )
+    for name in ungreen + stale + [n for _, _, n in fresh_order]:
         if len(out) >= window:
             break
         if name not in taken:

@@ -129,6 +129,24 @@ def main() -> None:
             )
         print(f"# green_hashes.json: refreshed {len(all_greens)} entries")
 
+    # record the LAST-green round for every name this file proved (fold
+    # and re-check alike) — next_window() orders freshness re-checks by
+    # this, so the walk advances onto the stalest evidence (r10 verdict
+    # task 3). Guarded by the same __folded_files__ idempotence key as
+    # the hash refresh (a re-run must not re-date greens).
+    rpath = os.path.join(
+        REPO, "dbms_query_optimizer_spark", "operators", "green_rounds.json"
+    )
+    last_green = dict(C.green_rounds())
+    if fname not in folded_files:
+        for n in all_greens:
+            last_green[n] = max(last_green.get(n, 0), round_no)
+        with open(rpath, "w") as f:
+            json.dump(
+                dict(sorted(last_green.items())), f, indent=0, sort_keys=True
+            )
+        print(f"# green_rounds.json: stamped {len(all_greens)} entries r{round_no}")
+
     # next window AS IF the fold had landed
     folded = C.DRIVER_CHECKED_PRIOR_ROUNDS | set(greens)
     cohorts = list(C.DRIVER_GREEN_COHORTS) + [frozenset(greens)]
@@ -142,14 +160,19 @@ def main() -> None:
         for n in sorted(co)
         if n not in taken and recorded.get(n) != C.query_content_hash(n)
     ]
-    for name in ungreen + stale + [n for co in cohorts for n in sorted(co)]:
+    fresh_order = sorted(
+        (last_green.get(n, 0), ci, n)
+        for ci, co in enumerate(cohorts)
+        for n in co
+    )
+    for name in ungreen + stale + [n for _, _, n in fresh_order]:
         if len(out) >= 50:
             break
         if name not in taken:
             taken.add(name)
             out.append(name)
     print(f"\n# next window ({len(out)} names; sentinels first, then")
-    print("# never-green, then hash-stale greens, then oldest-cohort):")
+    print("# never-green, then hash-stale greens, then stalest-last-green):")
     print(f"R{round_no + 1}_PLANNED_WINDOW = [")
     for n in out[len(sent):]:
         print(f'    "{n}",')

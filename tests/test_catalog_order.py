@@ -39,32 +39,32 @@ def test_everything_oracled():
     assert no_oracle == [], no_oracle
 
 
-def test_r10_window_staging_matches_policy():
-    """The installed r10 window must BE next_window()'s derivation —
-    sentinels, then the 11 ungreen names (7 round-9 additions + the 4
-    newly-oracled multimodal planes), then rounds-1-3 freshness
-    re-checks — so the staging can't drift from the cohort constants
-    and green_hashes.json it samples. Editing a cohort query (or its
-    oracle) moves its content hash and re-enters it here: re-stage the
-    window in the same commit."""
+def test_r11_window_staging_matches_policy():
+    """The installed r11 window must BE next_window()'s derivation —
+    sentinels, then any never-green names (none at staging time: the
+    r10 fold closed the backlog to 358/358), then rounds-1-3 freshness
+    re-checks resuming where the r10 window stopped — so the staging
+    can't drift from the cohort constants and green_hashes.json it
+    samples. Editing a cohort query (or its oracle) moves its content
+    hash and re-enters it here: re-stage the window in the same
+    commit."""
     assert len(C.DRIVER_PRIORITY) == WINDOW
     assert len(set(C.DRIVER_PRIORITY)) == WINDOW
-    assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R10_PLANNED_WINDOW
+    assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R11_PLANNED_WINDOW
     derived = C.next_window()
     assert C.DRIVER_PRIORITY == derived, (
         "staged window drifted from policy; re-stage: "
         f"missing={sorted(set(derived) - set(C.DRIVER_PRIORITY))} "
         f"extra={sorted(set(C.DRIVER_PRIORITY) - set(derived))}"
     )
-    ungreen = [
-        n for n in C.R10_PLANNED_WINDOW
-        if n not in C.DRIVER_CHECKED_PRIOR_ROUNDS
-    ]
-    assert set(C.R9_ADDITIONS) <= set(ungreen)
+    # the r10 fold landed: its 14 greens are cohort members now
+    assert set(C.R9_ADDITIONS) <= C.DRIVER_GREENS_R10
     assert {
         "multimodal_audio_features", "multimodal_features",
         "multimodal_image_dhash_dedup", "multimodal_resize",
-    } <= set(ungreen)
+        "dedup_winnowing", "embedding_random_projection",
+        "bpe_train_steps",
+    } <= C.DRIVER_GREENS_R10
 
 
 def test_green_hashes_cover_the_cohorts():
@@ -109,14 +109,33 @@ def test_cohorts_partition_the_checked_set():
     assert len(C.DRIVER_GREENS_R9) == 42
 
 
-def test_rechecks_walk_oldest_cohort_alphabetically():
+def test_rechecks_walk_stalest_last_green_first():
     """Freshness re-checks (the slots left after ungreen names) must
-    come from the oldest cohort, alphabetical — deterministic, so two
-    rounds never silently sample the same freshness subset."""
+    be the names with the OLDEST last-green driver row, ordered by
+    (last-green round, first-green cohort age, name) — deterministic
+    AND advancing: a name re-proven last round moves to the back of
+    the queue instead of being re-sampled (r10 verdict task 3)."""
     rest = C.DRIVER_PRIORITY[len(C.DRIVER_SENTINELS):]
     rechecks = [n for n in rest if n in C.DRIVER_CHECKED_PRIOR_ROUNDS]
-    oldest = sorted(C.DRIVER_GREEN_COHORTS[0] - set(C.DRIVER_SENTINELS))
-    assert rechecks == oldest[: len(rechecks)]
+    last_green = C.green_rounds()
+    expected = [
+        n
+        for _, _, n in sorted(
+            (last_green.get(n, 0), ci, n)
+            for ci, cohort in enumerate(C.DRIVER_GREEN_COHORTS)
+            for n in cohort
+            if n not in C.DRIVER_SENTINELS
+        )
+    ]
+    assert rechecks == expected[: len(rechecks)]
+    # every cohort name the driver ever proved must carry a round stamp
+    missing = [
+        n
+        for cohort in C.DRIVER_GREEN_COHORTS
+        for n in cohort
+        if n not in last_green
+    ]
+    assert not missing, f"cohort names without a last-green round: {missing}"
 
 
 def test_catalog_intact_after_reorder():
