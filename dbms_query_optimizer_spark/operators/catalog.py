@@ -984,6 +984,9 @@ R9_ADDITIONS = [
 # 11 has no driver row yet and spills to the front of the r12 window
 # automatically.
 R11_PLANNED_WINDOW = [
+    # round-11 addition (never driver-checked): the composed IVF+PQ
+    # index — takes a slot ahead of freshness re-checks
+    "knn_ivfpq",
     # last driver green: round 2
     "join_multiway", "join_salted_skew", "latest_per_key",
     "merge_upsert", "monthly_growth", "rollup_grouping_id",
@@ -1001,7 +1004,7 @@ R11_PLANNED_WINDOW = [
     # last driver green: round 4
     "approx_aggs", "asof_join_forward",
     "asof_join_salted", "bucketed_colocated_join", "curriculum_bins",
-    "dedup_embedding_cosine_lsh", "doc_length_histogram",
+    "dedup_embedding_cosine_lsh",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW

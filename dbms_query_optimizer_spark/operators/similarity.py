@@ -570,6 +570,52 @@ def _pq_source_fingerprint(sf_dir: str) -> str:
     return f"{total}:{mtime}"
 
 
+def _pq_lloyd(sub: DataFrame, k: int) -> DataFrame:
+    """Train per-subspace PQ codebooks over ``sub`` (vec_id, sub, subvec)
+    rows: NOT M separate fits — all subspaces run Lloyd's iterations
+    TOGETHER, the subspace id being just another group key. Init is
+    deterministic random-partition (code = xxhash64(vec_id) mod K, so
+    every cell starts non-empty); each iteration is one assign
+    (broadcast-codebook join + struct-min argmin, map-side combine) and
+    one mean update (posexplode + grouped avg), i.e. two bounded
+    shuffles per iteration regardless of M — at 100 TB training reads a
+    sample, and the codebook stays M·K·subdim doubles,
+    localCheckpointed per iteration so lineage doesn't compound.
+    Returns the (sub, code, cvec) codebook frame."""
+    d2 = _pq_sq_l2()
+    codebook = _pq_mean_centroids(
+        sub.withColumn("code", F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int"))
+    ).localCheckpoint(eager=True)
+    for _ in range(PQ_ITERS):
+        assigned = (
+            sub.join(F.broadcast(codebook), "sub")
+            .withColumn("_d2", d2)
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))).alias(
+                    "m"
+                ),
+                F.first("subvec").alias("subvec"),
+            )
+            .select("sub", F.col("m.c").alias("code"), "subvec")
+        )
+        codebook = _pq_mean_centroids(assigned).localCheckpoint(eager=True)
+    return codebook
+
+
+def _pq_encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Assign every (vec_id, sub) subvector its nearest codebook code —
+    the corpus compressed to one byte-sized code per subspace."""
+    d2 = _pq_sq_l2()
+    return (
+        sub.join(F.broadcast(codebook), "sub")
+        .withColumn("_d2", d2)
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))).alias("m"))
+        .select("vec_id", "sub", F.col("m.c").alias("code"))
+    )
+
+
 _PQ_INDEX_ROOT = None  # default resolved lazily (tempdir)
 
 
@@ -630,33 +676,9 @@ def build_pq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str
     n_corpus = emb.count()
     k = _pq_k(n_corpus)
     sub = _pq_subvectors(emb).cache()
-    d2 = _pq_sq_l2()
 
-    codebook = _pq_mean_centroids(
-        sub.withColumn("code", F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int"))
-    ).localCheckpoint(eager=True)
-    for _ in range(PQ_ITERS):
-        assigned = (
-            sub.join(F.broadcast(codebook), "sub")
-            .withColumn("_d2", d2)
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))).alias(
-                    "m"
-                ),
-                F.first("subvec").alias("subvec"),
-            )
-            .select("sub", F.col("m.c").alias("code"), "subvec")
-        )
-        codebook = _pq_mean_centroids(assigned).localCheckpoint(eager=True)
-
-    codes = (
-        sub.join(F.broadcast(codebook), "sub")
-        .withColumn("_d2", d2)
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))).alias("m"))
-        .select("vec_id", "sub", F.col("m.c").alias("code"))
-    )
+    codebook = _pq_lloyd(sub, k)
+    codes = _pq_encode(sub, codebook)
     codes.write.mode("overwrite").parquet(os.path.join(root, "codes"))
     codebook.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
     sub.unpersist()
@@ -757,6 +779,306 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_d2", "l2", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- IVF+PQ
+# The composed production ANN shape (FAISS IndexIVFPQ; Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011, §V):
+# an IVF coarse quantizer shards the corpus into cells, and within each
+# cell PQ codes compress the RESIDUAL (vector − cell centroid) — the
+# residual energy is what the coarse quantizer didn't explain, so the
+# same codebook budget quantizes it with far less error than raw
+# vectors. Serving probes nprobe cells (dynamic partition pruning on
+# the cell-partitioned code table), ranks candidates by ADC over codes
+# alone (no float vectors touched), and exact-reranks a sqrt(N)-scaled
+# shortlist. This composes the two persisted indexes above (build_ivf
+# _index cells + _pq_lloyd codebooks) into ONE artifact.
+
+IVFPQ_RECALL_FLOOR = IVF_NPROBE / IVF_K  # probe beats chance cell coverage
+_IVFPQ_INDEX_ROOT = None  # default resolved lazily (tempdir)
+
+
+def ivfpq_index_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    root = _IVFPQ_INDEX_ROOT or os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivfpq"
+    )
+    return os.path.join(root, os.path.basename(sf_dir.rstrip("/")))
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Train the composed IVF+PQ index ONCE and persist it.
+
+    Build: (1) the IVF coarse quantizer (build_ivf_index — reused, not
+    retrained) assigns every vector a cell; (2) each vector's RESIDUAL
+    against its cell centroid is split into PQ_M subspaces and
+    _pq_lloyd trains the shared residual codebooks; (3) the persisted
+    artifacts are ``codes`` — (vec_id, sub, code) WRITTEN PARTITIONED
+    BY cell, so a probe's equi-join against the broadcast probe set
+    prunes to nprobe cells via dynamic partition pruning before any
+    code is read — and ``codebook`` (M·K rows). Total serving state is
+    the corpus compressed ~16x plus two centroid tables; the float
+    vectors are read again only by the exact rerank's key-join.
+    Idempotent via the same density-aware JSON marker as
+    build_pq_index (k = _pq_k(N), source fingerprint)."""
+    import json
+    import os
+
+    root = ivfpq_index_dir(sf_dir)
+    marker = os.path.join(root, "_BUILT")
+    src_fp = _pq_source_fingerprint(sf_dir)
+    if os.path.exists(marker) and not force:
+        try:
+            meta = json.load(open(marker))
+            if (
+                meta.get("k") == _pq_k(meta["n"])
+                and meta.get("m") == PQ_M
+                and meta.get("src") == src_fp
+            ):
+                return root
+        except (ValueError, KeyError):
+            pass
+
+    ivf_root = build_ivf_index(spark, sf_dir)
+    assigned = spark.read.schema(
+        "neighbor_id bigint, vc array<float>, cell int"
+    ).parquet(os.path.join(ivf_root, "corpus"))
+    cent = spark.read.schema("cell int, cvec array<double>").parquet(
+        os.path.join(ivf_root, "centroids")
+    )
+    residual = assigned.join(F.broadcast(cent), "cell").select(
+        F.col("neighbor_id").alias("vec_id"),
+        "cell",
+        F.zip_with(
+            "vc", "cvec", lambda x, y: x.cast("double") - y
+        ).alias("embedding"),
+    )
+    n_corpus = residual.count()
+    k = _pq_k(n_corpus)
+    sub = _pq_subvectors(residual).cache()
+
+    codebook = _pq_lloyd(sub, k)
+    codes = _pq_encode(sub, codebook).join(
+        residual.select("vec_id", "cell"), "vec_id"
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(root, "codes")
+    )
+    codebook.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
+    sub.unpersist()
+    with open(marker, "w") as fh:
+        json.dump(
+            {"sf_dir": sf_dir, "n": n_corpus, "k": k, "m": PQ_M, "src": src_fp},
+            fh,
+        )
+    return root
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via the composed IVF+PQ index (build_ivfpq_index
+    — trained once, reused), the FAISS-default serving shape.
+
+    Three-stage probe: (1) cell selection — the (k x dim) IVF centroid
+    table is broadcast, queries rank cells by distance JVM-side and
+    keep IVF_NPROBE (no ``.collect()`` of query vectors: the query side
+    can itself be a 100 TB table); (2) ADC inside pruned cells — each
+    (query, cell) pair precomputes a per-(sub, code) squared-distance
+    table against the query's RESIDUAL for that cell (Q·nprobe·M·K
+    rows, broadcast), and candidate distances are the equi-join of the
+    CELL-PARTITIONED code table with that table — dynamic partition
+    pruning keeps unprobed cells unread, and no float vectors are
+    touched; (3) exact rerank — only the ADC top-(_pq_shortlist(N))
+    shortlist's float vectors are fetched and re-scored with true L2,
+    so recall@k equals shortlist recall. Both density knobs are shared
+    with the flat-PQ path (codebook k grows sqrt(N) at build, shortlist
+    grows sqrt(N) at probe). Recall vs the exact baseline is
+    hash-audited in q_knn_ivfpq_recall_audit, asserted in
+    tests/test_similarity.py, and swept across four decades by
+    scripts/pq_recall_sweep.py."""
+    import json
+    import os
+
+    root = build_ivfpq_index(spark, sf_dir)
+    # explicit schemas keep warm-index construction zero-jobs (the type
+    # gate's lazy-construction contract): schema inference on these
+    # reads would run a footer job per construction
+    codebook = spark.read.schema("sub int, code int, cvec array<double>").parquet(
+        os.path.join(root, "codebook")
+    )
+    codes = spark.read.schema("vec_id bigint, sub int, code int, cell int").parquet(
+        os.path.join(root, "codes")
+    )
+    n_corpus = json.load(open(os.path.join(root, "_BUILT")))["n"]
+    shortlist_size = _pq_shortlist(n_corpus)
+    ivf_root = build_ivf_index(spark, sf_dir)
+    cent = spark.read.schema("cell int, cvec array<double>").parquet(
+        os.path.join(ivf_root, "centroids")
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq")
+    )
+    # (1) nprobe nearest cells per query, with the query's residual
+    # against each probed centroid carried along for the ADC tables
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("vq"), F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("_d2c").asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d2c", sqdist)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= IVF_NPROBE)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                "vq", "cvec", lambda x, y: x.cast("double") - y
+            ).alias("embedding"),
+        )
+    )
+    # (2) per-(query, cell) ADC lookup table over the residual subspaces
+    # (the _pq_subvectors split inlined to keep the cell key: a query's
+    # residual — and hence its distance table — differs per probed cell)
+    qsub = probes.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("sub"),
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "subvec"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "query_id", "cell", F.col("s.sub").alias("sub"), F.col("s.subvec").alias("subvec")
+    )
+    qtab = (
+        qsub.join(F.broadcast(codebook), "sub")
+        .withColumn("_d2", _pq_sq_l2())
+        .select("query_id", "cell", "sub", "code", "_d2")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["cell", "sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("_d2"), 6).alias("adc_d2"))
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist_size)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    # (3) exact rerank of the shortlist only
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vc")
+    )
+    reranked = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            F.round(_l2_expr("vq", "vc"), 6).alias("l2"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "l2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_knn_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ made hash-checkable (the ``knn_ivf``/``embedding_pq_adc``
+    pattern): emit the EXACT L2 top-k per query — every cell recomputed
+    by DuckDB's ``list_distance`` — plus ``ivfpq_recall_ok``, the
+    mean-recall contract evaluated over the REAL composed probe
+    (``q_knn_ivfpq``: k-means cells + residual PQ codebooks + DPP cell
+    pruning + ADC + exact rerank, none of it SQL-expressible; the
+    oracle pins the contract's truth, TRUE, and the exact baseline the
+    probe is judged against). The floor is cell-coverage chance
+    (IVF_NPROBE/IVF_K): probing 3 of 8 cells and quantizing residuals
+    must still beat reading 3/8ths of the corpus at random. A broken
+    residual computation, a mis-partitioned code table, or a recall
+    collapse flips the boolean and fails the driver hash."""
+    hits = q_knn_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vc"))
+    wl = W.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2_expr("vq", "vc"), 6).alias("l2"),
+        )
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    recall = (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            (F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1))).alias("_mr")
+        )
+        .select(
+            (F.col("_mr") >= F.lit(IVFPQ_RECALL_FLOOR)).alias("ivfpq_recall_ok")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(recall))
+        .select("query_id", "neighbor_id", "l2", "rank", "ivfpq_recall_ok")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_IVFPQ_RECALL_AUDIT = f"""
+    SELECT query_id, neighbor_id, l2, rank, TRUE AS ivfpq_recall_ok
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_L2} AS l2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_DUCK_L2} ASC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2689,6 +3011,10 @@ def oracles() -> dict[str, tuple]:
         "embedding_pq_adc": (
             q_embedding_pq_adc_audit,
             ORACLE_EMBEDDING_PQ_ADC_AUDIT,
+        ),
+        "knn_ivfpq": (
+            q_knn_ivfpq_recall_audit,
+            ORACLE_KNN_IVFPQ_RECALL_AUDIT,
         ),
         "embedding_pca_project": (
             q_embedding_pca_audit,

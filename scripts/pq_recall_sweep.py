@@ -35,11 +35,7 @@ from dbms_query_optimizer_spark.operators import similarity as S
 from dbms_query_optimizer_spark.session import get_spark
 
 
-def mean_recall(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
-    S.build_pq_index(spark, sf_dir, force=True)
-    got = S.q_embedding_pq_adc(spark, sf_dir).collect()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
-    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+def _recall_vs_exact(got, vecs) -> float:
     recalls = []
     for qid in range(S.N_QUERIES):
         d = sorted(
@@ -50,7 +46,20 @@ def mean_recall(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
         truth = {i for _, i in d[: S.TOP_K]}
         mine = {r["neighbor_id"] for r in got if r["query_id"] == qid}
         recalls.append(len(mine & truth) / S.TOP_K)
-    return len(vecs), sum(recalls) / len(recalls)
+    return sum(recalls) / len(recalls)
+
+
+def mean_recall(spark: SparkSession, sf_dir: str) -> tuple[int, float, float]:
+    """(corpus size, flat-PQ recall, composed IVF+PQ recall) at sf_dir.
+    Both indexes are force-rebuilt so the sweep measures the build the
+    CURRENT constants would produce, not a stale artifact."""
+    S.build_pq_index(spark, sf_dir, force=True)
+    got = S.q_embedding_pq_adc(spark, sf_dir).collect()
+    S.build_ivfpq_index(spark, sf_dir, force=True)
+    got_ivfpq = S.q_knn_ivfpq(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    return len(vecs), _recall_vs_exact(got, vecs), _recall_vs_exact(got_ivfpq, vecs)
 
 
 def main() -> int:
@@ -65,21 +74,32 @@ def main() -> int:
     measured = []
     for sf in sfs:
         sf_dir = sf if os.sep in sf else f"/root/testdata/{sf}"
-        n, r = mean_recall(spark, sf_dir)
+        n, r, r_ivfpq = mean_recall(spark, sf_dir)
         print(
             f"{sf}: n={n} k={S._pq_k(n)} shortlist={S._pq_shortlist(n)} "
-            f"mean_recall={r:.3f}"
+            f"mean_recall={r:.3f} ivfpq_recall={r_ivfpq:.3f}"
         )
         if r < S.PQ_RECALL_FLOOR:
             print(f"  FAIL: below PQ_RECALL_FLOOR={S.PQ_RECALL_FLOOR}")
             rc = 1
-        measured.append((n, sf, r))
-    # trend check in CORPUS-SIZE order, independent of CLI arg order
+        if r_ivfpq < S.IVFPQ_RECALL_FLOOR:
+            print(f"  FAIL: ivfpq below IVFPQ_RECALL_FLOOR={S.IVFPQ_RECALL_FLOOR}")
+            rc = 1
+        measured.append((n, sf, r, r_ivfpq))
+    # trend check in CORPUS-SIZE order, independent of CLI arg order.
+    # The flat-PQ trend must be flat-or-rising (density-aware knobs);
+    # the IVF+PQ trend is additionally bounded by cell-coverage recall
+    # (nprobe/k of the corpus read), so it gets the same -0.1 tolerance
+    # against a FALLING trend but no rising requirement.
     measured.sort()
-    for (n0, sf0, r0), (n1, sf1, r1) in zip(measured, measured[1:]):
+    for (n0, sf0, r0, i0), (n1, sf1, r1, i1) in zip(measured, measured[1:]):
         if r1 < r0 - 0.1:
             print(f"  FAIL: recall fell {r0:.3f} ({sf0}, n={n0}) -> "
                   f"{r1:.3f} ({sf1}, n={n1}) with density")
+            rc = 1
+        if i1 < i0 - 0.1:
+            print(f"  FAIL: ivfpq recall fell {i0:.3f} ({sf0}, n={n0}) -> "
+                  f"{i1:.3f} ({sf1}, n={n1}) with density")
             rc = 1
     return rc
 

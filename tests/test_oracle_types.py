@@ -64,9 +64,13 @@ def _warm_ivf_index(spark, sf_dir):
     zero-jobs assertion is a coin flip on host state (failed on a fresh
     /tmp, round 8). Building here pins the gate to the steady-state
     serving path, which is what it is meant to type-check."""
-    from dbms_query_optimizer_spark.operators.similarity import build_ivf_index
+    from dbms_query_optimizer_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+    )
 
     build_ivf_index(spark, sf_dir)
+    build_ivfpq_index(spark, sf_dir)  # knn_ivfpq: same build-once contract
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -148,6 +148,89 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     assert mean_recall >= 0.6, f"mean recall {mean_recall:.2f}, per-query {recalls}"
 
 
+def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
+    """The composed IVF+PQ probe (residual PQ codes inside DPP-pruned
+    IVF cells + exact rerank) judged against the exact L2 top-k (numpy
+    oracle), plus the same structural invariants as the flat-PQ test:
+    full rank lists, self excluded, final order ascending in the exact
+    distance. The recall ceiling is the IVF cell coverage (only nprobe
+    of k cells are read), so the floor is the chance baseline at that
+    read budget — measured ~0.68 at sf0.01 vs 0.375 by chance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbms_query_optimizer_spark.operators.similarity import (
+        IVFPQ_RECALL_FLOOR,
+        N_QUERIES,
+        q_knn_ivfpq,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    X = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    exact: dict[int, set[int]] = {}
+    for qi in range(N_QUERIES):
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        top = np.argsort(d2, kind="stable")[:TOP_K]
+        exact[int(ids[qi])] = {int(ids[i]) for i in top}
+
+    per_q: dict[int, list] = {}
+    for r in q_knn_ivfpq(spark, sf_dir).collect():
+        per_q.setdefault(r["query_id"], []).append(r)
+
+    assert set(per_q) == set(exact)
+    recalls = []
+    for qid, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, TOP_K + 1))
+        l2s = [r["l2"] for r in rs]
+        assert l2s == sorted(l2s) and l2s[0] >= 0
+        assert all(r["adc_d2"] >= 0 for r in rs)
+        assert all(r["neighbor_id"] != qid for r in rs)
+        recalls.append(len({r["neighbor_id"] for r in rs} & exact[qid]) / TOP_K)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= IVFPQ_RECALL_FLOOR, (
+        f"mean recall {mean_recall:.2f}, per-query {recalls}"
+    )
+
+
+def test_ivfpq_index_layout_and_idempotence(spark, sf_dir):
+    """The persisted composed index must be cell-partitioned (the DPP
+    prune surface), cover every corpus vector with exactly PQ_M codes,
+    and rebuild lazily: a second build call with a valid marker must
+    not retrain (same artifact mtimes)."""
+    import os
+
+    from dbms_query_optimizer_spark.operators import similarity as S
+
+    root = S.build_ivfpq_index(spark, sf_dir)
+    codes_dir = os.path.join(root, "codes")
+    parts = [d for d in os.listdir(codes_dir) if d.startswith("cell=")]
+    assert len(parts) > 1, "code table not partitioned by cell"
+
+    codes = spark.read.parquet(codes_dir)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n_vecs
+    assert all(r["count"] == S.PQ_M for r in per_vec)
+
+    def _mtimes():
+        out = {}
+        for base, _, files in os.walk(codes_dir):
+            for f in files:
+                p = os.path.join(base, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = _mtimes()
+    assert S.build_ivfpq_index(spark, sf_dir) == root
+    assert _mtimes() == before, "idempotent rebuild retrained the index"
+
+
 def test_dedup_semantic_properties(spark, sf_dir):
     """SemDeDup survivorship: every drop is a true near-dup of its smaller-id
     in-cluster witness (cross-checked against the exact pair listing, same
