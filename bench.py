@@ -18,6 +18,14 @@ min-of-3 before and after the sweep, and its ratio to CALIB_IDLE_SEC
 two BENCH artifacts divides out the factor before calling anything a
 regression; per-query drift is only a plan problem when it exceeds the
 probe's drift.
+
+Since round 11 the factor is also a GATE (r10 verdict task 1): a sweep
+whose own factor exceeds $SPARK_GRAFT_LOAD_GATE (default 1.25) sleeps
+$SPARK_GRAFT_LOAD_SLEEP (default 120 s) and re-sweeps, up to
+$SPARK_GRAFT_LOAD_RETRIES (default 2) extra attempts, emitting the
+lowest-factor attempt with every attempt's factor recorded in
+``calib.attempt_factors`` — a loaded host window can no longer become
+the recorded denominator silently.
 """
 
 from __future__ import annotations
@@ -410,33 +418,10 @@ def _calibration_probe(spark, rows: int) -> float:
     return round(best, 3)
 
 
-def main() -> None:
-    if os.environ.get("SPARK_GRAFT_SKIP_JVM_GUARD") != "1":
-        _reap_stray_spark_jvms()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-
-    spark = get_spark(
-        app_name="bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-    )
-
-    # Warm the one-time costs (parquet footer reads, codegen compilation,
-    # Python-worker daemon spawn) so per-query timings measure the queries,
-    # not JVM startup amortized into whichever query runs first.
-    from dbms_query_optimizer_spark.engine import load_tables
-
-    for df in load_tables(spark, sf_dir).values():
-        df.count()
-    spark.range(100).selectExpr("md5(cast(id as string)) h").groupBy().count().collect()
-    # spawn the Arrow Python-worker pool once, so the first Pandas-plane
-    # query measures its plan, not 32 interpreter startups
-    spark.range(1024).repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
-        lambda it: it, schema="id long"
-    ).write.mode("overwrite").format("noop").save()
-
+def _sweep_once(spark, sf_dir: str) -> dict:
+    """One full calibrated timing sweep: pre-probes, min-of-3 per
+    headline query, post-probes. Returns the artifact dict (sans
+    metric/sf framing) with its own host_load_factor."""
     calib_pre = _calibration_probe(spark, 4_000_000)
     calib_sustained_pre = _calibration_probe(spark, 16_000_000)
 
@@ -466,6 +451,94 @@ def main() -> None:
     calib_post = _calibration_probe(spark, 4_000_000)
     calib_sustained_post = _calibration_probe(spark, 16_000_000)
 
+    # per probe the factor uses the SMALLER of pre/post (the pre probe
+    # can still be paying JIT min-of-3 didn't fully absorb; overstating
+    # load would excuse real regressions); the overall factor is the
+    # MAX across the two probe sizes, so sustained-CPU throttling that
+    # spares short bursts still marks the artifact
+    factor = round(
+        max(
+            min(calib_pre, calib_post) / CALIB_IDLE_SEC,
+            min(calib_sustained_pre, calib_sustained_post)
+            / CALIB_SUSTAINED_IDLE_SEC,
+        ),
+        2,
+    )
+    return {
+        "queries": timings,
+        "calib": {
+            "probe_pre_sec": calib_pre,
+            "probe_post_sec": calib_post,
+            "idle_ref_sec": CALIB_IDLE_SEC,
+            "sustained_pre_sec": calib_sustained_pre,
+            "sustained_post_sec": calib_sustained_post,
+            "sustained_idle_ref_sec": CALIB_SUSTAINED_IDLE_SEC,
+            "host_load_factor": factor,
+        },
+    }
+
+
+def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SKIP_JVM_GUARD") != "1":
+        _reap_stray_spark_jvms()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    # Warm the one-time costs (parquet footer reads, codegen compilation,
+    # Python-worker daemon spawn) so per-query timings measure the queries,
+    # not JVM startup amortized into whichever query runs first.
+    from dbms_query_optimizer_spark.engine import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    spark.range(100).selectExpr("md5(cast(id as string)) h").groupBy().count().collect()
+    # spawn the Arrow Python-worker pool once, so the first Pandas-plane
+    # query measures its plan, not 32 interpreter startups
+    spark.range(1024).repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    # CONTENTION GATE (r10 verdict task 1): a loaded host window must
+    # never become the recorded denominator. If the sweep's own
+    # calibration says the host was > LOAD_GATE x idle, sleep out the
+    # contention and re-sweep (bounded retries); emit the attempt with
+    # the LOWEST factor either way, with every attempt's factor recorded
+    # so a still-loaded final artifact documents itself as such
+    # (BENCH_r10 stamped itself 1.43 and cost a round of false 2x
+    # breaches). Attempts reuse the warm session: the probes measure
+    # host load, not JVM state.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.25"))
+    retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "2"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_LOAD_SLEEP", "120"))
+    attempts = []
+    best = None
+    for attempt in range(1 + retries):
+        result = _sweep_once(spark, sf_dir)
+        factor = result["calib"]["host_load_factor"]
+        attempts.append(factor)
+        if best is None or factor < best["calib"]["host_load_factor"]:
+            best = result
+        if factor <= load_gate:
+            break
+        if attempt < retries:
+            print(
+                f"bench: host_load_factor {factor} > gate {load_gate}; "
+                f"sleeping {retry_sleep:.0f}s and re-sweeping "
+                f"(attempt {attempt + 1}/{1 + retries})",
+                file=sys.stderr,
+            )
+            time.sleep(retry_sleep)
+
+    best["calib"]["load_gate"] = load_gate
+    best["calib"]["attempt_factors"] = attempts
+    timings = best["queries"]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -475,28 +548,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # per probe the factor uses the SMALLER of pre/post (the
-                # pre probe can still be paying JIT min-of-3 didn't fully
-                # absorb; overstating load would excuse real regressions);
-                # the overall factor is the MAX across the two probe
-                # sizes, so sustained-CPU throttling that spares short
-                # bursts still marks the artifact
-                "calib": {
-                    "probe_pre_sec": calib_pre,
-                    "probe_post_sec": calib_post,
-                    "idle_ref_sec": CALIB_IDLE_SEC,
-                    "sustained_pre_sec": calib_sustained_pre,
-                    "sustained_post_sec": calib_sustained_post,
-                    "sustained_idle_ref_sec": CALIB_SUSTAINED_IDLE_SEC,
-                    "host_load_factor": round(
-                        max(
-                            min(calib_pre, calib_post) / CALIB_IDLE_SEC,
-                            min(calib_sustained_pre, calib_sustained_post)
-                            / CALIB_SUSTAINED_IDLE_SEC,
-                        ),
-                        2,
-                    ),
-                },
+                "calib": best["calib"],
             }
         )
     )

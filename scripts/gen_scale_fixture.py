@@ -14,6 +14,9 @@ x10). The remaining nine tables are symlinked from sf0.1: embedding-
 only queries never read them, and load_dir just needs the paths to
 exist. Deterministic (fixed seed) so two builds byte-agree.
 
+Round 11 extends the same recipe to DOCUMENTS (the dedup family's
+fourth decade): 5000 originals + 45000 derived near-dups/non-dups.
+
 Usage: python scripts/gen_scale_fixture.py  ->  .scale_fixtures/sf1/
 """
 
@@ -56,14 +59,69 @@ def main() -> None:
         }
     )
     out.to_parquet(f"{DST}/embeddings.parquet", index=False)
+
+    # documents decade (r10 verdict task 4): same recipe as the vectors
+    # — the 5000 sf0.1 documents kept VERBATIM (doc_id 0..4999, so the
+    # dedup constants and any doc-keyed expectation keep their meaning)
+    # plus 45000 derived docs (doc_id 5000..), each a token-level
+    # perturbation of a random original: ~70% near-duplicates (drop or
+    # swap a few tokens — exactly the population MinHash/winnowing/
+    # prefix-filter dedup exists to find, so candidate-pair volume
+    # scales realistically, not as disjoint-text zero work) and ~30%
+    # shuffled-vocabulary non-duplicates. lang/source inherited,
+    # n_chars recomputed. Deterministic (same seed stream).
+    docs = pd.read_parquet(f"{SRC}/documents.parquet")
+    d0 = len(docs)
+    target_docs = d0 * 10
+    texts = docs["text"].to_list()
+    didx = rng.randint(0, d0, size=target_docs - d0)
+    new_rows = []
+    for i, bi in enumerate(didx):
+        toks = texts[bi].split()
+        mode = rng.rand()
+        if mode < 0.35 and len(toks) > 4:  # near-dup: drop ~5% of tokens
+            keep = rng.rand(len(toks)) >= 0.05
+            toks = [t for t, k in zip(toks, keep) if k] or toks[:1]
+        elif mode < 0.70 and len(toks) > 4:  # near-dup: swap ~5% of tokens
+            vocab = list(dict.fromkeys(toks))
+            toks = [
+                vocab[rng.randint(0, len(vocab))] if rng.rand() < 0.05 else t
+                for t in toks
+            ]
+        else:  # non-dup: resample the doc's own length from the vocab
+            allv = texts[rng.randint(0, d0)].split()
+            toks = [allv[rng.randint(0, len(allv))] for _ in range(len(toks))]
+        new_rows.append(" ".join(toks))
+    docs_out = pd.DataFrame(
+        {
+            "doc_id": np.concatenate(
+                [docs["doc_id"].to_numpy(), np.arange(d0, target_docs)]
+            ).astype(np.int64),
+            "text": texts + new_rows,
+            "lang": np.concatenate(
+                [docs["lang"].to_numpy(), docs["lang"].to_numpy()[didx]]
+            ),
+            "source": np.concatenate(
+                [docs["source"].to_numpy(), docs["source"].to_numpy()[didx]]
+            ),
+        }
+    )
+    docs_out["n_chars"] = docs_out["text"].str.len().astype(np.int32)
+    doc_path = f"{DST}/documents.parquet"
+    if os.path.islink(doc_path):  # pre-r11 fixture symlinked sf0.1 docs
+        os.unlink(doc_path)
+    docs_out.to_parquet(doc_path, index=False)
+
     for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents".split()
+        "region nation customer supplier part orders lineitem events".split()
     ):
         link = f"{DST}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{t}.parquet", link)
-    print(f"wrote {DST}: {TARGET_N} vectors ({n0} original + derived)")
+    print(
+        f"wrote {DST}: {TARGET_N} vectors ({n0} original + derived), "
+        f"{target_docs} documents ({d0} original + derived)"
+    )
 
 
 if __name__ == "__main__":
