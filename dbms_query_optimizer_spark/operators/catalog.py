@@ -987,6 +987,9 @@ R11_PLANNED_WINDOW = [
     # round-11 addition (never driver-checked): the composed IVF+PQ
     # index — takes a slot ahead of freshness re-checks
     "knn_ivfpq",
+    # hash-stale: the r11 decade sweep moved the length filter ahead of
+    # the candidate distinct (code changed since its last driver green)
+    "dedup_set_similarity_prefix",
     # last driver green: round 2
     "join_multiway", "join_salted_skew", "latest_per_key",
     "merge_upsert", "monthly_growth", "rollup_grouping_id",
@@ -1004,7 +1007,6 @@ R11_PLANNED_WINDOW = [
     # last driver green: round 4
     "approx_aggs", "asof_join_forward",
     "asof_join_salted", "bucketed_colocated_join", "curriculum_bins",
-    "dedup_embedding_cosine_lsh",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW

@@ -2098,8 +2098,18 @@ def q_dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         "n",
     )
+    # length filter (τ·max ≤ min, exact integer cross-multiplication)
+    # BEFORE the distinct: the filter is deterministic per pair, so
+    # applying it on the exploded pair stream prunes the candidate
+    # shuffle instead of shuffling every duplicate-keyed pair first —
+    # at a dup-heavy 50k-doc fixture (r11 decade sweep) the unfiltered
+    # pair stream is the dominant shuffle
     cand = (
         _bucket_pairs(bands, ["doc_id", "n"])
+        .filter(
+            F.greatest(F.col("a.n"), F.col("b.n")) * PREFIX_TAU_NUM
+            <= F.least(F.col("a.n"), F.col("b.n")) * PREFIX_TAU_DEN
+        )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("a.n").alias("na"),
@@ -2107,11 +2117,6 @@ def q_dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("b.n").alias("nb"),
         )
         .distinct()
-        # length filter: τ·max ≤ min, in exact integer cross-multiplication
-        .filter(
-            F.greatest("na", "nb") * PREFIX_TAU_NUM
-            <= F.least("na", "nb") * PREFIX_TAU_DEN
-        )
     )
     # exact verification: candidates only, JVM array_intersect of the two
     # compact per-doc arrays — no row explosion, no third corpus shuffle

@@ -115,8 +115,18 @@ def test_rechecks_walk_stalest_last_green_first():
     (last-green round, first-green cohort age, name) — deterministic
     AND advancing: a name re-proven last round moves to the back of
     the queue instead of being re-sampled (r10 verdict task 3)."""
+    recorded = C.green_hashes()
+    stale = {
+        n
+        for cohort in C.DRIVER_GREEN_COHORTS
+        for n in cohort
+        if recorded.get(n) != C.query_content_hash(n)
+    }
     rest = C.DRIVER_PRIORITY[len(C.DRIVER_SENTINELS):]
-    rechecks = [n for n in rest if n in C.DRIVER_CHECKED_PRIOR_ROUNDS]
+    rechecks = [
+        n for n in rest
+        if n in C.DRIVER_CHECKED_PRIOR_ROUNDS and n not in stale
+    ]
     last_green = C.green_rounds()
     expected = [
         n
@@ -124,7 +134,7 @@ def test_rechecks_walk_stalest_last_green_first():
             (last_green.get(n, 0), ci, n)
             for ci, cohort in enumerate(C.DRIVER_GREEN_COHORTS)
             for n in cohort
-            if n not in C.DRIVER_SENTINELS
+            if n not in C.DRIVER_SENTINELS and n not in stale
         )
     ]
     assert rechecks == expected[: len(rechecks)]
