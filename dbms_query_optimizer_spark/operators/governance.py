@@ -3280,6 +3280,11 @@ def q_bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("user_id", "t_stat", "p_value")
+        # m-row (per-user) test frame, materialized once: without this
+        # the corpus collapse + half-join re-ran for the rank's offsets
+        # action, for the numbering branch AND for the k* aggregate —
+        # three full re-derivations measured in the r11 profile
+        .localCheckpoint()
     )
     pid = F.least(
         F.floor(F.col("p_value") * BH_N_PARTS), F.lit(BH_N_PARTS - 1)

@@ -893,12 +893,15 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    # NOT checkpointed: this frame is one row per TOKEN OCCURRENCE —
-    # corpus-sized — so materializing it would spill ~the whole corpus
-    # to executor disk at 100 TB. The LM pass and the per-doc pass each
-    # re-derive it from the scan instead (2 CPU passes beat 1 pass +
-    # 1 corpus-sized write + 1 read; contrast ks_test_drift, which
-    # checkpoints only its DOMAIN-sized frame).
+    # The token-occurrence frame itself is never materialized (corpus-
+    # sized), but since r11 it is only DERIVED ONCE: the per-(doc,
+    # lang, bucket) count frame below is nnz-bounded (≤ FH_BUCKETS rows
+    # per doc — the compressed representation), so THAT is what
+    # persists, and both the LM tables and the per-doc weights
+    # aggregate from it. The previous form re-tokenized and re-hashed
+    # the whole corpus twice (once per consumer) to avoid pinning the
+    # occurrence frame; collapsing to the nnz frame gets one pass AND
+    # bounded storage (guide §2.3 "aggregate before you shuffle").
     hashed = toks.select(
         "doc_id",
         "lang",
@@ -916,9 +919,18 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(FH_BUCKETS),
         ).alias("bucket"),
     )
-    lm = hashed.groupBy("bucket").agg(
-        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    # lang is functionally dependent on doc_id, so grouping by it too
+    # changes no group; the counts are exact longs either way
+    per_dlb = track_persist(
+        hashed.groupBy("doc_id", "lang", "bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    lm = per_dlb.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))
+        ).alias("ct"),
+        F.sum("c").alias("cr"),
     )
     tot = lm.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
     lr = (
@@ -940,9 +952,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("lr_nano"),
         )
     )
-    per_doc_bucket = hashed.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    per_doc_bucket = per_dlb.select("doc_id", "bucket", "c")
     return (
         per_doc_bucket.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")

@@ -828,6 +828,7 @@ def distributed_row_number(
     n_parts: int,
     rn_col: str = "rn",
     return_total: bool = False,
+    counts: dict[int, int] | None = None,
 ):
     """Global ``row_number() OVER (ORDER BY order_cols)`` WITHOUT the
     single-partition window (WindowExec's "No Partition Defined" trap).
@@ -853,9 +854,19 @@ def distributed_row_number(
     callers a separate full count() job over the same frame.
     """
     parts = df.withColumn("_pid", pid).repartition(n_parts, "_pid")
-    counts = dict(
-        parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
-    )
+    # the offsets job aggregates the pid EXPRESSION directly (map-side
+    # partial agg -> n_parts rows cross the wire) instead of reusing
+    # ``parts``, whose plan would shuffle the full frame just to count
+    # bucket sizes — pid is deterministic, so the counts are identical.
+    # Callers ranking one frame by several keys pass precomputed
+    # ``counts`` (one fused conditional-sum job) and skip the action.
+    if counts is None:
+        counts = dict(
+            df.select(pid.alias("_pid"))
+            .groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
     assert all(p is not None for p in counts), (
         "distributed_row_number: pid must never be NULL — NULL sort keys "
         "need an explicit bucket (see range_bucket's NULL mapping)"
@@ -951,7 +962,13 @@ def distributed_prefix_agg(
     return local.withColumn(out_col, combined).drop("_loc", "_pid")
 
 
-def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = False):
+def range_bucket(
+    df: DataFrame,
+    col_name: str,
+    n_parts: int,
+    descending: bool = False,
+    cuts: list | None = None,
+):
     """Monotone range-bucket expression for a NUMERIC sort key, for use as
     ``distributed_row_number``'s ``pid``: driver-computed approx-quantile
     cuts (n_parts-1 scalars) make the bucket a pure function of the key.
@@ -967,8 +984,12 @@ def range_bucket(df: DataFrame, col_name: str, n_parts: int, descending: bool = 
     """
     if n_parts <= 1:
         return F.lit(0)
-    qs = [i / n_parts for i in range(1, n_parts)]
-    cuts = df.stat.approxQuantile(col_name, qs, 0.001)
+    if cuts is None:
+        qs = [i / n_parts for i in range(1, n_parts)]
+        cuts = df.stat.approxQuantile(col_name, qs, 0.001)
+    # callers with several keyed ranks over ONE frame pass precomputed
+    # ``cuts`` from a single multi-column approxQuantile action
+    # (identical per-column sketch), collapsing n driver jobs into one
     c = F.col(col_name)
     if descending:
         expr = sum(((c < F.lit(x)).cast("int") for x in reversed(cuts)), F.lit(0))
@@ -1467,7 +1488,12 @@ def q_recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u")
     )
     # Tracked: the harness unpersists after the consuming action.
-    ui = track_persist(ui_all.join(kept, "u"))
+    # Persisted PRE-PARTITIONED on u (guide §2.4): the pair self-join
+    # below joins this frame to itself on u, so caching it already
+    # hash-partitioned lets both join sides reuse the cached layout —
+    # the join's two per-side Exchanges disappear from the plan and the
+    # only remaining corpus shuffle is the (part_a, part_b) aggregate.
+    ui = track_persist(ui_all.join(kept, "u").repartition("u"))
     na = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
     a = ui.toDF("u", "part_a")
     b = ui.toDF("u", "part_b")

@@ -673,13 +673,26 @@ def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable formulation, same as graph_pagerank's power iteration).
     """
     from ..cache import track_persist
-    from ..session import state_width
-    from .similarity import _l2_expr
 
     # vectors are re-read every round — persist for the loop, tracked
     e = track_persist(
         load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
     )
+
+    # r11 NOTE (examined, kept incremental): two shuffle-free rewrites
+    # were measured and REJECTED on same-box A/B — (a) folding all
+    # chosen centers as literal expression arrays (k·d literal nodes
+    # made driver-side analysis/codegen the cost: 3.5 s → 6.3 s) and
+    # (b) a 1-row broadcast array<struct> of centers with
+    # array_min(transform(...)) (re-evaluating ALL r candidates per
+    # round through interpreted higher-order functions beat the saved
+    # shuffles: O(N·K²·d) interpreted lambda work vs the incremental
+    # form's O(N·K·d)). The incremental checkpointed struct-min below
+    # does one candidate of HOF work per round and stays the fastest
+    # measured form locally while keeping node-domain-only state.
+    from ..session import state_width
+    from .similarity import _l2_expr
+
     seed = int(e.agg(F.min("vec_id")).collect()[0][0])
 
     def fold_center(state: DataFrame | None, crank: int, cid: int) -> DataFrame:

@@ -1871,15 +1871,17 @@ def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle can unroll the SAME fixed iterations as CTEs.
 
     Shape per iteration (the canonical distributed-k-means plan):
-    assignment is a BROADCAST of the k-row centroid frame against the
-    vector corpus (map-side argmin via struct-MIN groupBy — no shuffle
-    of the ×k expansion), the update is one map-side-combined
-    (cluster, dim) sum. Init = the first K vec_ids (deterministic
-    seeding; k-means++ would add one more broadcast round per center).
-    Cost per iteration is O(N·k·d) map work + a k·d-row shuffle,
-    independent of iteration count — the 100 TB shape. Output: one row
-    per (cluster, dim) with the centroid, member count, and exact
-    integer inertia.
+    assignment folds a 1-row BROADCAST array<struct> of the k centroids
+    against the vector corpus (map-side argmin via
+    array_min(transform(...)) — no shuffle, no join), fused with the
+    update into one map-side-combined (cluster, dim) sum whose k·d-row
+    result is collected back as the next iteration's broadcast. Init =
+    the first
+    K vec_ids (deterministic seeding; k-means++ would add one more
+    round per center). Cost per iteration is O(N·k·d) map work + a
+    k·d-row shuffle, independent of iteration count — the 100 TB
+    shape. Output: one row per (cluster, dim) with the centroid,
+    member count, and exact integer inertia.
     """
     from ..cache import track_persist
 
@@ -1903,61 +1905,95 @@ def q_embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (non-ANSI Spark nulls the cast, DuckDB errors), the same
     # documented boundary as mann_whitney_u's BIGINT outputs. The IVFR
     # cell ids (_ivfr_centroids) share this ceiling.
-    cent = (
-        vecs.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .select(
-            F.col("vec_id").cast("int").alias("cluster_id"),
-            F.transform("qv", lambda x: x * F.lit(KMEANS_Q)).alias("cv"),
+    #
+    # r11 shape (guide §2.4): centroids are k·d integers, so each pass
+    # broadcasts them as ONE row holding an array<struct<cluster_id,
+    # cv>> and the assignment argmin becomes a map-side
+    # array_min(transform(...)) fold over that column — identical
+    # lexicographic (d2, cluster_id) semantics to the previous
+    # per-vec_id struct-MIN groupBy, which cost a corpus shuffle per
+    # pass. The update pass fuses assign+sum into ONE map-side-combined
+    # (cluster, dim) aggregate — the previous form additionally JOINED
+    # the assignment frame back to the vectors every iteration (a
+    # second corpus shuffle per pass). Per iteration: one job, one
+    # k·d-row shuffle, one k·d-row collect, zero corpus shuffles.
+    # (A pure-literal-expression variant was measured first and
+    # REJECTED: k·d literal nodes per candidate made driver-side
+    # analysis/codegen the bottleneck — 6.0 s vs 1.9 s baseline; the
+    # 1-row broadcast carries the same integers as data, not plan.)
+    seed_rows = vecs.orderBy("vec_id").limit(KMEANS_K).collect()
+    cent: list[tuple[int, list[int]]] = [
+        (int(r["vec_id"]), [int(q) * KMEANS_Q for q in r["qv"]])
+        for r in seed_rows
+    ]
+
+    def cents_frame(c: list[tuple[int, list[int]]]) -> DataFrame:
+        return spark.createDataFrame(
+            [([{"cluster_id": cid, "cv": cv} for cid, cv in c],)],
+            "cents array<struct<cluster_id:int,cv:array<bigint>>>",
+        )
+
+    def d2_of(cv: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                "qv",
+                cv,
+                lambda a, b: (a * KMEANS_Q - b) * (a * KMEANS_Q - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # argmin over the broadcast centroid array; struct first, generator
+    # second (a posexplode in the SAME select drops struct aliases)
+    assign_expr = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                d2_of(c.getField("cv")).alias("d2"),
+                c.getField("cluster_id").alias("cluster_id"),
+            ),
         )
     )
 
-    d2_expr = F.aggregate(
-        F.zip_with(
-            "qv",
-            "cv",
-            lambda a, b: (a * KMEANS_Q - b) * (a * KMEANS_Q - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-    def assign(c: DataFrame) -> DataFrame:
-        return (
-            vecs.crossJoin(F.broadcast(c))  # k-row centroid frame
-            .withColumn("d2", d2_expr)
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cluster_id")).alias("_a"))
+    for _ in range(KMEANS_ITERS):
+        rows = (
+            vecs.crossJoin(F.broadcast(cents_frame(cent)))
+            .select(assign_expr.alias("_a"), "qv")
             .select(
-                "vec_id",
                 F.col("_a.cluster_id").alias("cluster_id"),
-                F.col("_a.d2").alias("d2"),
+                F.posexplode("qv").alias("dim", "v"),
             )
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        sums = (
-            assigned.join(vecs, "vec_id")
-            .select("cluster_id", F.posexplode("qv").alias("dim", "v"))
             .groupBy("cluster_id", "dim")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("m"))
             .withColumn("c", F.expr(f"(s * {KMEANS_Q}) DIV m"))
+            .collect()
         )
-        return sums.groupBy("cluster_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda x: x.getField("c"),
-            ).alias("cv")
-        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["dim"])] = int(
+                r["c"]
+            )
+        cent = [
+            (cid, [by_cluster[cid][d] for d in range(EMB_DIM)])
+            for cid in sorted(by_cluster)
+        ]
 
-    for _ in range(KMEANS_ITERS):
-        cent = update(assign(cent))
-    final = assign(cent)
+    final = (
+        vecs.crossJoin(F.broadcast(cents_frame(cent)))
+        .select("vec_id", assign_expr.alias("_a"))
+        .select(
+            "vec_id",
+            F.col("_a.cluster_id").alias("cluster_id"),
+            F.col("_a.d2").alias("d2"),
+        )
+    )
     stats = final.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("inertia")
     )
-    cent_rows = cent.select(
-        "cluster_id", F.posexplode("cv").alias("dim", "centroid_micro")
+    cent_rows = spark.createDataFrame(
+        [(cid, d, cv[d]) for cid, cv in cent for d in range(EMB_DIM)],
+        "cluster_id int, dim int, centroid_micro long",
     )
     return (
         cent_rows.join(stats, "cluster_id")
@@ -2287,30 +2323,37 @@ RRF_TOPK = 20
 RRF_QUERY_VEC = 0  # the query: doc 0's embedding + the BM25 term set
 
 
+def _depth_ranks(df: DataFrame, score_col: str, rn_col: str) -> DataFrame:
+    """(doc_id, rank) for the top RRF_DEPTH rows of ``df`` by
+    (score DESC, doc_id ASC) — the leg's depth cut FUSED into the rank.
+
+    Only ranks 1..RRF_DEPTH survive downstream, so the global rank
+    collapses to a distributed top-k: ``orderBy().limit(DEPTH)`` plans
+    as TakeOrderedAndProject (per-partition partial top-k, one
+    DEPTH-row merge — no corpus shuffle, no quantile sampling pass, no
+    per-bucket offsets action the previous distributed_row_number form
+    paid), and the row_number window then runs over a frame bounded at
+    DEPTH rows by construction, so its single-partition exchange moves
+    ≤ DEPTH rows regardless of corpus size. Ranks are identical: the
+    (score DESC, doc_id) order is total, so the top-DEPTH rows ARE
+    positions 1..DEPTH of the full ordering."""
+    top = df.orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    ).limit(RRF_DEPTH)
+    w = W.orderBy(F.col(score_col).desc(), F.col("doc_id").asc())
+    return top.select("doc_id", F.row_number().over(w).alias(rn_col))
+
+
 def _rrf_leg_ranks(spark: SparkSession, sf_dir: str):
     """The two retrieval legs as depth-cut global rank frames
     (doc_id, r_lex) / (doc_id, r_vec): BM25 and exact cosine, each
-    ranked by ``distributed_row_number`` over descending range buckets
-    (no single-partition window) on the ROUNDED 6-dp score with doc_id
-    tie-break — engine-exact ranks. Shared by the RRF fusion and the
-    retrieval-quality report."""
-    from ..session import state_width
-    from .relational import distributed_row_number, range_bucket
+    ranked by the depth-bounded distributed top-k (``_depth_ranks``)
+    on the ROUNDED 6-dp score with doc_id tie-break — engine-exact
+    ranks. Shared by the RRF fusion and the retrieval-quality report."""
     from .text import q_bm25_score
 
     lex = q_bm25_score(spark, sf_dir).filter(F.col("doc_id") != RRF_QUERY_VEC)
-    npart = state_width(lex)
-    lexr = (
-        distributed_row_number(
-            lex,
-            [F.col("bm25").desc(), F.col("doc_id").asc()],
-            range_bucket(lex, "bm25", npart, descending=True),
-            npart,
-            rn_col="r_lex",
-        )
-        .filter(F.col("r_lex") <= RRF_DEPTH)
-        .select("doc_id", "r_lex")
-    )
+    lexr = _depth_ranks(lex, "bm25", "r_lex")
 
     e = load_tables(spark, sf_dir)["embeddings"]
     qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
@@ -2322,17 +2365,7 @@ def _rrf_leg_ranks(spark: SparkSession, sf_dir: str):
         .crossJoin(F.broadcast(qv))
         .select("doc_id", F.round(cosine_expr("vq", "vc"), 6).alias("cosine"))
     )
-    vecr = (
-        distributed_row_number(
-            cos,
-            [F.col("cosine").desc(), F.col("doc_id").asc()],
-            range_bucket(cos, "cosine", npart, descending=True),
-            npart,
-            rn_col="r_vec",
-        )
-        .filter(F.col("r_vec") <= RRF_DEPTH)
-        .select("doc_id", "r_vec")
-    )
+    vecr = _depth_ranks(cos, "cosine", "r_vec")
     return lexr, vecr
 
 

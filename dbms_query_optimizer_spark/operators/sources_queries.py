@@ -500,15 +500,41 @@ def q_cluster_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n in names
         ]
     )
+    # r11 (guide §1.2/§2.3): the four candidate ranks previously paid
+    # 2 driver actions EACH (a per-column approxQuantile pass + a
+    # per-bucket counts pass). Fuse them: ONE multi-column
+    # approxQuantile job (identical per-column cuts) and ONE map-side
+    # conditional-sum job covering all 4×8 bucket counts, then hand
+    # both to range_bucket/distributed_row_number — 8 corpus actions
+    # become 2, and the 4 rank+span branches stay lazy until the final
+    # job executes them as parallel stages.
+    qs = [i / 8 for i in range(1, 8)]
+    all_cuts = base.stat.approxQuantile(names, qs, 0.001)
+    pids = {
+        ckey: range_bucket(base, ckey, 8, cuts=all_cuts[i])
+        for i, ckey in enumerate(names)
+    }
+    cnt_row = base.agg(
+        *[
+            F.sum((pids[ckey] == p).cast("long")).alias(f"_c_{i}_{p}")
+            for i, ckey in enumerate(names)
+            for p in range(8)
+        ]
+    ).collect()[0]
+    counts_by = {
+        ckey: {p: int(cnt_row[f"_c_{i}_{p}"]) for p in range(8)}
+        for i, ckey in enumerate(names)
+    }
     out = None
     for ckey in names:
         ranked, n = distributed_row_number(
             base,
             [F.col(ckey), F.col("o_orderkey")],
-            range_bucket(base, ckey, 8),
+            pids[ckey],
             8,
             rn_col="_rn",
             return_total=True,
+            counts=counts_by[ckey],
         )
         per_bucket = (
             ranked.select(

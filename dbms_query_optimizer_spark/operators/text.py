@@ -607,7 +607,12 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per matching doc, not the corpus token explosion. Document length is
     the one corpus-wide aggregate (map-side combined); N/avgdl collapse
     to a 1-row broadcast and the per-term df table broadcasts (|terms|
-    rows). Nothing quadratic, no Python in the hot path."""
+    rows). Nothing quadratic, no Python in the hot path. (An r11
+    single-pass rewrite — per-doc tf as filtered array sizes, zero
+    explode — was measured and REJECTED: without explode the tokenizer
+    regex re-ran once per term column after project collapse, 0.90 s →
+    1.88 s A/B on the same box; the explode form tokenizes each row
+    exactly once.)"""
     docs = load_tables(spark, sf_dir)["documents"]
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), "[^a-z]+").alias("_tk")
