@@ -853,6 +853,7 @@ EAGER_CONSTRUCTION = frozenset({
     "cluster_key_advisor",
     "column_profile", "curriculum_bins", "dedup_components",
     "dedup_incremental_lsh", "dedup_semantic", "dpp_join_pruned",
+    "embedding_kmeans_lloyd",
     "embedding_pca_project", "embedding_pq_adc", "entity_resolution",
     "global_row_number", "graph_bfs_hops", "graph_kcore",
     "graph_pagerank", "graph_wcc",
@@ -987,9 +988,17 @@ R11_PLANNED_WINDOW = [
     # round-11 addition (never driver-checked): the composed IVF+PQ
     # index — takes a slot ahead of freshness re-checks
     "knn_ivfpq",
-    # hash-stale: the r11 decade sweep moved the length filter ahead of
-    # the candidate distinct (code changed since its last driver green)
-    "dedup_set_similarity_prefix",
+    # hash-stale (code changed since last driver green): the r11
+    # optimization pass edited these query bodies (dedup verification
+    # via per-doc arrays, CDC bounds materialization, fused-action
+    # rewrites, kmeans broadcast-fold, the prefix-join length-filter
+    # reorder, the bm25/kcenter rejected-rewrite docstrings) — each
+    # re-enters the window ahead of pure freshness re-checks
+    "bm25_score", "dedup_minhash_lsh", "cluster_key_advisor",
+    "dedup_set_similarity_prefix", "dsir_importance_weights",
+    "recsys_item_cosine", "bh_fdr_report", "dedup_cdc_chunks",
+    "dedup_incremental_lsh", "sample_kcenter_coreset",
+    "embedding_kmeans_lloyd",
     # last driver green: round 2
     "join_multiway", "join_salted_skew", "latest_per_key",
     "merge_upsert", "monthly_growth", "rollup_grouping_id",
@@ -1001,12 +1010,7 @@ R11_PLANNED_WINDOW = [
     "projection", "range_join_bucketed", "recursive_cte_ancestors",
     "robust_stats_mad", "rollup", "scan", "sort_limit",
     "source_python_datasource", "streaming_dedup", "streaming_tumbling",
-    "subquery_in", "text_lang_id", "text_token_stats", "topk_per_group",
-    "tpch_q15", "udaf_geomean", "udtf_split_sentences",
-    "window_running",
-    # last driver green: round 4
-    "approx_aggs", "asof_join_forward",
-    "asof_join_salted", "bucketed_colocated_join", "curriculum_bins",
+    "subquery_in", "text_lang_id", "text_token_stats",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW

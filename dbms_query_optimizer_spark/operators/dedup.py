@@ -231,27 +231,47 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # r11 (guide §2.3): exact verification over COMPACT per-doc arrays —
+    # one reduction of the cached shingle frame yields each doc's
+    # distinct-shingle array and its size, and candidates verify by JVM
+    # array_intersect. The previous form joined the candidate pairs
+    # against the corpus-wide shingle frame TWICE on (doc, shingle)
+    # equality — two extra shuffles of the posting lists per run — to
+    # count the same intersection (n_inter = |set ∩ set| either way:
+    # the pairs are distinct and so are each doc's shingles).
+    docs_arr = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
     inter = (
-        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("id_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        cand.join(
+            docs_arr.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("arr").alias("fa"),
+                F.col("n_sh").alias("na"),
+            ),
+            "id_a",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            docs_arr.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("arr").alias("fb"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("fa", "fb")).cast("long")
+        )
     )
     return (
-        inter.join(sizes.alias("za"), F.col("za.doc_id") == F.col("id_a"))
-        .join(sizes.alias("zb"), F.col("zb.doc_id") == F.col("id_b"))
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             "n_inter",
             (
                 F.col("n_inter")
-                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
@@ -535,28 +555,49 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex_sh = _doc_shingles(ex_matched).cache()
 
-    in_sizes = in_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_in"))
-    ex_sizes = ex_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ex"))
+    # r11 (guide §2.3): verify over compact per-doc arrays (the
+    # q_dedup_minhash_lsh rewrite) — one reduction per side yields the
+    # distinct-shingle array + size, candidates verify by JVM
+    # array_intersect instead of two (doc, shingle)-equality joins over
+    # the posting lists. n_inter identical (distinct pairs ∩ distinct
+    # shingles).
+    in_arr = in_sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"),
+        F.count(F.lit(1)).alias("n_in"),
+    )
+    ex_arr = ex_sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"),
+        F.count(F.lit(1)).alias("n_ex"),
+    )
     inter = (
-        cand.join(in_sh.alias("si"), F.col("si.doc_id") == F.col("in_id"))
-        .join(
-            ex_sh.alias("se"),
-            (F.col("se.doc_id") == F.col("ex_id"))
-            & (F.col("se.shingle") == F.col("si.shingle")),
+        cand.join(
+            in_arr.select(
+                F.col("doc_id").alias("in_id"),
+                F.col("arr").alias("fa"),
+                "n_in",
+            ),
+            "in_id",
         )
-        .groupBy("in_id", "ex_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            ex_arr.select(
+                F.col("doc_id").alias("ex_id"),
+                F.col("arr").alias("fb"),
+                "n_ex",
+            ),
+            "ex_id",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("fa", "fb")).cast("long")
+        )
     )
     return (
-        inter.join(in_sizes.alias("za"), F.col("za.doc_id") == F.col("in_id"))
-        .join(ex_sizes.alias("zb"), F.col("zb.doc_id") == F.col("ex_id"))
-        .select(
+        inter.select(
             "in_id",
             "ex_id",
             "n_inter",
             (
                 F.col("n_inter")
-                / (F.col("za.n_in") + F.col("zb.n_ex") - F.col("n_inter"))
+                / (F.col("n_in") + F.col("n_ex") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
@@ -1864,20 +1905,30 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.array().cast("array<int>")),
         lambda i: F.element_at(F.col("hs"), i) % CDC_MASK == 0,
     )
-    starts = F.concat(F.array(F.lit(1)), cuts)
-    ends = F.concat(cuts, F.array(F.length("nrm") + 1))
+    # r11: starts/ends MUST be materialized columns before the chunk
+    # transform references them — inlined, each per-chunk element_at
+    # re-evaluated the whole O(|hs|) cut-filter expression, turning
+    # chunk extraction O(len·chunks) into O(len²·chunks)-ish interpreted
+    # lambda work (the `codepoints` docstring discipline; measured 3.71
+    # → 1.95 s on the same box).
+    bounded = staged.select(
+        "doc_id",
+        "nrm",
+        F.concat(F.array(F.lit(1)), cuts).alias("starts"),
+        F.concat(cuts, F.array(F.length("nrm") + 1)).alias("ends"),
+    )
     chunks = F.transform(
         F.when(
-            F.size(starts) >= 1, F.sequence(F.lit(1), F.size(starts))
+            F.size("starts") >= 1, F.sequence(F.lit(1), F.size("starts"))
         ).otherwise(F.array().cast("array<int>")),
         lambda j: F.substring(
             F.col("nrm"),
-            F.element_at(starts, j),
-            F.element_at(ends, j) - F.element_at(starts, j),
+            F.element_at(F.col("starts"), j),
+            F.element_at(F.col("ends"), j) - F.element_at(F.col("starts"), j),
         ),
     )
     per_chunk = (
-        staged.select(F.explode(chunks).alias("chunk"))
+        bounded.select(F.explode(chunks).alias("chunk"))
         .filter(F.length("chunk") > 0)
         .groupBy(F.md5(F.col("chunk").cast("binary")).alias("h"))
         .agg(

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold instead of always sort-merge (guide §3.1/§9): no sort on
+        # either side when the per-partition build side fits. Scale-neutral
+        # — the OOM risk of an oversized build partition is covered by AQE
+        # skew splitting (on above). Measured r11 on a 17-query join
+        # subset: 19.0 -> 17.0 s with no per-query regression; full
+        # catalog re-verified hash-green under the flag.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
