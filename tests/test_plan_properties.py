@@ -456,8 +456,14 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     ],
     # BH step-up: global p-rank ships on distributed_row_number (the
     # SinglePartition-adjacency gate runs in
-    # test_global_ranks_never_single_partition); k* is a 1-row broadcast
-    "bh_fdr_report": ["tree:Window", "BroadcastHashJoin", "partial_"],
+    # test_global_ranks_never_single_partition); k* is a 1-row broadcast.
+    # The m-row tests frame is localCheckpointed (r11: it was re-derived
+    # 3x), so the upstream half-join BroadcastHashJoin no longer appears
+    # in explain() — the visible plan starts at the checkpoint scan.
+    "bh_fdr_report": [
+        "tree:Window", "tree:Scan ExistingRDD", "BroadcastNestedLoopJoin",
+        "partial_",
+    ],
     # l-diversity: one fact equi-join, classes-sized window + rollup
     "l_diversity_audit": [
         "tree:Window", "partial_", "!MapInPandas", "!ArrowEvalPython",
