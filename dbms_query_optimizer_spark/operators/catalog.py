@@ -863,7 +863,6 @@ EAGER_CONSTRUCTION = frozenset({
     "model_auc_roc", "model_gains_table", "model_pr_auc",
     "pipeline_funnel_report", "quantile_normalize",
     "retrieval_ndcg_report", "rfm_segmentation",
-    "rrf_hybrid_search",
     "sample_kcenter_coreset", "sample_systematic",
     "shard_assignment_balanced", "skyline_pareto",
     "source_binaryfile_scan", "source_csv_scan", "source_json_scan",

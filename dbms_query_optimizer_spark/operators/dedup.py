@@ -843,19 +843,22 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = q_dedup_simhash_pairs(spark, sf_dir).select("id_a", "id_b").cache()
     width = state_width(edges)
-    # the union doubles the cached pair frame's partition count; without
-    # the coalesce every round's message join scans 64 near-empty map
-    # partitions — per-round task-launch overhead, not data, dominated
-    # the loop's wall time. Width derives from the session's shuffle
-    # parallelism (session.state_width) so the loop never pins to a
-    # constant at cluster scale.
+    # persisted hash-partitioned on src (r11, the graph._undirected_
+    # persisted discipline): the message join re-reads this frame every
+    # round on src equality, so a partitioning the planner can see means
+    # only the shrinking frontier re-exchanges per round. Width derives
+    # from the session's shuffle parallelism (session.state_width) so
+    # the loop never pins to a constant at cluster scale.
     und = (
         edges.union(
             edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
         .toDF("src", "dst")
-        .coalesce(width)
+        .repartition(width, "src")
+        .persist()
     )
+    # materializes the corpus-scale pair plan (and the und persist) at
+    # the ambient shuffle width — only the node-domain rounds run narrow
     labels = (
         edges.select(F.col("id_a").alias("node"))
         .union(edges.select("id_b"))
@@ -864,44 +867,48 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     frontier = labels  # round 1: every node announces its own label
-    for _ in range(COMPONENTS_MAX_ITERS):
-        # min message per receiver FIRST (map-side combine collapses the
-        # edge fan-in before the shuffle), then ONE left join against the
-        # current labels computes both the new label and the improved
-        # flag — the flag rides inside the checkpointed frame, so the
-        # frontier filter and the convergence count both scan cached
-        # partitions instead of re-running the round's joins (the
-        # previous union → groupBy → re-join shape paid one full extra
-        # round of stages per iteration just to measure the frontier).
-        msg_min = (
-            und.join(frontier.toDF("f_node", "f_label"), und.src == F.col("f_node"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("f_label").alias("m"))
-        )
-        new_labels = (
-            labels.join(msg_min, "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("m", "label")).alias("new_label"),
-                (F.col("m") < F.col("label")).alias("improved"),
+    from ..session import loop_width_conf
+
+    with loop_width_conf(spark, width):
+        for _ in range(COMPONENTS_MAX_ITERS):
+            # min message per receiver FIRST (map-side combine collapses
+            # the edge fan-in before the shuffle), then ONE left join
+            # against the current labels computes both the new label and
+            # the improved flag — the flag rides inside the checkpointed
+            # frame, so the frontier filter and the convergence count
+            # both scan cached partitions instead of re-running the
+            # round's joins (the previous union → groupBy → re-join
+            # shape paid one full extra round of stages per iteration
+            # just to measure the frontier).
+            msg_min = (
+                und.join(
+                    frontier.toDF("f_node", "f_label"),
+                    und.src == F.col("f_node"),
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("f_label").alias("m"))
             )
-            .select("node", F.col("new_label").alias("label"), "improved")
-            # the label frame is |nodes| tiny rows but its plan inherits
-            # 64 union/shuffle partitions; eager localCheckpoint would
-            # materialize (and every later round re-scan) 64 near-empty
-            # cached partitions per round. coalesce folds the checkpoint
-            # to the derived state width without an extra shuffle.
-            .coalesce(width)
-            .localCheckpoint()
-        )
-        frontier = new_labels.filter("improved").select("node", "label")
-        labels = new_labels.select("node", "label")
-        if frontier.count() == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"components did not converge in {COMPONENTS_MAX_ITERS} iterations"
-        )
+            new_labels = (
+                labels.join(msg_min, "node", "left")
+                .select(
+                    "node",
+                    F.least("label", F.coalesce("m", "label")).alias("new_label"),
+                    (F.col("m") < F.col("label")).alias("improved"),
+                )
+                .select("node", F.col("new_label").alias("label"), "improved")
+                .coalesce(width)
+                .localCheckpoint()
+            )
+            frontier = new_labels.filter("improved").select("node", "label")
+            labels = new_labels.select("node", "label")
+            if frontier.count() == 0:
+                break
+        else:
+            und.unpersist()
+            raise RuntimeError(
+                f"components did not converge in {COMPONENTS_MAX_ITERS} iterations"
+            )
+    und.unpersist()
     w = W.partitionBy("component_id")
     return (
         labels.select(

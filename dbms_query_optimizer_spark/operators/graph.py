@@ -1,21 +1,16 @@
 """Iterative graph computation: PageRank over the event-type transition
-graph.
+graph, plus the corpus-node-domain loops (WCC, BFS) further down.
 
-Demonstrates the driver-orchestrated iterative-join pattern (the engine
-shape behind connected components in ``dedup.py::q_dedup_components``,
-label propagation, and k-means in ``similarity.py::q_knn_ivf``): a loop of
-DataFrame joins where each iteration's output feeds the next, with the
-fixed iteration count known up front so the whole computation is one lazy
-plan — Catalyst sees all 10 steps and pipelines them.
-
-Scale notes: the rank vector is |nodes| rows and the edge list |types|²,
-so every join here broadcasts; on a billion-node graph the identical loop
-shape runs with shuffle hash joins instead — the code does not change,
-only Catalyst's physical pick. ``localCheckpoint()`` every
-PR_CHECKPOINT_EVERY rounds truncates lineage, so plan depth is bounded by
-the checkpoint interval no matter the iteration count (verified in
-tests/test_iterative_lineage.py) while Catalyst still pipelines the
-rounds inside each interval.
+PageRank's corpus-scale work (the per-user LEAD pair scan, the grouped
+transition counts) runs distributed; the transition matrix those collapse
+to is |event types|² rows — fixed by the event vocabulary, not the corpus
+— so the 10 power iterations run driver-local over the collected matrix
+(r11; the prior per-iteration broadcast-join chain was pure fixed
+overhead: a 133-operator plan and 10 tiny jobs for ≤ |types|²-row
+frames). The driver-orchestrated distributed-iteration pattern for
+graphs whose NODE domain grows with the corpus lives in
+``weakly_connected_components`` / ``q_graph_bfs_hops`` below (frontier
+messaging, per-round localCheckpoint lineage truncation).
 
 The oracle unrolls the same power iteration as chained CTEs (standard SQL
 forbids aggregation inside a recursive CTE member, so unrolling is the
@@ -32,7 +27,6 @@ from ..engine import load_tables
 
 PR_ITERATIONS = 10
 PR_DAMPING = 0.85
-PR_CHECKPOINT_EVERY = 5  # lineage-truncation interval (bounds plan depth)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,47 +49,53 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 fixed power iterations, damping 0.85) over event types.
 
-    rank_{t+1}(i) = (1-d)/N + d·Σ_j P(j→i)·rank_t(j). The node count is
-    collected once (|event types| rows — a metadata-scale collect, not a
-    data collect); each iteration is a broadcast join + aggregation, and
-    lineage is truncated every PR_CHECKPOINT_EVERY rounds so the plan
-    never grows with iteration count.
+    rank_{t+1}(i) = (1-d)/N + d·Σ_j P(j→i)·rank_t(j). The corpus-scale
+    work — the per-user LEAD pair scan and the grouped transition counts
+    — runs distributed (one pass, map-side combined); the transition
+    MATRIX it collapses to is |event types|² rows, a quantity fixed by
+    the event vocabulary, not the corpus, so the matrix is collected
+    once (metadata-scale, the same class as the node count the previous
+    formulation already collected) and the power iteration runs on the
+    driver in plain doubles. r11 shape (guide §1.2 step 1): the prior
+    per-iteration broadcast-join chain built a 133-operator physical
+    plan whose analysis + 10 tiny-job rounds cost ~2 s at ANY scale —
+    pure fixed overhead, since every joined frame was ≤ |types|² rows.
+    A billion-NODE graph (user graph, not type graph) needs the
+    distributed loop — that shape lives in
+    ``weakly_connected_components``/``q_dedup_components``; this
+    operator's node domain never grows.
     """
     return _pagerank(spark, sf_dir, PR_ITERATIONS)
 
 
 def _pagerank(spark: SparkSession, sf_dir: str, iterations: int) -> DataFrame:
-    edges = _edges(spark, sf_dir).cache()
-    nodes = edges.select(F.col("from_type").alias("node")).union(
-        edges.select("to_type")
-    ).distinct().cache()
-    n = nodes.count()
+    # |types|²-row collect: metadata-scale at any corpus size.
+    rows = _edges(spark, sf_dir).collect()
+    nodes = sorted(
+        {r["from_type"] for r in rows} | {r["to_type"] for r in rows}
+    )
+    n = len(nodes)
     base = (1.0 - PR_DAMPING) / n
+    incoming: dict[str, list[tuple[str, float]]] = {v: [] for v in nodes}
+    for r in rows:
+        incoming[r["to_type"]].append((r["from_type"], float(r["p"])))
+    for lst in incoming.values():
+        lst.sort()  # deterministic inflow fold order
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for it in range(iterations):
-        contribs = (
-            edges.join(
-                F.broadcast(ranks), edges.from_type == ranks.node
-            )
-            .groupBy(F.col("to_type").alias("node2"))
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
-        )
-        ranks = (
-            nodes.join(
-                F.broadcast(contribs), nodes.node == F.col("node2"), "left"
-            )
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
-        if (it + 1) % PR_CHECKPOINT_EVERY == 0 and (it + 1) < iterations:
-            ranks = ranks.localCheckpoint()
-    return ranks.select(
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        rank = {
+            v: base
+            + PR_DAMPING * sum((p * rank[u] for u, p in incoming[v]), 0.0)
+            for v in nodes
+        }
+    # final rounding stays in Spark (F.round = HALF_UP on doubles, the
+    # exact rounding the oracle comparison was proven against; Python's
+    # round() is banker's and would diverge on .5e-6 boundaries)
+    out = spark.createDataFrame(
+        [(v, rank[v]) for v in nodes], "node string, rank double"
+    )
+    return out.select(
         "node", F.round("rank", 6).alias("pagerank")
     ).orderBy("node")
 
@@ -571,14 +571,22 @@ def _undirected_persisted(edges: DataFrame) -> DataFrame:
     """Symmetric, deduped, persisted edge frame for the iterative graph
     loops. Persisted because every round's message/frontier join re-reads
     it (without the persist each round re-runs the full upstream edge
-    build); edge-domain sized; CALLERS unpersist when their loop exits."""
+    build); edge-domain sized; CALLERS unpersist when their loop exits.
+
+    Persisted HASH-PARTITIONED on ``src`` at the loop state width (r11,
+    guide §2.4): every round's message step joins this frame on ``src``,
+    and a cached frame's partitioning is visible to the planner, so the
+    edge side of that join never re-exchanges — only the (shrinking)
+    frontier moves each round. The previous ``coalesce`` left the
+    partitioning unknown and the loop re-shuffled the edges every round.
+    """
     from ..session import state_width
 
     return (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .coalesce(state_width(edges))
+        .repartition(state_width(edges), "src")
         .persist()
     )
 
@@ -626,13 +634,24 @@ def weakly_connected_components(
     label is always in the same component), and the frontier rule stays
     sound because ``improved`` is computed against the round's FINAL
     label, message- or jump-sourced alike.
+
+    r11 loop shape: the rounds run under ``session.loop_width_conf``
+    (per-round exchanges plan ``state_width`` tasks instead of the
+    session's full shuffle width — task-launch overhead was the measured
+    majority of the loop at local[32]) and the persisted edge frame is
+    hash-partitioned on ``src`` so the message join re-exchanges only
+    the shrinking frontier, never the edges.
     """
-    from ..session import state_width
+    from ..session import loop_width_conf, state_width
 
     # Unpersisted before return — the returned labels are checkpointed,
     # so nothing downstream re-reads the edge frame.
     und = _undirected_persisted(edges)
     width = state_width(edges)
+    # The labels init ALSO materializes ``und`` — deliberately OUTSIDE
+    # the width scope below, so the corpus-scale edge build upstream of
+    # the persist shuffles at the ambient parallelism; only the loop's
+    # node-domain rounds run narrow.
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -640,44 +659,50 @@ def weakly_connected_components(
         .localCheckpoint()
     )
     frontier = labels  # round 1: every node announces its own label
-    for _ in range(max_iters):
-        msg_min = (
-            und.join(frontier.toDF("f_node", "f_label"), und.src == F.col("f_node"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("f_label").alias("m"))
-        )
-        stepped = labels.join(msg_min, "node", "left").select(
-            "node",
-            "label",
-            F.least("label", F.coalesce("m", "label")).alias("l1"),
-        )
-        # pointer jump: follow l1 to ITS post-message label (l1 of the
-        # node named l1) — label chains halve every round
-        hop = stepped.select(
-            F.col("node").alias("j_node"), F.col("l1").alias("j_l1")
-        )
-        new_labels = (
-            stepped.join(hop, stepped.l1 == F.col("j_node"), "left")
-            .select(
+    with loop_width_conf(edges.sparkSession, width):
+        for _ in range(max_iters):
+            msg_min = (
+                und.join(
+                    frontier.toDF("f_node", "f_label"),
+                    und.src == F.col("f_node"),
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("f_label").alias("m"))
+            )
+            stepped = labels.join(msg_min, "node", "left").select(
                 "node",
-                F.least("l1", F.coalesce("j_l1", "l1")).alias("new_label"),
                 "label",
+                F.least("label", F.coalesce("m", "label")).alias("l1"),
             )
-            .select(
-                "node",
-                F.col("new_label").alias("label"),
-                (F.col("new_label") < F.col("label")).alias("improved"),
+            # pointer jump: follow l1 to ITS post-message label (l1 of the
+            # node named l1) — label chains halve every round
+            hop = stepped.select(
+                F.col("node").alias("j_node"), F.col("l1").alias("j_l1")
             )
-            .coalesce(width)
-            .localCheckpoint()
-        )
-        frontier = new_labels.filter("improved").select("node", "label")
-        labels = new_labels.select("node", "label")
-        if frontier.count() == 0:
-            break
-    else:
-        und.unpersist()
-        raise RuntimeError(f"WCC did not converge in {max_iters} iterations")
+            new_labels = (
+                stepped.join(hop, stepped.l1 == F.col("j_node"), "left")
+                .select(
+                    "node",
+                    F.least("l1", F.coalesce("j_l1", "l1")).alias("new_label"),
+                    "label",
+                )
+                .select(
+                    "node",
+                    F.col("new_label").alias("label"),
+                    (F.col("new_label") < F.col("label")).alias("improved"),
+                )
+                .coalesce(width)
+                .localCheckpoint()
+            )
+            frontier = new_labels.filter("improved").select("node", "label")
+            labels = new_labels.select("node", "label")
+            if frontier.count() == 0:
+                break
+        else:
+            und.unpersist()
+            raise RuntimeError(
+                f"WCC did not converge in {max_iters} iterations"
+            )
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -826,14 +851,16 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    from ..session import state_width
+    from ..session import loop_width_conf, state_width
 
     und = _undirected_persisted(_star_edges(members, ["d", "h", "t"]))
     width = state_width(ev)
     try:
         # min edge-bearing user; on an edge-free fixture fall back to the
         # min user so the result is the source alone at hop 0 rather than
-        # a crash/NULL divergence
+        # a crash/NULL divergence. This action also materializes the
+        # corpus-scale edge build at the AMBIENT width, before the loop
+        # narrows the shuffle conf to the node-domain state width.
         src_row = und.agg(F.min("src").alias("s")).collect()[0]
         if src_row["s"] is not None:
             source = int(src_row["s"])
@@ -844,25 +871,26 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(source, 0)], "node long, hops int"
         ).localCheckpoint()
         frontier = visited.select("node")
-        for d in range(1, BFS_MAX_HOPS + 2):
-            nxt = (
-                und.join(frontier.toDF("f_node"), und.src == F.col("f_node"))
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(visited.select("node"), "node", "left_anti")
-                .select("node", F.lit(d).cast("int").alias("hops"))
-                .coalesce(width)
-                .localCheckpoint()
-            )
-            if nxt.count() == 0:
-                break
-            if d > BFS_MAX_HOPS:
-                raise RuntimeError(
-                    f"BFS frontier alive beyond {BFS_MAX_HOPS} hops — "
-                    "outside the oracle's CTE depth bound"
+        with loop_width_conf(spark, width):
+            for d in range(1, BFS_MAX_HOPS + 2):
+                nxt = (
+                    und.join(frontier.toDF("f_node"), und.src == F.col("f_node"))
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(visited.select("node"), "node", "left_anti")
+                    .select("node", F.lit(d).cast("int").alias("hops"))
+                    .coalesce(width)
+                    .localCheckpoint()
                 )
-            visited = visited.union(nxt).coalesce(width).localCheckpoint()
-            frontier = nxt.select("node")
+                if nxt.count() == 0:
+                    break
+                if d > BFS_MAX_HOPS:
+                    raise RuntimeError(
+                        f"BFS frontier alive beyond {BFS_MAX_HOPS} hops — "
+                        "outside the oracle's CTE depth bound"
+                    )
+                visited = visited.union(nxt).coalesce(width).localCheckpoint()
+                frontier = nxt.select("node")
     finally:
         und.unpersist()
     return (
@@ -938,11 +966,13 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
     node's degree WITHIN the core (original degree minus every fired
     decrement). Raises if the cascade outlives ``max_rounds``.
     """
-    from ..session import state_width
+    from ..session import loop_width_conf, state_width
 
     und = _undirected_persisted(edges)
     width = state_width(edges)
     try:
+        # the initial degree count materializes the corpus-scale edge
+        # build at the ambient width; only the peel rounds run narrow
         deg = (
             und.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).cast("int").alias("deg"))
@@ -950,30 +980,31 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
             .localCheckpoint()
         )
         dropped = deg.filter(F.col("deg") < k).select("node")
-        for _ in range(max_rounds + 1):
-            if dropped.count() == 0:
-                break
-            alive = deg.filter(F.col("deg") >= k)
-            dec = (
-                und.join(dropped.toDF("d_node"), und.src == F.col("d_node"))
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.count(F.lit(1)).cast("int").alias("dec"))
-            )
-            deg = (
-                alive.join(dec, "node", "left")
-                .select(
-                    "node",
-                    (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
+        with loop_width_conf(edges.sparkSession, width):
+            for _ in range(max_rounds + 1):
+                if dropped.count() == 0:
+                    break
+                alive = deg.filter(F.col("deg") >= k)
+                dec = (
+                    und.join(dropped.toDF("d_node"), und.src == F.col("d_node"))
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.count(F.lit(1)).cast("int").alias("dec"))
                 )
-                .coalesce(width)
-                .localCheckpoint()
-            )
-            dropped = deg.filter(F.col("deg") < k).select("node")
-        else:
-            raise RuntimeError(
-                f"k-core cascade still shedding nodes after {max_rounds} "
-                "rounds — outside the oracle's unroll bound"
-            )
+                deg = (
+                    alive.join(dec, "node", "left")
+                    .select(
+                        "node",
+                        (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
+                    )
+                    .coalesce(width)
+                    .localCheckpoint()
+                )
+                dropped = deg.filter(F.col("deg") < k).select("node")
+            else:
+                raise RuntimeError(
+                    f"k-core cascade still shedding nodes after {max_rounds} "
+                    "rounds — outside the oracle's unroll bound"
+                )
     finally:
         und.unpersist()
     return deg.select("node", F.col("deg").alias("core_degree"))

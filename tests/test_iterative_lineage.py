@@ -1,12 +1,14 @@
 """Lineage-bounding contract for iterative operators: raising the
-iteration count must NOT grow the logical plan, because each loop
-truncates lineage with localCheckpoint (graph_pagerank every
-PR_CHECKPOINT_EVERY rounds; dedup_components every round)."""
+iteration count must NOT grow the logical plan. dedup_components
+truncates with localCheckpoint every round; graph_pagerank (r11) runs
+its power iteration driver-local over the collected |types|^2 transition
+matrix, so its plan is a constant-size createDataFrame regardless of
+iteration count — the same contract, satisfied structurally."""
 
 from __future__ import annotations
 
 from dbms_query_optimizer_spark.operators.graph import (
-    PR_CHECKPOINT_EVERY,
+    PR_ITERATIONS,
     _pagerank,
     q_graph_pagerank,
 )
@@ -17,18 +19,17 @@ def _plan_size(df) -> int:
 
 
 def test_pagerank_plan_depth_bounded(spark, sf_dir):
-    # 4x the iteration count must not grow the final plan: lineage resets
-    # at every checkpoint, so plan size depends only on iters SINCE the
-    # last checkpoint (bounded by the interval), not total iters.
-    short = _plan_size(_pagerank(spark, sf_dir, PR_CHECKPOINT_EVERY))
-    long = _plan_size(_pagerank(spark, sf_dir, 4 * PR_CHECKPOINT_EVERY))
+    # 4x the iteration count must not grow the final plan: the iteration
+    # state never enters the DataFrame lineage.
+    short = _plan_size(_pagerank(spark, sf_dir, PR_ITERATIONS))
+    long = _plan_size(_pagerank(spark, sf_dir, 4 * PR_ITERATIONS))
     assert long <= short * 1.5, (short, long)
 
 
 def test_pagerank_checkpoint_preserves_values(spark, sf_dir):
-    # 10 iterations crosses a checkpoint boundary (interval 5); values
-    # must be identical to the DuckDB-oracle-verified formulation, which
-    # test_queries_oracle.py pins — here just pin determinism across runs.
+    # values must be identical to the DuckDB-oracle-verified formulation,
+    # which test_queries_oracle.py pins — here just pin determinism
+    # across runs.
     a = {r["node"]: r["pagerank"] for r in q_graph_pagerank(spark, sf_dir).collect()}
     b = {r["node"]: r["pagerank"] for r in q_graph_pagerank(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
