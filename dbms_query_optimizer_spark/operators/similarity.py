@@ -2131,26 +2131,41 @@ def _ivfr_cell_stats(idx: DataFrame) -> DataFrame:
 
 
 def _ivfr_assign(df: DataFrame, cent: DataFrame, keys=("vec_id",)) -> DataFrame:
-    """Nearest-frozen-centroid cell per vector: broadcast the k-row
-    centroid frame, integer d² fold, map-side struct-min argmin (ties
-    to the smallest cell id) — the ×k expansion never shuffles. ``keys``
-    widens the argmin group when rows aren't unique per vec_id (a CDF
-    update surfaces as a delete+insert PAIR of the same id)."""
-    d2 = F.aggregate(
-        F.zip_with("qv", "cqv", lambda a, b: (a - b) * (a - b)),
+    """Nearest-frozen-centroid cell per vector, MAP-ONLY (r11, the
+    kmeans broadcast-fold shape): the k centroids ride as ONE broadcast
+    row holding array<struct<cell,cqv>>, and the argmin is an
+    ``array_min(transform(...))`` integer-d² fold per input row — ties
+    to the smallest cell id, identical lexicographic (d2, cell)
+    semantics to the previous crossJoin × k → groupBy(keys) struct-MIN,
+    which paid a corpus shuffle per assignment pass. Zero shuffles, so
+    build/refresh/stream-fold assignment is scan-bandwidth work.
+
+    Contract (was implicit in the old groupBy's ``first(qv)``): input
+    rows are unique per ``keys`` — table reads are unique per vec_id,
+    and a manifest change feed is unique per (vec_id, _change_type) for
+    any version range (a version touches an id at most once, and the
+    same id re-churned surfaces as distinct delete/insert types)."""
+    d2_of = lambda cqv: F.aggregate(  # noqa: E731
+        F.zip_with("qv", cqv, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    cents_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cqv"))).alias("_cents")
+    )
+    assign = F.array_min(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                d2_of(c.getField("cqv")).alias("d2"),
+                c.getField("cell").alias("cell"),
+            ),
+        )
+    )
     keys = list(keys)
     return (
-        df.crossJoin(F.broadcast(cent))
-        .withColumn("_d2", d2)
-        .groupBy(*keys)
-        .agg(
-            F.min(F.struct("_d2", "cell")).alias("_a"),
-            F.first("qv").alias("qv"),
-        )
-        .select(*keys, "qv", F.col("_a.cell").alias("cell"))
+        df.crossJoin(F.broadcast(cents_row))
+        .select(*keys, "qv", assign.getField("cell").alias("cell"))
     )
 
 
@@ -2253,9 +2268,12 @@ def build_index(spark, table, cent: DataFrame, idx_dir: str, version: int) -> in
     import os
 
     assigned = _ivfr_assign(_ivfr_quantize(table.read(spark, version=version)), cent)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(idx_dir, "corpus")
-    )
+    # one shuffle to co-locate each cell in one task -> exactly one file
+    # per cell partition (guide §6: the unpartitioned write produced
+    # scan-tasks × cells tiny files; readers list and open every one)
+    assigned.repartition(IVFR_K, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(idx_dir, "corpus"))
     _write_index_version(idx_dir, version)
     return version
 
@@ -2304,7 +2322,10 @@ def refresh_index(spark, table, cent: DataFrame, idx_dir: str) -> int:
     orig_mode = spark.conf.get(mode_key)
     spark.conf.set(mode_key, "dynamic")
     try:
-        new_cells.write.mode("overwrite").partitionBy("cell").parquet(corpus_dir)
+        # churn-sized shuffle -> one file per rewritten cell (guide §6)
+        new_cells.repartition(IVFR_K, "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(corpus_dir)
     finally:
         spark.conf.set(mode_key, orig_mode)
     kept = {r["cell"] for r in new_cells.select("cell").distinct().collect()}
@@ -2593,9 +2614,10 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         assigned = _ivfr_assign(_ivfr_quantize(batch_df), cent)
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{out_dir}/batch={batch_id}"
-        )
+        # batch-sized shuffle -> one file per cell in the batch dir
+        assigned.repartition(IVFR_K, "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         spark.readStream.format("manifesttail")
