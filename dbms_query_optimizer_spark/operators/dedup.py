@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..engine import load_tables
 from ..functions.text import fingerprint_md5, norm_text, tokens, word_ngrams
 
@@ -1391,7 +1392,14 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(EMB_LSH_BANDS)
         ]
     )
-    bk = (
+    # r11: the banded signature plan (embedding scan + EMB_LSH_BANDS×DIMS
+    # case-folds) runs ONCE — the band×band equi-join used to derive `bk`
+    # independently on both sides (no ReusedExchange across the rename).
+    # The 3-int-per-row bk frame is persisted and both join sides read
+    # the cache; a `_bucket_pairs` collect-explode variant was measured
+    # SLOWER here (the signature is cheap case-whens, so the grid
+    # machinery cost more than the duplicate derivation it removed).
+    bk = track_persist(
         e.repartition(par)
         .select("vec_id", F.explode(bands).alias("bk"))
         .select("vec_id", "bk.band", "bk.key")

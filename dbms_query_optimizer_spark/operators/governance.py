@@ -476,10 +476,14 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|groups|-row) medians between them. ``percentile`` is exact with
     linear interpolation (matches DuckDB ``MEDIAN`` on DOUBLE); at scale
     the swap is one token — ``approx_percentile`` — trading exactness for
-    a mergeable sketch, same plan shape.
+    a mergeable sketch, same plan shape. The projected 2-column base is
+    persisted (r11): both percentile passes must scan it, and without the
+    persist the MAD pass re-read and re-decoded the parquet scan.
     """
-    li = load_tables(spark, sf_dir)["lineitem"].select(
-        "l_returnflag", "l_extendedprice"
+    li = track_persist(
+        load_tables(spark, sf_dir)["lineitem"].select(
+            "l_returnflag", "l_extendedprice"
+        )
     )
     med = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("_med"),
@@ -2626,25 +2630,29 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform and ignores outlier magnitude, which is why feature-drift
     and feature-redundancy audits prefer it).
 
-    Never ranks rows with a global window. Each column collapses to its
-    VALUE DOMAIN (one row per distinct value with a count); the average
-    rank is a prefix sum over that domain — run on the DISTRIBUTED
-    prefix scan — and rows pick their rank up by joining back to the
-    tiny domain tables (the 50-value quantity side broadcasts; Catalyst
-    picks for the price side). Doubled ranks r2 = 2·below + cnt + 1 keep
-    the tie-average integral; centering at their exact mean n+1 (rank
-    sums are tie-invariant) gives |d| ≤ n, so every accumulator is an
-    exact BIGINT up to n ≈ 1.3e6 rows per scope (Σd·d ≤ n³ < 2^63) —
-    beyond that the three sums switch to DECIMAL(38,0), a one-token
-    change. ρ itself is ONE IEEE expression over the exact sums.
+    Never ranks rows with a global window, and (r11) never joins ranks
+    back to rows: each column collapses to its VALUE DOMAIN (one row
+    per distinct value with a count); the average rank is a prefix sum
+    over that domain — run on the DISTRIBUTED prefix scan. The 50-value
+    quantity rank attaches map-side as a broadcast, and the corpus then
+    collapses straight to the price domain carrying three exact sums
+    (cnt, Σr2x, Σr2x²) per value, from which all three accumulators
+    expand in pure BIGINT algebra — integer-identical to the row-level
+    sums, no corpus-sized rank join. Doubled ranks r2 = 2·below + cnt
+    + 1 keep the tie-average integral; centering at their exact mean
+    n+1 (rank sums are tie-invariant) gives |d| ≤ n, so every
+    accumulator is an exact BIGINT up to n ≈ 8·10⁵ rows per scope
+    (Σr2x² ≤ 4n³ < 2^63) — beyond that the three sums switch to
+    DECIMAL(38,0), a one-token change. ρ itself is ONE IEEE expression
+    over the exact sums.
 
-    Scale shape: two grouped counts, two domain-sized prefix scans, two
-    rank-lookup joins, one 1-row aggregate. No corpus-sized shuffle
-    beyond the price-domain join.
+    Scale shape: one grouped count (x domain), ONE map-side-combined
+    corpus collapse to the y domain, two domain-sized prefix scans, one
+    domain-sized final aggregate. Zero corpus-sized joins.
     """
     from .relational import distributed_prefix_agg, range_bucket
 
-    # Reused (two domain builds + rank join + totals); persist keeps
+    # Reused (x-domain build + the y-domain collapse); persist keeps
     # lineage intact — fault-tolerant at cluster scale, unlike
     # localCheckpoint which pins O(table) bytes with no recompute.
     # Tracked: the harness unpersists after the consuming action
@@ -2657,35 +2665,65 @@ def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def rank_table(col: str, r2_name: str) -> DataFrame:
-        dom = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    def doubled_rank(dom: DataFrame, col: str, r2_name: str) -> DataFrame:
         pid = range_bucket(dom, col, 8)
         cum = distributed_prefix_agg(
             dom, col, "cnt", pid, 8, kind="sum", out_col="_below"
         )
-        return cum.select(
-            F.col(col).alias("v"),
-            (F.lit(2) * F.col("_below") + F.col("cnt") + F.lit(1)).alias(r2_name),
+        return cum.withColumn(
+            r2_name, F.lit(2) * F.col("_below") + F.col("cnt") + F.lit(1)
         )
 
-    xr = rank_table("qx", "r2x")
-    yr = rank_table("qy", "r2y")
-    totals = li.agg(F.count(F.lit(1)).alias("n"))
-    joined = (
+    xdom = li.groupBy("qx").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    xr = doubled_rank(xdom, "qx", "r2x").select(
+        F.col("qx").alias("v"), "r2x"
+    )
+    # r11 shape (guide §2.3 "aggregate before you shuffle"): the old
+    # form shuffled every ROW into a rank join against the y domain and
+    # then aggregated the corpus. Rows only ever contribute through
+    # their (qx, qy) values, so attach the broadcast x-rank map-side
+    # and collapse straight to the y VALUE DOMAIN in ONE map-side-
+    # combined shuffle carrying three exact per-value sums — every
+    # downstream step is domain-sized. With dxr = r2x - (n+1) (known
+    # only after the collapse), the per-y row sums expand exactly:
+    #   Σ_rows(y) dx        = srx_y  - cnt_y·(n+1)
+    #   Σ_rows(y) dx²       = srx2_y - 2(n+1)·srx_y + cnt_y·(n+1)²
+    # so s_xy/s_xx/s_yy are integer-IDENTICAL to the row-level sums
+    # (pure BIGINT algebra, no reordering of float arithmetic; bound
+    # Σr2x² ≤ 4n³ < 2^63 holds to n ≈ 8·10⁵ per scope — beyond that
+    # the sums switch to DECIMAL(38,0), the documented one-token swap).
+    ydom = (
         li.join(F.broadcast(xr), li["qx"] == xr["v"])
-        .drop("v")
-        .join(yr, li["qy"] == yr["v"])
-        .crossJoin(F.broadcast(totals))
+        .groupBy("qy")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("r2x").alias("srx"),
+            F.sum(F.col("r2x") * F.col("r2x")).alias("srx2"),
+        )
+        .localCheckpoint()
+    )
+    yr = doubled_rank(ydom, "qy", "r2y")
+    totals = ydom.agg(F.sum("cnt").alias("n"))
+    np1 = F.col("n") + F.lit(1)
+    dy = F.col("r2y") - np1
+    out = (
+        yr.crossJoin(F.broadcast(totals))
         .select(
             "n",
-            (F.col("r2x") - (F.col("n") + F.lit(1))).alias("dx"),
-            (F.col("r2y") - (F.col("n") + F.lit(1))).alias("dy"),
+            (dy * (F.col("srx") - F.col("cnt") * np1)).alias("_xy"),
+            (
+                F.col("srx2")
+                - F.lit(2) * np1 * F.col("srx")
+                + F.col("cnt") * np1 * np1
+            ).alias("_xx"),
+            (F.col("cnt") * dy * dy).alias("_yy"),
         )
-    )
-    out = joined.groupBy("n").agg(
-        F.sum(F.col("dx") * F.col("dy")).alias("s_xy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("s_xx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("s_yy"),
+        .groupBy("n")
+        .agg(
+            F.sum("_xy").alias("s_xy"),
+            F.sum("_xx").alias("s_xx"),
+            F.sum("_yy").alias("s_yy"),
+        )
     )
     rho = F.col("s_xy").cast("double") / F.sqrt(
         F.col("s_xx").cast("double") * F.col("s_yy").cast("double")

@@ -369,7 +369,13 @@ HEADLINE_PROPS: dict[str, list[str]] = {
     "model_pr_auc": ["tree:Window", "!MapInPandas", "!ArrowEvalPython"],
     # Spearman: the 50-value quantity rank table must BROADCAST onto the
     # fact; rank building is the partitioned prefix window
-    "spearman_rank_corr": ["tree:Window", "BroadcastHashJoin", "!MapInPandas"],
+    # r11: the broadcast x-rank attach + y-domain collapse run behind
+    # the ydom localCheckpoint, so the visible plan is the domain-sized
+    # prefix window + the 1-row totals broadcast
+    "spearman_rank_corr": [
+        "tree:Window", "tree:Scan ExistingRDD", "BroadcastNestedLoopJoin",
+        "!MapInPandas",
+    ],
     # OHLC: argmin/argmax as struct-extreme AGGREGATES with map-side
     # combine (struct keys aren't hash-aggregable, so Spark plans
     # SortAggregate — still partial+final) — no window, no join at all
