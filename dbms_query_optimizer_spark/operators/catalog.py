@@ -987,17 +987,22 @@ R11_PLANNED_WINDOW = [
     # round-11 addition (never driver-checked): the composed IVF+PQ
     # index — takes a slot ahead of freshness re-checks
     "knn_ivfpq",
-    # hash-stale (code changed since last driver green): the r11
-    # optimization pass edited these query bodies (dedup verification
-    # via per-doc arrays, CDC bounds materialization, fused-action
-    # rewrites, kmeans broadcast-fold, the prefix-join length-filter
-    # reorder, the bm25/kcenter rejected-rewrite docstrings) — each
-    # re-enters the window ahead of pure freshness re-checks
-    "bm25_score", "dedup_minhash_lsh", "cluster_key_advisor",
+    # hash-stale (code or oracle changed since last driver green): the
+    # r11 optimization batches edited these query bodies (dedup
+    # verification via per-doc arrays, CDC bounds materialization,
+    # fused-action rewrites, kmeans/pagerank/IVFR broadcast-folds, the
+    # spearman domain-collapse, the MAD/LSH caches, the graph loop
+    # width) — each re-enters the window ahead of pure freshness
+    # re-checks, oldest green cohort first
+    "bm25_score", "dedup_components", "dedup_minhash_lsh",
+    "graph_pagerank", "robust_stats_mad", "dedup_embedding_cosine_lsh",
+    "txn_zonemap_scan", "txn_delete_mor", "cluster_key_advisor",
     "dedup_set_similarity_prefix", "dsir_importance_weights",
-    "recsys_item_cosine", "bh_fdr_report", "dedup_cdc_chunks",
-    "dedup_incremental_lsh", "sample_kcenter_coreset",
-    "embedding_kmeans_lloyd",
+    "recsys_item_cosine", "spearman_rank_corr", "bh_fdr_report",
+    "txn_cluster_evolution", "txn_delete_where", "txn_replace_where",
+    "txn_retention_delete", "dedup_cdc_chunks", "dedup_incremental_lsh",
+    "dedup_simhash_pairs", "graph_bfs_hops", "sample_kcenter_coreset",
+    "embedding_kmeans_lloyd", "streaming_index_upsert",
     # last driver green: round 2
     "join_multiway", "join_salted_skew", "latest_per_key",
     "merge_upsert", "monthly_growth", "rollup_grouping_id",
@@ -1005,11 +1010,7 @@ R11_PLANNED_WINDOW = [
     "values_inline", "window_range_frame", "window_share_of_total",
     # last driver green: round 3
     "join_inner", "join_left_outer", "join_nonequi", "join_semi",
-    "knn_lsh_bucketed", "multimodal_meta", "pack_sequences", "pivot",
-    "projection", "range_join_bucketed", "recursive_cte_ancestors",
-    "robust_stats_mad", "rollup", "scan", "sort_limit",
-    "source_python_datasource", "streaming_dedup", "streaming_tumbling",
-    "subquery_in", "text_lang_id", "text_token_stats",
+    "knn_lsh_bucketed", "multimodal_meta", "pack_sequences",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW

@@ -78,29 +78,74 @@ def _sql_shingles() -> str:
     """
 
 
-def _bucket_pairs(bands: DataFrame, member_cols: list[str]) -> DataFrame:
+_PAIR_CHUNK = 256  # hot-bucket split width: ≤ C² pair builds per task row
+
+
+def _bucket_pairs(
+    bands: DataFrame, member_cols: list[str], skew_split: bool = False
+) -> DataFrame:
     """Ordered within-bucket pairs WITHOUT a self-join.
 
     A bucket self-join executes the (expensive) signature-producing plan
     once per join side; collecting each bucket's members and exploding the
-    member x later-members grid evaluates it once. Buckets are LSH bands,
-    so |bucket| is small by construction — the collected arrays stay tiny,
-    and a skewed bucket costs m*(m-1)/2 pairs in either formulation.
+    member x later-members grid evaluates it once.
+
+    ``skew_split=False`` (default): the grid explodes per bucket row —
+    right when |bucket| is BOUNDED BY CONSTRUCTION (minhash bands hash
+    full sub-signatures; the prefix index walks rare shingles under a
+    stop cap), where a skewed bucket is impossible and the extra split
+    machinery measured as a consistent ~10% tax on bucket-heavy callers.
+
+    ``skew_split=True`` (guide §2, hot keys): for banding schemes with
+    NO bucket-size bound (simhash's 8-bit pigeonhole bands: one band
+    byte shared by most of the corpus is one bucket holding most of the
+    corpus — measured 3058 of 5000 docs in one band bucket = 4.7M pair
+    builds on ONE core). The grid is split on its LEFT side: each bucket
+    row explodes into ⌈m/C⌉ chunk rows carrying (≤C members, offset,
+    ms); chunk rows round-robin across the cluster and each builds at
+    most C·m pairs through the same Generate chain. Pair SET identical:
+    union over chunks of (a at global position p, all b after p) is
+    exactly the suffix grid.
 
     Returns columns ``a`` and ``b``: member structs with ``a < b`` (struct
     ordering = lexicographic on member_cols, so lead with the id column).
     """
+    C = _PAIR_CHUNK
     members = F.sort_array(F.collect_set(F.struct(*member_cols)))
-    # _fan_out: the pair-grid explode below does |bucket|²/2 row builds
-    # from a few thousand tiny bucket rows — AQE's size-based coalescing
-    # would run it single-task.
-    buckets = _fan_out(
+    # _fan_out (one per path): the pair-grid explode does up to
+    # |bucket|²/2 (or C·m when split) row builds from a few thousand
+    # tiny bucket/chunk rows — AQE's size-based coalescing would run it
+    # single-task.
+    buckets = (
         bands.groupBy("band", "key")
         .agg(members.alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    return buckets.select(F.posexplode("ms").alias("i", "a"), F.col("ms")).select(
-        "a", F.explode(F.slice("ms", F.col("i") + F.lit(2), F.size("ms"))).alias("b")
+    if not skew_split:
+        return _fan_out(buckets).select(
+            F.posexplode("ms").alias("i", "a"), F.col("ms")
+        ).select(
+            "a",
+            F.explode(
+                F.slice("ms", F.col("i") + F.lit(2), F.size("ms"))
+            ).alias("b"),
+        )
+    chunks = F.expr(
+        f"""transform(sequence(0, (size(ms)-1) DIV {C}), i ->
+              struct(slice(ms, i*{C}+1, {C}) AS ca, i*{C} AS off))"""
+    )
+    rows = _fan_out(buckets.select(F.explode(chunks).alias("ch"), "ms"))
+    return rows.select(
+        F.posexplode("ch.ca").alias("k", "a"),
+        F.col("ch.off").alias("off"),
+        "ms",
+    ).select(
+        "a",
+        F.explode(
+            F.slice(
+                "ms", F.col("off") + F.col("k") + F.lit(2), F.size("ms")
+            )
+        ).alias("b"),
     )
 
 
@@ -757,7 +802,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     return (
-        _bucket_pairs(bands, ["doc_id", "simhash"])
+        # skew_split: pigeonhole byte-bands have no bucket-size bound —
+        # one popular band byte = one corpus-sized bucket (measured:
+        # 3058/5000 docs in band 1 key 78 at sf0.1)
+        _bucket_pairs(bands, ["doc_id", "simhash"], skew_split=True)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),

@@ -1042,8 +1042,12 @@ def q_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _roundtrip_dir(sf_dir, "txn_delete", "orders")
     shutil.rmtree(root, ignore_errors=True)
 
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    # cached (r11): the max-key probe and all four quartile insert jobs
+    # scan this 3-column projection — five parquet decodes become one
+    orders = track_persist(
+        load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
     )
     mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
     q = [(i * (mx + 1)) // 4 for i in range(5)]
@@ -1113,8 +1117,12 @@ def q_txn_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _roundtrip_dir(sf_dir, "txn_delete_mor", "orders")
     shutil.rmtree(root, ignore_errors=True)
 
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    # cached (r11): the max-key probe and all four quartile insert jobs
+    # scan this 3-column projection — five parquet decodes become one
+    orders = track_persist(
+        load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
     )
     mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
     q = [(i * (mx + 1)) // 4 for i in range(5)]
@@ -1198,8 +1206,12 @@ def q_txn_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prior_tst = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        ev = load_tables(spark, sf_dir)["events"].select(
-            "event_id", "ts", "value"
+        # cached (r11): the span probe and all four quartile insert
+        # jobs scan this projection — five decodes become one
+        ev = track_persist(
+            load_tables(spark, sf_dir)["events"].select(
+                "event_id", "ts", "value"
+            )
         )
         lo, hi = ev.agg(
             F.min(F.to_date("ts")), F.max(F.to_date("ts"))
@@ -1447,8 +1459,12 @@ def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _roundtrip_dir(sf_dir, "txn_replace", "orders")
     shutil.rmtree(root, ignore_errors=True)
 
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    # cached (r11): the max-key probe and all four quartile insert jobs
+    # scan this 3-column projection — five parquet decodes become one
+    orders = track_persist(
+        load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
     )
     mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
     q = [(i * (mx + 1)) // 4 for i in range(5)]
@@ -1786,8 +1802,12 @@ def q_txn_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _roundtrip_dir(sf_dir, "txn_zonemap", "orders")
     shutil.rmtree(root, ignore_errors=True)
 
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    # cached (r11): the max-key probe and all four quartile insert jobs
+    # scan this 3-column projection — five parquet decodes become one
+    orders = track_persist(
+        load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
     )
     # quartile bounds from the key domain — a metadata-scale collect
     mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
@@ -2291,8 +2311,12 @@ def q_txn_cluster_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prior_tst = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        orders = load_tables(spark, sf_dir)["orders"].select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        # cached (r11): the stats probe and all EIGHT generation insert
+        # jobs scan this projection — nine parquet decodes become one
+        orders = track_persist(
+            load_tables(spark, sf_dir)["orders"].select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+            )
         )
         mx_key, mx_cust, d0, d1 = orders.agg(
             F.max("o_orderkey"),
