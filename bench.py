@@ -25,7 +25,11 @@ $SPARK_GRAFT_LOAD_SLEEP (default 120 s) and re-sweeps, up to
 $SPARK_GRAFT_LOAD_RETRIES (default 2) extra attempts, emitting the
 lowest-factor attempt with every attempt's factor recorded in
 ``calib.attempt_factors`` — a loaded host window can no longer become
-the recorded denominator silently.
+the recorded denominator silently. The gate also fires on probe
+INSTABILITY (``calib.probe_stability`` = max/min of pre vs post per
+probe size > $SPARK_GRAFT_LOAD_STABILITY, default 2.0): a transient
+that starts or dies mid-sweep leaves one probe clean — the min-based
+factor reads idle while half the queries ran loaded.
 """
 
 from __future__ import annotations
@@ -464,6 +468,20 @@ def _sweep_once(spark, sf_dir: str) -> dict:
         ),
         2,
     )
+    # pre/post DISAGREEMENT is its own signal: a load transient that
+    # starts or dies MID-SWEEP leaves one probe clean (so the min-based
+    # factor reads idle) while half the queries ran loaded — observed
+    # round 11: pre probes 5.8/7.7 s vs post 0.69/0.99 s, factor 1.19,
+    # early-sweep queries ~3-10x inflated. Stability = max/min per probe
+    # size; the gate retries on instability exactly like on load.
+    stability = round(
+        max(
+            max(calib_pre, calib_post) / min(calib_pre, calib_post),
+            max(calib_sustained_pre, calib_sustained_post)
+            / min(calib_sustained_pre, calib_sustained_post),
+        ),
+        2,
+    )
     return {
         "queries": timings,
         "calib": {
@@ -474,6 +492,7 @@ def _sweep_once(spark, sf_dir: str) -> dict:
             "sustained_post_sec": calib_sustained_post,
             "sustained_idle_ref_sec": CALIB_SUSTAINED_IDLE_SEC,
             "host_load_factor": factor,
+            "probe_stability": stability,
         },
     }
 
@@ -515,6 +534,7 @@ def main() -> None:
     # breaches). Attempts reuse the warm session: the probes measure
     # host load, not JVM state.
     load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.25"))
+    stability_gate = float(os.environ.get("SPARK_GRAFT_LOAD_STABILITY", "2.0"))
     retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "2"))
     retry_sleep = float(os.environ.get("SPARK_GRAFT_LOAD_SLEEP", "120"))
     attempts = []
@@ -522,16 +542,24 @@ def main() -> None:
     for attempt in range(1 + retries):
         result = _sweep_once(spark, sf_dir)
         factor = result["calib"]["host_load_factor"]
+        stability = result["calib"]["probe_stability"]
         attempts.append(factor)
-        if best is None or factor < best["calib"]["host_load_factor"]:
+        # rank attempts by (stable?, factor): an unstable sweep is worse
+        # than any stable one regardless of its min-based factor
+        key = (stability > stability_gate, factor)
+        if best is None or key < (
+            best["calib"]["probe_stability"] > stability_gate,
+            best["calib"]["host_load_factor"],
+        ):
             best = result
-        if factor <= load_gate:
+        if factor <= load_gate and stability <= stability_gate:
             break
         if attempt < retries:
             print(
-                f"bench: host_load_factor {factor} > gate {load_gate}; "
-                f"sleeping {retry_sleep:.0f}s and re-sweeping "
-                f"(attempt {attempt + 1}/{1 + retries})",
+                f"bench: host_load_factor {factor} (gate {load_gate}) / "
+                f"probe_stability {stability} (gate {stability_gate}) "
+                f"out of bounds; sleeping {retry_sleep:.0f}s and "
+                f"re-sweeping (attempt {attempt + 1}/{1 + retries})",
                 file=sys.stderr,
             )
             time.sleep(retry_sleep)

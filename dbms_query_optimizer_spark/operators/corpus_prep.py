@@ -113,11 +113,14 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one COMPACT checkpointed base pass computes the per-doc
     scalars (quality, both fingerprints, token count — 6 columns, never
-    the token arrays); each dedup stage is a grouped min + semi-join on
-    the fingerprint; contamination is the broadcast eval-span probe of
-    ``q_decontaminate_ngram``, re-tokenizing from the source scan so no
-    corpus-sized array frame is ever materialized. Counts are exact;
-    pct_docs is a single IEEE division per stage.
+    the token arrays); each dedup stage is a conditional-min window per
+    fingerprint (= the grouped min + semi-join it replaced, in one
+    shuffle, and the stage flags let ONE aggregate job count every
+    stage instead of a six-branch union); contamination is the
+    broadcast eval-span probe of ``q_decontaminate_ngram``,
+    re-tokenizing from the source scan so no corpus-sized array frame
+    is ever materialized. Counts are exact; pct_docs is a single IEEE
+    division per stage.
     """
     from ..functions.text import fingerprint_md5, word_ngrams
     from ..functions.text import tokens as tok_fn
@@ -141,12 +144,28 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below re-tokenizes from the source scan instead
     ).localCheckpoint()  # every counting stage reuses this compact pass
 
-    s1 = base.filter(F.col("lang") == PREP_LANG)
-    s2 = s1.filter(F.col("quality") >= QUALITY_T)
-    keep3 = s2.groupBy("fp_exact").agg(F.min("doc_id").alias("doc_id"))
-    s3 = s2.join(keep3, ["fp_exact", "doc_id"], "left_semi")
-    keep4 = s3.groupBy("fp_sorted").agg(F.min("doc_id").alias("doc_id"))
-    s4 = s3.join(keep4, ["fp_sorted", "doc_id"], "left_semi")
+    # Stage membership as per-row FLAGS over the checkpointed base — the
+    # six stage counts then come from ONE aggregate job instead of a
+    # six-branch unionAll whose later branches re-executed the dedup
+    # group-join chains per branch (r11, guide §2.3/§2.4). "Canonical =
+    # min doc_id per fingerprint among the PREVIOUS stage's survivors"
+    # is expressed as a conditional min window per fingerprint —
+    # provably the groupBy-min + semi-join it replaces, one shuffle
+    # each instead of a groupBy + two-sided join re-run per stage.
+    from pyspark.sql import Window as W
+
+    f1 = F.coalesce(F.col("lang") == PREP_LANG, F.lit(False))
+    flagged = base.withColumn("f1", f1).withColumn(
+        "f2", F.col("f1") & (F.col("quality") >= QUALITY_T)
+    )
+    min3 = F.min(F.when(F.col("f2"), F.col("doc_id"))).over(
+        W.partitionBy("fp_exact")
+    )
+    flagged = flagged.withColumn("f3", F.col("f2") & (F.col("doc_id") == min3))
+    min4 = F.min(F.when(F.col("f3"), F.col("doc_id"))).over(
+        W.partitionBy("fp_sorted")
+    )
+    flagged = flagged.withColumn("f4", F.col("f3") & (F.col("doc_id") == min4))
 
     spans = (
         docs.select("doc_id", tok_fn("text").alias("toks"))
@@ -160,26 +179,36 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_spans), "span", "left_semi")
         .select("doc_id")
         .distinct()
+        .withColumn("is_contaminated", F.lit(True))
     )
-    s5 = s4.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+    flagged = flagged.join(contaminated, "doc_id", "left").withColumn(
+        "f5",
+        F.col("f4") & ~is_eval & F.col("is_contaminated").isNull(),
+    )
 
-    stages = [base, s1, s2, s3, s4, s5]
-    per_stage = None
-    for name, frame in zip(FUNNEL_STAGES, stages):
-        agg = frame.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-        )
-        per_stage = agg if per_stage is None else per_stage.unionAll(agg)
-    raw = base.agg(F.count(F.lit(1)).alias("n_raw"))
+    flags = [F.lit(True), "f1", "f2", "f3", "f4", "f5"]
+    aggs = []
+    for name, flag in zip(FUNNEL_STAGES, flags):
+        c = F.col(flag) if isinstance(flag, str) else flag
+        aggs.append(F.count(F.when(c, F.lit(1))).alias(f"n_{name}"))
+        aggs.append(F.sum(F.when(c, F.col("n_tokens"))).alias(f"t_{name}"))
+    totals = flagged.agg(*aggs)
+    stage_rows = ", ".join(
+        f"struct('{name}' AS stage, n_{name} AS n, t_{name} AS t)"
+        for name in FUNNEL_STAGES
+    )
     return (
-        per_stage.crossJoin(F.broadcast(raw))
+        totals.select(
+            F.expr(
+                f"explode(array({stage_rows}))"
+            ).alias("r"),
+            F.col(f"n_{FUNNEL_STAGES[0]}").alias("n_raw"),
+        )
         .select(
-            "stage",
-            "n_docs",
-            "n_tokens",
-            (F.col("n_docs").cast("double") / F.col("n_raw").cast("double")).alias(
+            F.col("r.stage").alias("stage"),
+            F.col("r.n").alias("n_docs"),
+            F.col("r.t").alias("n_tokens"),
+            (F.col("r.n").cast("double") / F.col("n_raw").cast("double")).alias(
                 "pct_docs"
             ),
         )

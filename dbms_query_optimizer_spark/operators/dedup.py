@@ -1667,11 +1667,23 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b")
         .cache()
     )
-    from ..session import state_width
+    from ..session import loop_width_conf, state_width
 
-    und = pairs.union(
-        pairs.select(F.col("name_b"), F.col("name_a"))
-    ).toDF("src", "dst").coalesce(state_width(pairs))
+    width = state_width(pairs)
+    # r11 loop shape (the graph_wcc discipline, guide §2.2/§2.4): the
+    # symmetric edge frame persists HASH-PARTITIONED on src at the loop
+    # state width — the planner sees the cached layout, so each round's
+    # message join re-exchanges only the labels side, never the edges —
+    # and the rounds run under loop_width_conf so the names-domain
+    # exchanges plan `width` tasks, not the session's full shuffle
+    # width. Edges/labels materialize BEFORE the scope so the upstream
+    # corpus-scale name aggregation keeps ambient parallelism.
+    und = (
+        pairs.union(pairs.select(F.col("name_b"), F.col("name_a")))
+        .toDF("src", "dst")
+        .repartition(width, "src")
+        .persist()
+    )
     labels = (
         pairs.select(F.col("name_a").alias("node"))
         .union(pairs.select("name_b"))
@@ -1685,30 +1697,36 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure. Each round is one names-sized join; the changed-count is a
     # cheap action over the just-checkpointed frame, and real variant
     # clusters converge in single-digit rounds.
-    for _ in range(ER_MAX_ITERS):
-        msg = (
-            und.join(labels.toDF("l_node", "l_label"), und.src == F.col("l_node"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("l_label").alias("m"))
-        )
-        stepped = (
-            labels.join(msg, "node", "left")
-            .select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least("label", F.coalesce("m", "label")).alias("label"),
+    with loop_width_conf(pairs.sparkSession, width):
+        for _ in range(ER_MAX_ITERS):
+            msg = (
+                und.join(
+                    labels.toDF("l_node", "l_label"), und.src == F.col("l_node")
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("l_label").alias("m"))
             )
-            .localCheckpoint()
-        )
-        changed = stepped.filter(F.col("label") != F.col("_old")).count()
-        labels = stepped.select("node", "label")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"entity_resolution: labels not converged after {ER_MAX_ITERS} "
-            "rounds — match-graph diameter exceeds the safety bound"
-        )
+            stepped = (
+                labels.join(msg, "node", "left")
+                .select(
+                    "node",
+                    F.col("label").alias("_old"),
+                    F.least("label", F.coalesce("m", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = stepped.filter(F.col("label") != F.col("_old")).count()
+            labels = stepped.select("node", "label")
+            if changed == 0:
+                break
+        else:
+            und.unpersist()
+            raise RuntimeError(
+                f"entity_resolution: labels not converged after "
+                f"{ER_MAX_ITERS} rounds — match-graph diameter exceeds the "
+                "safety bound"
+            )
+    und.unpersist()
     w = W.partitionBy("canonical_name")
     return (
         labels.join(counts, labels.node == counts.p_name)

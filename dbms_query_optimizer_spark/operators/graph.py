@@ -397,18 +397,40 @@ def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = kept.select(
         "event_type", "rn", "fp", F.lead("event_type").over(w2).alias("nxt")
     )
-    inner = seq.filter(F.col("nxt").isNotNull()).select(
-        F.col("event_type").alias("s"), F.col("nxt").alias("t")
-    )
-    starts = seq.filter(F.col("rn") == 1).select(
-        F.lit(MARKOV_START).alias("s"), F.col("event_type").alias("t")
-    )
-    ends = seq.filter(F.col("nxt").isNull() & F.col("fp").isNull()).select(
-        F.col("event_type").alias("s"), F.lit(MARKOV_NULL).alias("t")
+    # Each row contributes up to THREE transitions (its consecutive-event
+    # edge, the start edge if it is the user's first event, the null edge
+    # if it ends a never-converting path). Emitting them as one
+    # conditional-array explode keeps the window chain (scan + user_id
+    # exchange + two sorts) in the plan ONCE — the previous three-branch
+    # unionAll re-executed that whole subtree per branch (r11, guide
+    # §2.4). Multiset of (s, t) rows is identical by construction.
+    contrib = F.array(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.struct(
+                F.col("event_type").alias("s"), F.col("nxt").alias("t")
+            ),
+        ),
+        F.when(
+            F.col("rn") == 1,
+            F.struct(
+                F.lit(MARKOV_START).alias("s"),
+                F.col("event_type").alias("t"),
+            ),
+        ),
+        F.when(
+            F.col("nxt").isNull() & F.col("fp").isNull(),
+            F.struct(
+                F.col("event_type").alias("s"),
+                F.lit(MARKOV_NULL).alias("t"),
+            ),
+        ),
     )
     return (
-        inner.unionAll(starts)
-        .unionAll(ends)
+        seq.select(
+            F.explode(F.filter(contrib, lambda x: x.isNotNull())).alias("st")
+        )
+        .select(F.col("st.s").alias("s"), F.col("st.t").alias("t"))
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1186,8 +1186,9 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the per-segment doc count and the join-back read it (the first
     shipped form recomputed the split+slice string work three times; the
     round-6 profile caught it) — one map-side-combined count of distinct
-    docs per segment (shuffle = distinct segments, not corpus), a join
-    back, and per-doc ordered reassembly via
+    docs per segment (shuffle = distinct segments, not corpus), a
+    broadcast ANTI-join against the small boilerplate list (never a
+    corpus re-shuffle by segment), and per-doc ordered reassembly via
     array_sort(collect_list(struct)) — the same struct-pinned ordering
     as session_paths, so the rebuilt text is byte-deterministic (the
     output hashes its md5). Per-doc segment totals come straight from
@@ -1216,9 +1217,21 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_docs = segs.groupBy("seg").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
-    kept = segs.join(seg_docs, "seg").filter(
-        F.col("n_docs") < BOILER_MIN_DOCS
-    )
+    # Only the BOILERPLATE list (segments in >= BOILER_MIN_DOCS distinct
+    # docs — the heavy-hitter tail, tiny relative to the corpus, same
+    # class as corpus_prep's drop-list) crosses back: a broadcast
+    # anti-join replaces the previous inner join + filter, whose build
+    # side was the FULL distinct-segment count table — broadcastable at
+    # sf0.1, but it grows as the corpus vocabulary and degrades to a
+    # corpus-wide re-shuffle by segment string the moment it exceeds the
+    # broadcast threshold, just to attach a count the filter immediately
+    # discarded (r11, guide §3.2). The boiler list is frequency-bounded
+    # (|corpus| / BOILER_MIN_DOCS at worst), so the anti build side
+    # stays broadcastable at any scale. kept-set identity: every seg of
+    # ``segs`` appears in ``seg_docs``, so inner-join-then-
+    # keep(n_docs < MIN) == anti-join(n_docs >= MIN).
+    boiler = seg_docs.filter(F.col("n_docs") >= BOILER_MIN_DOCS).select("seg")
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
