@@ -996,8 +996,10 @@ R11_PLANNED_WINDOW = [
     # re-checks, oldest green cohort first
     "bm25_score", "dedup_components", "dedup_minhash_lsh",
     "graph_pagerank", "robust_stats_mad", "dedup_embedding_cosine_lsh",
-    "txn_zonemap_scan", "txn_delete_mor", "cluster_key_advisor",
+    "txn_zonemap_scan", "boilerplate_strip", "entity_resolution",
+    "txn_delete_mor", "cluster_key_advisor",
     "dedup_set_similarity_prefix", "dsir_importance_weights",
+    "pipeline_funnel_report",
     "recsys_item_cosine", "spearman_rank_corr", "bh_fdr_report",
     "txn_cluster_evolution", "txn_delete_where", "txn_replace_where",
     "txn_retention_delete", "dedup_cdc_chunks", "dedup_incremental_lsh",
@@ -1010,7 +1012,6 @@ R11_PLANNED_WINDOW = [
     "values_inline", "window_range_frame", "window_share_of_total",
     # last driver green: round 3
     "join_inner", "join_left_outer", "join_nonequi", "join_semi",
-    "knn_lsh_bucketed", "multimodal_meta", "pack_sequences",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW
