@@ -997,12 +997,13 @@ R11_PLANNED_WINDOW = [
     "bm25_score", "dedup_components", "dedup_minhash_lsh",
     "graph_pagerank", "robust_stats_mad", "dedup_embedding_cosine_lsh",
     "txn_zonemap_scan", "boilerplate_strip", "entity_resolution",
-    "txn_delete_mor", "cluster_key_advisor",
+    "txn_delete_mor", "txn_wap_publish", "cluster_key_advisor",
     "dedup_set_similarity_prefix", "dsir_importance_weights",
     "pipeline_funnel_report",
     "recsys_item_cosine", "spearman_rank_corr", "bh_fdr_report",
     "txn_cluster_evolution", "txn_delete_where", "txn_replace_where",
-    "txn_retention_delete", "dedup_cdc_chunks", "dedup_incremental_lsh",
+    "txn_retention_delete", "txn_vacuum_report", "dedup_cdc_chunks",
+    "dedup_incremental_lsh",
     "dedup_simhash_pairs", "graph_bfs_hops", "sample_kcenter_coreset",
     "embedding_kmeans_lloyd", "streaming_index_upsert",
     # last driver green: round 2
@@ -1011,7 +1012,7 @@ R11_PLANNED_WINDOW = [
     "scd2_build", "set_ops", "subquery_not_exists", "unpivot_metrics",
     "values_inline", "window_range_frame", "window_share_of_total",
     # last driver green: round 3
-    "join_inner", "join_left_outer", "join_nonequi", "join_semi",
+    "join_inner", "join_left_outer",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW

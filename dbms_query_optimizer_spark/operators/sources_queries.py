@@ -1383,8 +1383,12 @@ def q_txn_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _roundtrip_dir(sf_dir, "txn_wap", "orders")
     shutil.rmtree(root, ignore_errors=True)
 
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    # cached (r11): the base/bad/good insert jobs each scanned this
+    # 3-column projection — three parquet decodes become one
+    orders = track_persist(
+        load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
     )
     base = orders.filter(F.col("o_orderkey") % 2 == 0)
     good = orders.filter(F.col("o_orderkey") % 2 == 1)
@@ -2437,7 +2441,9 @@ def q_txn_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    subset = orders.filter(F.col("o_orderkey") % 10 == 7)
+    # cached (r11): the two parity inserts and the crashed-writer stage
+    # each scanned the subset — three parquet decodes become one
+    subset = track_persist(orders.filter(F.col("o_orderkey") % 10 == 7))
 
     table = TransactionalTable.create(root, subset.schema)
     for parity in (0, 1):  # two small ingest commits, one file each
