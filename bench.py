@@ -538,12 +538,16 @@ def main() -> None:
     retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "2"))
     retry_sleep = float(os.environ.get("SPARK_GRAFT_LOAD_SLEEP", "120"))
     attempts = []
+    attempt_stabilities = []
     best = None
     for attempt in range(1 + retries):
         result = _sweep_once(spark, sf_dir)
         factor = result["calib"]["host_load_factor"]
         stability = result["calib"]["probe_stability"]
         attempts.append(factor)
+        # paired with attempt_factors: documents WHICH gate (load vs
+        # stability) triggered any re-sweep (ADVICE r11)
+        attempt_stabilities.append(stability)
         # rank attempts by (stable?, factor): an unstable sweep is worse
         # than any stable one regardless of its min-based factor
         key = (stability > stability_gate, factor)
@@ -565,21 +569,30 @@ def main() -> None:
             time.sleep(retry_sleep)
 
     best["calib"]["load_gate"] = load_gate
+    best["calib"]["stability_gate"] = stability_gate
     best["calib"]["attempt_factors"] = attempts
+    best["calib"]["attempt_stabilities"] = attempt_stabilities
     timings = best["queries"]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calib": best["calib"],
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calib": best["calib"],
+        }
     )
+    # Durable copy of the one-line contract output: a truncated stdout
+    # tail cost round 10 its entire baseline comparison (BENCH_r10
+    # parsed: null). stdout stays the contract; the file is recovery.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

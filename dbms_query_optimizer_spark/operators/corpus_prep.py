@@ -121,6 +121,14 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenizing from the source scan so no corpus-sized array frame
     is ever materialized. Counts are exact; pct_docs is a single IEEE
     division per stage.
+
+    Null-fingerprint semantics (ADVICE r11): with the window
+    formulation, rows whose fp is NULL (only possible if text is NULL)
+    group TOGETHER and keep the min doc_id — matching the DuckDB
+    oracle's GROUP-BY-null behavior, where the replaced semi-join
+    would have dropped them all (null never equi-joins). The testdata
+    contract has non-null text, so both formulations agree there; the
+    window one is the one that stays oracle-faithful if that changes.
     """
     from ..functions.text import fingerprint_md5, word_ngrams
     from ..functions.text import tokens as tok_fn

@@ -1697,36 +1697,44 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure. Each round is one names-sized join; the changed-count is a
     # cheap action over the just-checkpointed frame, and real variant
     # clusters converge in single-digit rounds.
-    with loop_width_conf(pairs.sparkSession, width):
-        for _ in range(ER_MAX_ITERS):
-            msg = (
-                und.join(
-                    labels.toDF("l_node", "l_label"), und.src == F.col("l_node")
+    try:
+        with loop_width_conf(pairs.sparkSession, width):
+            for _ in range(ER_MAX_ITERS):
+                msg = (
+                    und.join(
+                        labels.toDF("l_node", "l_label"),
+                        und.src == F.col("l_node"),
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("l_label").alias("m"))
                 )
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("l_label").alias("m"))
-            )
-            stepped = (
-                labels.join(msg, "node", "left")
-                .select(
-                    "node",
-                    F.col("label").alias("_old"),
-                    F.least("label", F.coalesce("m", "label")).alias("label"),
+                stepped = (
+                    labels.join(msg, "node", "left")
+                    .select(
+                        "node",
+                        F.col("label").alias("_old"),
+                        F.least(
+                            "label", F.coalesce("m", "label")
+                        ).alias("label"),
+                    )
+                    .localCheckpoint()
                 )
-                .localCheckpoint()
-            )
-            changed = stepped.filter(F.col("label") != F.col("_old")).count()
-            labels = stepped.select("node", "label")
-            if changed == 0:
-                break
-        else:
-            und.unpersist()
-            raise RuntimeError(
-                f"entity_resolution: labels not converged after "
-                f"{ER_MAX_ITERS} rounds — match-graph diameter exceeds the "
-                "safety bound"
-            )
-    und.unpersist()
+                changed = stepped.filter(
+                    F.col("label") != F.col("_old")
+                ).count()
+                labels = stepped.select("node", "label")
+                if changed == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"entity_resolution: labels not converged after "
+                    f"{ER_MAX_ITERS} rounds — match-graph diameter exceeds "
+                    "the safety bound"
+                )
+    finally:
+        # release on EVERY exit path — a failed count action must not
+        # leak the persisted edge frame for the session (ADVICE r11)
+        und.unpersist()
     w = W.partitionBy("canonical_name")
     return (
         labels.join(counts, labels.node == counts.p_name)

@@ -2593,6 +2593,7 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.manifest import TransactionalTable
     from ..sources.manifest_stream import register
+    from ..streaming.startup import start_and_drain
     from .sources_queries import _roundtrip_dir
 
     root = _roundtrip_dir(sf_dir, "txn_ivf_stream", "embeddings")
@@ -2619,18 +2620,23 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).partitionBy("cell").parquet(f"{out_dir}/batch={batch_id}")
 
-    q = (
-        spark.readStream.format("manifesttail")
-        .option("path", table_root)
-        .load()
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    def start():
+        return (
+            spark.readStream.format("manifesttail")
+            .option("path", table_root)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def reset():
+        # nothing committed survives a retry: wipe sink dirs + checkpoint
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # retries only the Python-source worker-spawn startup flake
+    start_and_drain(start, reset=reset)
 
     idx = spark.read.parquet(out_dir)  # partition cols: batch, cell
     return _ivfr_cell_stats(idx)

@@ -29,6 +29,7 @@ from ..sources import (
     write_orc,
     write_parquet,
 )
+from ..streaming.startup import start_and_drain
 
 _ROUNDTRIP_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_sources")
 
@@ -476,7 +477,9 @@ def q_cluster_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     B·|candidates|·|columns| result rows, corpus touched |candidates|
     times.
     """
-    from .relational import distributed_row_number, exact_ntile, range_bucket
+    from pyspark.sql import Window as W
+
+    from .relational import exact_ntile, range_bucket
 
     orders = load_tables(spark, sf_dir)["orders"]
     cols = {
@@ -525,41 +528,76 @@ def q_cluster_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckey: {p: int(cnt_row[f"_c_{i}_{p}"]) for p in range(8)}
         for i, ckey in enumerate(names)
     }
-    out = None
+    # r12 (guide §2.3/§2.4): ONE composite-key rank pass instead of four.
+    # The four candidate ranks are independent sorts of the same frame,
+    # so the classic fusion applies: explode each row into 4
+    # (cluster_col, pid, val) legs and rank them all under ONE window
+    # partitioned by (cluster_col, pid) — the same disjoint-ordered-
+    # range trick as distributed_row_number, with the offset map keyed
+    # by the composite "<candidate>#<pid>". The r11 plan ran 4 separate
+    # repartition+sort+window+groupBy chains (one per candidate, ~16
+    # stages); this plan is 1 exchange + 1 sort + 2 aggregations.
+    # Shuffle bytes are identical (4 legs × N rows either way); what
+    # disappears is 3× the stage/task-launch floor — and at cluster
+    # scale, 3 full exchanges of the corpus projection.
+    n_total = sum(counts_by[names[0]].values())
+    offset_entries = []
     for ckey in names:
-        ranked, n = distributed_row_number(
-            base,
-            [F.col(ckey), F.col("o_orderkey")],
-            pids[ckey],
-            8,
-            rn_col="_rn",
-            return_total=True,
-            counts=counts_by[ckey],
+        acc = 0
+        for p in sorted(counts_by[ckey]):
+            offset_entries += [
+                F.lit(f"{ckey}#{p}"),
+                F.lit(acc).cast("long"),
+            ]
+            acc += counts_by[ckey][p]
+        assert acc == n_total, "advisor: per-candidate counts disagree"
+    offset_map = F.create_map(*offset_entries)
+
+    legs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ckey).alias("ck"),
+                    pids[ckey].cast("int").alias("pid"),
+                    F.col(ckey).cast("long").alias("val"),
+                )
+                for ckey in names
+            ]
         )
-        per_bucket = (
-            ranked.select(
-                exact_ntile("_rn", n, ADVISOR_BUCKETS).alias("bkt"), *names
-            )
-            .groupBy("bkt")
-            .agg(
-                *[
-                    (F.max(q) - F.min(q)).alias(f"span_{q}")
-                    for q in names
-                ]
-            )
+    )
+    ex = base.select(*names, legs.alias("c")).select(
+        *names,
+        F.col("c.ck").alias("cluster_col"),
+        F.col("c.pid").alias("_pid"),
+        F.col("c.val").alias("val"),
+    )
+    w_loc = W.partitionBy("cluster_col", "_pid").orderBy("val", "o_orderkey")
+    ranked = ex.withColumn(
+        "_rn",
+        F.row_number().over(w_loc)
+        + F.element_at(
+            offset_map,
+            F.concat_ws("#", "cluster_col", F.col("_pid").cast("string")),
+        ),
+    )
+    per_bucket = (
+        ranked.select(
+            "cluster_col",
+            exact_ntile("_rn", n_total, ADVISOR_BUCKETS).alias("bkt"),
+            *names,
         )
-        sums = per_bucket.agg(
-            *[F.sum(f"span_{q}").alias(f"ssum_{q}") for q in names]
-        )
-        rows = sums.crossJoin(F.broadcast(globals_row)).selectExpr(
-            f"'{ckey}' AS cluster_col",
-            f"stack({len(names)}, "
-            + ", ".join(
-                f"'{q}', ssum_{q}, gspan_{q}" for q in names
-            )
-            + ") AS (query_col, sum_bucket_span, global_span)",
-        )
-        out = rows if out is None else out.unionAll(rows)
+        .groupBy("cluster_col", "bkt")
+        .agg(*[(F.max(q) - F.min(q)).alias(f"span_{q}") for q in names])
+    )
+    sums = per_bucket.groupBy("cluster_col").agg(
+        *[F.sum(f"span_{q}").alias(f"ssum_{q}") for q in names]
+    )
+    out = sums.crossJoin(F.broadcast(globals_row)).selectExpr(
+        "cluster_col",
+        f"stack({len(names)}, "
+        + ", ".join(f"'{q}', ssum_{q}, gspan_{q}" for q in names)
+        + ") AS (query_col, sum_bucket_span, global_span)",
+    )
     return out.select(
         "cluster_col",
         "query_col",
@@ -696,26 +734,30 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.python_datasource import register
 
     register(spark)
-    name = f"synth_stream_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.format("synthevents")
-        .option("rows", str(N_SYNTH_STREAM_ROWS))
-        .option("rowsPerBatch", str(SYNTH_STREAM_BATCH))
-        .option("partitions", "4")
-        .load()
-    )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    names: list[str] = []
+
+    def start():
+        # fresh memory-sink name per attempt so a retried run never
+        # appends into a partially-filled table
+        names.append(f"synth_stream_{uuid.uuid4().hex[:8]}")
+        stream = (
+            spark.readStream.format("synthevents")
+            .option("rows", str(N_SYNTH_STREAM_ROWS))
+            .option("rowsPerBatch", str(SYNTH_STREAM_BATCH))
+            .option("partitions", "4")
+            .load()
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(names[-1])
+            .start()
+        )
+
+    # retries only the Python-source worker-spawn startup flake
+    start_and_drain(start)
     return (
-        spark.table(name)
+        spark.table(names[-1])
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1731,22 +1773,25 @@ def q_streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3.commit()
 
     register(spark)
-    name = f"tail_{_uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("manifesttail")
-        .option("path", root)
-        .load()
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    names: list[str] = []
+
+    def start():
+        # fresh memory-sink name per attempt (see startup.start_and_drain)
+        names.append(f"tail_{_uuid.uuid4().hex[:8]}")
+        return (
+            spark.readStream.format("manifesttail")
+            .option("path", root)
+            .load()
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(names[-1])
+            .start()
+        )
+
+    # retries only the Python-source worker-spawn startup flake
+    start_and_drain(start)
     return (
-        spark.table(name)
+        spark.table(names[-1])
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct("o_orderkey").alias("n_keys"),

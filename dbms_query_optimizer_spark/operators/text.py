@@ -1226,12 +1226,16 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide re-shuffle by segment string the moment it exceeds the
     # broadcast threshold, just to attach a count the filter immediately
     # discarded (r11, guide §3.2). The boiler list is frequency-bounded
-    # (|corpus| / BOILER_MIN_DOCS at worst), so the anti build side
-    # stays broadcastable at any scale. kept-set identity: every seg of
-    # ``segs`` appears in ``seg_docs``, so inner-join-then-
-    # keep(n_docs < MIN) == anti-join(n_docs >= MIN).
+    # (|seg,doc pairs| / BOILER_MIN_DOCS at worst) — far smaller than the
+    # full vocabulary, but NOT provably broadcast-safe on an arbitrary
+    # corpus, so no forced hint: AQE converts the anti-join to broadcast
+    # at runtime when the measured build side fits the threshold, and
+    # degrades to a shuffle (instead of a driver OOM) when it does not
+    # (ADVICE r11). kept-set identity: every seg of ``segs`` appears in
+    # ``seg_docs``, so inner-join-then-keep(n_docs < MIN) ==
+    # anti-join(n_docs >= MIN).
     boiler = seg_docs.filter(F.col("n_docs") >= BOILER_MIN_DOCS).select("seg")
-    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    kept = segs.join(boiler, "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

@@ -51,6 +51,13 @@ def get_spark(
         # catalog re-verified hash-green under the flag.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Python worker spawn handshake: the post-accept auth exchange
+        # defaults to 15s; under co-tenant CPU load a fresh interpreter
+        # (Python data-source planner processes are never daemon-forked)
+        # can blow it. The pre-auth accept window is hardcoded 10s in
+        # PythonWorkerFactory and NOT conf-able — streaming/startup.py
+        # retries that one.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # custom Python data sources implementing pushFilters need this on
