@@ -820,13 +820,22 @@ DRIVER_GREENS_R1_3 = frozenset({
     "values_inline", "window_range_frame", "window_running",
     "window_share_of_total",
 })
+# Round-11 fold: the only r11 window name with no prior green row was
+# knn_ivfpq (added during the interrupted round-10 build); everything
+# else in the r11 window was a freshness re-check whose hash refresh
+# lives in green_hashes.json. streaming_index_upsert came back RED
+# (worker-spawn env flake, see OPTIMIZATION_r12.md §1) — green-cohort
+# membership keeps it re-check-eligible and next_window() re-enters it.
+DRIVER_GREENS_R11 = frozenset({
+    "knn_ivfpq",
+})
 # Cohorts ordered oldest-first: the r10+ freshness rotation walks this
 # list front to back. Kept as an explicit tuple (not dict) so iteration
 # order is the policy, visibly.
 DRIVER_GREEN_COHORTS = (
     DRIVER_GREENS_R1_3, DRIVER_GREENS_R4, DRIVER_GREENS_R5,
     DRIVER_GREENS_R6, DRIVER_GREENS_R7, DRIVER_GREENS_R8,
-    DRIVER_GREENS_R9, DRIVER_GREENS_R10,
+    DRIVER_GREENS_R9, DRIVER_GREENS_R10, DRIVER_GREENS_R11,
 )
 DRIVER_CHECKED_PRIOR_ROUNDS = frozenset().union(*DRIVER_GREEN_COHORTS)
 
@@ -983,39 +992,42 @@ R9_ADDITIONS = [
 # drift from the records it samples. Any operator ADDED during round
 # 11 has no driver row yet and spills to the front of the r12 window
 # automatically.
-R11_PLANNED_WINDOW = [
-    # round-11 addition (never driver-checked): the composed IVF+PQ
-    # index — takes a slot ahead of freshness re-checks
-    "knn_ivfpq",
-    # hash-stale (code or oracle changed since last driver green): the
-    # r11 optimization batches edited these query bodies (dedup
-    # verification via per-doc arrays, CDC bounds materialization,
-    # fused-action rewrites, kmeans/pagerank/IVFR broadcast-folds, the
-    # spearman domain-collapse, the MAD/LSH caches, the graph loop
-    # width) — each re-enters the window ahead of pure freshness
-    # re-checks, oldest green cohort first
-    "bm25_score", "dedup_components", "dedup_minhash_lsh",
-    "graph_pagerank", "robust_stats_mad", "dedup_embedding_cosine_lsh",
-    "txn_zonemap_scan", "boilerplate_strip", "entity_resolution",
-    "txn_delete_mor", "txn_wap_publish", "cluster_key_advisor",
-    "dedup_set_similarity_prefix", "dsir_importance_weights",
-    "pipeline_funnel_report",
-    "recsys_item_cosine", "spearman_rank_corr", "bh_fdr_report",
-    "txn_cluster_evolution", "txn_delete_where", "txn_replace_where",
-    "txn_retention_delete", "txn_vacuum_report", "dedup_cdc_chunks",
-    "dedup_incremental_lsh",
-    "dedup_simhash_pairs", "graph_bfs_hops", "sample_kcenter_coreset",
-    "embedding_kmeans_lloyd", "streaming_index_upsert",
-    # last driver green: round 2
-    "join_multiway", "join_salted_skew", "latest_per_key",
-    "merge_upsert", "monthly_growth", "rollup_grouping_id",
-    "scd2_build", "set_ops", "subquery_not_exists", "unpivot_metrics",
-    "values_inline", "window_range_frame", "window_share_of_total",
-    # last driver green: round 3
-    "join_inner", "join_left_outer",
+# Round-12 window (the r11 window's 46-name list was retired with the
+# round-11 fold; git has the staging list): sentinels + the queries the
+# r12 optimization batches EDITED (hash-stale vs their r11-proven
+# green_hashes.json records — each must be independently re-proven by
+# the driver, ahead of pure freshness re-checks) + streaming_index_
+# upsert (RED in the r11 drive — ungreen re-entry) + freshness
+# re-checks of the stalest last-green evidence (rounds 3-4). Re-derived
+# per optimization batch as edits land; test_catalog_order.py pins the
+# next_window() equality so the staging can't drift from the records.
+R12_PLANNED_WINDOW = [
+    # hash-stale: r12 batch-1 edits (stream-startup retry wrappers, the
+    # advisor composite-rank fusion, the MAD rank-window rewrite, the
+    # boilerplate anti-join hint drop, ER cache release, funnel
+    # docstring)
+    "robust_stats_mad", "source_python_stream", "boilerplate_strip",
+    "entity_resolution", "cluster_key_advisor",
+    "pipeline_funnel_report", "streaming_manifest_tail",
+    # red in the r11 drive (startup flake; hardened this round)
+    "streaming_index_upsert",
+    # freshness re-checks, last-green round ascending
+    "join_nonequi", "join_semi",
+    "knn_lsh_bucketed", "multimodal_meta", "pack_sequences", "pivot",
+    "projection", "range_join_bucketed", "recursive_cte_ancestors",
+    "rollup", "scan", "sort_limit", "source_python_datasource",
+    "streaming_dedup", "streaming_tumbling", "subquery_in",
+    "text_lang_id", "text_token_stats", "topk_per_group", "tpch_q15",
+    "udaf_geomean", "udtf_split_sentences", "window_running",
+    "approx_aggs", "asof_join_forward", "asof_join_salted",
+    "bucketed_colocated_join", "curriculum_bins",
+    "doc_length_histogram", "events_sliding", "events_tumbling",
+    "length_winsorize", "mix_rebalance", "mix_temperature_weights",
+    "scd2_point_in_time", "source_binaryfile_scan", "source_csv_scan",
+    "source_json_scan",
 ]
 
-DRIVER_PRIORITY = DRIVER_SENTINELS + R11_PLANNED_WINDOW
+DRIVER_PRIORITY = DRIVER_SENTINELS + R12_PLANNED_WINDOW
 
 
 def query_content_hash(name: str) -> str:

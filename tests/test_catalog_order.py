@@ -39,25 +39,27 @@ def test_everything_oracled():
     assert no_oracle == [], no_oracle
 
 
-def test_r11_window_staging_matches_policy():
-    """The installed r11 window must BE next_window()'s derivation —
-    sentinels, then any never-green names (none at staging time: the
-    r10 fold closed the backlog to 358/358), then rounds-1-3 freshness
-    re-checks resuming where the r10 window stopped — so the staging
-    can't drift from the cohort constants and green_hashes.json it
-    samples. Editing a cohort query (or its oracle) moves its content
-    hash and re-enters it here: re-stage the window in the same
-    commit."""
+def test_r12_window_staging_matches_policy():
+    """The installed r12 window must BE next_window()'s derivation —
+    sentinels, then ungreen re-entries (streaming_index_upsert, red in
+    the r11 drive), then hash-stale cohort names (the r12 optimization
+    edits), then stalest-last-green freshness re-checks — so the
+    staging can't drift from the cohort constants and
+    green_hashes.json/green_rounds.json it samples. Editing a cohort
+    query (or its oracle) moves its content hash and re-enters it here:
+    re-stage the window in the same commit."""
     assert len(C.DRIVER_PRIORITY) == WINDOW
     assert len(set(C.DRIVER_PRIORITY)) == WINDOW
-    assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R11_PLANNED_WINDOW
+    assert C.DRIVER_PRIORITY == C.DRIVER_SENTINELS + C.R12_PLANNED_WINDOW
     derived = C.next_window()
     assert C.DRIVER_PRIORITY == derived, (
         "staged window drifted from policy; re-stage: "
         f"missing={sorted(set(derived) - set(C.DRIVER_PRIORITY))} "
         f"extra={sorted(set(C.DRIVER_PRIORITY) - set(derived))}"
     )
-    # the r10 fold landed: its 14 greens are cohort members now
+    # the r11 fold landed: knn_ivfpq (the only r11 never-green) is a
+    # cohort member now, and the r10 fold's members stay
+    assert "knn_ivfpq" in C.DRIVER_GREENS_R11
     assert set(C.R9_ADDITIONS) <= C.DRIVER_GREENS_R10
     assert {
         "multimodal_audio_features", "multimodal_features",
