@@ -40,4 +40,16 @@ def salted_join(
     replicated = other.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
-    return salted.join(replicated, [on, SALT_COL], how).drop(SALT_COL)
+    # Pin a SHUFFLED hash join (r12): without the hint the planner
+    # broadcast-joins whenever the n_salt-times-replicated dim side still
+    # fits the size estimate — which (a) erases the salted exchange this
+    # utility exists to provide (a broadcastable dim never needed
+    # salting), and (b) builds the n_salt-times-inflated relation
+    # SINGLE-THREADED on the driver (measured r12: the broadcast build of
+    # the 8x-replicated orders side made the demo query ~40% slower than
+    # the salted shuffle it replaced). SHUFFLE_HASH keeps the per-
+    # partition build on the replicated side — n_salt-ways smaller per
+    # task by construction — and no sort on the skewed side.
+    return salted.join(
+        replicated.hint("shuffle_hash"), [on, SALT_COL], how
+    ).drop(SALT_COL)

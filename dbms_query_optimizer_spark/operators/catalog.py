@@ -1002,29 +1002,29 @@ R9_ADDITIONS = [
 # per optimization batch as edits land; test_catalog_order.py pins the
 # next_window() equality so the staging can't drift from the records.
 R12_PLANNED_WINDOW = [
-    # hash-stale: r12 batch-1 edits (stream-startup retry wrappers, the
-    # advisor composite-rank fusion, the MAD rank-window rewrite, the
-    # boilerplate anti-join hint drop, ER cache release, funnel
-    # docstring)
-    "robust_stats_mad", "source_python_stream", "boilerplate_strip",
-    "entity_resolution", "cluster_key_advisor",
-    "pipeline_funnel_report", "streaming_manifest_tail",
+    # hash-stale: r12 optimization-batch edits (stream-startup retry
+    # wrappers, the advisor composite-rank fusion, the concurrent
+    # quartile-fixture staging, the measured-and-reverted MAD / knn_ivf
+    # experiments whose docstrings record the verdicts, the boilerplate
+    # anti-join hint drop, ER cache release, funnel docstring)
+    "robust_stats_mad", "source_python_stream", "txn_zonemap_scan",
+    "boilerplate_strip", "entity_resolution", "txn_delete_mor",
+    "cluster_key_advisor", "pipeline_funnel_report", "knn_ivf",
+    "txn_delete_where", "txn_replace_where", "txn_retention_delete",
+    "streaming_manifest_tail",
     # red in the r11 drive (startup flake; hardened this round)
     "streaming_index_upsert",
     # freshness re-checks, last-green round ascending
-    "join_nonequi", "join_semi",
-    "knn_lsh_bucketed", "multimodal_meta", "pack_sequences", "pivot",
-    "projection", "range_join_bucketed", "recursive_cte_ancestors",
-    "rollup", "scan", "sort_limit", "source_python_datasource",
-    "streaming_dedup", "streaming_tumbling", "subquery_in",
-    "text_lang_id", "text_token_stats", "topk_per_group", "tpch_q15",
-    "udaf_geomean", "udtf_split_sentences", "window_running",
-    "approx_aggs", "asof_join_forward", "asof_join_salted",
-    "bucketed_colocated_join", "curriculum_bins",
-    "doc_length_histogram", "events_sliding", "events_tumbling",
-    "length_winsorize", "mix_rebalance", "mix_temperature_weights",
-    "scd2_point_in_time", "source_binaryfile_scan", "source_csv_scan",
-    "source_json_scan",
+    "join_nonequi", "join_semi", "knn_lsh_bucketed", "multimodal_meta",
+    "pack_sequences", "pivot", "projection", "range_join_bucketed",
+    "recursive_cte_ancestors", "rollup", "scan", "sort_limit",
+    "source_python_datasource", "streaming_dedup",
+    "streaming_tumbling", "subquery_in", "text_lang_id",
+    "text_token_stats", "topk_per_group", "tpch_q15", "udaf_geomean",
+    "udtf_split_sentences", "window_running", "approx_aggs",
+    "asof_join_forward", "asof_join_salted", "bucketed_colocated_join",
+    "curriculum_bins", "doc_length_histogram", "events_sliding",
+    "events_tumbling", "length_winsorize",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R12_PLANNED_WINDOW

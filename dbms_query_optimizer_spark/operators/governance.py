@@ -472,67 +472,45 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag — the outlier-robust location/scale pair used to gate
     numeric feature columns.
 
-    Exactness contract: each pass computes Spark ``percentile(x, 0.5)``'s
-    linear interpolation BIT-IDENTICALLY — sort the group, take the two
-    order statistics at 0-based positions floor/ceil((n−1)/2), and emit
-    ``lo + (hi − lo) * frac`` (frac = 0.5 for even n, 0 for odd; for odd
-    n lo == hi) — which matches DuckDB ``MEDIAN`` on DOUBLE. r12 (guide
-    §2.3): the passes are grouped RANK WINDOWS (codegen'd sort +
-    row_number + a 2-rows-per-group filter) instead of the previous
-    ``F.percentile`` ObjectHashAggregate, whose partial state shipped
-    EVERY value through an object buffer (no codegen, per-row boxing) —
-    same single exchange per pass, vastly cheaper per row. Both passes +
-    the broadcast join of the 3-row medians form ONE lazy DAG (no driver
-    action). The per-group sort concentration is identical to the
-    percentile form (one task per group either way); at scale the swap
-    is still one token — ``approx_percentile`` — for a mergeable sketch.
-    The projected 2-column base is persisted (r11): both passes must
-    scan it, and without the persist the MAD pass re-read and re-decoded
-    the parquet scan.
+    Two grouped exact-percentile aggregations with a broadcast join of the
+    (|groups|-row) medians between them. ``percentile`` is exact with
+    linear interpolation (matches DuckDB ``MEDIAN`` on DOUBLE); at scale
+    the swap is one token — ``approx_percentile`` — trading exactness for
+    a mergeable sketch, same plan shape. The projected 2-column base is
+    persisted (r11): both percentile passes must scan it, and without the
+    persist the MAD pass re-read and re-decoded the parquet scan.
+
+    r12 re-measure (VERDICT item 8): the driver's 4.41 s reading was
+    load-inflated — this form profiles 2.78 s idle. A rank-window
+    rewrite (row_number + 2-rows-per-group filter with bit-identical
+    interpolation, replacing the percentile ObjectHashAggregate) was
+    built, oracle-verified, measured 3.51 s idle same-box — SLOWER (the
+    full-frame window materializes a rank for every row; the percentile
+    buffer never leaves the agg operator), and REJECTED. Kept: this
+    docstring as the negative result.
     """
-
-    def grouped_exact_median(df, val, med_col):
-        """3 rows out: (l_returnflag, _n, <med_col>), median per group
-        with percentile-interpolation semantics (see docstring)."""
-        w = W.partitionBy("l_returnflag").orderBy(val)
-        w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        r = (
-            df.withColumn("_v", val)
-            .withColumn("_rn", F.row_number().over(w))
-            .withColumn("_n", F.count(F.lit(1)).over(w_full))
-        )
-        # 0-based lo/hi = floor/ceil((n-1)/2) -> 1-based rn filter
-        sel = r.filter(
-            (F.col("_rn") == F.floor((F.col("_n") - 1) / 2) + 1)
-            | (F.col("_rn") == F.ceil((F.col("_n") - 1) / 2) + 1)
-        )
-        frac = F.when(F.col("_n") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
-        return sel.groupBy("l_returnflag").agg(
-            F.first("_n").alias("_n"),
-            (
-                F.min("_v")
-                + (F.max("_v") - F.min("_v")) * F.first(frac)
-            ).alias(med_col),
-        )
-
     li = track_persist(
         load_tables(spark, sf_dir)["lineitem"].select(
             "l_returnflag", "l_extendedprice"
         )
     )
-    med = grouped_exact_median(li, F.col("l_extendedprice"), "_med")
-    mad = grouped_exact_median(
-        li.join(F.broadcast(med), "l_returnflag"),
-        F.abs(F.col("l_extendedprice") - F.col("_med")),
-        "_mad",
-    ).select("l_returnflag", "_mad")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
     return (
-        med.join(mad, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.col("_n").alias("n_rows"),
-            F.round("_med", 4).alias("median_price"),
-            F.round("_mad", 4).alias("mad_price"),
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.round(F.first("_med"), 4).alias("median_price"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("_med")),
+                    F.lit(0.5),
+                ),
+                4,
+            ).alias("mad_price"),
         )
         .orderBy("l_returnflag")
     )

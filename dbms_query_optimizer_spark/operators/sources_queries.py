@@ -39,6 +39,32 @@ def _roundtrip_dir(sf_dir: str, fmt: str, table: str) -> str:
     return os.path.join(_ROUNDTRIP_ROOT, tag, fmt, table)
 
 
+def _stage_concurrent(table, frames: list[DataFrame]) -> None:
+    """Insert each frame as its own committed transaction, with the
+    STAGING WRITES submitted concurrently and the commits serialized in
+    list order.
+
+    r12 (guide §2.6): the multi-commit fixtures ran N single-task write
+    jobs back-to-back, leaving 31 cores idle for N job latencies —
+    measured as the dominant cost of every quartile-fixture query
+    (txn_delete_mor: 19 sequential driver jobs, 2.4 s of construct for
+    0.36 s of query). Staging writes are independent Spark jobs over
+    private staging dirs, so a small thread pool overlaps them; commits
+    stay sequential because each bumps the manifest version and the
+    version order is part of the fixture contract. Insert-only
+    transactions carry no expected_base, so concurrent staging has no
+    conflict window; constraint Observations ride each write unchanged.
+    The final table (files, stats, blooms, version order) is identical
+    to the sequential loop's."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    txns = [table.begin() for _ in frames]
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(frames)))) as pool:
+        list(pool.map(lambda tf: tf[0].insert(tf[1]), zip(txns, frames)))
+    for t in txns:
+        t.commit()
+
+
 def q_source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation + region through the CSV sink/source, then a broadcast join
     and per-region nation count."""
@@ -1095,14 +1121,17 @@ def q_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [(i * (mx + 1)) // 4 for i in range(5)]
 
     table = TransactionalTable.create(root, orders.schema)
-    for lo, hi in zip(q, q[1:]):
-        t = table.begin()
-        t.insert(
+    # staging writes overlapped, commits in quartile order (guide §2.6;
+    # see _stage_concurrent — table state identical to the serial loop)
+    _stage_concurrent(
+        table,
+        [
             orders.filter(
                 (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
             ).coalesce(1)
-        )
-        t.commit()
+            for lo, hi in zip(q, q[1:])
+        ],
+    )
 
     cut = q[2]
     td = table.begin()
@@ -1170,14 +1199,17 @@ def q_txn_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [(i * (mx + 1)) // 4 for i in range(5)]
 
     table = TransactionalTable.create(root, orders.schema)
-    for lo, hi in zip(q, q[1:]):
-        t = table.begin()
-        t.insert(
+    # staging writes overlapped, commits in quartile order (guide §2.6;
+    # see _stage_concurrent — table state identical to the serial loop)
+    _stage_concurrent(
+        table,
+        [
             orders.filter(
                 (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
             ).coalesce(1)
-        )
-        t.commit()
+            for lo, hi in zip(q, q[1:])
+        ],
+    )
 
     files_before = table.snapshot()["files"]
     cut = q[2]
@@ -1262,19 +1294,22 @@ def q_txn_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds = [lo + dt.timedelta(days=(span * i) // 4) for i in range(5)]
 
         table = TransactionalTable.create(root, ev.schema)
-        for i in range(4):
-            t = table.begin()
-            upper = (
-                F.to_date("ts") < F.lit(bounds[i + 1])
-                if i < 3
-                else F.lit(True)
-            )
-            t.insert(
+        # staging writes overlapped, commits in window order (guide
+        # §2.6; see _stage_concurrent — table state identical)
+        _stage_concurrent(
+            table,
+            [
                 ev.filter(
-                    (F.to_date("ts") >= F.lit(bounds[i])) & upper
+                    (F.to_date("ts") >= F.lit(bounds[i]))
+                    & (
+                        F.to_date("ts") < F.lit(bounds[i + 1])
+                        if i < 3
+                        else F.lit(True)
+                    )
                 ).coalesce(1)
-            )
-            t.commit()
+                for i in range(4)
+            ],
+        )
 
         cutoff = dt.datetime.combine(bounds[2], dt.time.min)
         td = table.begin()
@@ -1516,14 +1551,17 @@ def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [(i * (mx + 1)) // 4 for i in range(5)]
 
     table = TransactionalTable.create(root, orders.schema)
-    for lo, hi in zip(q, q[1:]):
-        t = table.begin()
-        t.insert(
+    # staging writes overlapped, commits in quartile order (guide §2.6;
+    # see _stage_concurrent — table state identical to the serial loop)
+    _stage_concurrent(
+        table,
+        [
             orders.filter(
                 (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
             ).coalesce(1)
-        )
-        t.commit()
+            for lo, hi in zip(q, q[1:])
+        ],
+    )
 
     cut = q[2]
     recomputed = orders.filter(F.col("o_orderkey") >= cut).withColumn(
@@ -1863,14 +1901,17 @@ def q_txn_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [(i * (mx + 1)) // 4 for i in range(5)]
 
     table = TransactionalTable.create(root, orders.schema)
-    for lo, hi in zip(q, q[1:]):
-        t = table.begin()
-        t.insert(
+    # staging writes overlapped, commits in quartile order (guide §2.6;
+    # see _stage_concurrent — table state identical to the serial loop)
+    _stage_concurrent(
+        table,
+        [
             orders.filter(
                 (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
             ).coalesce(1)
-        )
-        t.commit()
+            for lo, hi in zip(q, q[1:])
+        ],
+    )
 
     reader = TransactionalTable(root)  # fresh open = recovery path
     cut = q[2]

@@ -189,3 +189,39 @@ def test_harvest_skips_missing_column(tmp_path, spark):
     ]
     out = harvest_blooms(files, ["no_such_column"])
     assert out == {}
+
+
+def test_vectorized_build_bit_identical_to_scalar_reference():
+    """The numpy build (r12) must produce byte-for-byte the same filter
+    as the original per-value scalar loop — determinism is the manifest
+    bloom contract (the oracle pins pruned file counts on it)."""
+    import random
+
+    from dbms_query_optimizer_spark.sources.bloom import (
+        BloomFilter,
+        _canon,
+        _hashes,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [rng.randrange(-(2**62), 2**62) for _ in range(5000)],
+        [f"key-{rng.randrange(10**9)}" for _ in range(3000)],
+        [1, None, 2, None, 3],  # NULLs skipped, not hashed
+        [],
+    ]
+    for vals in cases:
+        built = BloomFilter.build(vals)
+        n = len(vals)
+        m = max(64, n * 32)
+        ref = BloomFilter(m)
+        for v in vals:
+            if v is None:
+                continue
+            for idx in _hashes(_canon(v), m):
+                ref.bits[idx >> 3] |= 1 << (idx & 7)
+        assert built.m == ref.m
+        assert bytes(built.bits) == bytes(ref.bits)
+
+    # unsupported type still rejects the whole filter
+    assert BloomFilter.build([1, 2.5]) is None
