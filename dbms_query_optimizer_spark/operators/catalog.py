@@ -1011,11 +1011,13 @@ R12_PLANNED_WINDOW = [
     "boilerplate_strip", "entity_resolution", "txn_delete_mor",
     "cluster_key_advisor", "pipeline_funnel_report", "knn_ivf",
     "txn_delete_where", "txn_replace_where", "txn_retention_delete",
-    "streaming_manifest_tail",
+    "sample_kcenter_coreset", "graph_kcore", "streaming_manifest_tail",
+    "mmr_diversify_topk",
     # red in the r11 drive (startup flake; hardened this round)
     "streaming_index_upsert",
     # freshness re-checks, last-green round ascending
-    "join_nonequi", "join_semi", "knn_lsh_bucketed", "multimodal_meta",
+    "join_nonequi",
+    "join_semi", "knn_lsh_bucketed", "multimodal_meta",
     "pack_sequences", "pivot", "projection", "range_join_bucketed",
     "recursive_cte_ancestors", "rollup", "scan", "sort_limit",
     "source_python_datasource", "streaming_dedup",
@@ -1023,8 +1025,7 @@ R12_PLANNED_WINDOW = [
     "text_token_stats", "topk_per_group", "tpch_q15", "udaf_geomean",
     "udtf_split_sentences", "window_running", "approx_aggs",
     "asof_join_forward", "asof_join_salted", "bucketed_colocated_join",
-    "curriculum_bins", "doc_length_histogram", "events_sliding",
-    "events_tumbling", "length_winsorize",
+    "curriculum_bins", "doc_length_histogram",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R12_PLANNED_WINDOW

@@ -1080,13 +1080,19 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_kcore() -> str:
+    # every step CTE is referenced TWICE by its successor (both join
+    # legs); DuckDB inlines plain CTEs, so an unhinted unroll re-plans
+    # a0's subtree 2^rounds times — measured 50.3 s vs 0.07 s
+    # MATERIALIZED at sf0.001, identical rows (r12). MATERIALIZED is
+    # semantics-free: each peel step computes once, as the Spark loop
+    # does.
     steps = [
-        "a0 AS (SELECT DISTINCT src AS node FROM und)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)",
     ]
     for r in range(1, KCORE_MAX_ROUNDS + 1):
         p = r - 1
         steps.append(
-            f"""a{r} AS (
+            f"""a{r} AS MATERIALIZED (
     SELECT u.src AS node
     FROM und u
     JOIN a{p} x ON u.src = x.node

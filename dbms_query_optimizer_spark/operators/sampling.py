@@ -751,19 +751,27 @@ def _oracle_kcenter() -> str:
         "ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), "
         "CAST(c.embedding AS DOUBLE[])), 6)"
     )
-    steps = ["cc1 AS (SELECT 1 AS crank, MIN(vec_id) AS cid FROM embeddings)"]
+    # MATERIALIZED (r12): each cc{p} is referenced by BOTH m{p} and
+    # cc{r}; DuckDB inlines plain CTEs, so the unhinted unroll re-plans
+    # the whole greedy prefix per step (measured 4.6 s -> sub-second at
+    # sf0.001, identical rows). Semantics-free: each step computes once,
+    # exactly like the Spark fold.
+    steps = [
+        "cc1 AS MATERIALIZED "
+        "(SELECT 1 AS crank, MIN(vec_id) AS cid FROM embeddings)"
+    ]
     for r in range(2, KCENTER_K + 1):
         p = r - 1
         steps.append(
-            f"""m{p} AS (
+            f"""m{p} AS MATERIALIZED (
     SELECT e.vec_id, MIN({l2}) AS dmin
     FROM embeddings e
     JOIN cc{p} x ON TRUE
     JOIN embeddings c ON c.vec_id = x.cid
     GROUP BY e.vec_id
 ),
-n{p} AS (SELECT vec_id FROM m{p} ORDER BY dmin DESC, vec_id ASC LIMIT 1),
-cc{r} AS (SELECT crank, cid FROM cc{p}
+n{p} AS MATERIALIZED (SELECT vec_id FROM m{p} ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+cc{r} AS MATERIALIZED (SELECT crank, cid FROM cc{p}
           UNION ALL SELECT {r}, vec_id FROM n{p})"""
         )
     k = KCENTER_K

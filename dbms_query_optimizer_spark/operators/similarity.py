@@ -2776,8 +2776,8 @@ def _mmr_oracle() -> str:
             f"SELECT doc_id FROM s{i}" for i in range(1, step)
         )
         steps.append(
-            f"""sel{step} AS ({sel_union}),
-s{step} AS (
+            f"""sel{step} AS MATERIALIZED ({sel_union}),
+s{step} AS MATERIALIZED (
     SELECT r.doc_id,
            ROUND({lam} * r.rrf - {one_m} * (
                SELECT MAX(sim) FROM simm
@@ -2793,14 +2793,14 @@ s{step} AS (
     body = ",\n".join(steps)
     rrf_sub = ORACLE_RRF_HYBRID_SEARCH.strip().rstrip()
     return f"""
-WITH cand AS (
+WITH cand AS MATERIALIZED (
     -- pool restricted to docs WITH an embedding row, mirroring the
     -- engine's inner join (candidate-pool contract in the docstring);
     -- the restriction applies AFTER the RRF top-k cut, exactly as the
     -- engine filters the already-limited RRF frame
     SELECT doc_id, rrf FROM ({rrf_sub})
     WHERE doc_id IN (SELECT vec_id FROM embeddings)
-), simm AS (
+), simm AS MATERIALIZED (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            ROUND(list_cosine_similarity(
                CAST(ea.embedding AS DOUBLE[]),
@@ -2808,7 +2808,7 @@ WITH cand AS (
     FROM cand a JOIN embeddings ea ON ea.vec_id = a.doc_id
     CROSS JOIN cand b JOIN embeddings eb ON eb.vec_id = b.doc_id
     WHERE a.doc_id <> b.doc_id
-), s1 AS (
+), s1 AS MATERIALIZED (
     SELECT doc_id, ROUND(rrf, 9) AS mmr, 1 AS rank
     FROM cand ORDER BY rrf DESC, doc_id LIMIT 1
 ),
