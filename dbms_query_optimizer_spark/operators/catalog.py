@@ -1012,7 +1012,7 @@ R12_PLANNED_WINDOW = [
     "cluster_key_advisor", "pipeline_funnel_report", "knn_ivf",
     "txn_delete_where", "txn_replace_where", "txn_retention_delete",
     "sample_kcenter_coreset", "graph_kcore", "streaming_manifest_tail",
-    "mmr_diversify_topk",
+    "index_refresh", "mmr_diversify_topk",
     # red in the r11 drive (startup flake; hardened this round)
     "streaming_index_upsert",
     # freshness re-checks, last-green round ascending
@@ -1025,7 +1025,7 @@ R12_PLANNED_WINDOW = [
     "text_token_stats", "topk_per_group", "tpch_q15", "udaf_geomean",
     "udtf_split_sentences", "window_running", "approx_aggs",
     "asof_join_forward", "asof_join_salted", "bucketed_colocated_join",
-    "curriculum_bins", "doc_length_histogram",
+    "curriculum_bins",
 ]
 
 DRIVER_PRIORITY = DRIVER_SENTINELS + R12_PLANNED_WINDOW

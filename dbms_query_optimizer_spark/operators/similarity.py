@@ -2238,14 +2238,29 @@ def q_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     built = build_index(spark, table, cent, idx_dir, version=1)
     assert built == 1
 
-    # churn: a GDPR-style key erase, then the late quarter arrives
+    # churn: a GDPR-style key erase, then the late quarter arrives.
+    # The erase's rewrite scan and the insert's staging write are
+    # independent Spark jobs (private staging; the insert carries no
+    # expected_base) — overlap them (guide §2.6) and keep the commit
+    # order, so the version sequence and every file are identical to
+    # the serial form.
+    from concurrent.futures import ThreadPoolExecutor
+
     erase = table.begin()
-    erase.delete_keys(
-        spark, emb.filter(F.expr(IVFR_DEL_PRED)).select("vec_id"), "vec_id"
-    )
-    erase.commit()  # -> version 2
     ins = table.begin()
-    ins.insert(emb.filter(F.expr(IVFR_INS_PRED)).repartition(2))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_erase = pool.submit(
+            erase.delete_keys,
+            spark,
+            emb.filter(F.expr(IVFR_DEL_PRED)).select("vec_id"),
+            "vec_id",
+        )
+        f_ins = pool.submit(
+            ins.insert, emb.filter(F.expr(IVFR_INS_PRED)).repartition(2)
+        )
+        f_erase.result()
+        f_ins.result()
+    erase.commit()  # -> version 2
     ins.commit()  # -> version 3
 
     refresh_index(spark, table, cent, idx_dir)
@@ -2606,7 +2621,7 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.manifest import TransactionalTable
     from ..sources.manifest_stream import register
     from ..streaming.startup import start_and_drain
-    from .sources_queries import _roundtrip_dir
+    from .sources_queries import _roundtrip_dir, _stage_concurrent
 
     root = _roundtrip_dir(sf_dir, "txn_ivf_stream", "embeddings")
     shutil.rmtree(root, ignore_errors=True)
@@ -2614,10 +2629,15 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
     table = TransactionalTable.create(table_root, emb.schema)
-    for m in (0, 1, 2):
-        t = table.begin()
-        t.insert(emb.filter(F.col("vec_id") % 4 == m).repartition(2))
-        t.commit()
+    # staging writes overlapped, commits in slice order (guide §2.6;
+    # version sequence and per-version file contents identical)
+    _stage_concurrent(
+        table,
+        [
+            emb.filter(F.col("vec_id") % 4 == m).repartition(2)
+            for m in (0, 1, 2)
+        ],
+    )
 
     cent = _ivfr_centroids(_ivfr_quantize(emb))
 
