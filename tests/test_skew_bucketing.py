@@ -52,6 +52,23 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_salts > 1, "salt must spread a hot key across partitions"
 
 
+def test_salted_join_pins_shuffled_hash_strategy(spark):
+    """The salted exchange IS the utility's contract (r12): without the
+    SHUFFLE_HASH pin the planner broadcast-joins whenever the replicated
+    dim side fits its estimate — erasing the salted shuffle the demo
+    queries exist to prove, and building the n_salt-times-inflated
+    relation single-threaded on the driver."""
+    fact = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    plan = _plan(salted_join(fact, dim, "k", n_salt=4))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Both sides bucketed+sorted on the join key => the sort-merge join
     reads buckets directly: zero Exchange operators in the plan."""
